@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as
+(spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twins, column names matched.
+
+Determinism contract: every float aggregate on BOTH sides accumulates in
+DECIMAL (order-independent, engine-independent) and casts the final value to
+double — see caffeonspark_spark/functions/arrays.py for the rationale.
 """
 
 from __future__ import annotations
@@ -13,26 +16,252 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from caffeonspark_spark.operators import relational as R
+from caffeonspark_spark.operators import dedup as D
+from caffeonspark_spark.operators import similarity as S
+from caffeonspark_spark.operators import textops as TX
+from caffeonspark_spark.operators import vectorops as V
+
+# decimal accumulator renderings shared by the oracle strings
+_DS = "CAST(SUM(CAST(({x}) AS DECIMAL(30,{s}))) AS DOUBLE)"
+_DA = "(CAST(SUM(CAST(({x}) AS DECIMAL(30,{s}))) AS DOUBLE) / COUNT({x}))"
+
+
+def _ds(x: str, scale: int = 2) -> str:
+    return _DS.format(x=x, s=scale)
+
+
+def _da(x: str, scale: int = 2) -> str:
+    return _DA.format(x=x, s=scale)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational surface (SURVEY §2.B core) ---
+        "scan_filter_project": R.scan_filter_project,
+        "expression_projection": R.expression_projection,
+        "pricing_summary": R.pricing_summary,
+        "group_agg_minmax": R.group_agg_minmax,
+        "having_filter": R.having_filter,
+        "conditional_agg": R.conditional_agg,
+        "date_bucket_agg": R.date_bucket_agg,
+        "inner_equi_join": R.inner_equi_join,
+        "broadcast_dim_join": R.broadcast_dim_join,
+        "multiway_join": R.multiway_join,
+        "left_outer_join": R.left_outer_join,
+        "semi_join": R.semi_join,
+        "anti_join": R.anti_join,
+        "topk_orderby_limit": R.topk_orderby_limit,
+        "row_numbering": R.row_numbering,
+        "window_running_sum": R.window_running_sum,
+        "union_all": R.union_all,
+        "distinct_projection": R.distinct_projection,
+        "explode_tokens": R.explode_tokens,
+        "string_functions": R.string_functions,
+        "json_extraction": R.json_extraction,
+        "events_hourly": R.events_hourly,
+        "greatest_per_group": R.correlated_subquery_topk,
+        # --- array/vector ops ---
+        "vector_mean": V.vector_mean_embeddings,
+        "vector_norms_topk": V.vector_norms_topk,
+        "vector_mean_by_label": V.vector_mean_by_label,
+        # --- similarity search ---
+        "cosine_topk_bruteforce": S.cosine_topk_query0,
+        "ann_lsh_topk": S.ann_lsh_topk_query0,
+        # --- dedup ---
+        "dedup_exact": D.dedup_exact_docs,
+        "dedup_fingerprint": D.dedup_fingerprint_docs,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": D.minhash_lsh_pairs,
+        "simhash_buckets": D.simhash_buckets,
+        # --- text analysis ---
+        "text_quality": TX.doc_quality,
+        "text_lang_id": TX.doc_lang_id,
+        "token_stats": TX.token_stats,
+        "bigram_topk": TX.bigram_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 30.0 AND l_returnflag = 'R'
+        """,
+        "expression_projection": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+                   upper(l_returnflag) AS flag_upper,
+                   l_returnflag || '/' || l_linestatus AS flag_status
+            FROM lineitem
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_ds('l_quantity')} AS sum_qty,
+                   {_ds('l_extendedprice')} AS sum_base_price,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+                   {_ds('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+                   {_da('l_quantity')} AS avg_qty,
+                   {_da('l_extendedprice')} AS avg_price,
+                   {_da('l_discount')} AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "group_agg_minmax": """
+            SELECT o_orderstatus,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "having_filter": f"""
+            SELECT l_suppkey, {_ds('l_quantity')} AS total_qty, COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey
+            HAVING {_ds('l_quantity')} > 500.0
+        """,
+        "conditional_agg": f"""
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+                   {_ds("CASE WHEN o_totalprice > 100000.0 THEN o_totalprice ELSE 0.0 END")} AS big_price_sum
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "date_bucket_agg": f"""
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   COUNT(*) AS n_orders,
+                   {_ds('o_totalprice')} AS month_price
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        """,
+        "inner_equi_join": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "broadcast_dim_join": f"""
+            SELECT r_name, COUNT(*) AS n_customers, {_ds('c_acctbal')} AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "multiway_join": f"""
+            SELECT n_name, {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "left_outer_join": """
+            SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "topk_orderby_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 25
+        """,
+        "row_numbering": """
+            SELECT l_orderkey, l_linenumber, l_shipdate, CAST(rn AS INT) AS rn FROM (
+                SELECT l_orderkey, l_linenumber, l_shipdate,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn
+                FROM lineitem) WHERE rn = 1
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS running_total
+            FROM orders
+        """,
+        "union_all": """
+            SELECT nationkey, kind, COUNT(*) AS n FROM (
+                SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+                UNION ALL
+                SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS kind FROM supplier
+            ) GROUP BY nationkey, kind
+        """,
+        "distinct_projection": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        """,
+        "explode_tokens": """
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "string_functions": """
+            SELECT p_partkey,
+                   lower(p_name) AS name_lower,
+                   upper(p_brand) AS brand_upper,
+                   substr(p_type, 1, 5) AS type_prefix,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   replace(p_name, ' ', '_') AS name_snake
+            FROM part
+        """,
+        "json_extraction": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "events_hourly": f"""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                   COUNT(*) AS n_events, {_ds('value')} AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "greatest_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        # --- array/vector ---
+        "vector_mean": V.ORACLE_VECTOR_MEAN,
+        "vector_norms_topk": V.ORACLE_VECTOR_NORMS_TOPK,
+        "vector_mean_by_label": V.ORACLE_VECTOR_MEAN_BY_LABEL,
+        # --- similarity ---
+        "cosine_topk_bruteforce": S.ORACLE_COSINE_TOPK,
+        # ann_lsh_topk: approximate (LSH-bucketed) — rows-only check by design
+        # --- dedup ---
+        "dedup_exact": D.ORACLE_DEDUP_EXACT,
+        "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        # dedup_fingerprint / minhash_lsh_pairs / simhash_buckets use
+        # Spark-native xxhash64 → rows-only check; unit tests pin semantics
+        # --- text analysis ---
+        "text_quality": TX.ORACLE_DOC_QUALITY,
+        "text_lang_id": TX.ORACLE_DOC_LANG_ID,
+        "token_stats": TX.ORACLE_TOKEN_STATS,
+        "bigram_topk": TX.ORACLE_BIGRAM_TOPK,
+    }

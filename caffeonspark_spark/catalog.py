@@ -1,0 +1,71 @@
+"""Named-table catalog over the parquet testdata layout.
+
+The reference resolves data sources by reflection from a prototxt
+``source_class`` string (``DataSource.scala:133-166``); here the catalog is a
+plain name→path mapping over a scale-factor directory, loaded through the
+native parquet reader so Catalyst gets pushdown/pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark 4 refuses
+    to read natively. Read nanos as long and truncate to microseconds —
+    exactly what engines with µs timestamps (DuckDB included) do — so ``ts``
+    is a normal TimestampType column everywhere downstream.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs floor-truncation in exact long math, then TIMESTAMP_NTZ via
+        # pure arithmetic from the epoch. NTZ (not timestamp_micros) matters:
+        # the other tables' parquet timestamps are isAdjustedToUTC=false and
+        # Spark 4 reads them as NTZ, so results stay identical whatever the
+        # host session's timezone is.
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so ``spark.sql`` sees them."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

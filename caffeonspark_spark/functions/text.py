@@ -1,0 +1,165 @@
+"""Text-analysis column functions (reference F1/F10 + LLM-pipeline extensions).
+
+Reference parity:
+* ``sentence_to_words`` — the reference tokenizer ``Conversions.sentence2Words``
+  (``tools/Conversions.scala:22-29``): split on word/non-word runs, trim,
+  lowercase, drop empty and a trailing ".". Rebuilt with regexp split +
+  higher-order ``filter``/``transform`` — all JVM-side.
+* ``tokenize`` — simple whitespace tokenizer (``F.split``), the form used by
+  the oracle-checked word-count/text-analysis queries (both engines can
+  express it identically).
+
+Extensions (mandated LLM-data-pipeline surface; all pure Catalyst
+expressions, no UDF — they run inside whole-stage codegen and scale
+trivially):
+* ``token_count`` — whitespace token count.
+* ``quality_score_cols`` — length / punctuation-ratio / stopword-ratio
+  heuristics.
+* ``lang_id_score`` — n-gram/stopword-hit language-ID heuristic.
+* ``doc_fingerprint`` — order-sensitive polynomial rolling hash over tokens
+  (64-bit, overflow-wrapping) for exact-duplicate detection at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny in-engine stopword list (deterministic, shared with oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# per-language marker words for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenizer dropping empty tokens; lowercased."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(c), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def sentence_to_words(col: Column | str) -> Column:
+    """Reference-faithful tokenizer (``Conversions.scala:22-29``).
+
+    The Scala original splits the sentence into alternating word/non-word
+    runs via ``(\\w+|\\W+)``, trims each, lowercases, drops empties, and
+    removes a bare "." token (trailing period). Equivalent formulation:
+    extract lowercase word runs, but keep interior punctuation runs that are
+    not pure whitespace/period — here we match its observable output on
+    normal captions: lowercase word tokens plus non-period punctuation runs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(F.lower(c), F.lit(r"([a-z0-9_]+|[^a-z0-9_\s]+)"), 1)
+    trimmed = F.transform(runs, lambda t: F.trim(t))
+    return F.filter(trimmed, lambda t: (t != F.lit("")) & (t != F.lit(".")))
+
+
+def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
+    """Word n-grams from a token-array column, as an array of joined strings.
+
+    ``transform`` over index positions + ``slice`` — pure Catalyst; used by
+    the n-gram Jaccard dedup path.
+    """
+    size = F.size(tokens)
+    # sequence(1, 0) would DESCEND in Spark; guard short inputs to an empty array
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - F.lit(n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), sep))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — a core quality signal."""
+    toks = tokenize(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(toks)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.length(c)
+
+
+def quality_score_cols(col: Column | str) -> dict[str, Column]:
+    """Bundle of quality-scoring heuristics for a text column."""
+    return {
+        "n_tokens": token_count(col).cast("long"),
+        "n_chars": char_count(col).cast("long"),
+        "stopword_ratio": stopword_ratio(col),
+        "punct_ratio": punct_ratio(col),
+        "mean_token_len": _mean_token_len(col),
+    }
+
+
+def _mean_token_len(col: Column | str) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def lang_id_score(col: Column | str, lang: str = "en") -> Column:
+    """Marker-word hit count for ``lang`` — argmax over languages gives the
+    predicted language; integer counts keep it oracle-exact."""
+    markers = LANG_MARKERS[lang]
+    toks = tokenize(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
+
+
+def predict_lang(col: Column | str) -> Column:
+    """Heuristic language-ID: language with the most marker hits, ties broken
+    by the fixed priority en > de > fr > es; 'und' when no marker hits.
+
+    The explicit CASE chain (rather than an argmax over structs) makes the
+    tie rule portable to the SQL oracle verbatim.
+    """
+    s = {lg: lang_id_score(col, lg) for lg in ("en", "de", "fr", "es")}
+    return (
+        F.when(s["en"] + s["de"] + s["fr"] + s["es"] == 0, F.lit("und"))
+        .when(s["en"] >= F.greatest(s["de"], s["fr"], s["es"]), F.lit("en"))
+        .when(s["de"] >= F.greatest(s["fr"], s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+# polynomial rolling hash constants (public Rabin-Karp style); modulus is the
+# Mersenne prime 2^31-1 so acc*BASE (< 2^31 * 2^20 = 2^51) never overflows the
+# signed-64 arithmetic Spark longs use
+_FP_BASE = 1000003
+_FP_MOD = (1 << 31) - 1
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over the
+    token stream, each token first reduced with Spark's ``xxhash64``.
+
+    fp = sum-fold: fp = (fp * BASE + xxhash64(token) mod M) mod M
+
+    Detects exact/near-exact (whitespace-normalized) duplicates with a single
+    long value per document — the cheap first pass before MinHash at scale.
+    (Not oracle-checked: xxhash64 is Spark-specific; covered by unit tests.)
+    """
+    toks = tokenize(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(_FP_BASE) + F.pmod(F.xxhash64(t), F.lit(_FP_MOD)), F.lit(_FP_MOD)
+        ),
+    )

@@ -1,0 +1,283 @@
+"""Deduplication operators (LLM-pipeline extension) over the documents table.
+
+Tiered exactly as a 100 TB pipeline would run them:
+
+1. ``dedup_exact``       — hash-groupBy on the full text (one shuffle on the
+                           text key; at scale group on ``xxhash64(text)`` so
+                           the shuffle key is 8 bytes, not the document).
+2. ``dedup_fingerprint`` — whitespace-normalized rolling-hash fingerprint
+                           (catches reformatted exact dupes for the cost of
+                           a token scan).
+3. ``ngram_jaccard``     — shingle inverted index → candidate pairs →
+                           exact Jaccard (the verifier for near-dup).
+4. ``minhash_lsh``       — MinHash signatures + banded LSH: candidate pairs
+                           ∝ true near-dupes, not |corpus|² — the scale path.
+5. ``simhash``           — 32-bit frequency-weighted simhash per doc; near
+                           dupes land in the same bucket / small Hamming
+                           distance.
+
+All pure Catalyst (explode/groupBy/higher-order fns + xxhash64) — no Python
+row path anywhere. Jaccard/exact paths are oracle-checked against DuckDB;
+the hash-family paths (xxhash64 is Spark-native) are pinned by unit tests
+with planted duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.functions.text import doc_fingerprint, ngrams
+
+# MinHash parameters: 64 hashes in 16 bands of 4 (standard banding math:
+# candidate threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard)
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16
+MINHASH_ROWS_PER_BAND = 4
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime; products stay in long range
+
+
+def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+
+
+# --- 1. exact ------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep min id per identical key; report group size."""
+    return df.groupBy(key_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+"""
+
+
+# --- 2. fingerprint ------------------------------------------------------
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint dedup (whitespace-normalized exact dupes).
+
+    Spark-native xxhash64 inside → rows-only driver check; semantics pinned
+    by tests/test_dedup.py with planted reformatted duplicates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.col("doc_id"), doc_fingerprint(F.col("text")).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies", "fp")
+
+
+# --- 3. shingle Jaccard --------------------------------------------------
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index input."""
+    toks = _tokens(df, text_col)
+    sh = F.array_distinct(ngrams(toks, n=n))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, top: int = 50) -> DataFrame:
+    """Top near-duplicate candidate pairs by exact 3-gram-shingle Jaccard.
+
+    Inverted-index join (shingle equality) → per-pair intersection counts →
+    Jaccard from set sizes. Integer counts + one double division keep it
+    oracle-exact. At 100 TB the same shape works because the shingle join
+    only pairs documents that *share* a shingle; add the MinHash pre-filter
+    (below) when even that candidate set is too large.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_sets(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    LIMIT 50
+"""
+
+
+# --- 4. MinHash + LSH ----------------------------------------------------
+
+def _perm_coeffs(n: int = MINHASH_PERMS, seed: int = 7):
+    """Deterministic (a, b) coefficients for universal hashing
+    h_i(x) = (a_i * x + b_i) mod p. Plain LCG expansion of the seed keeps it
+    library-free and reproducible across engines/runs."""
+    coeffs = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MH_PRIME - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature as ``sig: array<long>`` of length PERMS.
+
+    Token → xxhash64 → p-reduced; per-permutation min is a single hash agg
+    with 64 agg expressions (map-side partials, one shuffle on doc id).
+    a*x: a < 2^31, x < 2^31 → product < 2^62, no overflow in long math.
+    """
+    toks = shingle_sets(df, id_col=id_col, text_col=text_col, n=3)
+    th = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME)).alias("th")
+    base = toks.select(F.col(id_col), th)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_coeffs())
+    ]
+    wide = base.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, top: int = 100
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH + signature-estimate filter.
+
+    Candidates = pairs sharing ≥1 of 16 band hashes (band = hash of 4
+    signature slots). Estimated Jaccard = fraction of equal signature
+    positions. Returns (id_a, id_b, est_jaccard) above threshold.
+    Scale: candidates ∝ colliding pairs only; the band explode is 16 rows
+    per doc; every join is an equi-join on an 8-byte key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / F.lit(float(MINHASH_PERMS))
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+        .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )
+
+
+# --- 5. SimHash ----------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Frequency-weighted 32-bit SimHash per document (pure SQL).
+
+    bit_j(doc) = 1 iff Σ_tokens tf(t) * (2*bit_j(xxhash64(t)) - 1) > 0.
+    One explode + one hash agg with 32 conditional sums; near-duplicate docs
+    differ in few bits (Hamming), so grouping by the hash (or by prefix
+    bands) buckets candidates.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(df, text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.xxhash64(F.col("token"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-doc simhash (rows-only check; Hamming-neighbour
+    behavior pinned by tests with planted near-duplicates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")

@@ -1,0 +1,356 @@
+"""Relational query surface — the declared query classes of SURVEY.md §2.B.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; these are
+the engine's "query library" built ONLY from Catalyst primitives so that
+pushdown / pruning / join-strategy selection / whole-stage codegen all apply.
+Every computed column is aliased, because the t2 driver hash-compares
+column-name-sorted values against a DuckDB oracle.
+
+Reference lineage per query is noted inline (SURVEY.md §2 operator ids).
+
+Scale notes baked into the shapes below:
+* Dim tables (region/nation/supplier/customer at TPC-H ratios) are joined
+  with explicit ``F.broadcast`` — at 100 TB the fact side never shuffles for
+  a dim join.
+* Aggregations are expressed so Catalyst plants partial (map-side) aggs
+  before the single shuffle; no query below shuffles twice on the same key.
+* Filters are put directly on scan columns so they reach the parquet reader
+  (``PushedFilters``), and projections are minimal so ``ReadSchema`` stays
+  narrow.
+* Float aggregates use decimal-exact accumulation (see functions/arrays.py)
+  — order-independent results, identical on 32 cores or 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.functions.arrays import davg, dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- scan / project / filter (S4/S5, P1-P3) ------------------------------
+
+def scan_filter_project(spark, sf_dir) -> DataFrame:
+    """SELECT cols FROM lineitem WHERE predicates — filter+projection pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_quantity") > F.lit(30.0)) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def expression_projection(spark, sf_dir) -> DataFrame:
+    """selectExpr arithmetic/string derivations (P2, ImageDataFrame.scala:40-45)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice * (1 - l_discount) AS disc_price",
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge",
+        "upper(l_returnflag) AS flag_upper",
+        "concat(l_returnflag, '/', l_linestatus) AS flag_status",
+    )
+
+
+# --- aggregation (A1-A6) --------------------------------------------------
+
+def pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-style groupBy aggregation — the flagship query (§7.2).
+
+    Shape: scan(filter pushed) → partial hash agg → 1 shuffle on the 6-value
+    group key → final agg. At 100 TB the group cardinality stays 6, so the
+    shuffle moves only per-partition partials — bytes ∝ #partitions, not rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                scale=6,
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def group_agg_minmax(spark, sf_dir) -> DataFrame:
+    """min/max/count per group (A3/A4 partition-size math analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+def having_filter(spark, sf_dir) -> DataFrame:
+    """GROUP BY + HAVING (post-agg predicate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("n_items"))
+        .where(F.col("total_qty") > 500.0)
+    )
+
+
+def conditional_agg(spark, sf_dir) -> DataFrame:
+    """CASE WHEN inside aggregates (pivot-style conditional sums)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        dsum(
+            F.when(F.col("o_totalprice") > 100000.0, F.col("o_totalprice")).otherwise(F.lit(0.0))
+        ).alias("big_price_sum"),
+    )
+
+
+def date_bucket_agg(spark, sf_dir) -> DataFrame:
+    """Calendar bucketing: month truncation + counts/sums (time-series agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("month_price"))
+    )
+
+
+# --- joins (J1-J3) --------------------------------------------------------
+
+def inner_equi_join(spark, sf_dir) -> DataFrame:
+    """orders ⋈ lineitem on orderkey + group agg (J1: Conversions.scala:80-81).
+
+    Both sides are big → Catalyst picks sort-merge/shuffled-hash; AQE may
+    convert to broadcast at small SF. Keys are uniform TPC-H keys (no skew).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+        )
+    )
+
+
+def broadcast_dim_join(spark, sf_dir) -> DataFrame:
+    """customer ⋈ nation ⋈ region with explicit broadcast of the dims (J3).
+
+    The reference collected the vocab map to the driver and closure-captured
+    it (``Conversions.scala:148``); the Spark-native form is a broadcast-hash
+    join — same "map-side join", but executor-managed and spillable.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+def multiway_join(spark, sf_dir) -> DataFrame:
+    """5-way TPC-H Q5-style join: region→nation→customer→orders→lineitem."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"))
+    )
+
+
+def left_outer_join(spark, sf_dir) -> DataFrame:
+    """customer LEFT JOIN orders + count of orders incl. zero (outer join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+def semi_join(spark, sf_dir) -> DataFrame:
+    """EXISTS → left-semi: customers that have at least one 'F' order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def anti_join(spark, sf_dir) -> DataFrame:
+    """NOT EXISTS → left-anti: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- sorts / limits / top-k (O1-O4) --------------------------------------
+
+def topk_orderby_limit(spark, sf_dir) -> DataFrame:
+    """ORDER BY ... LIMIT k with a total order (unique tiebreak keys) so the
+    answer set is deterministic (O1/O2, Vocab.scala:31-36).
+
+    Physical plan is TakeOrderedAndProject — per-partition top-k then a
+    k-row merge on the driver; no global sort at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+def row_numbering(spark, sf_dir) -> DataFrame:
+    """row_number per partition key (O3: zipWithIndex / FixedSizePartitioner
+    ordinal assignment) — first line of each order by ship date."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.asc("l_shipdate"), F.asc("l_linenumber"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def window_running_sum(spark, sf_dir) -> DataFrame:
+    """Running total within a partition (windowed aggregation, A5 analogue).
+
+    Decimal-exact accumulation + a total order inside the frame make the
+    running values deterministic.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# --- set ops (U1) ---------------------------------------------------------
+
+def union_all(spark, sf_dir) -> DataFrame:
+    """UNION ALL of two homogeneous projections + agg (U1 replicated-union)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return c.unionAll(s).groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+def distinct_projection(spark, sf_dir) -> DataFrame:
+    """DISTINCT over a projection (A7 dedup-by-key memoization analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --- explode / nested (P6) -----------------------------------------------
+
+def explode_tokens(spark, sf_dir) -> DataFrame:
+    """flatMap explosion (P6, Conversions.scala:40-49): document text →
+    one row per token → top token counts. Generator runs inside codegen."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))).alias(
+            "token"
+        )
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# --- string functions (F1/F10) -------------------------------------------
+
+def string_functions(spark, sf_dir) -> DataFrame:
+    """lower/upper/substring/length/replace/trim over part names."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).cast("int").alias("name_len"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+    )
+
+
+def json_extraction(spark, sf_dir) -> DataFrame:
+    """JSON field extraction from the events props column + agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type", F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_hourly(spark, sf_dir) -> DataFrame:
+    """Tumbling-window (hourly) event aggregation — the batch twin of the
+    streaming window query (SURVEY §2 streaming rebuild note)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+def correlated_subquery_topk(spark, sf_dir) -> DataFrame:
+    """Top-1 order per customer via window (decorrelated greatest-n-per-group)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+Two tiers, per the north-star spec:
+
+* ``cosine_topk`` — brute-force cosine top-k: broadcast the query vector(s),
+  one scan over the corpus, TakeOrderedAndProject for the top-k. This is the
+  exactness baseline AND the right plan when queries are few: at 100 TB the
+  corpus scan is embarrassingly parallel, nothing shuffles except k rows per
+  partition.
+* ``ann_lsh_topk`` — sign-random-projection LSH: P deterministic hyperplanes
+  (seeded NumPy, embedded as plan literals) → B-bit signature → candidates =
+  bucket match on a signature prefix → exact cosine re-rank within
+  candidates. The bucket join prunes the corpus to ~corpus/2^prefix_bits per
+  query — the scale path when queries are many (signature computation is a
+  one-off linear pass, candidate join is an equi-join Catalyst can shuffle or
+  broadcast as sizes dictate).
+
+Everything is Catalyst expressions (zip_with/aggregate higher-order
+functions) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.functions.arrays import cosine_similarity
+
+LSH_SEED = 42
+LSH_PLANES = 16  # signature bits
+LSH_PREFIX_BITS = 8  # bucket = first 8 bits → 256 buckets
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity of every corpus row to ONE query row.
+
+    ``query`` must be a 1-row DataFrame with ``(id_col, vec_col)``; it is
+    broadcast, so the corpus never shuffles.
+    """
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    return (
+        corpus.crossJoin(q)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: top-10 nearest neighbours of vec_id=0 (brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+
+
+ORACLE_COSINE_TOPK = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+    parts AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qe,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_ee,
+               CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qq
+        FROM ex, q
+        GROUP BY ex.vec_id
+    )
+    SELECT vec_id, dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) AS cos_sim
+    FROM parts
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+def _planes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
+    """Sign-random-projection signature as a long (bit j = sign(v·h_j) > 0).
+
+    The hyperplanes are plan literals — Catalyst constant-folds the per-plane
+    arrays; each dot product is a zip_with+aggregate over doubles (no decimal
+    needed: the signature only needs the *sign*, and both producers/consumers
+    of a bucket use the identical expression, so any fp rounding is shared).
+    """
+    planes = _planes(dim)
+    bits = []
+    for j in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(w)) for w in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << j).cast("long"))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    prefix_bits: int = LSH_PREFIX_BITS,
+) -> DataFrame:
+    """Approximate top-k: LSH-prefix bucket match, then exact cosine re-rank.
+
+    Returns ≤ k rows — fewer when the bucket holds < k candidates (the
+    approximation trade-off; widen ``prefix_bits``→smaller buckets/faster,
+    narrow→better recall).
+    """
+    mask = F.lit((1 << prefix_bits) - 1).cast("long")
+    sig = lsh_signature(F.col(vec_col), dim)
+    corp = corpus.select(
+        F.col(id_col), F.col(vec_col), (sig.bitwiseAND(mask)).alias("bucket")
+    )
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            (lsh_signature(F.col(vec_col), dim).bitwiseAND(mask)).alias("qbucket"),
+        )
+    )
+    return (
+        corp.join(q, corp.bucket == q.qbucket)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: LSH-bucketed ANN top-10 for vec_id=0 (rows-only check;
+    recall vs brute force is pinned by unit test instead)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") == 0), dim=64, k=10)

@@ -1,0 +1,139 @@
+"""Text-analysis operators over the documents table (LLM-pipeline extension).
+
+Declared queries: per-doc quality scoring, language-ID, corpus token stats,
+bigram top-k. All are Catalyst higher-order-function expressions — the text
+never leaves the JVM, and each query is one scan (+ at most one shuffle for
+the corpus-level aggs). Oracle twins use DuckDB list lambdas with the same
+tokenization (split on a single space, drop empties) and the same
+integer-arithmetic-then-one-division recipe so values hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.functions.text import LANG_MARKERS, STOPWORDS, ngrams, predict_lang
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks(text_col: str = "text") -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, char count, stopword ratio,
+    mean token length (quality-scoring heuristics for corpus filtering)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    len_sum = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(F.col("text")).cast("long").alias("n_chars_txt"),
+        stop_hits.alias("stop_hits"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (len_sum.cast("double") / n_tokens).alias("mean_token_len"),
+    )
+
+
+ORACLE_DOC_QUALITY = f"""
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_txt,
+           CAST(len(list_filter(ts, t -> list_contains([{_STOP_SQL}], t))) AS BIGINT) AS stop_hits,
+           CAST(len(list_filter(ts, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+             / len(ts) AS stopword_ratio,
+           CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE)
+             / len(ts) AS mean_token_len
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+          FROM documents)
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: marker-word hit counts per language + predicted language
+    (priority tie rule, see functions/text.py:predict_lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    scores = {
+        lg: F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lg]))).cast("long")
+        for lg in ("en", "de", "fr", "es")
+    }
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].alias(f"score_{lg}") for lg in scores],
+        predict_lang(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _markers_sql(lg: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+
+
+ORACLE_DOC_LANG_ID = f"""
+    SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+           CASE WHEN score_en + score_de + score_fr + score_es = 0 THEN 'und'
+                WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+                WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+                WHEN score_fr >= score_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(ts, t -> list_contains([{_markers_sql('en')}], t))) AS BIGINT) AS score_en,
+               CAST(len(list_filter(ts, t -> list_contains([{_markers_sql('de')}], t))) AS BIGINT) AS score_de,
+               CAST(len(list_filter(ts, t -> list_contains([{_markers_sql('fr')}], t))) AS BIGINT) AS score_fr,
+               CAST(len(list_filter(ts, t -> list_contains([{_markers_sql('es')}], t))) AS BIGINT) AS score_es
+        FROM (SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+              FROM documents)
+    )
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics (single-row summary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_toks()).alias("token"))
+    return tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct(F.col("token")).alias("distinct_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+    SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT token) AS distinct_tokens
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    WHERE token <> ''
+"""
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k word bigrams by frequency (n-gram analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(ngrams(_toks(), n=2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+ORACLE_BIGRAM_TOPK = """
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+              FROM documents)
+        WHERE len(ts) >= 2
+    )
+    GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""

@@ -1,0 +1,78 @@
+"""Array/vector operators over the embeddings table.
+
+``vector_mean_*`` is the rebuild of the reference's ``VectorMean`` UDAF
+(``VectorMean.scala:17-64``; used for test-result summaries at
+``CaffeOnSpark.scala:396-418``): element-wise mean of an ``array<float>``
+column. The long-form (pos, mean) shape is the scalable one — posexplode is
+a codegen'd generator, the agg is a two-phase hash agg keyed by (group, pos),
+and array length never hits a width limit.
+
+Oracle SQL twins use DuckDB ``unnest`` + ``generate_subscripts`` (1-based →
+re-based to posexplode's 0-based), with the same decimal-exact accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.functions.arrays import l2_norm, vector_mean_long
+
+
+def vector_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean over all embedding vectors → (pos, mean_val)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return vector_mean_long(emb, "embedding")
+
+
+ORACLE_VECTOR_MEAN = """
+    SELECT CAST(pos - 1 AS INT) AS pos,
+           CAST(SUM(CAST(CAST(elem AS DOUBLE) AS DECIMAL(30,9))) AS DOUBLE)
+             / COUNT(elem) AS mean_val
+    FROM (SELECT unnest(embedding) AS elem,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY pos
+"""
+
+
+def vector_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean → (label, pos, mean_val) — the per-class
+    centroid table (the reference's per-blob validation summary, grouped)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = vector_mean_long(emb, "embedding", group_cols=["label"])
+    return out.withColumn("label", F.col("label").cast("int"))
+
+
+ORACLE_VECTOR_MEAN_BY_LABEL = """
+    SELECT CAST(label AS INT) AS label, CAST(pos - 1 AS INT) AS pos,
+           CAST(SUM(CAST(CAST(elem AS DOUBLE) AS DECIMAL(30,9))) AS DOUBLE)
+             / COUNT(elem) AS mean_val
+    FROM (SELECT label, unnest(embedding) AS elem,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+"""
+
+
+def vector_norms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 vectors by L2 norm (decimal-exact sum of squares → IEEE sqrt),
+    with a unique tiebreak so the answer set is total-ordered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", l2_norm(F.col("embedding")).alias("norm"))
+        .orderBy(F.desc("norm"), F.asc("vec_id"))
+        .limit(25)
+    )
+
+
+ORACLE_VECTOR_NORMS_TOPK = """
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(CAST(elem AS DOUBLE) * CAST(elem AS DOUBLE)
+                               AS DECIMAL(30,9))) AS DOUBLE)) AS norm
+    FROM (SELECT vec_id, unnest(embedding) AS elem FROM embeddings)
+    GROUP BY vec_id
+    ORDER BY norm DESC, vec_id ASC
+    LIMIT 25
+"""

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing collected)
+so the number reflects engine throughput, not driver-side result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from caffeonspark_spark.engine import Config, get_spark  # noqa: E402
+from caffeonspark_spark.operators import dedup as D  # noqa: E402
+from caffeonspark_spark.operators import relational as R  # noqa: E402
+from caffeonspark_spark.operators import similarity as S  # noqa: E402
+from caffeonspark_spark.operators import textops as TX  # noqa: E402
+from caffeonspark_spark.operators import vectorops as V  # noqa: E402
+
+# headline suite: the BASELINE.md classes + the LLM-pipeline extensions
+BENCH_QUERIES = {
+    "q1_pricing_summary": R.pricing_summary,
+    "q_scan_filter_project": R.scan_filter_project,
+    "q_inner_join": R.inner_equi_join,
+    "q_broadcast_dim_join": R.broadcast_dim_join,
+    "q_multiway_join": R.multiway_join,
+    "q_topk": R.topk_orderby_limit,
+    "q_window_rownum": R.row_numbering,
+    "q_events_hourly": R.events_hourly,
+    "q_vector_mean": V.vector_mean_embeddings,
+    "q_cosine_topk": S.cosine_topk_query0,
+    "q_minhash_lsh": D.minhash_lsh_pairs,
+    "q_text_quality": TX.doc_quality,
+}
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = get_spark(Config(master=f"local[{cpus}]", app_name="cos-bench"))
+
+    # warm the JVM + parquet footers once so timings measure steady state
+    _run(R.scan_filter_project(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.perf_counter()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import dedup as D
+from caffeonspark_spark.operators import partitioning as P
 from caffeonspark_spark.operators import similarity as S
 from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
+from caffeonspark_spark.etl import tools as ETL
+from caffeonspark_spark.ml import dataflow as ML
 
 # decimal accumulator renderings shared by the oracle strings
 _DS = "CAST(SUM(CAST(({x}) AS DECIMAL(30,{s}))) AS DOUBLE)"
@@ -84,6 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": TX.doc_lang_id,
         "token_stats": TX.token_stats,
         "bigram_topk": TX.bigram_topk,
+        # --- multimodal / ETL / dataflow ---
+        "struct_binary_roundtrip": R.struct_binary_roundtrip,
+        "caption_encode": ETL.caption_encode_docs,
+        "fixed_size_partition": P.fixed_size_partition_query,
+        "batch_assembly": ML.batch_assembly_query,
+        "features_identity": ML.features_identity_query,
     }
 
 
@@ -264,4 +273,15 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": TX.ORACLE_DOC_LANG_ID,
         "token_stats": TX.ORACLE_TOKEN_STATS,
         "bigram_topk": TX.ORACLE_BIGRAM_TOPK,
+        # --- multimodal / ETL / partitioning ---
+        "struct_binary_roundtrip": """
+            SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+                   decode(encode(text)) = text AS text_ok
+            FROM documents
+        """,
+        "caption_encode": ETL.ORACLE_CAPTION_ENCODE,
+        "fixed_size_partition": P.ORACLE_FIXED_SIZE_PARTITION,
+        # batch_assembly / features_identity: mapInArrow operators, not
+        # SQL-expressible -> rows-only check; semantics pinned in tests/
     }

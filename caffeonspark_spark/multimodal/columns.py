@@ -1,0 +1,207 @@
+"""Multimodal column model: schema declaration ("tops") + image transforms.
+
+Reference parity (SURVEY.md §1):
+* ``ColumnSpec`` is the rebuild of the prototxt ``cos_data_param`` "Top"
+  declaration (``DataFrameSource.scala:315-353``): per-column name, dtype,
+  tensor dims (channels/height/width), post-transform ``out_*`` dims, and a
+  ``transpose`` flag for time-major layouts (consumed by the C++ layer at
+  ``cos_data_layer.cpp:12-48``). The ``sample_num_axes == 1`` constraint for
+  transposed columns is enforced here, like the reference.
+* The nested image struct ``struct<image: binary, height: int, width: int>``
+  is ENCODED_IMAGE_WITH_DIM (``DataFrameSource.scala:286-294``,
+  ``Conversions.scala:89-92``).
+* Transforms reproduce ``FloatDataTransformer`` semantics
+  (``FloatDataTransformer.java:15-36``): scale, mean-subtract, crop, mirror —
+  plus resize (``Mat.resize``, ``Mat.java:72-76``) as a real NumPy
+  nearest-neighbour implementation (no OpenCV in this container).
+* Encoded-image decode (``Mat.decode``, ``Mat.java:58-63``) needs an image
+  codec; the container has none, so it is STUBbed behind
+  ``NotImplementedError`` with a deterministic fake used by tests — the
+  Spark-side plumbing (schema, batching, UDF signatures) is real.
+
+Everything here is NumPy-on-Arrow-batches: these functions run inside
+``mapInArrow`` workers, never per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ENCODED_IMAGE_WITH_DIM nested struct (FIXTURES.md §5)
+IMAGE_STRUCT_SCHEMA = T.StructType(
+    [
+        T.StructField("image", T.BinaryType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ]
+)
+
+# column dtypes: the CoSDataParameter.DataType surface
+# (DataFrameSource.scala:188-202, 236-295) mapped to the rebuild
+DTYPES = (
+    "string",        # parsed to 1-float (DataFrameSource.scala:237-243)
+    "int",           # 1-float blob
+    "float",         # 1-float blob
+    "int_array",     # float blob, optional transpose
+    "float_array",   # float blob, optional transpose
+    "raw_image",     # bytes, dims from spec
+    "encoded_image",          # codec-decoded bytes (stubbed decode)
+    "encoded_image_with_dim", # nested struct {image, height, width}
+)
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """Declared schema for one batch column (the reference "Top")."""
+
+    name: str
+    dtype: str
+    channels: int = 1
+    height: int = 0
+    width: int = 0
+    out_channels: int | None = None
+    out_height: int | None = None
+    out_width: int | None = None
+    transpose: bool = False
+    # transform_param subset (FloatDataTransformer.java:15-36)
+    scale: float = 1.0
+    mean_value: tuple[float, ...] = field(default=())
+    crop: tuple[int, int] | None = None  # (h, w) center crop
+    mirror: bool = False
+
+    def __post_init__(self):
+        if self.dtype not in DTYPES:
+            raise ValueError(f"unknown dtype {self.dtype!r}; known: {DTYPES}")
+        if self.transpose and self.dtype not in ("int_array", "float_array"):
+            # sample_num_axes == 1 constraint (DataFrameSource.scala:186-187)
+            raise ValueError("transpose only valid for array columns")
+
+    @property
+    def sample_shape(self) -> tuple[int, ...]:
+        if self.dtype in ("string", "int", "float"):
+            return (1,)
+        if self.dtype in ("int_array", "float_array"):
+            return (max(self.channels, 1) * max(self.height, 1) * max(self.width, 1),)
+        c = self.out_channels or self.channels
+        h = self.out_height or self.height
+        w = self.out_width or self.width
+        if self.crop:
+            h, w = self.crop
+        return (c, h, w)
+
+
+def image_struct_col(image: Column, height: Column, width: Column) -> Column:
+    """Pack binary + dims into the ENCODED_IMAGE_WITH_DIM struct column."""
+    return F.struct(
+        image.alias("image"), height.cast("int").alias("height"), width.cast("int").alias("width")
+    )
+
+
+# --- NumPy transforms (run inside Arrow batch workers) --------------------
+
+def decode_image(data: bytes, channels: int) -> np.ndarray:
+    """Decode encoded (JPEG/PNG) bytes → HWC uint8 array.
+
+    STUB: no image codec ships in this container. The deterministic fake
+    below (``fake_decode``) stands in for tests; production wires Pillow or
+    cv2 here — the callers (batch assembly) are codec-agnostic.
+    Reference: ``Mat.decode`` → OpenCV imdecode (``Mat.java:58-63``).
+    """
+    raise NotImplementedError(
+        "no image codec in this environment; use fake_decode for tests or "
+        "wire Pillow/cv2 in production"
+    )
+
+
+def fake_decode(data: bytes, channels: int, height: int = 8, width: int = 8) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes → pseudo-pixels by tiling the
+    byte stream into (height, width, channels) uint8. Pure function of the
+    input bytes, so tests are reproducible."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    need = height * width * channels
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    tiled = np.resize(buf, need)
+    return tiled.reshape(height, width, channels)
+
+
+def raw_to_hwc(data: bytes, channels: int, height: int, width: int) -> np.ndarray:
+    """Raw HWC-interleaved bytes → (H, W, C) uint8 (the LMDB tuple layout
+    after the reference's CHW→HWC reorder, ``LmdbRDD.scala:270-281``)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(height, width, channels)
+
+
+def chw_to_hwc(arr: np.ndarray) -> np.ndarray:
+    """Pixel layout reorder CHW planar → HWC interleaved (F5)."""
+    return np.ascontiguousarray(np.transpose(arr, (1, 2, 0)))
+
+
+def hwc_to_chw(arr: np.ndarray) -> np.ndarray:
+    """HWC → CHW, the tensor layout batches are assembled in (NCHW)."""
+    return np.ascontiguousarray(np.transpose(arr, (2, 0, 1)))
+
+
+def resize_nn(img_hwc: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize in pure NumPy (``Mat.resize`` analogue)."""
+    h, w = img_hwc.shape[:2]
+    rows = (np.arange(out_h) * (h / out_h)).astype(np.int64).clip(0, h - 1)
+    cols = (np.arange(out_w) * (w / out_w)).astype(np.int64).clip(0, w - 1)
+    return img_hwc[rows[:, None], cols[None, :]]
+
+
+def center_crop(img_hwc: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    """Center crop (deterministic flavor of the transform_param crop)."""
+    h, w = img_hwc.shape[:2]
+    top = max((h - crop_h) // 2, 0)
+    left = max((w - crop_w) // 2, 0)
+    return img_hwc[top : top + crop_h, left : left + crop_w]
+
+
+def transform_chw(
+    arr_chw: np.ndarray, spec: ColumnSpec
+) -> np.ndarray:
+    """scale / mean-subtract on a CHW float tensor (FloatDataTransformer)."""
+    out = arr_chw.astype(np.float32)
+    if spec.mean_value:
+        mean = np.asarray(spec.mean_value, dtype=np.float32).reshape(-1, 1, 1)
+        out = out - mean
+    if spec.scale != 1.0:
+        out = out * np.float32(spec.scale)
+    if spec.mirror:
+        out = out[:, :, ::-1]
+    return out
+
+
+def image_sample_to_tensor(
+    data: bytes,
+    spec: ColumnSpec,
+    encoded: bool = False,
+    height: int | None = None,
+    width: int | None = None,
+    decoder=fake_decode,
+) -> np.ndarray:
+    """One image payload → transformed CHW float32 tensor per its spec.
+
+    Mirrors the reference per-sample path: decode (or raw reshape) → resize
+    → crop → CHW → scale/mean/mirror (``ImageDataSource.scala:126-163``,
+    ``DataFrameSource.scala:135-176``).
+    """
+    h = height or spec.height
+    w = width or spec.width
+    if encoded:
+        hwc = decoder(data, spec.channels) if decoder is not fake_decode else fake_decode(
+            data, spec.channels, h or 8, w or 8
+        )
+    else:
+        hwc = raw_to_hwc(data, spec.channels, h, w)
+    if spec.out_height and spec.out_width:
+        hwc = resize_nn(hwc, spec.out_height, spec.out_width)
+    if spec.crop:
+        hwc = center_crop(hwc, *spec.crop)
+    return transform_chw(hwc_to_chw(hwc), spec)

@@ -1,0 +1,95 @@
+"""Partitioning / physical-layout operators (SURVEY.md §2 X1-X3).
+
+The reference hand-manages physical layout for its training loop; these are
+the Spark-native equivalents, kept as *explicit* operators because training
+orchestration genuinely needs them (Catalyst covers everything else):
+
+* ``repartition_multiple``   — X1: force partition count to a multiple of the
+  cluster size (``CaffeOnSpark.scala:173-179``).
+* ``fixed_size_partitions``  — X2: EXACTLY ``part_len`` records per partition
+  via row_number over a stable order (``FixedSizePartitioner.scala:8-14``,
+  ``CaffeOnSpark.scala:363-375``). Spark's repartition balances bytes, not
+  counts — training interleave math needs exact counts (SURVEY §7.4 risk 2).
+* ``partition_window``       — X3: select the i-th window of partitions per
+  training round (``PartitionPruningRDD`` use, ``CaffeOnSpark.scala:286-301``)
+  as a row-range filter — partition-pruned by Catalyst when the frame is
+  written out partitioned by ``_part``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PART_COL = "_part"
+ROW_COL = "_row_in_part"
+
+
+def repartition_multiple(df: DataFrame, cluster_size: int, target: int | None = None) -> DataFrame:
+    """Repartition to the smallest multiple of ``cluster_size`` ≥ current
+    partitions (or ``target`` rounded up) — the reference's invariant that
+    every executor gets equal work waves."""
+    current = target or df.rdd.getNumPartitions()
+    n = ((current + cluster_size - 1) // cluster_size) * cluster_size
+    return df.repartition(n)
+
+
+def with_fixed_size_partition_ids(
+    df: DataFrame, part_len: int, order_cols: list[str]
+) -> DataFrame:
+    """Add ``_part`` (0-based partition id) and ``_row_in_part`` columns such
+    that every ``_part`` holds exactly ``part_len`` rows (last one partial),
+    under the total order given by ``order_cols`` (must be a unique key —
+    the determinism contract the reference gets from zipWithIndex).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must define a total order (unique key)")
+    w = Window.orderBy(*[F.asc(c) for c in order_cols])
+    idx = F.row_number().over(w) - F.lit(1)
+    return df.withColumn(PART_COL, (idx / part_len).cast("long")).withColumn(
+        ROW_COL, idx % part_len
+    )
+
+
+def fixed_size_partitions(df: DataFrame, part_len: int, order_cols: list[str]) -> DataFrame:
+    """Physically repartition so each Spark partition holds exactly the rows
+    of one ``_part`` group (``FixedSizePartitioner`` semantics).
+
+    Note the global ``row_number`` is a single-ordering pass — at 100 TB,
+    prefer ``repartitionByRange`` on a pre-computed dense key when the data
+    already carries one; this operator is for training-feed correctness, not
+    bulk ETL.
+    """
+    tagged = with_fixed_size_partition_ids(df, part_len, order_cols)
+    n_parts = tagged.agg(F.max(PART_COL)).first()[0]
+    n = int(n_parts) + 1 if n_parts is not None else 1
+    return tagged.repartition(n, F.col(PART_COL)).sortWithinPartitions(PART_COL, ROW_COL)
+
+
+def partition_window(df: DataFrame, window_idx: int, windows_total: int, part_len: int,
+                     order_cols: list[str]) -> DataFrame:
+    """Rows of the ``window_idx``-th training window: partitions i where
+    i % windows_total == window_idx (the interleaved train/validation wave
+    selection of ``CaffeOnSpark.scala:286-301``)."""
+    tagged = with_fixed_size_partition_ids(df, part_len, order_cols)
+    return tagged.where(F.pmod(F.col(PART_COL), F.lit(windows_total)) == window_idx)
+
+
+def fixed_size_partition_query(df_or_spark, sf_dir=None):
+    """Declared query (X2): orders tagged with exact-1000-row partition ids
+    under the o_orderkey total order — oracle-checkable row_number math."""
+    from caffeonspark_spark.catalog import load_table
+
+    df = load_table(df_or_spark, sf_dir, "orders")
+    tagged = with_fixed_size_partition_ids(df, 1000, ["o_orderkey"])
+    return tagged.select("o_orderkey", PART_COL, ROW_COL)
+
+
+ORACLE_FIXED_SIZE_PARTITION = """
+    SELECT o_orderkey,
+           CAST((rn - 1) // 1000 AS BIGINT) AS _part,
+           CAST((rn - 1) % 1000 AS BIGINT) AS _row_in_part
+    FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey ASC) AS rn
+          FROM orders)
+"""

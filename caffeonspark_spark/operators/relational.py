@@ -354,3 +354,23 @@ def correlated_subquery_topk(spark, sf_dir) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+def struct_binary_roundtrip(spark, sf_dir) -> DataFrame:
+    """Multimodal struct/binary column round-trip (§2.B "binary/struct
+    multimodal columns"): pack scalars into a struct + text into binary,
+    unpack/decode back, emit scalars proving losslessness."""
+    d = _t(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars")).alias("meta"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        "text",
+    )
+    return packed.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang_out"),
+        F.col("meta.n_chars").alias("n_chars_out"),
+        F.length(F.col("payload")).cast("long").alias("payload_bytes"),
+        (F.decode(F.col("payload"), "UTF-8") == F.col("text")).alias("text_ok"),
+    )

@@ -1,0 +1,111 @@
+"""ETL tool tests — the reference's ToolTest tier (``ToolTest.scala:84-134``):
+vocab ranking, encode/decode ROUND-TRIP equality up to captionLength-1, and
+binary+label-file ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from caffeonspark_spark.etl.tools import (
+    NO_TOKEN,
+    START_END_ID,
+    UNKNOWN_ID,
+    Vocab,
+    binary_to_dataframe,
+    caption_to_embedding,
+    embedding_to_caption,
+)
+
+CAPTIONS = [
+    (1, "a cat sat on the mat"),
+    (2, "the cat ate the fish"),
+    (3, "a dog barked at the cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def caption_df(spark):
+    return spark.createDataFrame(CAPTIONS, "id long, caption string")
+
+
+@pytest.fixture(scope="module")
+def vocab(spark, caption_df):
+    return Vocab(spark).gen_from_data(caption_df, "caption")
+
+
+def test_vocab_ranking(vocab):
+    w2i = vocab.word2index()
+    assert w2i["UNK"] == 0
+    assert w2i["the"] == 1  # most frequent word gets index 1
+    assert w2i["cat"] == 2
+    assert len(w2i) == len(set(w2i.values()))
+
+
+def test_vocab_save_load_roundtrip(spark, vocab, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vocab") / "v")
+    vocab.save(path)
+    loaded = Vocab(spark).load(path)
+    assert loaded.word2index() == vocab.word2index()
+
+
+def test_encode_layout(spark, caption_df, vocab):
+    L = 8
+    out = {
+        r["id"]: r
+        for r in caption_to_embedding(caption_df, vocab, L).collect()
+    }
+    row = out[1]  # "a cat sat on the mat" -> 6 words
+    inp, cont, tgt = row["input_sentence"], row["cont_sentence"], row["target_sentence"]
+    assert len(inp) == len(cont) == len(tgt) == L
+    assert inp[0] == START_END_ID
+    w2i = vocab.word2index()
+    words = ["a", "cat", "sat", "on", "the", "mat"]
+    assert inp[1:7] == [w2i[w] for w in words]
+    assert inp[7] == NO_TOKEN
+    assert cont == [0, 1, 1, 1, 1, 1, 1, NO_TOKEN]
+    assert tgt[:6] == [w2i[w] for w in words]
+    assert tgt[6] == START_END_ID
+    assert tgt[7] == NO_TOKEN
+
+
+def test_encode_unknown_word(spark, vocab):
+    df = spark.createDataFrame([(9, "a zebra sat")], "id long, caption string")
+    row = caption_to_embedding(df, vocab, 6).collect()[0]
+    w2i = vocab.word2index()
+    assert row["input_sentence"][1] == w2i["a"]
+    assert row["input_sentence"][2] == UNKNOWN_ID  # zebra unseen
+    assert row["input_sentence"][3] == w2i["sat"]
+
+
+def test_encode_truncation(spark, vocab):
+    df = spark.createDataFrame(
+        [(7, "the cat the cat the cat the cat")], "id long, caption string"
+    )
+    L = 4
+    row = caption_to_embedding(df, vocab, L).collect()[0]
+    assert len(row["input_sentence"]) == L  # truncated to captionLength-1 tokens
+    assert NO_TOKEN not in row["input_sentence"]
+
+
+def test_decode_roundtrip(spark, caption_df, vocab):
+    """decode(encode(x)) == tokenized x up to captionLength-1 (ToolTest.scala:122-133)."""
+    L = 16
+    emb = caption_to_embedding(caption_df, vocab, L)
+    decoded = {
+        r["id"]: r["caption"]
+        for r in embedding_to_caption(emb, vocab, "input_sentence").collect()
+    }
+    for cid, caption in CAPTIONS:
+        assert decoded[cid] == caption  # captions are lowercase already
+
+
+def test_binary_to_dataframe(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    (d / "img0.bin").write_bytes(b"\x01\x02")
+    (d / "img1.bin").write_bytes(b"\x03\x04")
+    (d / "labels.txt").write_text("img0.bin 0 s0\nimg1.bin 1\n")
+    df = binary_to_dataframe(spark, f"{d}/*.bin", str(d / "labels.txt"))
+    rows = {r["SampleID"]: r for r in df.collect()}
+    assert rows["s0"]["label"] == 0 and bytes(rows["s0"]["data"]) == b"\x01\x02"
+    assert rows["img1.bin"]["label"] == 1  # id defaults to filename

@@ -1,0 +1,84 @@
+"""features/test/train dataflow tests — the ML-flavored e2e slice of
+SURVEY.md §7.2: image table → batch assembly → identity "model" → feature DF
+→ vector_mean, mirroring ``PythonApiTest.py:35-45`` without Caffe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from caffeonspark_spark.ml.dataflow import TrainConfig, features, train, validate_partition_math
+from caffeonspark_spark.ml.dataflow import test_model as eval_model
+from caffeonspark_spark.multimodal.columns import ColumnSpec
+
+
+@pytest.fixture(scope="module")
+def mnist_like(spark):
+    rows = []
+    for i in range(40):
+        data = bytes(((np.arange(16) + i) % 256).astype(np.uint8))
+        rows.append((f"{i:08d}", str(i % 10), bytearray(data)))
+    return spark.createDataFrame(rows, "id string, label string, data binary").coalesce(2)
+
+
+SPECS = [
+    ColumnSpec("data", "raw_image", channels=1, height=4, width=4),
+    ColumnSpec("label", "string"),
+]
+
+
+def make_identity_model():
+    # returned as a closure so cloudpickle ships it BY VALUE to workers
+    # (a module-level function in a test module isn't importable there)
+    def identity_model(inputs):
+        n = inputs["data"].shape[0]
+        flat = inputs["data"].reshape(n, -1)
+        return {
+            "ip1": flat[:, :4],
+            "accuracy": (inputs["label"] == inputs["label"]).astype(np.float32).reshape(n, 1),
+        }
+
+    return identity_model
+
+
+def test_features_schema_and_rows(spark, mnist_like):
+    df = features(mnist_like, make_identity_model(), SPECS, ["ip1", "accuracy"], batch_size=16)
+    assert df.columns == ["SampleID", "ip1", "accuracy"]
+    rows = df.collect()
+    assert len(rows) == 40
+    ids = {r["SampleID"] for r in rows}
+    assert "00000000" in ids and len(ids) == 40
+    r0 = next(r for r in rows if r["SampleID"] == "00000000")
+    assert r0["ip1"] == [0.0, 1.0, 2.0, 3.0]
+    assert r0["accuracy"] == [1.0]
+
+
+def test_test_model_vector_mean(spark, mnist_like):
+    out = eval_model(mnist_like, make_identity_model(), SPECS, ["accuracy"], batch_size=16)
+    assert out["accuracy"] == [1.0]  # identity model is always "right"
+
+
+def test_partition_math_errors():
+    cfg = TrainConfig(batch_size=64, devices=1, test_interval=10)
+    with pytest.raises(ValueError, match="insufficient"):
+        validate_partition_math(100, 4, cfg)  # 25/partition < 640
+    assert validate_partition_math(10000, 4, cfg) == 2500
+
+
+def make_counting_trainer():
+    def counting_trainer(inputs, state):
+        return {
+            "n_samples": state.get("n_samples", 0) + int(inputs["data"].shape[0]),
+            "loss": float(np.mean(inputs["data"])),
+        }
+
+    return counting_trainer
+
+
+def test_train_loop(spark, mnist_like):
+    cfg = TrainConfig(batch_size=16, max_iter=4)
+    state = train(mnist_like, make_counting_trainer(), SPECS, cfg)
+    assert state["iterations"] >= 4
+    assert state["n_samples"] > 0
+    assert "loss" in state and state["epoch"] >= 1

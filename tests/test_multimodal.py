@@ -1,0 +1,133 @@
+"""Batch assembly + image transform tests (reference semantics F5-F9).
+
+Mirrors the reference's operator-level test tier (``SourceTest.scala:58-120``:
+source init → RDD → batch → transform) on synthetic image tuples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.multimodal.batch import assemble_batches, batches_to_numpy
+from caffeonspark_spark.multimodal.columns import (
+    ColumnSpec,
+    center_crop,
+    chw_to_hwc,
+    fake_decode,
+    hwc_to_chw,
+    image_sample_to_tensor,
+    image_struct_col,
+    resize_nn,
+)
+
+
+def _image_rows(n=10, h=4, w=4, c=1):
+    rows = []
+    for i in range(n):
+        data = bytes(((np.arange(h * w * c) + i) % 256).astype(np.uint8))
+        rows.append((f"{i:08d}", str(i % 3), c, h, w, False, bytearray(data)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    return spark.createDataFrame(
+        _image_rows(),
+        "id string, label string, channels int, height int, width int, encoded boolean, data binary",
+    ).coalesce(1)
+
+
+def test_batch_shapes_and_ids(spark, image_df):
+    specs = [
+        ColumnSpec("data", "raw_image", channels=1, height=4, width=4),
+        ColumnSpec("label", "string"),
+    ]
+    out = assemble_batches(image_df, specs, batch_size=4).collect()
+    assert len(out) == 3  # 10 rows -> 4,4,2
+    assert out[0]["data_shape"] == [4, 1, 4, 4]
+    assert out[2]["data_shape"] == [2, 1, 4, 4]
+    assert out[0]["label_shape"] == [4, 1]
+    # order contract: first SampleID of first batch (PythonApiTest.py:43)
+    assert out[0]["sample_ids"][0] == "00000000"
+    # label STRING -> float parse (DataFrameSource.scala:237-243)
+    assert out[0]["label"] == [0.0, 1.0, 2.0, 0.0]
+
+
+def test_batch_pixel_values_roundtrip(spark, image_df):
+    specs = [ColumnSpec("data", "raw_image", channels=1, height=4, width=4)]
+    ids, tensors = next(batches_to_numpy(assemble_batches(image_df, specs, 4), specs))
+    expect = np.arange(16).reshape(1, 4, 4).astype(np.float32)  # row 0, CHW
+    np.testing.assert_array_equal(tensors["data"][0], expect)
+
+
+def test_transform_scale_mean(spark, image_df):
+    spec = ColumnSpec(
+        "data", "raw_image", channels=1, height=4, width=4, scale=1 / 255.0, mean_value=(1.0,)
+    )
+    out = assemble_batches(image_df, [spec], 4).collect()
+    flat = np.asarray(out[0]["data"])
+    expect = ((np.arange(16, dtype=np.float32) - 1.0) * np.float32(1 / 255.0))
+    np.testing.assert_allclose(flat[:16], expect, rtol=1e-6)
+
+
+def test_transpose_time_major(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4, 5, 6])], "id string, seq array<int>"
+    ).coalesce(1)
+    spec = ColumnSpec("seq", "int_array", channels=3, transpose=True)
+    out = assemble_batches(df, [spec], 2).collect()
+    # (batch=2, T=3) transposed -> (T=3, batch=2) row-major: 1,4,2,5,3,6
+    assert out[0]["seq_shape"] == [3, 2]
+    assert out[0]["seq"] == [1.0, 4.0, 2.0, 5.0, 3.0, 6.0]
+
+
+def test_transpose_rejected_for_images():
+    with pytest.raises(ValueError):
+        ColumnSpec("data", "raw_image", transpose=True)
+
+
+def test_missing_declared_column(spark, image_df):
+    with pytest.raises(ValueError, match="missing"):
+        assemble_batches(image_df, [ColumnSpec("nope", "float")], 4)
+
+
+def test_encoded_image_with_dim_struct(spark):
+    df = (
+        spark.createDataFrame(
+            [("x", bytearray(b"\x01\x02\x03\x04"), 4, 4)],
+            "id string, img binary, h int, w int",
+        )
+        .select(
+            "id",
+            image_struct_col(F.col("img"), F.col("h"), F.col("w")).alias("data"),
+        )
+        .coalesce(1)
+    )
+    spec = ColumnSpec("data", "encoded_image_with_dim", channels=1, height=4, width=4)
+    out = assemble_batches(df, [spec], 1).collect()
+    assert out[0]["data_shape"] == [1, 1, 4, 4]
+    # fake_decode tiles the 4 bytes across 16 pixels
+    assert out[0]["data"][:4] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_numpy_transforms():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    assert resize_nn(img, 4, 4).shape == (4, 4, 1)
+    assert center_crop(img, 4, 4).shape == (4, 4, 1)
+    assert center_crop(img, 4, 4)[0, 0, 0] == img[2, 2, 0]
+    chw = hwc_to_chw(img)
+    assert chw.shape == (1, 8, 8)
+    np.testing.assert_array_equal(chw_to_hwc(chw), img)
+    t = image_sample_to_tensor(bytes(img.tobytes()), ColumnSpec(
+        "d", "raw_image", channels=1, height=8, width=8, out_height=4, out_width=4
+    ), encoded=False)
+    assert t.shape == (1, 4, 4)
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"abc", 3, 8, 8)
+    b = fake_decode(b"abc", 3, 8, 8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8, 8, 3)

@@ -1,0 +1,64 @@
+"""Structured Streaming smoke tests: file-source stream over the events
+parquet driven to completion with the memory sink; results must equal the
+equivalent batch aggregation (stream/batch parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.streaming.windows import (
+    dedup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_smoke):
+    return read_events_stream(spark, sf_smoke)
+
+
+def test_tumbling_equals_batch(spark, sf_smoke, events_stream):
+    run_to_memory(tumbling_counts(events_stream), "tumbling_out")
+    got = spark.sql(
+        "SELECT win_start, event_type, n_events FROM tumbling_out"
+    ).collect()
+    batch = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+        .collect()
+    )
+    # append mode only finalizes windows older than the watermark: the
+    # stream's output must be a subset of batch, and complete for windows
+    # safely below max_ts - watermark(2h) - width(1h)
+    got_set, batch_set = set(map(tuple, got)), set(map(tuple, batch))
+    assert got_set <= batch_set
+    max_ts = max(b["win_start"] for b in batch)
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=3)
+    finalized = {t for t in batch_set if t[0] <= horizon}
+    assert finalized <= got_set
+    assert len(got) > 0
+
+
+def test_session_windows_run(spark, events_stream):
+    run_to_memory(session_windows(events_stream, gap="30 minutes"), "sessions_out")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r["sess_end"] >= r["sess_start"]
+    assert r["n_events"] >= 1
+
+
+def test_stream_dedup(spark, events_stream):
+    run_to_memory(dedup_stream(events_stream), "dedup_out")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    distinct_ids = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == distinct_ids > 0

@@ -20,6 +20,7 @@ from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import dedup as D
 from caffeonspark_spark.operators import partitioning as P
 from caffeonspark_spark.operators import similarity as S
+from caffeonspark_spark.operators import temporal as TP
 from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
@@ -93,6 +94,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
         "features_identity": ML.features_identity_query,
+        # --- temporal / extended ---
+        "asof_join": TP.asof_join_query,
+        "sessionize": TP.sessionize_query,
+        "rollup_agg": R.rollup_agg,
+        "tfidf_topk": TX.tfidf_topk,
+        "embedding_neardup": D.embedding_neardup_pairs,
     }
 
 
@@ -284,4 +291,15 @@ def oracle_sql() -> dict[str, str]:
         "fixed_size_partition": P.ORACLE_FIXED_SIZE_PARTITION,
         # batch_assembly / features_identity: mapInArrow operators, not
         # SQL-expressible -> rows-only check; semantics pinned in tests/
+        # --- temporal / extended ---
+        "asof_join": TP.ORACLE_ASOF_JOIN,
+        "sessionize": TP.ORACLE_SESSIONIZE,
+        "rollup_agg": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_ds('o_totalprice')} AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "tfidf_topk": TX.ORACLE_TFIDF_TOPK,
+        # embedding_neardup: LSH-bucketed (Spark-native hashing) -> rows-only
     }

@@ -21,6 +21,7 @@ from caffeonspark_spark.engine import Config, get_spark  # noqa: E402
 from caffeonspark_spark.operators import dedup as D  # noqa: E402
 from caffeonspark_spark.operators import relational as R  # noqa: E402
 from caffeonspark_spark.operators import similarity as S  # noqa: E402
+from caffeonspark_spark.operators import temporal as TP  # noqa: E402
 from caffeonspark_spark.operators import textops as TX  # noqa: E402
 from caffeonspark_spark.operators import vectorops as V  # noqa: E402
 
@@ -38,6 +39,10 @@ BENCH_QUERIES = {
     "q_cosine_topk": S.cosine_topk_query0,
     "q_minhash_lsh": D.minhash_lsh_pairs,
     "q_text_quality": TX.doc_quality,
+    "q_asof_join": TP.asof_join_query,
+    "q_sessionize": TP.sessionize_query,
+    "q_ann_lsh": S.ann_lsh_topk_query0,
+    "q_tfidf": TX.tfidf_topk,
 }
 
 

@@ -281,3 +281,42 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior pinned by tests with planted near-duplicates)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs).orderBy("doc_id")
+
+
+# --- 6. embedding-cosine near-duplicates ---------------------------------
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> DataFrame:
+    """Top near-duplicate embedding pairs by cosine similarity.
+
+    Bucket by LSH signature prefix first (sign-random-projections from
+    operators/similarity.py) so the pair join is bucket-local — candidates
+    ∝ Σ bucket², not |corpus|² — then exact deterministic cosine re-rank.
+    Rows-only driver check (the LSH bucketing isn't SQL-portable); planted
+    near-dup recall is pinned in tests/test_dedup.py.
+    """
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.functions.arrays import cosine_similarity
+    from caffeonspark_spark.operators.similarity import LSH_PREFIX_BITS, lsh_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mask = F.lit((1 << LSH_PREFIX_BITS) - 1).cast("long")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding"), 64).bitwiseAND(mask).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )

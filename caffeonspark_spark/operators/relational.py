@@ -374,3 +374,14 @@ def struct_binary_roundtrip(spark, sf_dir) -> DataFrame:
         F.length(F.col("payload")).cast("long").alias("payload_bytes"),
         (F.decode(F.col("payload"), "UTF-8") == F.col("text")).alias("text_ok"),
     )
+
+
+def rollup_agg(spark, sf_dir) -> DataFrame:
+    """ROLLUP hierarchy aggregation (subtotals + grand total) — Catalyst
+    grouping-sets built-in the reference lacked (SURVEY §2 'no grouping
+    sets/cube/rollup')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+    )

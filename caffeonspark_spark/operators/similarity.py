@@ -7,13 +7,12 @@ Two tiers, per the north-star spec:
   exactness baseline AND the right plan when queries are few: at 100 TB the
   corpus scan is embarrassingly parallel, nothing shuffles except k rows per
   partition.
-* ``ann_lsh_topk`` — sign-random-projection LSH: P deterministic hyperplanes
-  (seeded NumPy, embedded as plan literals) → B-bit signature → candidates =
-  bucket match on a signature prefix → exact cosine re-rank within
-  candidates. The bucket join prunes the corpus to ~corpus/2^prefix_bits per
-  query — the scale path when queries are many (signature computation is a
-  one-off linear pass, candidate join is an equi-join Catalyst can shuffle or
-  broadcast as sizes dictate).
+* ``ann_lsh_topk`` — multi-table sign-random-projection LSH: 32 deterministic
+  hyperplanes (seeded NumPy, embedded as plan literals) → 8 tables × 4-bit
+  buckets → candidates = vectors sharing ≥1 bucket key with the query
+  (OR-amplification) → exact cosine re-rank. The scale path when queries are
+  many: the exploded (bucket, id, vec) index is a one-off linear pass and
+  every lookup is an equi-join Catalyst can shuffle or broadcast.
 
 Everything is Catalyst expressions (zip_with/aggregate higher-order
 functions) — no Python in the row path.
@@ -29,7 +28,7 @@ from caffeonspark_spark.catalog import load_table
 from caffeonspark_spark.functions.arrays import cosine_similarity
 
 LSH_SEED = 42
-LSH_PLANES = 16  # signature bits
+LSH_PLANES = 32  # total signature bits (8 tables x 4 bits for multi-table ANN)
 LSH_PREFIX_BITS = 8  # bucket = first 8 bits → 256 buckets
 
 
@@ -119,6 +118,21 @@ def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
     return sig
 
 
+def lsh_table_buckets(vec_col: F.Column, dim: int, n_tables: int, bits_per_table: int) -> F.Column:
+    """Array of per-table bucket ids: table t uses planes [t*b, (t+1)*b) and
+    encodes ``t`` in the high bits so (table, bucket) collapses to one long
+    equi-join key. Multi-table = OR-amplification: a true neighbour only
+    needs to agree on ONE table's b bits to become a candidate."""
+    sig = lsh_signature(vec_col, dim)  # n_tables * bits_per_table total bits
+    buckets = []
+    for t in range(n_tables):
+        bits = F.shiftright(sig, t * bits_per_table).bitwiseAND(
+            F.lit((1 << bits_per_table) - 1).cast("long")
+        )
+        buckets.append(bits + F.lit(t << 32).cast("long"))
+    return F.array(*buckets)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -126,30 +140,39 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    prefix_bits: int = LSH_PREFIX_BITS,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: LSH-prefix bucket match, then exact cosine re-rank.
+    """Approximate top-k: multi-table LSH candidate generation, exact cosine
+    re-rank. Candidates = vectors sharing ≥1 of ``n_tables`` bucket keys with
+    the query (explode → equi-join → dedup). Recall rises with ``n_tables``,
+    cost with bucket occupancy ~N/2^bits_per_table per table.
 
-    Returns ≤ k rows — fewer when the bucket holds < k candidates (the
-    approximation trade-off; widen ``prefix_bits``→smaller buckets/faster,
-    narrow→better recall).
+    At 100 TB: the exploded (bucket, id, vec) index is written once,
+    bucket-partitioned; each query touches n_tables buckets — the classic
+    disk-backed LSH index, expressed as a join.
     """
-    mask = F.lit((1 << prefix_bits) - 1).cast("long")
-    sig = lsh_signature(F.col(vec_col), dim)
+    bcol = lsh_table_buckets(F.col(vec_col), dim, n_tables, bits_per_table)
     corp = corpus.select(
-        F.col(id_col), F.col(vec_col), (sig.bitwiseAND(mask)).alias("bucket")
+        F.col(id_col), F.col(vec_col), F.explode(bcol).alias("bucket")
     )
     q = F.broadcast(
         query.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("query_vec"),
-            (lsh_signature(F.col(vec_col), dim).bitwiseAND(mask)).alias("qbucket"),
+            F.explode(
+                lsh_table_buckets(F.col(vec_col), dim, n_tables, bits_per_table)
+            ).alias("qbucket"),
         )
     )
-    return (
+    cand = (
         corp.join(q, corp.bucket == q.qbucket)
         .where(F.col(id_col) != F.col("query_id"))
-        .select(
+        .select(id_col, vec_col, "query_vec")
+        .dropDuplicates([id_col])
+    )
+    return (
+        cand.select(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
         )
@@ -159,7 +182,7 @@ def ann_lsh_topk(
 
 
 def ann_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: LSH-bucketed ANN top-10 for vec_id=0 (rows-only check;
-    recall vs brute force is pinned by unit test instead)."""
+    """Declared query: multi-table LSH ANN top-10 for vec_id=0 (rows-only
+    check; recall vs brute force is pinned by unit test instead)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") == 0), dim=64, k=10)

@@ -1,0 +1,120 @@
+"""Temporal operators over the events table: as-of join + sessionization.
+
+Spark has no native AS-OF join (the guide's "common OLAP patterns" list);
+the scalable formulation used here is the union-tag trick: tag both streams,
+union, and take a running ``last(match_ts)`` window per user ordered by time
+— one shuffle on user_id, no range-join blowup, works at any scale because
+the window is incremental. The oracle uses DuckDB's correlated-subquery
+formulation of the same semantics (max prior ts).
+
+Sessionization (batch): gap>threshold cumulative-sum windows — the batch twin
+of ``streaming.session_windows`` and a pure window-function plan, identical
+in both engines, so it oracle-checks exactly (all integer/timestamp math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from caffeonspark_spark.catalog import load_table
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """For each ``left_type`` event: the user's most recent ``right_type``
+    event at-or-before it. Union-tag + running-last window (one shuffle)."""
+    e = events.select("event_id", "ts", "user_id", "event_type")
+    tagged = e.where(F.col("event_type").isin(left_type, right_type)).withColumn(
+        "_is_right", (F.col("event_type") == right_type).cast("int")
+    )
+    # order: ts, then right-events first at identical ts so ties count as
+    # "at-or-before" (matches the oracle's c.ts <= e.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("_is_right"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = tagged.withColumn(
+        "last_right_ts",
+        F.last(F.when(F.col("_is_right") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return matched.where(F.col("event_type") == left_type).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("last_right_ts").alias("last_click_ts"),
+    )
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_events(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ASOF_JOIN = """
+    SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts) AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+"""
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-user sessions split on gaps > ``gap_minutes``.
+
+    lag → gap flag → cumulative sum = session ordinal; then per-session
+    aggregates. Two window passes + one agg, all on the same user_id
+    partitioning — Catalyst reuses the exchange.
+    """
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_cum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # timestamp-interval comparison: exact µs arithmetic in both engines
+    # (casting to epoch seconds would truncate sub-second gaps differently)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts") - F.lag(F.col("ts")).over(w_lag))
+            > F.expr(f"INTERVAL '{gap_minutes}' MINUTE"),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )
+
+
+def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SESSIONIZE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM sess GROUP BY user_id, session_id
+"""

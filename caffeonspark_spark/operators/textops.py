@@ -137,3 +137,43 @@ ORACLE_BIGRAM_TOPK = """
     )
     GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """TF-IDF-style term weighting, oracle-exact form: per (doc, token) term
+    frequency, document frequency, and the weight tf * N / df as one double
+    division of integers (log-free so libm differences can't bite); top-k by
+    weight with unique tiebreaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny driver-side scalar, same as oracle's COUNT(*)
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")).alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("doc_id"), F.asc("token"))
+        .limit(k)
+    )
+
+
+ORACLE_TFIDF_TOPK = """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS weight
+    FROM tf JOIN df ON tf.token = df.token, n
+    ORDER BY weight DESC, tf.doc_id ASC, tf.token ASC
+    LIMIT 100
+"""

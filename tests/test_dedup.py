@@ -1,0 +1,93 @@
+"""Dedup semantics tests with PLANTED duplicates — pins the behavior of the
+hash-family paths (fingerprint / MinHash / SimHash) that the oracle can't
+check, per the reference's threshold-test style."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.functions.text import doc_fingerprint
+from caffeonspark_spark.operators.dedup import (
+    MINHASH_PERMS,
+    dedup_exact,
+    minhash_signatures,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches the "
+    "bird fly over the green field near the old barn door"
+)
+NEAR = BASE.replace("green field", "blue field")  # one token differs
+FAR = (
+    "completely different content about spark queries and parquet scans "
+    "with shuffles joins aggregations and window functions at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, "  ".join(BASE.split())),   # whitespace-reformatted dup of 0
+        (3, NEAR),                      # near dup of 0
+        (4, FAR),
+        (5, "short text here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, planted):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(planted, "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert sum(out.values()) == 6
+
+
+def test_fingerprint_catches_whitespace_dup(spark, planted):
+    fp = planted.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[0] == by_id[1] == by_id[2]  # whitespace-normalized equal
+    assert by_id[0] != by_id[3] != by_id[4]
+
+
+def test_minhash_similarity_estimates(spark, planted):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(planted).collect()}
+    assert len(sigs[0]) == MINHASH_PERMS
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_PERMS
+
+    assert est(0, 1) == 1.0            # identical docs -> identical signatures
+    assert est(0, 2) == 1.0            # whitespace dup -> identical shingles
+    assert est(0, 3) > 0.5             # near dup: one token of ~24 changed
+    assert est(0, 4) < 0.2             # unrelated
+
+
+def test_simhash_hamming(spark, planted):
+    hashes = {r["doc_id"]: r["simhash"] for r in simhash(planted).collect()}
+
+    def hamming(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    assert hamming(0, 1) == 0
+    assert hamming(0, 3) <= 6          # near dup: few bits flip
+    assert hamming(0, 4) >= 8          # unrelated: many bits differ
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_oracle):
+    """LSH ANN must find mostly the same neighbours as brute force within
+    its bucket — recall pinned loosely (approximation is the point)."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_topk(emb, q, dim=64, k=10).collect()]
+    assert len(approx) > 0
+    # multi-table OR-amplification: expect solid recall of the exact top-10
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3

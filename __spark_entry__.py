@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": R.rollup_agg,
         "tfidf_topk": TX.tfidf_topk,
         "embedding_neardup": D.embedding_neardup_pairs,
+        "cube_agg": R.cube_agg,
+        "pivot_agg": R.pivot_agg,
+        "intersect_keys": R.intersect_keys,
+        "except_keys": R.except_keys,
+        "percentile_agg": R.percentile_agg,
     }
 
 
@@ -302,4 +307,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tfidf_topk": TX.ORACLE_TFIDF_TOPK,
         # embedding_neardup: LSH-bucketed (Spark-native hashing) -> rows-only
+        "cube_agg": f"""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   {_ds('l_quantity')} AS qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_agg": """
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                   COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                   COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "intersect_keys": """
+            SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+            INTERSECT
+            SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        """,
+        "except_keys": """
+            SELECT o_orderkey FROM orders
+            EXCEPT
+            SELECT l_orderkey AS o_orderkey FROM lineitem
+        """,
+        "percentile_agg": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.9) AS p90,
+                   quantile_cont(l_quantity, 0.25) AS q25
+            FROM lineitem GROUP BY l_returnflag
+        """,
     }

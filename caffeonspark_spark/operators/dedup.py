@@ -296,14 +296,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> 
     """
     from caffeonspark_spark.catalog import load_table
     from caffeonspark_spark.functions.arrays import cosine_similarity
-    from caffeonspark_spark.operators.similarity import LSH_PREFIX_BITS, lsh_signature
+    from caffeonspark_spark.operators.similarity import lsh_table_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    mask = F.lit((1 << LSH_PREFIX_BITS) - 1).cast("long")
+    # single 8-bit table: 256 buckets -> pair join is bucket-local
     sig = emb.select(
         "vec_id",
         "embedding",
-        lsh_signature(F.col("embedding"), 64).bitwiseAND(mask).alias("bucket"),
+        F.element_at(lsh_table_buckets(F.col("embedding"), 64, 1, 8), 1).alias("bucket"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return (

@@ -385,3 +385,48 @@ def rollup_agg(spark, sf_dir) -> DataFrame:
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
     )
+
+
+def cube_agg(spark, sf_dir) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+def pivot_agg(spark, sf_dir) -> DataFrame:
+    """Pivot: order counts per priority pivoted on status (fixed pivot-value
+    list so the plan is static — the 100 TB-safe form of pivot)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
+def intersect_keys(spark, sf_dir) -> DataFrame:
+    """INTERSECT set op: nation keys present in both customer and supplier."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return c.intersect(s)
+
+
+def except_keys(spark, sf_dir) -> DataFrame:
+    """EXCEPT set op: orders that have no lineitems (non-empty at every SF)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.exceptAll(li).distinct()
+
+
+def percentile_agg(spark, sf_dir) -> DataFrame:
+    """Exact interpolated percentiles per group — bit-identical to DuckDB's
+    quantile_cont (verified: same linear-interpolation formula)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+    )

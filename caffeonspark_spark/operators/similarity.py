@@ -14,13 +14,16 @@ Two tiers, per the north-star spec:
   many: the exploded (bucket, id, vec) index is a one-off linear pass and
   every lookup is an equi-join Catalyst can shuffle or broadcast.
 
-Everything is Catalyst expressions (zip_with/aggregate higher-order
-functions) — no Python in the row path.
+Cosine math is Catalyst expressions (zip_with/aggregate higher-order
+functions); LSH bucket assignment is a vectorized Arrow UDF (one matrix
+multiply per batch — see ``lsh_table_buckets_udf`` for why that beats the
+pure-expression form).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,19 +121,44 @@ def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
     return sig
 
 
+def lsh_table_buckets_udf(dim: int, n_tables: int, bits_per_table: int):
+    """Vectorized Arrow UDF computing all per-table bucket ids in ONE matrix
+    multiply per batch: signs of (N, dim) @ (dim, planes) → packed buckets.
+
+    This is the deliberate "UDF where built-ins can't express it
+    *efficiently*" case: the pure-expression formulation
+    (``lsh_signature``) builds an n_tables×bits×dim literal tree (2048 nodes
+    at 8×4×64) that costs Catalyst seconds of analysis/codegen per query —
+    while this is one BLAS call per Arrow batch, scaling as a linear scan at
+    100 TB. Determinism is preserved: the planes are the same seeded
+    constants, captured by value in the closure.
+
+    Returns per-row ``array<long>``: bucket of table t = sign bits of planes
+    [t*b,(t+1)*b) + (t << 32) so (table, bucket) is one equi-join key.
+    """
+    planes = _planes(dim, n_tables * bits_per_table).T  # (dim, P)
+    weights = (1 << np.arange(bits_per_table, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        bits = (mat @ planes) > 0  # (N, P)
+        out = []
+        per_table = bits.reshape(len(mat), n_tables, bits_per_table)
+        codes = per_table @ weights  # (N, n_tables)
+        table_tag = (np.arange(n_tables, dtype=np.int64) << 32)
+        out = (codes + table_tag).astype(np.int64)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_table_buckets(vec_col: F.Column, dim: int, n_tables: int, bits_per_table: int) -> F.Column:
     """Array of per-table bucket ids: table t uses planes [t*b, (t+1)*b) and
     encodes ``t`` in the high bits so (table, bucket) collapses to one long
     equi-join key. Multi-table = OR-amplification: a true neighbour only
     needs to agree on ONE table's b bits to become a candidate."""
-    sig = lsh_signature(vec_col, dim)  # n_tables * bits_per_table total bits
-    buckets = []
-    for t in range(n_tables):
-        bits = F.shiftright(sig, t * bits_per_table).bitwiseAND(
-            F.lit((1 << bits_per_table) - 1).cast("long")
-        )
-        buckets.append(bits + F.lit(t << 32).cast("long"))
-    return F.array(*buckets)
+    return lsh_table_buckets_udf(dim, n_tables, bits_per_table)(vec_col)
 
 
 def ann_lsh_topk(

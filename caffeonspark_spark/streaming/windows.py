@@ -119,3 +119,35 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def stateful_user_stats(events: DataFrame, out_dir_checkpoint: str | None = None) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count +
+    running value sum via ``applyInPandasWithState`` (the rebuild's analogue
+    of the reference's per-executor accumulating state,
+    ``CaffeProcessor.scala:388-411``).
+
+    Emits one row per user per micro-batch with the updated totals. State is
+    a single (count, total) pair per user — bounded, watermark-free.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -52,8 +52,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, exact: bool = True):
 
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     d_order = [d_cols.index(c) for c in sorted(d_cols)]
-    s_norm = sorted(tuple(_canon(r[i]) for i in s_order) for r in s_rows)
-    d_norm = sorted(tuple(_canon(r[i]) for i in d_order) for r in d_rows)
+    # sort by repr so rows containing NULLs / mixed types stay orderable
+    s_norm = sorted(
+        (tuple(_canon(r[i]) for i in s_order) for r in s_rows), key=repr
+    )
+    d_norm = sorted(
+        (tuple(_canon(r[i]) for i in d_order) for r in d_rows), key=repr
+    )
     mismatches = []
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
         if a != b:

@@ -62,3 +62,32 @@ def test_stream_dedup(spark, events_stream):
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
     distinct_ids = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").collect()[0]["n"]
     assert n == distinct_ids > 0
+
+
+def test_stateful_user_stats(spark, events_stream):
+    from caffeonspark_spark.streaming.windows import stateful_user_stats
+
+    run_to_memory(stateful_user_stats(events_stream), "userstats_out", output_mode="update")
+    rows = spark.sql(
+        "SELECT * FROM userstats_out ORDER BY user_id"
+    ).collect()
+    assert len(rows) > 0
+    # totals must equal the batch aggregation for at least the final emit
+    import pyspark.sql.functions as F
+    from caffeonspark_spark.catalog import load_table
+
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    # last emitted row per user holds the running total
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    for uid, (n, t) in last.items():
+        bn, bt = batch[uid]
+        assert n == bn
+        assert abs(t - bt) < 1e-6

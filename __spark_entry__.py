@@ -105,6 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": R.intersect_keys,
         "except_keys": R.except_keys,
         "percentile_agg": R.percentile_agg,
+        "window_functions": R.window_functions,
+        "moving_avg_window": R.moving_avg_window,
+        "grouping_sets_agg": R.grouping_sets_agg,
+        "full_outer_join": R.full_outer_join,
+        "scalar_subquery": R.scalar_subquery,
+        "list_agg_sorted": R.list_agg_sorted,
+        "approx_distinct": R.approx_distinct,
+        "ann_ivf_topk": S.ann_ivf_topk_query0,
     }
 
 
@@ -336,4 +344,56 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.25) AS q25
             FROM lineitem GROUP BY l_returnflag
         """,
+        "window_functions": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        "moving_avg_window": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w AS moving_avg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "grouping_sets_agg": f"""
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   {_ds('o_totalprice')} AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "full_outer_join": """
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM (SELECT CAST(c_nationkey AS INT) AS nationkey, COUNT(*) AS n_cust
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT CAST(s_nationkey AS INT) AS nationkey, COUNT(*) AS n_supp
+                  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY s_nationkey) s
+            USING (nationkey)
+        """,
+        "scalar_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >
+                (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                        / COUNT(o_totalprice)
+                 FROM orders)
+        """,
+        "list_agg_sorted": """
+            SELECT CAST(s_nationkey AS INT) AS nationkey,
+                   list(s_name ORDER BY s_name) AS names,
+                   COUNT(*) AS n
+            FROM supplier GROUP BY s_nationkey
+        """,
+        # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
+        # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
+        # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs
+        # brute force pinned by unit test
     }

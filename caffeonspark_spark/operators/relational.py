@@ -430,3 +430,107 @@ def percentile_agg(spark, sf_dir) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
     )
+
+
+def window_functions(spark, sf_dir) -> DataFrame:
+    """Window-function suite: lag/lead/rank/dense_rank/ntile over one
+    window spec — ONE shuffle on (o_custkey), all five functions computed in
+    a single Window physical operator (Catalyst merges same-spec windows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def moving_avg_window(spark, sf_dir) -> DataFrame:
+    """Sliding-frame window agg: 3-row moving average per customer (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) — decimal-exact accumulation so the
+    frame sum is order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-2, 0)
+    )
+    frame_sum = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w)
+    frame_n = F.count(F.lit(1)).over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (frame_sum.cast("double") / frame_n).alias("moving_avg"),
+    )
+
+
+def grouping_sets_agg(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — two independent
+    subtotal groupings in one pass (one shuffle, Expand feeds both)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+
+
+def full_outer_join(spark, sf_dir) -> DataFrame:
+    """FULL OUTER join: per-nation customer vs supplier counts, keeping
+    nations present on either side only."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000.0)
+        .groupBy(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def scalar_subquery(spark, sf_dir) -> DataFrame:
+    """Scalar-subquery predicate: orders above the global average price.
+    Expressed as a 1-row broadcast cross join — the scalable form (the
+    scalar agg runs once; every executor compares against the broadcast
+    value, no correlated re-evaluation)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = F.broadcast(o.agg(davg("o_totalprice").alias("global_avg")))
+    return (
+        o.crossJoin(avg_price)
+        .where(F.col("o_totalprice") > F.col("global_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def list_agg_sorted(spark, sf_dir) -> DataFrame:
+    """Order-insensitive list aggregation: sorted array of supplier names per
+    nation (collect_list + sort_array = deterministic array_agg)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").cast("int").alias("nationkey")).agg(
+        F.sort_array(F.collect_list("s_name")).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def approx_distinct(spark, sf_dir) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (rows-only check; the
+    ±5%-of-exact envelope is pinned by a unit test). At 100 TB this replaces
+    the exact COUNT(DISTINCT) shuffle with fixed-size sketch merges."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -214,3 +214,82 @@ def ann_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; recall vs brute force is pinned by unit test instead)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") == 0), dim=64, k=10)
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized IVF cell assignment: for each vector, the ``nprobe``
+    nearest centroid ids by cosine (centroids pre-normalized, one matmul per
+    Arrow batch). Returns ``array<int>`` of cell ids, nearest first."""
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cents = (centroids / np.where(norms == 0, 1.0, norms)).T  # (dim, C)
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        sims = mat @ cents  # (N, C); row norm is rank-invariant, skip it
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_cells`` Voronoi
+    cells around data-sampled centroids; a query probes its ``nprobe``
+    nearest cells and exact-reranks only those vectors.
+
+    Centroid sample = the ``n_cells`` lowest-id vectors (deterministic; at
+    100 TB swap in a k-means fit without touching this plan). The collected
+    sample is centroid METADATA (n_cells rows), not a data path — the corpus
+    itself is assigned cells in one vectorized pass and could be written out
+    bucket-partitioned by cell, making each query an nprobe-bucket scan.
+
+    vs LSH (``ann_lsh_topk``): IVF adapts to the data distribution (cells
+    follow density), LSH is data-independent; both express the probe as an
+    equi-join Catalyst can shuffle or broadcast.
+    """
+    sample = (
+        corpus.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([r[0] for r in sample], dtype=np.float64)
+
+    corp = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ivf_assign_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.explode(ivf_assign_udf(centroids, nprobe)(F.col(vec_col))).alias("qcell"),
+        )
+    )
+    return (
+        corp.join(q, corp.cell == q.qcell)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: IVF ANN top-10 for vec_id=0 (rows-only check; recall
+    vs brute force is pinned by unit test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") == 0), k=10)

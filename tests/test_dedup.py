@@ -91,3 +91,42 @@ def test_ann_recall_vs_bruteforce(spark, sf_oracle):
     # multi-table OR-amplification: expect solid recall of the exact top-10
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.3
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    """IVF ANN with nprobe=4 of 16 cells must recover a solid share of the
+    exact top-10 (and perfect recall when probing every cell)."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ann_ivf_topk(emb, q, n_cells=16, nprobe=4, k=10).collect()]
+    assert len(approx) > 0
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3
+    # probing all cells degenerates to exact search
+    full = [r["vec_id"] for r in ann_ivf_topk(emb, q, n_cells=16, nprobe=16, k=10).collect()]
+    assert full == exact
+
+
+def test_approx_distinct_envelope(spark, sf_oracle):
+    """HLL(rsd=0.02) must land within 5% of the exact distinct counts."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.relational import approx_distinct
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["eo"], r["ep"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("eo"),
+            F.countDistinct("l_partkey").alias("ep"),
+        )
+        .collect()
+    }
+    for r in approx_distinct(spark, sf_oracle).collect():
+        eo, ep = exact[r["l_returnflag"]]
+        assert abs(r["approx_orders"] - eo) / eo < 0.05
+        assert abs(r["approx_parts"] - ep) / ep < 0.05

@@ -149,6 +149,7 @@ def train(
     cfg: TrainConfig,
     id_col: str = "id",
     init_state: dict | None = None,
+    merge_states: Callable[[list[dict]], dict] | None = None,
 ) -> dict:
     """Data-parallel training orchestration (M1 semantics).
 
@@ -204,9 +205,17 @@ def train(
         rows = df.mapInArrow(run_partition, "n_batches long, state_json string").collect()
         import json
 
+        part_states = []
         for r in rows:
             total_batches += r["n_batches"]
-            state.update(json.loads(r["state_json"]))
+            part_states.append(json.loads(r["state_json"]))
+        if merge_states is not None and part_states:
+            # data-parallel reduce: e.g. parameter averaging (the rebuild's
+            # stand-in for the reference's gradient allreduce shards)
+            state.update(merge_states(part_states))
+        else:
+            for ps in part_states:  # rank-0-snapshot analogue: last wins
+                state.update(ps)
         epoch += 1
         state["epoch"] = epoch
     state["iterations"] = total_batches
@@ -245,3 +254,128 @@ def features_identity_query(spark, sf_dir) -> DataFrame:
     return features(
         emb, proj_model, EMBED_SPECS, ["ip1", "label_out"], batch_size=64, id_col="vec_id"
     )
+
+
+def train_with_validation(
+    train_df: DataFrame,
+    val_df: DataFrame,
+    trainer: TrainerFn,
+    model_from_state: Callable[[dict], ModelFn],
+    specs: list[ColumnSpec],
+    cfg: TrainConfig,
+    val_blobs: list[str],
+    order_cols: list[str],
+    id_col: str = "id",
+    init_state: dict | None = None,
+    merge_states: Callable[[list[dict]], dict] | None = None,
+):
+    """M2: interleaved train/validation waves (``CaffeOnSpark.scala:239-358``).
+
+    Every ``test_interval`` iterations: train on the next row-window of
+    ``test_interval × batch × devices × cluster_size`` records (the
+    reference's ``PartitionPruningRDD`` window selection, rebuilt as the
+    ``partition_window`` row-range operator), then score ``test_iter``
+    batches of ``val_df`` with the current model and record the per-blob
+    element-wise mean (``VectorMean`` semantics).
+
+    Returns ``(final_state, metrics_rows)`` where ``metrics_rows`` is a list
+    of ``{"iteration": k, <blob>: [means...]}`` dicts — the reference returns
+    exactly this as a DataFrame (schema ``<blob>: array<float>``,
+    ``CaffeOnSpark.scala:356-357``); build one with
+    ``spark.createDataFrame(metrics_rows)`` when a DataFrame is wanted.
+    """
+    from caffeonspark_spark.operators.partitioning import partition_window
+
+    n_records = train_df.count()
+    wave_len = cfg.test_interval * cfg.batch_size * cfg.devices * cfg.cluster_size
+    if cfg.test_interval <= 0:
+        raise ValueError("train_with_validation requires test_interval > 0")
+    windows_total = max(n_records // wave_len, 1)
+    validate_partition_math(n_records, max(n_records // wave_len, 1), cfg)
+
+    val_slice = val_df.limit(cfg.test_iter * cfg.batch_size)
+    state = dict(init_state or {})
+    metrics: list[dict] = []
+    n_waves = (cfg.max_iter + cfg.test_interval - 1) // cfg.test_interval
+    wave_cfg = TrainConfig(
+        batch_size=cfg.batch_size,
+        max_iter=cfg.test_interval,
+        devices=cfg.devices,
+        cluster_size=cfg.cluster_size,
+    )
+    for wave in range(n_waves):
+        window = partition_window(
+            train_df, wave % windows_total, windows_total, wave_len, order_cols
+        ).drop("_part", "_row_in_part")
+        state = train(
+            window, trainer, specs, wave_cfg,
+            id_col=id_col, init_state=state, merge_states=merge_states,
+        )
+        summary = test_model(
+            val_slice, model_from_state(state), specs, val_blobs,
+            batch_size=cfg.batch_size, id_col=id_col,
+        )
+        metrics.append({"iteration": (wave + 1) * cfg.test_interval, **summary})
+    state["iterations"] = n_waves * cfg.test_interval
+    return state, metrics
+
+
+def softmax_trainer(dim: int, n_classes: int, lr: float = 1.0,
+                    x_col: str = "embedding", y_col: str = "label") -> TrainerFn:
+    """Reference trainer: mini-batch softmax regression (pure NumPy). The
+    engine's e2e ML acceptance path — the LeNet/MNIST stand-in that needs no
+    DL framework in the container."""
+
+    def step(inputs: dict, state: dict) -> dict:
+        X = np.asarray(inputs[x_col], dtype=np.float64).reshape(len(inputs[x_col]), -1)
+        y = np.asarray(inputs[y_col], dtype=np.int64).ravel()
+        W = np.array(state["W"]) if "W" in state else np.zeros((dim, n_classes))
+        b = np.array(state["b"]) if "b" in state else np.zeros(n_classes)
+        logits = X @ W + b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        nll = -np.log(p[np.arange(len(y)), y] + 1e-12).mean()
+        G = p
+        G[np.arange(len(y)), y] -= 1.0
+        G /= len(y)
+        W = W - lr * (X.T @ G)
+        b = b - lr * G.sum(axis=0)
+        return {"W": W.tolist(), "b": b.tolist(), "loss": float(nll)}
+
+    return step
+
+
+def softmax_model(state: dict, x_col: str = "embedding", y_col: str = "label") -> ModelFn:
+    """Validation model for ``softmax_trainer`` state: emits the reference's
+    validation blobs — per-sample ``accuracy`` (0/1 correct) and ``loss``
+    (NLL), so ``test_model``'s VectorMean yields overall accuracy/mean-loss
+    exactly like ``InterleaveTest.scala:36-57`` asserts."""
+    W = np.array(state["W"])
+    b = np.array(state["b"])
+
+    def model(inputs: dict) -> dict:
+        X = np.asarray(inputs[x_col], dtype=np.float64).reshape(len(inputs[x_col]), -1)
+        y = np.asarray(inputs[y_col], dtype=np.int64).ravel()
+        logits = X @ W + b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        acc = (p.argmax(axis=1) == y).astype(np.float32).reshape(-1, 1)
+        nll = (-np.log(p[np.arange(len(y)), y] + 1e-12)).astype(np.float32).reshape(-1, 1)
+        return {"accuracy": acc, "loss": nll}
+
+    return model
+
+
+def average_states(states: list[dict]) -> dict:
+    """Parameter-averaging merge for data-parallel waves (the engine's
+    stand-in for the reference's sharded gradient allreduce,
+    ``socket_sync.cpp:119-156``): element-wise mean of W/b, mean loss."""
+    out = dict(states[-1])
+    if "W" in states[0]:
+        out["W"] = np.mean([np.array(s["W"]) for s in states], axis=0).tolist()
+        out["b"] = np.mean([np.array(s["b"]) for s in states], axis=0).tolist()
+    if "loss" in states[0]:
+        out["loss"] = float(np.mean([s["loss"] for s in states]))
+    return out

@@ -82,3 +82,46 @@ def test_train_loop(spark, mnist_like):
     assert state["iterations"] >= 4
     assert state["n_samples"] > 0
     assert "loss" in state and state["epoch"] >= 1
+
+
+def test_train_with_validation_interleave(spark):
+    """M2 e2e: softmax regression on the embeddings table with interleaved
+    validation — the InterleaveTest.scala:36-57 analogue. Asserts the metric
+    DataFrame contract (one row per interval, accuracy/loss blobs) and that
+    training actually learns: final loss below the untrained 2.303 baseline,
+    final accuracy above chance (10 classes)."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.ml.dataflow import (
+        average_states,
+        softmax_model,
+        softmax_trainer,
+        train_with_validation,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    specs = [ColumnSpec("embedding", "float_array", channels=64), ColumnSpec("label", "int")]
+    cfg = TrainConfig(batch_size=50, max_iter=30, test_interval=10, test_iter=4)
+    state, metrics = train_with_validation(
+        emb, emb,
+        trainer=softmax_trainer(dim=64, n_classes=10, lr=1.0),
+        model_from_state=softmax_model,
+        specs=specs, cfg=cfg,
+        val_blobs=["accuracy", "loss"],
+        order_cols=["vec_id"], id_col="vec_id",
+        merge_states=average_states,
+    )
+    assert len(metrics) == 3  # max_iter / test_interval
+    assert state["iterations"] == 30
+    for m in metrics:
+        assert set(m) == {"iteration", "accuracy", "loss"}
+        assert len(m["accuracy"]) == 1 and len(m["loss"]) == 1
+    first, last = metrics[0], metrics[-1]
+    assert last["loss"][0] < 2.3025  # beats untrained uniform-softmax NLL
+    assert last["loss"][0] <= first["loss"][0] + 1e-9
+    assert last["accuracy"][0] > 0.15  # > 1.5x chance
+    # the metric rows build the reference's validation DataFrame directly
+    mdf = spark.createDataFrame(
+        [(m["iteration"], m["accuracy"], m["loss"]) for m in metrics],
+        "iteration long, accuracy array<double>, loss array<double>",
+    )
+    assert mdf.count() == 3

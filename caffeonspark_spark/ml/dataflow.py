@@ -379,3 +379,28 @@ def average_states(states: list[dict]) -> dict:
     if "loss" in states[0]:
         out["loss"] = float(np.mean([s["loss"] for s in states]))
     return out
+
+
+def save_state(state: dict, path: str) -> None:
+    """M5 snapshot persistence (``FSUtils.scala:47-89`` analogue): write the
+    trainer state as JSON. The state dict is model-artifact-sized (weights),
+    a driver-side artifact write like the reference's .caffemodel move."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({k: v for k, v in state.items()
+                   if isinstance(v, (int, float, str, list, dict, bool))}, f)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> dict:
+    """M5 resume: load a snapshot written by ``save_state``; pass the result
+    as ``init_state=`` to ``train``/``train_with_validation`` (the
+    ``-snapshot``/``-weights`` resume flags, ``CaffeOnSpark.scala:108-111``)."""
+    import json
+
+    with open(path) as f:
+        return json.load(f)

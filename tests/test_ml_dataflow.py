@@ -125,3 +125,37 @@ def test_train_with_validation_interleave(spark):
         "iteration long, accuracy array<double>, loss array<double>",
     )
     assert mdf.count() == 3
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """M5: snapshot → resume must continue from the saved weights (the
+    -snapshot/-weights flags of the reference)."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.ml.dataflow import (
+        average_states,
+        load_state,
+        save_state,
+        softmax_model,
+        softmax_trainer,
+        train,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    specs = [ColumnSpec("embedding", "float_array", channels=64), ColumnSpec("label", "int")]
+    cfg = TrainConfig(batch_size=50, max_iter=10)
+    trainer = softmax_trainer(dim=64, n_classes=10, lr=1.0)
+    s1 = train(emb, trainer, specs, cfg, id_col="vec_id", merge_states=average_states)
+    snap = str(tmp_path / "snap.json")
+    save_state(s1, snap)
+    s2 = load_state(snap)
+    assert s2["W"] == s1["W"] and s2["b"] == s1["b"]
+    # resumed training starts from the snapshot weights, not zeros
+    s3 = train(emb, trainer, specs, cfg, id_col="vec_id",
+               init_state=s2, merge_states=average_states)
+    assert s3["W"] != s1["W"]  # training moved on
+    # resumed model must be at least as good as the snapshot on loss
+    m1 = eval_model(emb.limit(200), softmax_model(s1), specs, ["loss"],
+                    batch_size=50, id_col="vec_id")
+    m3 = eval_model(emb.limit(200), softmax_model(s3), specs, ["loss"],
+                    batch_size=50, id_col="vec_id")
+    assert m3["loss"][0] <= m1["loss"][0] + 0.05

@@ -124,3 +124,25 @@ class Engine:
         from caffeonspark_spark.sources.registry import write_sink
 
         return write_sink(df, fmt, path, mode=mode, **options)
+
+
+def scale_out(df, min_partitions: int | None = None):
+    """Rebalance a DataFrame whose scan produced fewer partitions than cores.
+
+    Single-row-group parquet files (the local testdata) scan as ONE task, so
+    everything up to the first shuffle — explodes, wide aggregations, Arrow
+    UDFs — would run serially. This gate repartitions only when the plan is
+    under-parallel: at 100 TB a scan has orders of magnitude more splits than
+    ``defaultParallelism`` and this is a no-op; the round-robin shuffle it
+    adds locally moves only the pre-explosion (narrow) rows.
+
+    Use it in operators whose per-row compute dominates scan cost (shingle
+    explosion, MinHash/SimHash agg trees, vectorized UDF stages) — NOT on
+    plain relational scans, where it would sit between filter and scan and
+    break predicate pushdown.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.engine import scale_out
 from caffeonspark_spark.functions.text import doc_fingerprint, ngrams
 
 # MinHash parameters: 64 hashes in 16 bands of 4 (standard banding math:
@@ -81,6 +82,9 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the inverted-index input."""
+    # shingle explosion dominates this path; rebalance 1-task scans (cap:
+    # more partitions than ~16 just pays task/Python-worker startup here)
+    df = scale_out(df, min(16, df.sparkSession.sparkContext.defaultParallelism))
     toks = _tokens(df, text_col)
     sh = F.array_distinct(ngrams(toks, n=n))
     return (
@@ -203,7 +207,12 @@ def minhash_lsh_pairs(
     per doc; every join is an equi-join on an 8-byte key.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # persist: the signature pipeline (shingle explode + 64 min-aggs) is the
+    # expensive subtree and feeds BOTH sides of the self-join — without this
+    # Spark computes it twice (broadcast + shuffle exchanges don't reuse).
+    # One row of 64 longs per doc ≈ 0.5 KB — at 100 TB this is the
+    # signatures table you'd write out once and join against.
+    sigs = minhash_signatures(docs).persist()
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -230,17 +239,22 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            # estimate BEFORE the pair-dedup so its shuffle moves 3 scalars
+            # per candidate, not two 64-long signature arrays
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(MINHASH_PERMS))
+            ).alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.size(
-        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda eq: eq)
-    ).cast("double") / F.lit(float(MINHASH_PERMS))
     return (
-        cand.select("id_a", "id_b", est.alias("est_jaccard"))
-        .where(F.col("est_jaccard") >= threshold)
+        cand.where(F.col("est_jaccard") >= threshold)
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
     )
@@ -304,7 +318,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> 
         "vec_id",
         "embedding",
         F.element_at(lsh_table_buckets(F.col("embedding"), 64, 1, 8), 1).alias("bucket"),
-    )
+    ).persist()  # bucket UDF feeds both self-join sides; compute once
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

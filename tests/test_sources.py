@@ -1,0 +1,117 @@
+"""Source/sink registry tests (SURVEY §2 S1-S9 / K1-K6).
+
+Round-trip every registered format, the image-tuple source semantics
+(not-null filter + optional DISK_ONLY persist, ``LMDB.scala:31-43``), the
+single-file text sink (``Vocab.scala:47``), and — the 100 TB-relevant part —
+partitioned writes whose reads are partition-PRUNED at the scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.sources.registry import read_images, read_source, write_sink
+
+
+@pytest.fixture(scope="module")
+def image_tuples(spark):
+    rows = []
+    for i in range(12):
+        data = None if i % 4 == 3 else bytearray(bytes([i] * 16))
+        rows.append((f"{i:08d}", str(i % 3), 1, 4, 4, False, data))
+    return spark.createDataFrame(
+        rows,
+        "id string, label string, channels int, height int, width int, "
+        "encoded boolean, data binary",
+    )
+
+
+def test_roundtrip_formats(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sink")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    for fmt in ["parquet", "json", "orc", "csv"]:
+        path = str(base / fmt)
+        write_sink(df, fmt, path, header=True)
+        back = read_source(spark, fmt, path, header=True, inferSchema=True)
+        assert back.count() == 100
+        assert {r["s"] for r in back.collect()} == {f"v{i}" for i in range(100)}
+
+
+def test_unknown_formats_rejected(spark):
+    with pytest.raises(ValueError):
+        read_source(spark, "lmdb", "/nope")
+    with pytest.raises(ValueError):
+        write_sink(spark.range(1), "sequencefile", "/nope")
+
+
+def test_single_file_text_sink(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vocabout") / "txt")
+    df = spark.createDataFrame([(f"word{i}",) for i in range(20)], "value string")
+    write_sink(df, "text", path, single_file=True)
+    import glob
+
+    parts = glob.glob(f"{path}/part-*")
+    assert len(parts) == 1  # the coalesce(1) vocab-writer contract
+    back = read_source(spark, "text", path)
+    assert back.count() == 20
+
+
+def test_image_source_notnull_and_persist(spark, image_tuples, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("imgs") / "tuples")
+    write_sink(image_tuples, "parquet", path)
+    imgs = read_images(spark, path)
+    assert imgs.count() == 9  # 3 of 12 rows have null payloads
+    assert imgs.where(F.col("data").isNull()).count() == 0
+    cached = read_images(spark, path, persist_disk=True)
+    assert cached.storageLevel.useDisk and not cached.storageLevel.useMemory
+    cached.unpersist()
+
+
+def test_image_source_missing_columns(spark, tmp_path_factory):
+    """The declared-column validation of the reference source
+    (DataFrameSource.scala:91-98): absent required columns fail fast."""
+    path = str(tmp_path_factory.mktemp("badimgs") / "t")
+    write_sink(spark.range(5).select(F.col("id").cast("string").alias("id")), "parquet", path)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_images(spark, path)
+
+
+def test_binary_file_ingest(spark, tmp_path_factory):
+    """S8: whole-file bytes via the binaryFile format."""
+    d = tmp_path_factory.mktemp("blobs")
+    payloads = {}
+    for i in range(3):
+        p = d / f"img{i}.bin"
+        payload = bytes([i] * (10 + i))
+        p.write_bytes(payload)
+        payloads[f"img{i}.bin"] = payload
+    df = read_source(spark, "binary", str(d))
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        assert bytes(r["content"]) == payloads[name]
+        assert r["length"] == len(payloads[name])
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
+    """K1 + X-class: partitionBy write, then a filtered read must show the
+    partition filter at the scan (Catalyst partition pruning) and touch only
+    the selected directory."""
+    from caffeonspark_spark.plans.inspect import physical_plan
+
+    path = str(tmp_path_factory.mktemp("parts") / "t")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5).cast("int").alias("bucket")
+    )
+    write_sink(df, "parquet", path, partition_by=["bucket"])
+    back = read_source(spark, "parquet", path).where(F.col("bucket") == 3)
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert back.count() == 200
+    # only one of five partition dirs is read
+    assert back.select("id").distinct().count() == 200

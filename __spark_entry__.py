@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_agg_sorted": R.list_agg_sorted,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
+        "bpe_token_stats": TX.bpe_token_stats,
+        "range_join_bands": R.range_join_bands,
     }
 
 
@@ -391,6 +393,17 @@ def oracle_sql() -> dict[str, str]:
                    list(s_name ORDER BY s_name) AS names,
                    COUNT(*) AS n
             FROM supplier GROUP BY s_nationkey
+        """,
+        "bpe_token_stats": TX.ORACLE_BPE_TOKEN_STATS,
+        "range_join_bands": f"""
+            SELECT band, COUNT(*) AS n_orders, {_ds('o_totalprice')} AS total
+            FROM orders
+            JOIN (VALUES ('p0_50k', 0, 50000), ('p50_150k', 50000, 150000),
+                         ('p150_300k', 150000, 300000),
+                         ('p300_450k', 300000, 450000),
+                         ('p450k_up', 450000, 10000000)) AS bands(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
         """,
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py

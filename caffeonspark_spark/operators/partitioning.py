@@ -93,3 +93,26 @@ ORACLE_FIXED_SIZE_PARTITION = """
     FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey ASC) AS rn
           FROM orders)
 """
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
+                   sort: bool = True, mode: str = "overwrite") -> None:
+    """Persist a DataFrame as a bucketed (+sorted) table on ``key``.
+
+    Bucketing is THE shuffle-elimination tool at 100 TB: two tables bucketed
+    on the same key with the same bucket count join with ZERO exchange (and
+    zero sort, if sorted) — the shuffle is paid once at write time, then
+    every subsequent join/aggregation on the key is co-located. The
+    reference hand-built this invariant with FixedSizePartitioner +
+    placement; Spark's bucketed catalog tables are the declarative form.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_equi_join(spark, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key — plan must
+    contain no Exchange (asserted in tests/test_plans.py)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -534,3 +534,25 @@ def approx_distinct(spark, sf_dir) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def range_join_bands(spark, sf_dir) -> DataFrame:
+    """Range (theta) join: orders binned into price bands via
+    lo <= o_totalprice < hi. The band table is driver metadata (5 rows)
+    broadcast to a nested-loop join — at 100 TB the fact side streams
+    through unchanged, each row probing 5 broadcast ranges."""
+    bands = spark.createDataFrame(
+        [("p0_50k", 0, 50_000), ("p50_150k", 50_000, 150_000),
+         ("p150_300k", 150_000, 300_000), ("p300_450k", 300_000, 450_000),
+         ("p450k_up", 450_000, 10_000_000)],
+        "band string, lo long, hi long",
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )

@@ -177,3 +177,33 @@ ORACLE_TFIDF_TOPK = """
     ORDER BY weight DESC, tf.doc_id ASC, tf.token ASC
     LIMIT 100
 """
+
+
+# BPE-style pre-tokenizer pattern (simplified GPT-2 family: contraction
+# suffixes, letter runs, digit runs, single punctuation). Uses only syntax
+# shared by Java regex (Spark) and RE2 (DuckDB) — no lookahead — so the
+# count is oracle-exact.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under two tokenizations: whitespace and a
+    BPE-ish pre-tokenizer regex (the LLM-pipeline token-budget estimator).
+    Pure Catalyst: regexp_extract_all + size, inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(low, r"\s+"), lambda t: t != F.lit(""))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_BPE_TOKEN_STATS = r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           t -> t <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+"""

@@ -7,6 +7,8 @@ map-side partials, the flagship query shuffles exactly once.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import similarity as S
 from caffeonspark_spark.plans.inspect import (
@@ -66,3 +68,49 @@ def test_cosine_topk_broadcasts_query(spark, sf_smoke):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
+    """X2-at-scale: same-key bucketed tables join with zero exchanges —
+    the write-once-shuffle-never-again contract bucketing buys at 100 TB."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.partitioning import (
+        bucketed_equi_join,
+        write_bucketed,
+    )
+    from caffeonspark_spark.plans.inspect import shuffle_count
+
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=4)
+    joined = bucketed_equi_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+    assert shuffle_count(joined) == 0
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_window_suite_single_shuffle(spark, sf_smoke):
+    """All five window functions share one window spec → exactly one
+    exchange (hash on o_custkey), one Window operator."""
+    df = R.window_functions(spark, sf_smoke)
+    assert shuffle_count(df) == 1
+    assert physical_plan(df).count("Window") >= 1
+
+
+def test_range_join_broadcasts_bands(spark, sf_smoke):
+    """The 5-row band table must broadcast (nested-loop on ranges); the
+    orders side must not exchange before the join."""
+    df = R.range_join_bands(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert has_partial_aggregation(df)
+
+
+def test_scalar_subquery_broadcasts(spark, sf_smoke):
+    df = R.scalar_subquery(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": S.ann_ivf_topk_query0,
         "bpe_token_stats": TX.bpe_token_stats,
         "range_join_bands": R.range_join_bands,
+        "quality_filter": TX.quality_filter,
+        "time_rollup": TP.time_rollup,
+        "salted_join_agg": R.salted_join_agg,
+        "stratified_sample": R.stratified_sample_docs,
     }
 
 
@@ -405,6 +409,20 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band
         """,
+        "quality_filter": TX.ORACLE_QUALITY_FILTER,
+        "time_rollup": f"""
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   COUNT(*) AS n_events, {_ds('value')} AS sum_value
+            FROM events GROUP BY ROLLUP (day, hour)
+        """,
+        "salted_join_agg": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        # stratified_sample: Bernoulli sampling is engine-specific -> rows-only
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
         # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs

@@ -116,3 +116,38 @@ def bucketed_equi_join(spark, left_table: str, right_table: str, key: str) -> Da
     """Join two same-bucketed catalog tables on their bucket key — plan must
     contain no Exchange (asserted in tests/test_plans.py)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    left_unique: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi join: salt the (possibly skewed) left side into
+    ``n_salt`` sub-keys, replicate the right side across all salts, join on
+    (key, salt). Result rows == plain ``left.join(right, key)``.
+
+    The classic fix when one hot key overwhelms a task: the hot key's rows
+    spread over ``n_salt`` tasks at the cost of replicating the right side
+    ``n_salt``× (use for large⋈medium; AQE skew-join handles large⋈large).
+    Salt is deterministic — ``xxhash64`` of a unique left column — so runs
+    are reproducible.
+    """
+    salt_src = F.col(left_unique) if left_unique else F.monotonically_increasing_id()
+    l_s = left.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    r_s = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_s.join(r_s, [key, "_salt"]).drop("_salt")
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy``) — the
+    training-data-mix primitive (downsample over-represented sources,
+    keep rare strata). Deterministic under a fixed seed; no shuffle — each
+    partition samples locally."""
+    return df.sampleBy(stratum_col, fractions, seed)

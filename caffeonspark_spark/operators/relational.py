@@ -556,3 +556,28 @@ def range_join_bands(spark, sf_dir) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
     )
+
+
+def salted_join_agg(spark, sf_dir) -> DataFrame:
+    """inner_equi_join computed through the salted-join operator (X-class
+    skew mitigation) — identical results to the plain join, verified by the
+    same oracle: salting must never change semantics."""
+    from caffeonspark_spark.operators.partitioning import salted_equi_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_equi_join(li, o, "o_orderkey", n_salt=4, left_unique="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+    )
+
+
+def stratified_sample_docs(spark, sf_dir) -> DataFrame:
+    """Deterministic per-stratum sampling of documents by lang (rows-only:
+    Bernoulli sampling is engine-specific; fractions pinned by unit test)."""
+    from caffeonspark_spark.operators.partitioning import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+    return stratified_sample(docs.select("doc_id", "lang"), "lang", fractions, seed=42)

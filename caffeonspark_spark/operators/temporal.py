@@ -118,3 +118,23 @@ ORACLE_SESSIONIZE = """
            COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
     FROM sess GROUP BY user_id, session_id
 """
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-bucket rollup of the events stream table: one pass
+    producing (day, hour) leaf aggregates, per-day subtotals and the grand
+    total (the continuous-aggregate / "hypertable rollup" shape). ROLLUP
+    plants a single Expand + one shuffle — at 100 TB the leaf cardinality
+    (hours) dominates and partial aggs collapse everything map-side."""
+    from caffeonspark_spark.functions.arrays import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )

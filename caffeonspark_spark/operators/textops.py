@@ -207,3 +207,52 @@ ORACLE_BPE_TOKEN_STATS = r"""
                '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
     FROM documents
 """
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data cleaning pipeline: keep documents passing the composed
+    quality gates (length window, stopword floor, punctuation ceiling) —
+    the filter stage that precedes dedup in an LLM data pipeline. All
+    predicates are scan-adjacent Catalyst expressions."""
+    from caffeonspark_spark.functions.text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("long")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_tokens
+    stripped = F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", "")
+    p_ratio = (F.length(F.col("text")) - F.length(stripped)).cast("double") / F.length(
+        F.col("text")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            sw.alias("sw_ratio"),
+            p_ratio.alias("p_ratio"),
+        )
+        .where(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 5000)
+            & (F.col("sw_ratio") >= 0.05)
+            & (F.col("p_ratio") <= 0.2)
+        )
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+    SELECT doc_id, n_tokens, sw_ratio, p_ratio FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','to','in','is','on','for','with'], t)))
+                    AS DOUBLE) / len(toks) AS sw_ratio,
+               CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / length(text) AS p_ratio
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+              FROM documents)
+    )
+    WHERE n_tokens >= 10 AND n_tokens <= 5000
+      AND sw_ratio >= 0.05 AND p_ratio <= 0.2
+"""

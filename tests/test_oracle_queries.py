@@ -40,3 +40,42 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_salted_join_equals_plain(spark, sf_smoke):
+    """Salting must be semantics-preserving: same rows as the plain join."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.partitioning import salted_equi_join
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    o = load_table(spark, sf_smoke, "orders").select("o_orderkey", "o_orderpriority")
+    salted = salted_equi_join(li, o, "o_orderkey", n_salt=4, left_unique="l_linenumber")
+    plain = li.join(o, "o_orderkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_stratified_sample_fractions(spark, sf_oracle):
+    """Per-stratum sampled fraction within a loose Bernoulli envelope and
+    deterministic under the fixed seed."""
+    import pyspark.sql.functions as F
+
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.partitioning import stratified_sample
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "lang")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+    samp = stratified_sample(docs, "lang", fractions, seed=42)
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, frac in fractions.items():
+        if lang not in totals:
+            continue
+        expect = totals[lang] * frac
+        assert abs(got.get(lang, 0) - expect) <= max(5, 0.2 * expect), (lang, got, totals)
+    ids1 = sorted(r["doc_id"] for r in samp.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", fractions, seed=42).collect())
+    assert ids1 == ids2

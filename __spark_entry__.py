@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": TP.time_rollup,
         "salted_join_agg": R.salted_join_agg,
         "stratified_sample": R.stratified_sample_docs,
+        "clean_corpus": D.clean_corpus,
     }
 
 
@@ -423,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         # stratified_sample: Bernoulli sampling is engine-specific -> rows-only
+        # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
+        # rows-only; each stage is oracle-checked or unit-tested on its own
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
         # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs

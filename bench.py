@@ -43,6 +43,10 @@ BENCH_QUERIES = {
     "q_sessionize": TP.sessionize_query,
     "q_ann_lsh": S.ann_lsh_topk_query0,
     "q_tfidf": TX.tfidf_topk,
+    "q_ann_ivf": S.ann_ivf_topk_query0,
+    "q_bpe_tokens": TX.bpe_token_stats,
+    "q_time_rollup": TP.time_rollup,
+    "q_clean_corpus": D.clean_corpus,
 }
 
 

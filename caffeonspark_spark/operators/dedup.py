@@ -334,3 +334,38 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> 
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
     )
+
+
+# --- 7. end-to-end corpus cleaning pipeline -------------------------------
+
+def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.8) -> DataFrame:
+    """The composed LLM-training-data cleaning pipeline, one declarative plan:
+
+    1. quality gate   — token/stopword/punctuation thresholds
+       (``textops.quality_filter``);
+    2. exact dedup    — keep the min doc_id per identical text;
+    3. near-dedup     — MinHash-LSH pairs above ``neardup_threshold``;
+       the higher doc_id of each surviving pair is dropped (anti-join).
+
+    Returns the surviving ``(doc_id, n_tokens)`` set. Every stage is an
+    equi-join/aggregation Catalyst shuffles on 8-byte keys — the whole
+    pipeline is 100 TB-shaped: no driver materialization, no Python row
+    path, each stage prunes rows before the next's shuffle.
+    Rows-only driver check (MinHash is engine-hash-specific); stage
+    semantics are individually oracle-checked / unit-tested.
+    """
+    from caffeonspark_spark.operators.textops import quality_filter
+
+    quality = quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").join(quality, "doc_id")
+
+    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
+
+    near = minhash_lsh_pairs(spark, sf_dir, threshold=neardup_threshold, top=10**6)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -130,3 +130,26 @@ def test_approx_distinct_envelope(spark, sf_oracle):
         eo, ep = exact[r["l_returnflag"]]
         assert abs(r["approx_orders"] - eo) / eo < 0.05
         assert abs(r["approx_parts"] - ep) / ep < 0.05
+
+
+def test_clean_corpus_pipeline(spark, sf_oracle):
+    """End-to-end cleaning: output is a subset of the quality-gated corpus,
+    free of exact duplicates, deterministic across runs."""
+    from caffeonspark_spark.operators.dedup import clean_corpus
+    from caffeonspark_spark.operators.textops import quality_filter
+
+    out = clean_corpus(spark, sf_oracle)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == len(set(ids))
+    quality_ids = {r["doc_id"] for r in quality_filter(spark, sf_oracle).collect()}
+    assert set(ids) <= quality_ids
+    assert 0 < len(ids) <= len(quality_ids)
+    # no two surviving docs share identical text
+    from caffeonspark_spark.catalog import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    surv = docs.join(out.select("doc_id"), "doc_id")
+    n_text = surv.select("text").distinct().count()
+    assert n_text == len(ids)
+    ids2 = [r["doc_id"] for r in clean_corpus(spark, sf_oracle).collect()]
+    assert ids == ids2

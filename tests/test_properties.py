@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — beyond the reference's test tiers.
+
+Each property pins an engine function against an independent NumPy/pure-
+Python reference implementation on randomized inputs, so the Catalyst
+expression trees (ngrams, fingerprints, vector math) can't silently drift.
+Spark round-trips are batched per property run (one createDataFrame per
+example set) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TOKEN = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TOKEN, min_size=0, max_size=12), st.integers(min_value=1, max_value=4))
+def test_ngrams_match_python_reference(spark, tokens, n):
+    from caffeonspark_spark.functions.text import ngrams
+
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    got = df.select(ngrams(F.col("toks"), n=n).alias("g")).collect()[0]["g"]
+    expect = (
+        [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+        if len(tokens) >= n
+        else []
+    )
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=4, max_size=4),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_vector_mean_matches_numpy(spark, vecs):
+    from caffeonspark_spark.functions.arrays import vector_mean_long
+
+    df = spark.createDataFrame([(v,) for v in vecs], "emb array<double>")
+    rows = vector_mean_long(df, "emb").orderBy("pos").collect()
+    got = [r["mean_val"] for r in rows]
+    expect = np.asarray(vecs, dtype=np.float64).mean(axis=0)
+    # engine accumulates in decimal at scale 9 → compare at that grid
+    assert np.allclose(got, expect, atol=2e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TOKEN, min_size=1, max_size=10))
+def test_fingerprint_whitespace_invariant(spark, tokens):
+    """fp(' '.join(toks)) is invariant under whitespace reformatting and
+    sensitive to token order (rolling hash is positional)."""
+    from caffeonspark_spark.functions.text import doc_fingerprint
+
+    text = " ".join(tokens)
+    messy = "  " + "   ".join(tokens) + " "
+    df = spark.createDataFrame([(text, messy)], "a string, b string")
+    r = df.select(
+        doc_fingerprint(F.col("a")).alias("fa"), doc_fingerprint(F.col("b")).alias("fb")
+    ).collect()[0]
+    assert r["fa"] == r["fb"]
+    if len(set(tokens)) > 1 and list(reversed(tokens)) != tokens:
+        rev = " ".join(reversed(tokens))
+        df2 = spark.createDataFrame([(text, rev)], "a string, b string")
+        r2 = df2.select(
+            doc_fingerprint(F.col("a")).alias("fa"), doc_fingerprint(F.col("b")).alias("fb")
+        ).collect()[0]
+        assert r2["fa"] != r2["fb"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=4, max_size=4),
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=4, max_size=4),
+)
+def test_cosine_similarity_matches_numpy(spark, a, b):
+    from caffeonspark_spark.functions.arrays import cosine_similarity
+
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na < 1e-9 or nb < 1e-9:
+        return  # zero vectors: undefined cosine, engine guards separately
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    expect = float(np.dot(a, b) / (na * nb))
+    assert math.isclose(got, expect, rel_tol=1e-6, abs_tol=1e-6)

@@ -91,3 +91,59 @@ def test_stateful_user_stats(spark, events_stream):
         bn, bt = batch[uid]
         assert n == bn
         assert abs(t - bt) < 1e-6
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event arriving hours behind the watermark is
+    dropped from an append-mode windowed aggregation (bounded state at
+    100 TB/day depends on this)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.streaming.windows import EVENTS_SCHEMA, tumbling_counts
+
+    src = str(tmp_path / "stream_src")
+    chk = str(tmp_path / "chk")
+
+    def mk_rows(start_id, base_ts_ns, n):
+        return [
+            (start_id + i, base_ts_ns + i * 1_000_000_000, 1, "click", 1.0, "{}")
+            for i in range(n)
+        ]
+
+    base = 1_700_000_000 * 1_000_000_000  # fixed epoch nanos
+    batch1 = spark.createDataFrame(mk_rows(0, base + 10 * 3600 * 10**9, 20), EVENTS_SCHEMA)
+    batch1.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_counts(stream, width="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: advance event time by 5 hours (closes earlier windows), plus
+    # one LATE straggler 8 hours behind — beyond the 1-hour watermark
+    late_rows = mk_rows(100, base + 15 * 3600 * 10**9, 5) + [
+        (999, base + 7 * 3600 * 10**9, 1, "late", 9.0, "{}")
+    ]
+    spark.createDataFrame(late_rows, EVENTS_SCHEMA).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # batch 3: advance watermark again so closed windows flush to append sink
+    spark.createDataFrame(
+        mk_rows(200, base + 20 * 3600 * 10**9, 5), EVENTS_SCHEMA
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    assert len(rows) > 0
+    # the straggler's event_type never appears: it was dropped, not aggregated
+    assert all(r["event_type"] != "late" for r in rows)
+    total = sum(r["n_events"] for r in rows)
+    assert total <= 30  # 31 written, the late one dropped (some windows may still be open)

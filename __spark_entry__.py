@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": R.salted_join_agg,
         "stratified_sample": R.stratified_sample_docs,
         "clean_corpus": D.clean_corpus,
+        "zscore_by_group": V.zscore_events_query,
     }
 
 

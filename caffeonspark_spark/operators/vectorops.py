@@ -76,3 +76,40 @@ ORACLE_VECTOR_NORMS_TOPK = """
     ORDER BY norm DESC, vec_id ASC
     LIMIT 25
 """
+
+
+def zscore_by_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Grouped-map normalization: z-score ``value_col`` within each group via
+    ``applyInPandas`` — the batch sibling of the streaming stateful operator
+    and the canonical custom-operator shape when semantics need whole-group
+    state in Python (here: mean/std of the group's values).
+
+    One shuffle on the group key; each group is normalized in a single
+    Arrow batch. Use only when a window-function formulation won't do — the
+    plain z-score IS expressible as windows (and that form is preferred at
+    scale); this operator exists for the genuinely-Python cases (sklearn
+    scalers, rank transforms, per-group model scoring) and is tested against
+    the window form for equality.
+    """
+    import pandas as pd
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        std = v.std()  # pandas: sample std (ddof=1)
+        out = pdf[[id_col, group_col]].copy()
+        out["v_norm"] = (v - v.mean()) / std if std and std > 0 else 0.0
+        return out
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        norm, schema=f"{id_col} long, {group_col} string, v_norm double"
+    )
+
+
+def zscore_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-event-type z-score of event values (rows-only:
+    float summation order differs across engines; equality vs the
+    window-function formulation is unit-tested)."""
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_by_group(ev, "event_type", "value", "event_id")

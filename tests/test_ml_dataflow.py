@@ -159,3 +159,31 @@ def test_checkpoint_resume(spark, tmp_path):
     m3 = eval_model(emb.limit(200), softmax_model(s3), specs, ["loss"],
                     batch_size=50, id_col="vec_id")
     assert m3["loss"][0] <= m1["loss"][0] + 0.05
+
+
+def test_zscore_grouped_map_matches_window_form(spark):
+    """applyInPandas z-score == the pure-window-function z-score (sample
+    std), within float tolerance — the custom-operator shape is semantics-
+    equivalent to the scale-preferred Catalyst form."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.vectorops import zscore_by_group
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r["event_id"]: r["v_norm"]
+        for r in zscore_by_group(ev, "event_type", "value", "event_id").collect()
+    }
+    w = Window.partitionBy("event_type")
+    expect = {
+        r["event_id"]: r["v_norm"]
+        for r in ev.select(
+            "event_id",
+            ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("v_norm"),
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9

@@ -114,3 +114,24 @@ def test_scalar_subquery_broadcasts(spark, sf_smoke):
     df = R.scalar_subquery(spark, sf_smoke)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_all_queries_scan_pruned(spark, sf_smoke):
+    """Global column-pruning audit: NO query may scan ≥8 columns of any
+    table (the widest legitimate need is Q1's 7 of lineitem's 16). Catches
+    accidental SELECT * plumbing anywhere in the query surface."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("__spark_entry__", entry)
+    spec.loader.exec_module(entry)
+    offenders = {}
+    for name, fn in entry.queries().items():
+        widths = [len(s) for s in read_schema_columns(fn(spark, sf_smoke))]
+        if any(w >= 8 for w in widths):
+            offenders[name] = widths
+    assert not offenders, f"unpruned scans: {offenders}"

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": R.stratified_sample_docs,
         "clean_corpus": D.clean_corpus,
         "zscore_by_group": V.zscore_events_query,
+        "asof_join_tolerance": TP.asof_join_tolerance_query,
     }
 
 
@@ -314,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         # SQL-expressible -> rows-only check; semantics pinned in tests/
         # --- temporal / extended ---
         "asof_join": TP.ORACLE_ASOF_JOIN,
+        "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,
         "sessionize": TP.ORACLE_SESSIONIZE,
         "rollup_agg": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -138,3 +138,29 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
     )
+
+
+def asof_join_tolerance_query(spark: SparkSession, sf_dir: str, minutes: int = 30) -> DataFrame:
+    """As-of join with a tolerance horizon: the most recent click within
+    ``minutes`` before each purchase, else NULL. Same single-shuffle window
+    plan; the horizon is a post-window null-out (the running max click ≤ ts
+    is within tolerance iff ANY click is)."""
+    base = asof_join_events(load_table(spark, sf_dir, "events"))
+    horizon_ok = F.col("last_click_ts") >= (
+        F.col("purchase_ts") - F.expr(f"INTERVAL {minutes} MINUTES")
+    )
+    return base.select(
+        "event_id", "user_id", "purchase_ts",
+        F.when(horizon_ok, F.col("last_click_ts")).alias("last_click_ts"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+    SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts <= e.ts
+              AND c.ts >= e.ts - INTERVAL 30 MINUTE) AS last_click_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+"""

@@ -47,6 +47,12 @@ class Config:
     feature_cols: tuple[str, ...] = ()
     # partition control (reference: -clusterSize, -lmdb_partitions)
     target_partitions: int | None = None
+    # file-split sizing: at 100 TB these bound per-task input so partitions
+    # fit executor memory (128 MB splits → ~800k map tasks over 100 TB; raise
+    # for wide clusters, lower for memory-tight executors). openCost biases
+    # Spark against gluing many small files into one split.
+    max_partition_bytes: str = "128m"
+    open_cost_bytes: str = "4m"
     extra_conf: dict[str, str] = field(default_factory=dict)
 
 
@@ -68,6 +74,8 @@ def get_spark(config: Config | None = None) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", config.max_partition_bytes)
+        .config("spark.sql.files.openCostInBytes", config.open_cost_bytes)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

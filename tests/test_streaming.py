@@ -147,3 +147,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(r["event_type"] != "late" for r in rows)
     total = sum(r["n_events"] for r in rows)
     assert total <= 30  # 31 written, the late one dropped (some windows may still be open)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop/restart from the same checkpoint must continue exactly-once:
+    rows written before the stop are not re-emitted, new rows appear."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    base = 1_700_000_000 * 1_000_000_000
+
+    def rows(start_id, n):
+        return [(start_id + i, base + i * 10**9, 1, "click", 1.0, "{}") for i in range(n)]
+
+    spark.createDataFrame(rows(0, 10), EVENTS_SCHEMA).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+            .select("event_id", "event_type", "value")
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 10
+
+    spark.createDataFrame(rows(100, 7), EVENTS_SCHEMA).write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 17  # 10 + 7, no re-emission
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == sorted(list(range(10)) + list(range(100, 107)))

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": D.clean_corpus,
         "zscore_by_group": V.zscore_events_query,
         "asof_join_tolerance": TP.asof_join_tolerance_query,
+        "chunk_documents": TX.chunk_documents,
     }
 
 
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier GROUP BY s_nationkey
         """,
         "bpe_token_stats": TX.ORACLE_BPE_TOKEN_STATS,
+        "chunk_documents": TX.ORACLE_CHUNK_DOCUMENTS,
         "range_join_bands": f"""
             SELECT band, COUNT(*) AS n_orders, {_ds('o_totalprice')} AS total
             FROM orders

@@ -256,3 +256,50 @@ ORACLE_QUALITY_FILTER = """
     WHERE n_tokens >= 10 AND n_tokens <= 5000
       AND sw_ratio >= 0.05 AND p_ratio <= 0.2
 """
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 40, stride: int = 30
+) -> DataFrame:
+    """LLM context-window chunker: split each document into overlapping
+    token windows of ``chunk_tokens`` with step ``stride`` (overlap =
+    chunk_tokens - stride), one output row per chunk.
+
+    Pure Catalyst (sequence → transform/slice → posexplode): the rebuild's
+    UDTF-shaped operator expressed as explode-of-array so it stays in
+    codegen — per-row Python UDTFs would be the slow path here. Output is
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    size = F.size(toks)
+    # window start positions: 1, 1+stride, ... while start <= size (at least
+    # one chunk per non-empty doc; final partial chunk included)
+    starts = F.when(size > 0, F.sequence(F.lit(1), size, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+    out = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_chunk_tokens"),
+    ).where(F.col("chunk_text") != "")
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 30 AS INT) AS chunk_idx,
+               array_to_string(ts[s : s + 39], ' ') AS chunk_text
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1, 30)) AS s FROM toks)
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+    FROM chunks WHERE chunk_text <> ''
+"""

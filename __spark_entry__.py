@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_by_group": V.zscore_events_query,
         "asof_join_tolerance": TP.asof_join_tolerance_query,
         "chunk_documents": TX.chunk_documents,
+        "neardup_clusters": D.neardup_clusters,
     }
 
 
@@ -431,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         # stratified_sample: Bernoulli sampling is engine-specific -> rows-only
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
         # rows-only; each stage is oracle-checked or unit-tested on its own
+        # neardup_clusters: iterative connected components -> rows-only;
+        # clustering semantics pinned by planted-topology unit test
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
         # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs

@@ -369,3 +369,61 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# --- 8. near-duplicate clustering (connected components) ------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest label
+    in its neighborhood until fixpoint. Returns ``(node, component)`` where
+    component = min node id of the cluster.
+
+    This is the genuinely-iterative operator class (SURVEY §2 note on
+    non-SQL-expressible ops): each round is two shuffles (join + min-agg)
+    over the edge list, converging in O(graph diameter) rounds — near-dup
+    clusters are tiny (pairs/triples), so 2-3 rounds in practice. Labels are
+    localCheckpointed per round to cut the exponential lineage an iterative
+    plan otherwise builds.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Declared query: cluster MinHash-LSH near-duplicate pairs into
+    components (the dedup group assignment a pipeline keeps one survivor
+    per). Rows-only check (iterative + engine-hash-specific); clustering
+    semantics pinned by unit test with planted chains."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, top=10**6)
+    return connected_components(pairs).orderBy("node")

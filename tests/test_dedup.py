@@ -153,3 +153,29 @@ def test_clean_corpus_pipeline(spark, sf_oracle):
     assert n_text == len(ids)
     ids2 = [r["doc_id"] for r in clean_corpus(spark, sf_oracle).collect()]
     assert ids == ids2
+
+
+def test_connected_components_chains(spark):
+    """Planted topology: chain 1-2-3-4, pair 10-11, triangle 20-21-22 +
+    isolated edge endpoints resolve to min-id components."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_neardup_clusters_runs(spark, sf_oracle):
+    from caffeonspark_spark.operators.dedup import neardup_clusters
+
+    out = neardup_clusters(spark, sf_oracle)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every component representative is a member of its own cluster
+    comp = {r["node"]: r["component"] for r in rows}
+    for node, c in comp.items():
+        assert comp.get(c, c) == c
+        assert c <= node

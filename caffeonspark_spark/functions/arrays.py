@@ -143,8 +143,13 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; bit-deterministic given identical inputs because
-    every reduction is decimal-exact and /, sqrt are IEEE-correctly-rounded."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    every reduction is decimal-exact and /, sqrt are IEEE-correctly-rounded.
+
+    NULL (not an ANSI divide-by-zero error) for zero-norm vectors — real
+    corpora contain zero embeddings and a similarity scan must not abort on
+    them; NULL similarities fall out of top-k orderings naturally."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom)
 
 
 def dot_product_sql(a_elem: str, b_elem: str) -> str:

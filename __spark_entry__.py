@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": TP.asof_join_tolerance_query,
         "chunk_documents": TX.chunk_documents,
         "neardup_clusters": D.neardup_clusters,
+        "range_window_count": TP.range_window_count,
     }
 
 
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         # --- temporal / extended ---
         "asof_join": TP.ORACLE_ASOF_JOIN,
         "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,
+        "range_window_count": TP.ORACLE_RANGE_WINDOW,
         "sessionize": TP.ORACLE_SESSIONIZE,
         "rollup_agg": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -164,3 +164,31 @@ ORACLE_ASOF_TOLERANCE = """
     FROM events e
     WHERE e.event_type = 'purchase'
 """
+
+
+def range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: for every event, how many of the same
+    user's events fall in the preceding hour (RANGE BETWEEN 1 HOUR
+    PRECEDING) — the rate-limit/velocity feature shape. Spark range frames
+    need a numeric ordering, so ts is projected to epoch seconds; one
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+ORACLE_RANGE_WINDOW = """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS n_last_hour
+    FROM events
+"""

@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": TX.chunk_documents,
         "neardup_clusters": D.neardup_clusters,
         "range_window_count": TP.range_window_count,
+        "hybrid_filtered_ann": S.hybrid_filtered_topk,
     }
 
 
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_mean_by_label": V.ORACLE_VECTOR_MEAN_BY_LABEL,
         # --- similarity ---
         "cosine_topk_bruteforce": S.ORACLE_COSINE_TOPK,
+        "hybrid_filtered_ann": S.ORACLE_HYBRID_FILTERED,
         # ann_lsh_topk: approximate (LSH-bucketed) — rows-only check by design
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,

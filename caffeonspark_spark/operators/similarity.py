@@ -293,3 +293,45 @@ def ann_ivf_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force is pinned by unit test)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
+
+
+def hybrid_filtered_topk(spark: SparkSession, sf_dir: str, lang: str = "en", k: int = 10) -> DataFrame:
+    """Hybrid retrieval: metadata filter + vector similarity in ONE plan —
+    top-k cosine neighbours of vec_id=0 restricted to vectors whose id maps
+    to a ``lang`` document. The filter is a broadcast semi-join applied
+    BEFORE the similarity math, so at 100 TB the expensive cosine runs only
+    on the filtered candidate set (pre-filtering beats post-filtering top-k,
+    which under-returns when the filter is selective)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.where(F.col("lang") == lang).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(F.broadcast(allowed), "vec_id", "left_semi")
+    return cosine_topk(corpus, emb.where(F.col("vec_id") == 0), k=k)
+
+
+ORACLE_HYBRID_FILTERED = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    corpus AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en' AND e.vec_id <> 0
+    ),
+    ex AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding, 1) AS i
+           FROM corpus),
+    parts AS (
+        SELECT ex.vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qe,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_ee,
+               CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qq
+        FROM ex, q GROUP BY ex.vec_id
+    )
+    SELECT vec_id, dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) AS cos_sim
+    FROM parts
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+"""

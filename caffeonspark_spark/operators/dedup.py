@@ -93,7 +93,22 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, top: int = 50) -> DataFrame:
+def prune_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles occurring in more than ``max_df`` documents before any
+    self-join. At 100 TB this is MANDATORY: a boilerplate shingle shared by
+    1M docs alone creates 5·10^11 candidate pairs; capping document
+    frequency bounds per-shingle join fan-out at max_df² while leaving true
+    near-dup evidence (rare shingles) untouched. One extra hash-agg pass."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(df_counts.where(F.col("_df") <= max_df), "shingle")
+        .select(*sh.columns)
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, top: int = 50, max_df: int | None = None
+) -> DataFrame:
     """Top near-duplicate candidate pairs by exact 3-gram-shingle Jaccard.
 
     Inverted-index join (shingle equality) → per-pair intersection counts →
@@ -105,6 +120,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, top: int = 50) -> Data
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_sets(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        # scale path: cap join fan-out on boilerplate shingles (sizes are
+        # computed on the UNPRUNED sets so Jaccard denominators stay exact)
+        sh = prune_stop_shingles(sh, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -179,3 +179,16 @@ def test_neardup_clusters_runs(spark, sf_oracle):
     for node, c in comp.items():
         assert comp.get(c, c) == c
         assert c <= node
+
+
+def test_prune_stop_shingles(spark):
+    from caffeonspark_spark.operators.dedup import prune_stop_shingles
+
+    sh = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"), (1, "x y z"), (2, "p q r")],
+        "doc_id long, shingle string",
+    )
+    kept = prune_stop_shingles(sh, max_df=2).collect()
+    shingles = {r["shingle"] for r in kept}
+    assert shingles == {"x y z", "p q r"}  # "a b c" (df=3) pruned
+    assert set(kept[0].asDict().keys()) == {"doc_id", "shingle"}

@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": D.neardup_clusters,
         "range_window_count": TP.range_window_count,
         "hybrid_filtered_ann": S.hybrid_filtered_topk,
+        "correlation_agg": R.correlation_agg,
     }
 
 
@@ -322,6 +323,21 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": TP.ORACLE_ASOF_JOIN,
         "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,
         "range_window_count": TP.ORACLE_RANGE_WINDOW,
+        "correlation_agg": f"""
+            SELECT l_returnflag, n,
+                   (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+                     AS corr_qty_price,
+                   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS ols_slope
+            FROM (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       {_ds('l_quantity')} AS sx,
+                       {_ds('l_extendedprice')} AS sy,
+                       {_ds('l_quantity * l_extendedprice', 4)} AS sxy,
+                       {_ds('l_quantity * l_quantity', 4)} AS sxx,
+                       {_ds('l_extendedprice * l_extendedprice', 4)} AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+        """,
         "sessionize": TP.ORACLE_SESSIONIZE,
         "rollup_agg": f"""
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -581,3 +581,32 @@ def stratified_sample_docs(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
     return stratified_sample(docs.select("doc_id", "lang"), "lang", fractions, seed=42)
+
+
+def correlation_agg(spark, sf_dir) -> DataFrame:
+    """Pearson correlation + OLS slope of (quantity, extendedprice) per
+    returnflag — from decimal-exact component sums (n, Σx, Σy, Σxy, Σx²)
+    with the final arithmetic in double. The component-sum formulation is
+    both the ORDER-INDEPENDENT form (bit-identical at any parallelism,
+    unlike streaming covariance) and the single-pass map-side-partial form
+    Catalyst wants; built-in corr() is neither."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    comps = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y, scale=4).alias("sxy"),
+        dsum(x * x, scale=4).alias("sxx"),
+        dsum(y * y, scale=4).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return comps.select(
+        "l_returnflag",
+        "n",
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        (cov_n / var_x).alias("ols_slope"),
+    )

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""End-to-end demo: the LLM-training-data pipeline on the synthetic tables.
+
+Mirrors the reference's examples/ role (notebook flows like DLDemo.ipynb,
+MyMLPipeline.scala) for the rebuilt engine:
+
+    corpus -> quality gate -> dedup (exact + MinHash near-dup) ->
+    chunk -> (toy) train/validate on embeddings -> similarity lookup
+
+Run:  python examples/pipeline_demo.py [sf_dir]        (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from caffeonspark_spark.engine import Config, Engine
+from caffeonspark_spark.ml.dataflow import (
+    TrainConfig,
+    average_states,
+    softmax_model,
+    softmax_trainer,
+    train_with_validation,
+)
+from caffeonspark_spark.multimodal.columns import ColumnSpec
+from caffeonspark_spark.operators.dedup import clean_corpus
+from caffeonspark_spark.operators.similarity import cosine_topk
+from caffeonspark_spark.operators.textops import chunk_documents
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    engine = Engine(config=Config(master="local[8]", app_name="pipeline-demo"))
+    engine.attach_catalog(sf_dir)
+    spark = engine.spark
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = engine.table("documents").count()
+    print(f"corpus: {n_docs} documents")
+
+    # 1-2. quality gate + dedup (exact + near) in one declarative plan
+    cleaned = clean_corpus(spark, sf_dir)
+    n_clean = cleaned.count()
+    print(f"after quality gate + dedup: {n_clean} documents "
+          f"({n_docs - n_clean} removed)")
+
+    # 3. context-window chunking of the survivors
+    chunks = chunk_documents(spark, sf_dir).join(
+        cleaned.select("doc_id"), "doc_id"
+    )
+    print(f"chunks for training: {chunks.count()}")
+
+    # 4. toy training with interleaved validation on the embeddings table
+    emb = engine.table("embeddings")
+    specs = [ColumnSpec("embedding", "float_array", channels=64),
+             ColumnSpec("label", "int")]
+    cfg = TrainConfig(batch_size=50, max_iter=20, test_interval=10, test_iter=4)
+    state, metrics = train_with_validation(
+        emb, emb,
+        trainer=softmax_trainer(dim=64, n_classes=10, lr=1.0),
+        model_from_state=softmax_model,
+        specs=specs, cfg=cfg,
+        val_blobs=["accuracy", "loss"],
+        order_cols=["vec_id"], id_col="vec_id",
+        merge_states=average_states,
+    )
+    for mrow in metrics:
+        print(f"iter {mrow['iteration']:>3}: accuracy={mrow['accuracy'][0]:.3f} "
+              f"loss={mrow['loss'][0]:.4f}")
+
+    # 5. similarity lookup: nearest neighbours of vector 0
+    top = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
+    print("top-5 neighbours of vec 0:",
+          [(r["vec_id"], round(r["cos_sim"], 4)) for r in top])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

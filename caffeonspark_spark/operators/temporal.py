@@ -64,7 +64,10 @@ ORACLE_ASOF_JOIN = """
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Batch sessionization: per-user sessions split on gaps > ``gap_minutes``.
+    """Batch sessionization: new session when the gap is >= ``gap_minutes``
+    (the half-open-window rule of Spark's streaming ``session_window``, so
+    batch and streaming sessionization agree event-for-event — parity is
+    tested in tests/test_streaming.py).
 
     lag → gap flag → cumulative sum = session ordinal; then per-session
     aggregates. Two window passes + one agg, all on the same user_id
@@ -81,7 +84,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "new_session",
         F.when(
             (F.col("ts") - F.lag(F.col("ts")).over(w_lag))
-            > F.expr(f"INTERVAL '{gap_minutes}' MINUTE"),
+            >= F.expr(f"INTERVAL '{gap_minutes}' MINUTE"),
             1,
         ).otherwise(0),
     ).withColumn("session_id", F.sum("new_session").over(w_cum))
@@ -103,7 +106,7 @@ def sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE = """
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),

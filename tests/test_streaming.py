@@ -191,3 +191,36 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert got.count() == 17  # 10 + 7, no re-emission
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == sorted(list(range(10)) + list(range(100, 107)))
+
+
+def test_session_window_parity_with_batch(spark, sf_smoke, events_stream):
+    """Streaming session_window (gap 30 min) and the batch sessionize
+    operator must agree on sessions-per-user (same gap rule)."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.operators.temporal import sessionize
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.streaming.windows import session_windows, run_to_memory
+
+    run_to_memory(session_windows(events_stream, gap="30 minutes"), "sess_parity_out")
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS n FROM sess_parity_out GROUP BY user_id"
+        ).collect()
+    }
+    ev = load_table(spark, sf_smoke, "events")
+    # append mode emits only FINALIZED windows: window end (last event + gap)
+    # must be at or before the final watermark (global max ts - 2h)
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0]["wm"]
+    batch = sessionize(ev, gap_minutes=30).where(
+        F.col("sess_end") + F.expr("INTERVAL 30 MINUTES") <= F.lit(horizon)
+    )
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    }
+    assert stream_counts == batch_counts

@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_window_count": TP.range_window_count,
         "hybrid_filtered_ann": S.hybrid_filtered_topk,
         "correlation_agg": R.correlation_agg,
+        "histogram_prices": R.histogram_prices,
+        "quantize_embeddings": V.quantize_embeddings,
     }
 
 
@@ -323,6 +325,27 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": TP.ORACLE_ASOF_JOIN,
         "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,
         "range_window_count": TP.ORACLE_RANGE_WINDOW,
+        "histogram_prices": """
+            SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                             WHEN o_totalprice >= 500000.0 THEN 11
+                             ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS INT) AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "quantize_embeddings": """
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS codes,
+                   list_max(list_transform(embedding,
+                       x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
+                                - CAST(x AS DOUBLE)))) AS max_err
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings
+            ) WHERE scale > 0
+        """,
         "correlation_agg": f"""
             SELECT l_returnflag, n,
                    (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))

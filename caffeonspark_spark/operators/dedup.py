@@ -378,7 +378,14 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
     quality = quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
     docs = load_table(spark, sf_dir, "documents").join(quality, "doc_id")
 
-    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact dedup groups on the 8-byte text hash, not the document text —
+    # the shuffle moves (hash, id) pairs instead of full documents (the
+    # SCALE.md "group on xxhash64(text)" rule; collision odds ~n²/2^64)
+    exact_keep = (
+        docs.select("doc_id", F.xxhash64(F.col("text")).alias("_th"))
+        .groupBy("_th")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
     survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
 
     near = minhash_lsh_pairs(spark, sf_dir, threshold=neardup_threshold, top=10**6)

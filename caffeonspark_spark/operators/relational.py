@@ -610,3 +610,18 @@ def correlation_agg(spark, sf_dir) -> DataFrame:
         (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
         (cov_n / var_x).alias("ols_slope"),
     )
+
+
+def histogram_prices(spark, sf_dir) -> DataFrame:
+    """Equi-width histogram via width_bucket: order totals into 10 buckets
+    over [0, 500000) — single partial-agg pass, the profiling primitive."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10))
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

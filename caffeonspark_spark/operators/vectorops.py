@@ -113,3 +113,34 @@ def zscore_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function formulation is unit-tested)."""
     ev = load_table(spark, sf_dir, "events")
     return zscore_by_group(ev, "event_type", "value", "event_id")
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings: per-vector scale =
+    max|x|/127, codes = round(x/scale). The 4x storage/bandwidth
+    compression step before ANN indexing at scale — all higher-order
+    expressions, no UDF. Emits (vec_id, scale, codes, max_err) where
+    max_err is the reconstruction bound actually achieved for the row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+    )
+    dequant = F.zip_with(
+        F.col("codes"),
+        F.col("embedding"),
+        lambda c, x: F.abs(c.cast("double") * F.col("scale") - x.cast("double")),
+    )
+    return (
+        emb.select("vec_id", "embedding", scale)
+        .where(F.col("scale") > 0)
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            "scale",
+            "codes",
+            F.array_max(dequant).alias("max_err"),
+        )
+    )

@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_agg": R.correlation_agg,
         "histogram_prices": R.histogram_prices,
         "quantize_embeddings": V.quantize_embeddings,
+        "profile_orders": R.profile_orders,
     }
 
 
@@ -325,6 +326,15 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": TP.ORACLE_ASOF_JOIN,
         "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,
         "range_window_count": TP.ORACLE_RANGE_WINDOW,
+        "profile_orders": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+                   COUNT(DISTINCT o_custkey) AS n_custs,
+                   MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order,
+                   COUNT(DISTINCT o_orderstatus) AS n_statuses
+            FROM orders
+        """,
         "histogram_prices": """
             SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
                              WHEN o_totalprice >= 500000.0 THEN 11

@@ -625,3 +625,22 @@ def histogram_prices(spark, sf_dir) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def profile_orders(spark, sf_dir) -> DataFrame:
+    """One-pass data-profiling summary of the orders table: per-column
+    min/max/null-count/distinct-count in a single aggregation (the
+    data-quality snapshot run before any pipeline stage). All exact, so it
+    oracle-checks; swap countDistinct for approx_count_distinct at 100 TB
+    when ±2% suffices."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

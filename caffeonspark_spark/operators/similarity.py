@@ -335,3 +335,62 @@ ORACLE_HYBRID_FILTERED = """
     ORDER BY cos_sim DESC, vec_id ASC
     LIMIT 10
 """
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    out_path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+) -> None:
+    """Materialize the LSH index as a parquet table PARTITIONED BY bucket —
+    the disk-backed form of ``ann_lsh_topk``'s exploded index. Written once
+    (one linear pass + one shuffle into bucket files); every query then
+    reads only its n_tables probe buckets via partition pruning."""
+    from caffeonspark_spark.sources.registry import write_sink
+
+    bcol = lsh_table_buckets(F.col(vec_col), dim, n_tables, bits_per_table)
+    index = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(bcol).alias("bucket")
+    )
+    write_sink(index, "parquet", out_path, partition_by=["bucket"])
+
+
+def query_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    query: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+) -> DataFrame:
+    """Top-k lookup against a ``build_ann_index`` table: the query's probe
+    buckets become an IN filter on the PARTITION column, so the scan touches
+    n_tables directories out of 2^bits × n_tables — verified by the
+    partition-pruning plan test."""
+    q_row = query.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        lsh_table_buckets(F.col(vec_col), dim, n_tables, bits_per_table).alias("qbuckets"),
+    ).collect()[0]
+    index = spark.read.parquet(index_path)
+    probed = index.where(
+        F.col("bucket").isin([int(b) for b in q_row["qbuckets"]])
+    ).where(F.col(id_col) != F.lit(q_row["query_id"]))
+    return (
+        probed.dropDuplicates([id_col])
+        .select(
+            F.col(id_col),
+            cosine_similarity(
+                F.col(vec_col), F.array(*[F.lit(float(v)) for v in q_row["query_vec"]])
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -135,3 +135,26 @@ def test_all_queries_scan_pruned(spark, sf_smoke):
         if any(w >= 8 for w in widths):
             offenders[name] = widths
     assert not offenders, f"unpruned scans: {offenders}"
+
+
+def test_ann_index_partition_pruned_lookup(spark, sf_smoke, tmp_path_factory):
+    """The materialized LSH index must answer lookups by scanning ONLY the
+    probe buckets (partition pruning) and agree with the in-memory ANN."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path_factory.mktemp("annidx") / "lsh")
+    build_ann_index(emb, path, dim=64)
+    q = emb.where(F.col("vec_id") == 0)
+    got = query_ann_index(spark, path, q, dim=64, k=10)
+    plan = physical_plan(got)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    got_ids = [r["vec_id"] for r in got.collect()]
+    mem_ids = [r["vec_id"] for r in ann_lsh_topk(emb, q, dim=64, k=10).collect()]
+    assert got_ids == mem_ids

@@ -195,3 +195,69 @@ ORACLE_RANGE_WINDOW = """
                                     AND CURRENT ROW) AS n_last_hour
     FROM events
 """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Generic as-of join (pandas ``merge_asof`` semantics, distributed):
+    for every left row, the single nearest right row by time within the
+    same ``on`` key — ``backward`` (right_ts <= left_ts) or ``forward``
+    (right_ts >= left_ts).
+
+    Same union-tag + running-window plan as the events specialization: one
+    shuffle on the key, no range-join blowup, any scale. Right payload
+    columns come back suffixed; unmatched left rows keep NULLs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload = [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on), F.col(left_ts).alias("_t"), F.lit(0).alias("_is_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+    )
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("_t"), F.lit(1).alias("_is_r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    both = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.asc("_t"), F.desc("_is_r"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.desc("_t"), F.desc("_is_r"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = both.select(
+        "*",
+        F.last(F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias(f"{right_ts}{suffix}"),
+        *[
+            F.last(F.when(F.col("_is_r") == 1, F.col(f"_p_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in payload
+        ],
+    )
+    out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns]
+    return filled.where(F.col("_is_r") == 0).select(
+        *out_cols,
+        F.col(f"{right_ts}{suffix}"),
+        *[F.col(f"{c}{suffix}") for c in payload],
+    )

@@ -79,3 +79,44 @@ def test_stratified_sample_fractions(spark, sf_oracle):
     ids1 = sorted(r["doc_id"] for r in samp.collect())
     ids2 = sorted(r["doc_id"] for r in stratified_sample(docs, "lang", fractions, seed=42).collect())
     assert ids1 == ids2
+
+
+def test_generic_asof_matches_pandas(spark):
+    """asof_join == pandas merge_asof on randomized keyed time series,
+    both directions."""
+    import numpy as np
+    import pandas as pd
+
+    from caffeonspark_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 60),
+        "ts": rng.choice(np.arange(0, 3000, 7), 60, replace=False).astype("int64"),
+        "lv": np.arange(60),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 40),
+        "ts": rng.choice(np.arange(3, 3000, 11), 40, replace=False).astype("int64"),
+        "rv": np.arange(40) * 10,
+    })
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(left, right, on="k", direction=direction)
+            .orderBy("k", "ts")
+            .collect()
+        )
+        expect = pd.merge_asof(
+            left_pd.sort_values("ts"),
+            right_pd.sort_values("ts"),
+            on="ts", by="k", direction=direction, suffixes=("", "_right"),
+        ).sort_values(["k", "ts"])
+        got_map = {(r["k"], r["ts"]): (r["ts_right"], r["rv_right"]) for r in got}
+        for _, row in expect.iterrows():
+            g_ts, g_rv = got_map[(row["k"], row["ts"])]
+            if pd.isna(row["rv"]):
+                assert g_rv is None, (row["k"], row["ts"], g_rv)
+            else:
+                assert g_rv == row["rv"], (row["k"], row["ts"], g_rv, row["rv"])

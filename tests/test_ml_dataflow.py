@@ -187,3 +187,14 @@ def test_zscore_grouped_map_matches_window_form(spark):
     assert set(got) == set(expect)
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-9
+
+
+def test_features_preserves_input_order(spark, mnist_like):
+    """The reference asserts the first feature row is the first sample
+    ('00000000', PythonApiTest.py:43): row order must survive batch
+    assembly + inference within a partition."""
+    single = mnist_like.coalesce(1).orderBy("id")
+    df = features(single, make_identity_model(), SPECS, ["ip1"], batch_size=16)
+    ids = [r["SampleID"] for r in df.collect()]
+    assert ids[0] == "00000000"
+    assert ids == sorted(ids)

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the headline queries.
+
+Run after any plan-affecting change so the committed plans stay honest:
+    python tools_gen_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+from caffeonspark_spark.engine import Config, get_spark
+from caffeonspark_spark.operators import dedup as D  # noqa: F401
+from caffeonspark_spark.operators import relational as R
+from caffeonspark_spark.operators import similarity as S
+
+HEADER = """# PLANS — formatted physical plans of the headline queries
+
+Captured with `.explain("formatted")` at sf0.001 on the engine session
+(`local[8]`, AQE on). What to look for, per the 100 TB contract: narrow
+`ReadSchema`, populated `PushedFilters`, `BroadcastHashJoin` on every dim
+join, partial (`HashAggregate` x2) aggregation around single exchanges, and
+`TakeOrderedAndProject` for top-k. Regenerate with
+`python tools_gen_plans.py` after plan-affecting changes.
+"""
+
+SHOW = {
+    "pricing_summary (TPC-H Q1 class)": R.pricing_summary,
+    "scan_filter_project": R.scan_filter_project,
+    "broadcast_dim_join": R.broadcast_dim_join,
+    "multiway_join (5-table, ASIA)": R.multiway_join,
+    "topk_orderby_limit": R.topk_orderby_limit,
+    "cosine_topk_bruteforce": S.cosine_topk_query0,
+}
+
+
+def main() -> None:
+    spark = get_spark(Config(master="local[8]", shuffle_partitions=8, app_name="plans"))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    out = [HEADER]
+    for name, fn in SHOW.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf).explain("formatted")
+        out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()

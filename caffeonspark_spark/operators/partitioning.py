@@ -151,3 +151,55 @@ def stratified_sample(
     keep rare strata). Deterministic under a fixed seed; no shuffle — each
     partition samples locally."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def hot_key_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    hot_threshold: int = 100_000,
+    left_unique: str | None = None,
+) -> DataFrame:
+    """Partial (hot-key-only) salted join: detect keys whose left-side count
+    exceeds ``hot_threshold`` (one cheap 8-byte-key agg), then salt ONLY
+    those — cold keys join normally (salt 0), hot keys spread over
+    ``n_salt`` tasks with the right side replicated for hot keys alone.
+
+    Strictly better than full salting at scale: replication cost is paid on
+    the handful of hot keys instead of the whole right table. The hot-key
+    set is broadcast (bounded: few keys exceed any sane threshold by
+    definition). Result rows == plain ``left.join(right, key)``.
+    """
+    hot = (
+        left.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select(key, F.lit(True).alias("_hot"))
+    )
+    salt_src = F.col(left_unique) if left_unique else F.monotonically_increasing_id()
+    l_tag = (
+        left.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    r_tag = (
+        right.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salt - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .drop("_hot")
+        .withColumn("_salt", F.explode(F.col("_salts")))
+        .drop("_salts")
+    )
+    return l_tag.join(r_tag, [key, "_salt"]).drop("_salt")

@@ -120,3 +120,22 @@ def test_generic_asof_matches_pandas(spark):
                 assert g_rv is None, (row["k"], row["ts"], g_rv)
             else:
                 assert g_rv == row["rv"], (row["k"], row["ts"], g_rv, row["rv"])
+
+
+def test_hot_key_salted_join_equals_plain(spark):
+    """Partial salting on a synthetic hot key must reproduce the plain join
+    exactly; cold keys must not be replicated."""
+    import pyspark.sql.functions as F
+
+    from caffeonspark_spark.operators.partitioning import hot_key_salted_join
+
+    left = spark.range(5000).select(
+        F.when(F.col("id") < 4000, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 7).alias("rv"))
+    salted = hot_key_salted_join(left, right, "k", n_salt=4, hot_threshold=1000, left_unique="lv")
+    plain = left.join(right, "k")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

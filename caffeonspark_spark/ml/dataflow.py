@@ -404,3 +404,34 @@ def load_state(path: str) -> dict:
 
     with open(path) as f:
         return json.load(f)
+
+
+def barrier_gang_run(df: DataFrame, worker_fn, n_partitions: int | None = None) -> list:
+    """Gang-scheduled execution (X6/X7): run ``worker_fn(rank, addresses,
+    rows_iter) -> result`` on every partition simultaneously under Spark
+    barrier mode — all tasks launch together or none do (the reference's
+    full-resource gate), and ``BarrierTaskContext.allGather`` gives every
+    task the full rank→address table before work starts (the reference's
+    3-job setup: instantiate → broadcast addresses → connect,
+    ``CaffeOnSpark.scala:113-154``, rebuilt as ONE barrier stage).
+
+    This is the slot a torch.distributed trainer plugs into: rank 0 is the
+    rendezvous master, ``addresses`` seeds the process group. Returns the
+    per-rank results (small, driver-collected).
+    """
+    import socket
+
+    if n_partitions is not None:
+        df = df.repartition(n_partitions)
+
+    def run(it):
+        from pyspark import BarrierTaskContext
+
+        ctx = BarrierTaskContext.get()
+        rank = ctx.partitionId()
+        # address exchange: every task contributes, every task sees all
+        addresses = ctx.allGather(f"{socket.gethostname()}:{rank}")
+        ctx.barrier()  # gang sync before compute (processor.start analogue)
+        yield worker_fn(rank, addresses, it)
+
+    return df.rdd.barrier().mapPartitions(run).collect()

@@ -198,3 +198,23 @@ def test_features_preserves_input_order(spark, mnist_like):
     ids = [r["SampleID"] for r in df.collect()]
     assert ids[0] == "00000000"
     assert ids == sorted(ids)
+
+
+def test_barrier_gang_run(spark):
+    """Barrier execution: all ranks launch together, every rank sees the
+    full address table (the reference's rank->address broadcast), and
+    per-rank results come back keyed by rank."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.ml.dataflow import barrier_gang_run
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id")
+
+    def worker(rank, addresses, rows):
+        n = sum(1 for _ in rows)
+        return {"rank": rank, "n_addresses": len(addresses), "n_rows": n}
+
+    results = barrier_gang_run(emb, worker, n_partitions=4)
+    assert len(results) == 4
+    assert sorted(r["rank"] for r in results) == [0, 1, 2, 3]
+    assert all(r["n_addresses"] == 4 for r in results)
+    assert sum(r["n_rows"] for r in results) == 500

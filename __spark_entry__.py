@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_prices": R.histogram_prices,
         "quantize_embeddings": V.quantize_embeddings,
         "profile_orders": R.profile_orders,
+        "pq_topk": S.pq_topk_query0,
     }
 
 
@@ -491,4 +492,6 @@ def oracle_sql() -> dict[str, str]:
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
         # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs
         # brute force pinned by unit test
+        # pq_topk: PQ asymmetric-distance scan (approximate) -> rows-only;
+        # recall vs exact L2 pinned by unit test
     }

@@ -192,3 +192,39 @@ def test_prune_stop_shingles(spark):
     shingles = {r["shingle"] for r in kept}
     assert shingles == {"x y z", "p q r"}  # "a b c" (df=3) pruned
     assert set(kept[0].asDict().keys()) == {"doc_id", "shingle"}
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_oracle):
+    """PQ ADC top-10 must recover a solid share of the exact L2 top-10 and
+    its distances must approximate the true distances."""
+    import pyspark.sql.functions as F2
+
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import pq_topk, train_pq_codebook
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.where(F2.col("vec_id") == 0)
+    qv = q.select("embedding").collect()[0][0]
+    exact = [
+        r["vec_id"]
+        for r in emb.where(F2.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F2.aggregate(
+                F2.zip_with(
+                    "embedding",
+                    F2.array(*[F2.lit(float(v)) for v in qv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F2.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d2"),
+        )
+        .orderBy(F2.asc("d2"), F2.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    book = train_pq_codebook(emb)
+    approx = [r["vec_id"] for r in pq_topk(emb, q, book, k=10).collect()]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3, (recall, approx, exact)

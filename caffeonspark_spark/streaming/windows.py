@@ -151,3 +151,12 @@ def stateful_user_stats(events: DataFrame, out_dir_checkpoint: str | None = None
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension (broadcast by Catalyst — the dim is batch-side, so no
+    stream state is kept). The standard lookup-enrichment topology; the
+    static side re-reads per micro-batch, so at scale it should be a small
+    table or a cached/Delta lookup."""
+    return events.join(F.broadcast(dim), on, "left")

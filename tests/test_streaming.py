@@ -224,3 +224,32 @@ def test_session_window_parity_with_batch(spark, sf_smoke, events_stream):
         .collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_stream_static_enrichment(spark, sf_smoke, events_stream):
+    """Stream-static join enriches every event with its user's dim row;
+    totals match the batch join."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.streaming.windows import enrich_stream_with_dim, run_to_memory
+
+    # derive a small static dim from the events themselves: per-user tier
+    ev_batch = load_table(spark, sf_smoke, "events")
+    dim = ev_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events")
+    ).withColumn("tier", F.when(F.col("user_events") > 500, "heavy").otherwise("light"))
+    enriched = enrich_stream_with_dim(events_stream, dim)
+    run_to_memory(
+        enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n")),
+        "enrich_out",
+        output_mode="complete",
+    )
+    stream_counts = {r["tier"]: r["n"] for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    batch_counts = {
+        r["tier"]: r["n"]
+        for r in ev_batch.join(dim, "user_id", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream_counts == batch_counts

@@ -73,6 +73,11 @@ def get_spark(config: Config | None = None) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join: build a bloom from the selective side
+        # and push it into the large side's scan (the §7.4 "bloom
+        # pre-filter" as a Catalyst runtime optimization; thresholds keep
+        # their scale-appropriate defaults)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", config.max_partition_bytes)
         .config("spark.sql.files.openCostInBytes", config.open_cost_bytes)

@@ -158,3 +158,25 @@ def test_ann_index_partition_pruned_lookup(spark, sf_smoke, tmp_path_factory):
     got_ids = [r["vec_id"] for r in got.collect()]
     mem_ids = [r["vec_id"] for r in ann_lsh_topk(emb, q, dim=64, k=10).collect()]
     assert got_ids == mem_ids
+
+
+def test_runtime_bloom_filter_injection(spark, sf_smoke):
+    """A selective dim-side filter must inject a runtime bloom filter into
+    the fact-side scan when broadcast is off (the shuffle-join pre-filter
+    that cuts fact rows before the exchange at 100 TB)."""
+    from caffeonspark_spark.catalog import load_table
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_smoke, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, sf_smoke, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

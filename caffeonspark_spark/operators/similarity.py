@@ -32,7 +32,6 @@ from caffeonspark_spark.functions.arrays import cosine_similarity
 
 LSH_SEED = 42
 LSH_PLANES = 32  # total signature bits (8 tables x 4 bits for multi-table ANN)
-LSH_PREFIX_BITS = 8  # bucket = first 8 bits → 256 buckets
 
 
 def cosine_topk(
@@ -97,38 +96,15 @@ def _planes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.nd
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_signature(vec_col: F.Column, dim: int) -> F.Column:
-    """Sign-random-projection signature as a long (bit j = sign(v·h_j) > 0).
-
-    The hyperplanes are plan literals — Catalyst constant-folds the per-plane
-    arrays; each dot product is a zip_with+aggregate over doubles (no decimal
-    needed: the signature only needs the *sign*, and both producers/consumers
-    of a bucket use the identical expression, so any fp rounding is shared).
-    """
-    planes = _planes(dim)
-    bits = []
-    for j in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(w)) for w in planes[j]])
-        dot = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << j).cast("long"))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
-
-
 def lsh_table_buckets_udf(dim: int, n_tables: int, bits_per_table: int):
     """Vectorized Arrow UDF computing all per-table bucket ids in ONE matrix
     multiply per batch: signs of (N, dim) @ (dim, planes) → packed buckets.
 
     This is the deliberate "UDF where built-ins can't express it
-    *efficiently*" case: the pure-expression formulation
-    (``lsh_signature``) builds an n_tables×bits×dim literal tree (2048 nodes
-    at 8×4×64) that costs Catalyst seconds of analysis/codegen per query —
+    *efficiently*" case: the pure-expression formulation (per-plane
+    zip_with/aggregate dot products) builds an n_tables×bits×dim literal
+    tree (2048 nodes at 8×4×64) that costs Catalyst seconds of
+    analysis/codegen per query —
     while this is one BLAS call per Arrow batch, scaling as a linear scan at
     100 TB. Determinism is preserved: the planes are the same seeded
     constants, captured by value in the closure.

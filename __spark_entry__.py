@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": V.quantize_embeddings,
         "profile_orders": R.profile_orders,
         "pq_topk": S.pq_topk_query0,
+        "approx_percentile_agg": R.approx_percentile_agg,
     }
 
 
@@ -488,6 +489,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only; each stage is oracle-checked or unit-tested on its own
         # neardup_clusters: iterative connected components -> rows-only;
         # clustering semantics pinned by planted-topology unit test
+        # approx_percentile_agg: KLL-style sketch -> rows-only; 1% envelope
+        # vs the exact percentile pinned by unit test
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the
         # ±5%-of-exact envelope is pinned in tests/test_oracle_queries.py
         # ann_ivf_topk: approximate (IVF-probed) -> rows-only; recall vs

@@ -644,3 +644,16 @@ def profile_orders(spark, sf_dir) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+def approx_percentile_agg(spark, sf_dir) -> DataFrame:
+    """Approximate percentiles per group (KLL-style sketch,
+    approx_percentile accuracy=10000) beside exact counterparts — the
+    mergeable-sketch form that replaces the exact sort-based percentile at
+    100 TB (rows-only; ±1% envelope vs exact pinned by unit test)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("ap90"),
+        F.count(F.lit(1)).alias("n"),
+    )

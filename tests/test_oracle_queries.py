@@ -139,3 +139,17 @@ def test_hot_key_salted_join_equals_plain(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_approx_percentile_envelope(spark, sf_oracle):
+    """Sketch percentiles within 1% relative error of the exact ones."""
+    from caffeonspark_spark.operators.relational import (
+        approx_percentile_agg,
+        percentile_agg,
+    )
+
+    exact = {r["l_returnflag"]: (r["p50"], r["p90"]) for r in percentile_agg(spark, sf_oracle).collect()}
+    for r in approx_percentile_agg(spark, sf_oracle).collect():
+        e50, e90 = exact[r["l_returnflag"]]
+        assert abs(r["ap50"] - e50) / e50 < 0.01
+        assert abs(r["ap90"] - e90) / e90 < 0.01

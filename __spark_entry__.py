@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": R.grouping_sets_agg,
         "full_outer_join": R.full_outer_join,
         "scalar_subquery": R.scalar_subquery,
+        "shipping_priority": R.shipping_priority,
+        "returned_items": R.returned_items,
+        "large_volume_customers": R.large_volume_customers,
+        "promo_revenue": R.promo_revenue,
+        "above_nation_avg": R.above_nation_avg,
         "list_agg_sorted": R.list_agg_sorted,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
@@ -452,6 +457,59 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
                         / COUNT(o_totalprice)
                  FROM orders)
+        """,
+        "shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "returned_items": f"""
+            SELECT c_custkey, c_name, n_name,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "large_volume_customers": f"""
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+            FROM (SELECT l_orderkey, {_ds('l_quantity')} AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING {_ds('l_quantity')} > 150.0) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "promo_revenue": f"""
+            SELECT 100.0 * {_ds("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+                   / {_ds('l_extendedprice * (1 - l_discount)', 4)} AS promo_pct,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "above_nation_avg": f"""
+            SELECT s_suppkey, s_name, s_acctbal,
+                   (SELECT {_da('s2.s_acctbal')} FROM supplier s2
+                    WHERE s2.s_nationkey = s.s_nationkey) AS nation_avg
+            FROM supplier s
+            WHERE s_acctbal > (SELECT {_da('s2.s_acctbal')} FROM supplier s2
+                               WHERE s2.s_nationkey = s.s_nationkey)
         """,
         "list_agg_sorted": """
             SELECT CAST(s_nationkey AS INT) AS nationkey,

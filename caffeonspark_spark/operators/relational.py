@@ -657,3 +657,123 @@ def approx_percentile_agg(spark, sf_dir) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("ap90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- classic TPC-H-derived analytics (widened relational surface) ---------
+
+def shipping_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open-order revenue for one market segment.
+
+    Scale shape: both date filters reach the parquet scans (PushedFilters),
+    customer is pre-filtered before the join, and the final top-10 runs as
+    TakeOrderedAndProject (per-partition heads, k-row driver merge — no
+    global sort). Unique l_orderkey tiebreak keeps the answer deterministic.
+    """
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def returned_items(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. nation is broadcast; the orders quarter filter prunes the fact
+    join before the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def large_volume_customers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer. The HAVING subquery is one partial-agg shuffle on
+    l_orderkey; qualifying keys then semi-filter via the join — at scale the
+    qualifying set is small, so AQE turns the orders join broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > F.lit(150.0))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def promo_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from PROMO parts.
+
+    Both operands of the final division are exact decimal sums (cast to
+    double only at the end), so the single output row is bit-identical on
+    any partitioning. part is a mid-size dim — left to Catalyst/AQE to pick
+    broadcast vs shuffle by measured size rather than forced."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)), scale=4)
+                / dsum(disc, scale=4)
+            ).alias("promo_pct"),
+            dsum(disc, scale=4).alias("total_revenue"),
+        )
+    )
+
+
+def above_nation_avg(spark, sf_dir) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: suppliers whose balance
+    beats their nation's average. The per-nation scalar agg runs ONCE as a
+    tiny groupBy (cardinality = #nations) and broadcasts back — no
+    per-row re-evaluation, the scalable decorrelation Catalyst itself
+    applies to correlated subqueries."""
+    s = _t(spark, sf_dir, "supplier")
+    nation_avg = F.broadcast(
+        s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+            davg("s_acctbal").alias("nation_avg")
+        )
+    )
+    return (
+        s.join(nation_avg, s.s_nationkey == F.col("nk"))
+        .where(F.col("s_acctbal") > F.col("nation_avg"))
+        .select("s_suppkey", "s_name", "s_acctbal", "nation_avg")
+    )

@@ -180,3 +180,22 @@ def test_runtime_bloom_filter_injection(spark, sf_smoke):
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_shipping_priority_plan(spark, sf_smoke):
+    """Q3 shape: date filters reach both fact scans; top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    df = R.shipping_priority(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_above_nation_avg_decorrelated(spark, sf_smoke):
+    """The correlated scalar subquery must run as ONE tiny agg + broadcast
+    join back — not a per-row re-evaluation."""
+    df = R.above_nation_avg(spark, sf_smoke)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 1

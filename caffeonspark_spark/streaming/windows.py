@@ -160,3 +160,38 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id
     static side re-reads per micro-batch, so at scale it should be a small
     table or a cached/Delta lookup."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair each left event with right events of the same key that happened in
+    the preceding ``horizon`` (attribution topology, e.g. click→purchase).
+
+    Both sides carry watermarks, and the join predicate bounds right.ts to a
+    window around left.ts — together these let the engine garbage-collect
+    join state past the horizon, so state size is O(rate × horizon), not
+    O(stream length). Without the time bound Spark would have to keep every
+    row forever; this shape is the scalable form of a stream-stream join.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", horizon)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", horizon)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "inner",
+    ).select("l_key", "l_event_id", "l_ts", "r_event_id", "r_ts")

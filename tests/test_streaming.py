@@ -253,3 +253,48 @@ def test_stream_static_enrichment(spark, sf_smoke, events_stream):
         .collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_stream_stream_interval_join(spark, sf_smoke, events_stream):
+    """Stream-stream join (purchase ← preceding clicks within 30 min) must
+    produce exactly the rows of the equivalent batch interval join."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    purchases = events_stream.where(F.col("event_type") == "purchase")
+    clicks = events_stream.where(F.col("event_type") == "click")
+    joined = stream_stream_interval_join(purchases, clicks)
+    run_to_memory(joined, "ssj_out")
+    got = spark.sql("SELECT * FROM ssj_out")
+
+    # batch twin: read the raw parquet exactly as the stream source does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_smoke}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = p.join(
+        c,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select("l_key", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

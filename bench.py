@@ -47,6 +47,8 @@ BENCH_QUERIES = {
     "q_bpe_tokens": TX.bpe_token_stats,
     "q_time_rollup": TP.time_rollup,
     "q_clean_corpus": D.clean_corpus,
+    "q3_shipping_priority": R.shipping_priority,
+    "q18_large_volume": R.large_volume_customers,
 }
 
 

@@ -41,6 +41,10 @@ SOURCE_FORMATS = {
     "orc": "orc",
     "binary": "binaryFile",  # S8: whole-file bytes + path/length metadata
     "binaryFile": "binaryFile",
+    # S1/S9: custom Python DataSource (sources/imagedir.py) — dir of binary
+    # files + "filename label [id]" label file, planned partitions, label
+    # filter pushdown
+    "imagedir": "cos_imagedir",
 }
 
 SINK_FORMATS = {"parquet", "json", "csv", "text", "orc"}
@@ -64,6 +68,10 @@ def read_source(
     """Generic scan with pluggable format + optional selectExpr projection."""
     if fmt not in SOURCE_FORMATS:
         raise ValueError(f"unknown source format {fmt!r}; known: {sorted(SOURCE_FORMATS)}")
+    if fmt == "imagedir":
+        from caffeonspark_spark.sources.imagedir import register
+
+        register(spark)  # load(path) surfaces as options["path"] in the reader
     reader = spark.read.format(SOURCE_FORMATS[fmt]).options(**options)
     if schema is not None:
         reader = reader.schema(schema)

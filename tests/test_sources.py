@@ -115,3 +115,51 @@ def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
     assert back.count() == 200
     # only one of five partition dirs is read
     assert back.select("id").distinct().count() == 200
+
+
+def test_imagedir_datasource(spark, tmp_path):
+    """Custom Python DataSource (S1/S9 parity): E2 schema, exact partition
+    planning, executor-side byte reads."""
+    from caffeonspark_spark.sources.imagedir import read_image_dir
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    payloads = {}
+    lines = []
+    for i in range(10):
+        name = f"img_{i}.bin"
+        blob = bytes([i] * (i + 1))
+        (d / name).write_bytes(blob)
+        payloads[f"img_{i}"] = (i % 3, blob)
+        lines.append(f"{name} {i % 3}")
+    (d / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    df = read_image_dir(spark, str(d), partitions=4)
+    assert df.columns == ["id", "label", "data"]
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["id"]: (r["label"], bytes(r["data"])) for r in df.collect()}
+    assert rows == payloads
+
+
+def test_imagedir_filter_pushdown_prunes_files(spark, tmp_path):
+    """label = v pushes into planning: non-matching files are never opened
+    (proven by deleting them from disk — the scan must still succeed)."""
+    from caffeonspark_spark.sources.imagedir import read_image_dir
+
+    d = tmp_path / "imgs2"
+    d.mkdir()
+    lines = []
+    for i in range(6):
+        name = f"f_{i}.bin"
+        (d / name).write_bytes(b"x" * (i + 1))
+        lines.append(f"{name} {i % 2}")
+    (d / "labels.txt").write_text("\n".join(lines) + "\n")
+    # delete every odd-label file: if the filter is NOT pushed, read() opens
+    # them and the scan blows up with FileNotFoundError
+    for i in range(6):
+        if i % 2 == 1:
+            (d / f"f_{i}.bin").unlink()
+
+    df = read_image_dir(spark, str(d), partitions=2).where("label = 0")
+    got = sorted(r["id"] for r in df.collect())
+    assert got == ["f_0", "f_2", "f_4"]

@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": R.large_volume_customers,
         "promo_revenue": R.promo_revenue,
         "above_nation_avg": R.above_nation_avg,
+        "volume_shipping": R.volume_shipping,
+        "market_share": R.market_share,
         "list_agg_sorted": R.list_agg_sorted,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
@@ -510,6 +512,36 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             WHERE s_acctbal > (SELECT {_da('s2.s_acctbal')} FROM supplier s2
                                WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+        "volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": f"""
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   {_ds("CASE WHEN ns.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 4)}
+                   / {_ds('l_extendedprice * (1 - l_discount)', 4)} AS mkt_share,
+                   {_ds('l_extendedprice * (1 - l_discount)', 4)} AS total_volume
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            GROUP BY 1
         """,
         "list_agg_sorted": """
             SELECT CAST(s_nationkey AS INT) AS nationkey,

@@ -777,3 +777,79 @@ def above_nation_avg(spark, sf_dir) -> DataFrame:
         .where(F.col("s_acctbal") > F.col("nation_avg"))
         .select("s_suppkey", "s_name", "s_acctbal", "nation_avg")
     )
+
+
+def volume_shipping(spark, sf_dir) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+
+    The nation dim appears TWICE (supplier side and customer side) — two
+    independent broadcasts with the pair predicate applied after both
+    lookups resolve. Year extraction stays on the fact row; one shuffle for
+    the 3-key group."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue")
+        )
+    )
+
+
+def market_share(spark, sf_dir) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part order volume within
+    one region, per year. The share is a ratio of two exact decimal sums
+    over the same grouped rows (conditional numerator), cast to double at
+    the end — order-independent, so identical under any partitioning."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_region = _t(spark, sf_dir, "nation")  # customer's nation, bounds the market
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_region), c.c_nationkey == n_region.n_nationkey)
+        .join(F.broadcast(r), n_region.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)),
+                    scale=4,
+                )
+                / dsum(vol, scale=4)
+            ).alias("mkt_share"),
+            dsum(vol, scale=4).alias("total_volume"),
+        )
+    )

@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "decontaminate": D.decontaminate,
         "minhash_lsh_pairs": D.minhash_lsh_pairs,
         "simhash_buckets": D.simhash_buckets,
         # --- text analysis ---
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        "decontaminate": D.ORACLE_DECONTAMINATE,
         # dedup_fingerprint / minhash_lsh_pairs / simhash_buckets use
         # Spark-native xxhash64 → rows-only check; unit tests pin semantics
         # --- text analysis ---

@@ -453,3 +453,80 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -
     semantics pinned by unit test with planted chains."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, top=10**6)
     return connected_components(pairs).orderBy("node")
+
+
+# --- 6. benchmark decontamination ----------------------------------------
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark_source: str = "src0",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-gram
+    with a held-out benchmark set (here: ``source = benchmark_source``).
+
+    Output per flagged doc: distinct contaminated shingles, the doc's total
+    distinct shingles, and the contamination ratio.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are thousands of docs, the corpus is billions), so its distinct
+    shingle set is broadcast — the corpus side streams map-side through the
+    semi-join-shaped match with NO shuffle of corpus shingles; the only
+    shuffle is the per-doc count, keyed by doc_id (no skew: a doc has
+    bounded shingles). For benchmark sets too big to broadcast, swap in the
+    bloom pre-filter then this exact join as the verifier.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        shingle_sets(docs.where(F.col("source") == benchmark_source), n=n)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingle_sets(docs.where(F.col("source") != benchmark_source), n=n)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            (F.col("n_contaminated").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.desc("contamination"), F.asc("doc_id"))
+    )
+
+
+ORACLE_DECONTAMINATE = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                        ts[i+3] || ' ' || ts[i+4]))) AS shingle
+        FROM toks WHERE len(ts) >= 5
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM corpus JOIN bench USING (shingle)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_contaminated, n_shingles,
+           CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+    FROM hits JOIN sizes USING (doc_id)
+    ORDER BY contamination DESC, doc_id ASC
+"""

@@ -228,3 +228,32 @@ def test_pq_recall_vs_exact_l2(spark, sf_oracle):
     approx = [r["vec_id"] for r in pq_topk(emb, q, book, k=10).collect()]
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.3, (recall, approx, exact)
+
+
+def test_decontaminate_planted(spark, tmp_path):
+    """A corpus doc that quotes a benchmark 5-gram is flagged with the
+    right shingle counts; an unrelated doc is not flagged."""
+    import os
+    from caffeonspark_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta"
+    quoting = "intro words then alpha beta gamma delta epsilon closing"
+    clean = "completely different tokens nothing shared at all here"
+    rows = [
+        (1, bench_text, "en", "src0", len(bench_text)),
+        (2, quoting, "en", "srcX", len(quoting)),
+        (3, clean, "en", "srcX", len(clean)),
+    ]
+    d = tmp_path / "decon"
+    os.makedirs(d / "sub", exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in decontaminate(spark, str(d)).collect()}
+    assert set(out) == {2}
+    # "alpha beta gamma delta epsilon" is the single shared 5-gram;
+    # the quoting doc has 9 tokens -> 5 distinct shingles
+    assert out[2]["n_contaminated"] == 1
+    assert out[2]["n_shingles"] == 5
+    assert abs(out[2]["contamination"] - 0.2) < 1e-12

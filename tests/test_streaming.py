@@ -298,3 +298,29 @@ def test_stream_stream_interval_join(spark, sf_smoke, events_stream):
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_sink_idempotent(spark, sf_smoke, events_stream, tmp_path):
+    """foreachBatch parquet sink: all rows land exactly once, and replaying
+    a batch (the recovery path) neither duplicates nor disturbs others."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.streaming.sinks import foreach_batch_parquet, replay_batch
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    slim = events_stream.select("event_id", "user_id", "value")
+    q = foreach_batch_parquet(slim, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    written = spark.read.parquet(out)
+    n_src = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
+
+    # simulate recovery: re-deliver batch 0's content with the same batch_id
+    b0 = written.where(F.col("batch_id") == 0).drop("batch_id")
+    replay_batch(spark, b0, out, batch_id=0)
+    after = spark.read.parquet(out)
+    assert after.count() == n_src
+    assert after.select("event_id").distinct().count() == n_src

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
         "bpe_token_stats": TX.bpe_token_stats,
+        "heavy_hitter_tokens": TX.heavy_hitter_tokens,
         "range_join_bands": R.range_join_bands,
         "quality_filter": TX.quality_filter,
         "time_rollup": TP.time_rollup,

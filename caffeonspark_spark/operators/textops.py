@@ -303,3 +303,26 @@ ORACLE_CHUNK_DOCUMENTS = """
            CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
     FROM chunks WHERE chunk_text <> ''
 """
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Frequent-token heavy hitters via the approx_top_k sketch.
+
+    The exact form (groupBy token → count → top-k) shuffles every distinct
+    token; the sketch form keeps a bounded-size summary per partition and
+    merges summaries — shuffle bytes ∝ sketch size, not vocabulary. That is
+    the 100 TB shape for "what are the most common tokens/urls/boilerplate
+    lines in the corpus". Rows-only check (sketch counts are approximate by
+    contract); the unit test pins sketch-vs-exact agreement at test scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_toks()).alias("token"))
+    return (
+        toks.agg(F.expr(f"approx_top_k(token, {k})").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )

@@ -109,3 +109,26 @@ def test_binary_to_dataframe(spark, tmp_path_factory):
     rows = {r["SampleID"]: r for r in df.collect()}
     assert rows["s0"]["label"] == 0 and bytes(rows["s0"]["data"]) == b"\x01\x02"
     assert rows["img1.bin"]["label"] == 1  # id defaults to filename
+
+
+def test_heavy_hitters_match_exact_counts(spark, sf_smoke):
+    """At test scale the top-k sketch is effectively exact: every reported
+    heavy hitter carries its true count, and the true most-common token is
+    reported first."""
+    from pyspark.sql import functions as F
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.textops import _toks, heavy_hitter_tokens
+
+    got = heavy_hitter_tokens(spark, sf_smoke, k=10).collect()
+    assert len(got) == 10
+    exact = {
+        r["token"]: r["n"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert exact[r["token"]] == r["n"], r
+    assert got[0]["n"] == max(exact.values())

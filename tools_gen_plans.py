@@ -35,6 +35,9 @@ SHOW = {
     "multiway_join (5-table, ASIA)": R.multiway_join,
     "topk_orderby_limit": R.topk_orderby_limit,
     "cosine_topk_bruteforce": S.cosine_topk_query0,
+    "shipping_priority (TPC-H Q3 class)": R.shipping_priority,
+    "large_volume_customers (TPC-H Q18 class)": R.large_volume_customers,
+    "decontaminate (benchmark n-gram screen)": D.decontaminate,
 }
 
 

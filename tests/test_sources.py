@@ -163,3 +163,59 @@ def test_imagedir_filter_pushdown_prunes_files(spark, tmp_path):
     df = read_image_dir(spark, str(d), partitions=2).where("label = 0")
     got = sorted(r["id"] for r in df.collect())
     assert got == ["f_0", "f_2", "f_4"]
+
+
+def test_eventgen_stream_source_exactly_once(spark):
+    """Custom streaming DataSource: offset-managed micro-batches deliver
+    every generated row exactly once, values being a pure function of the
+    offset range (the replayability contract)."""
+    from caffeonspark_spark.sources.event_stream import read_event_stream, row_for
+
+    stream = read_event_stream(spark, rows_per_batch=64, max_rows=300, n_partitions=3)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("eventgen_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM eventgen_out").collect()
+    assert len(rows) == 300
+    got = {r["event_id"]: (r["user_id"], r["event_type"], r["value"]) for r in rows}
+    assert len(got) == 300  # no duplicates
+    for eid in (0, 1, 150, 299):
+        _, uid, etype, val = row_for(eid)
+        assert got[eid] == (uid, etype, val)
+
+
+def test_eventgen_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop mid-stream and restart from the checkpoint: no re-emission, no
+    gaps — the source's offset contract is what recovery leans on."""
+    from caffeonspark_spark.sources.event_stream import read_event_stream
+
+    out = str(tmp_path / "eg_out")
+    chk = str(tmp_path / "eg_chk")
+
+    def start(max_rows):
+        return (
+            read_event_stream(spark, rows_per_batch=50, max_rows=max_rows)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+
+    q = start(max_rows=100)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 100
+
+    q = start(max_rows=250)  # the "upstream" grew; resume from offset 100
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 250
+    ids = sorted(r["event_id"] for r in got.select("event_id").collect())
+    assert ids == list(range(250))

@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_nation_avg": R.above_nation_avg,
         "volume_shipping": R.volume_shipping,
         "market_share": R.market_share,
+        "forecast_revenue": R.forecast_revenue,
+        "top_supplier": R.top_supplier,
+        "disjunctive_predicate_join": R.disjunctive_predicate_join,
+        "dormant_customers": R.dormant_customers,
         "list_agg_sorted": R.list_agg_sorted,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
@@ -545,6 +549,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns ON s_nationkey = ns.n_nationkey
             WHERE r_name = 'ASIA' AND p_type = 'PROMO'
             GROUP BY 1
+        """,
+        "forecast_revenue": f"""
+            SELECT {_ds('l_extendedprice * l_discount', 4)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        "top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {_ds('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "disjunctive_predicate_join": f"""
+            SELECT {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1.0 AND 20.0)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10.0 AND 30.0)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20.0 AND 50.0)
+        """,
+        "dormant_customers": f"""
+            SELECT CAST(c_nationkey AS INT) AS nationkey,
+                   COUNT(*) AS n_custs,
+                   {_ds('c_acctbal')} AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT {_da('c_acctbal')} FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+            GROUP BY c_nationkey
         """,
         "list_agg_sorted": """
             SELECT CAST(s_nationkey AS INT) AS nationkey,

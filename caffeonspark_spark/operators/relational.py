@@ -853,3 +853,108 @@ def market_share(spark, sf_dir) -> DataFrame:
             dsum(vol, scale=4).alias("total_volume"),
         )
     )
+
+
+def forecast_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q6 shape: single-row revenue delta from a what-if discount
+    band. Every predicate is a plain scan-column comparison, so the whole
+    WHERE reaches the parquet reader and the query is one partial+final agg
+    with no join and no wide shuffle — the cheapest possible full-scan
+    query at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def top_supplier(spark, sf_dir) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. The revenue agg runs once; its 1-row max broadcasts back over
+    the same aggregated (small) relation — no re-scan of the fact table for
+    the scalar comparison."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+            "total_revenue"
+        )
+    )
+    rev = rev.persist()  # reused by the max and the final join; tiny (1 row/supplier)
+    max_rev = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        rev.crossJoin(max_rev)
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def disjunctive_predicate_join(spark, sf_dir) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive (brand, size,
+    quantity) bands. The OR spans join-side columns, so it can't be pushed
+    below the join — but each disjunct's single-side conjuncts can: Catalyst
+    extracts `quantity` bounds to the lineitem scan and `size` bounds to the
+    part scan, shrinking the join inputs before the residual OR applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1.0, 20.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10.0, 30.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20.0, 50.0))
+        )
+    )
+    return j.where(band).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def dormant_customers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders —
+    scalar subquery (global positive-balance average, computed once and
+    broadcast) + anti join against the recent-orders key set, grouped by
+    nation. The anti join's build side is only the filtered recent order
+    keys, not all orders."""
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    avg_bal = F.broadcast(
+        c.where(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -199,3 +199,13 @@ def test_above_nation_avg_decorrelated(spark, sf_smoke):
     df = R.above_nation_avg(spark, sf_smoke)
     assert has_broadcast_join(df)
     assert shuffle_count(df) <= 1
+
+
+def test_disjunctive_predicate_pushes_single_side_bounds(spark, sf_smoke):
+    """Q19 shape: even though the OR spans both join sides, Catalyst must
+    extract each side's implied bounds into the scans (l_quantity on
+    lineitem, p_size/p_brand on part)."""
+    df = R.disjunctive_predicate_join(spark, sf_smoke)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_size" in pushed or "p_brand" in pushed, pushed

@@ -35,10 +35,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -117,6 +119,9 @@ class ImageDirDataSource(DataSource):
     def reader(self, schema: StructType) -> ImageDirReader:
         return ImageDirReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "ImageDirWriter":
+        return ImageDirWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the format on the session (the rebuild's
@@ -134,3 +139,60 @@ def read_image_dir(spark, path: str, labels: str | None = None, partitions: int 
     if labels:
         reader = reader.option("labels", labels)
     return reader.load()
+
+
+# --- writer side: two-phase commit back to a binary dir ------------------
+
+class _WriteResult(WriterCommitMessage):
+    def __init__(self, entries: list[tuple[str, int, str]]):
+        self.entries = entries
+
+
+class ImageDirWriter(DataSourceWriter):
+    """Per-task payload writes + driver-side manifest commit.
+
+    Tasks write one ``<id>.bin`` per row and report (filename, label, id)
+    in their commit message; only ``commit()`` — which runs once, on the
+    driver, after every task succeeded — writes ``labels.txt``. Since the
+    source side plans exclusively from the label file, half-finished output
+    from failed/speculative tasks is invisible until the manifest exists:
+    the manifest IS the atomic commit point (same role as Parquet's
+    ``_SUCCESS`` + file listing). ``abort()`` removes orphaned payloads.
+    """
+
+    def __init__(self, options: dict):
+        self.base = options["path"]
+
+    def write(self, rows) -> _WriteResult:
+        os.makedirs(self.base, exist_ok=True)
+        entries = []
+        for row in rows:
+            fname = f"{row.id}.bin"
+            with open(os.path.join(self.base, fname), "wb") as fh:
+                fh.write(bytes(row.data))
+            entries.append((fname, int(row.label), str(row.id)))
+        return _WriteResult(entries)
+
+    def commit(self, messages) -> None:
+        lines = []
+        for msg in messages:
+            for fname, label, sample_id in msg.entries:
+                lines.append(f"{fname} {label} {sample_id}")
+        with open(os.path.join(self.base, "labels.txt"), "w", encoding="utf-8") as fh:
+            fh.write("\n".join(sorted(lines)) + "\n")
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            for fname, _, _ in msg.entries:
+                try:
+                    os.remove(os.path.join(self.base, fname))
+                except OSError:
+                    pass
+
+
+def write_image_dir(df, path: str) -> None:
+    """Write an (id, label, data) DataFrame as a binary dir + label manifest
+    (inverse of ``read_image_dir``; the reference's Binary2Sequence/E1 path
+    with a real commit protocol)."""
+    register(df.sparkSession)
+    df.write.format(FORMAT_NAME).mode("append").option("path", path).save()

@@ -219,3 +219,19 @@ def test_eventgen_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert got.count() == 250
     ids = sorted(r["event_id"] for r in got.select("event_id").collect())
     assert ids == list(range(250))
+
+
+def test_imagedir_write_read_roundtrip(spark, tmp_path):
+    """DSv2 writer commit protocol: executors write payloads, the driver's
+    commit writes the manifest; read-back through the source equals the
+    input exactly."""
+    from caffeonspark_spark.sources.imagedir import read_image_dir, write_image_dir
+
+    rows = [(f"s{i}", i % 4, bytes([i, i + 1, i + 2])) for i in range(12)]
+    df = spark.createDataFrame(rows, "id string, label int, data binary").repartition(3)
+    out = str(tmp_path / "written")
+    write_image_dir(df, out)
+
+    back = read_image_dir(spark, out, partitions=2)
+    got = {r["id"]: (r["label"], bytes(r["data"])) for r in back.collect()}
+    assert got == {i: (l, d) for i, l, d in rows}

@@ -203,3 +203,27 @@ def hot_key_salted_join(
         .drop("_salts")
     )
     return l_tag.join(r_tag, [key, "_salt"]).drop("_salt")
+
+
+def cluster_by_write(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> None:
+    """Write parquet clustered on ``cols``: range-repartition into
+    ``n_files`` disjoint key ranges, sort rows within each, then write —
+    so every output file covers a narrow, non-overlapping slice of the key
+    space and its parquet min/max footer stats actually discriminate.
+
+    This is the write-side half of data skipping: a later scan with a
+    predicate on ``cols`` prunes whole files/row-groups from the footer
+    stats alone. At 100 TB this (or bucketing, for join keys) is the
+    difference between touching TBs and touching GBs for selective
+    queries; unclustered data has every file spanning the full key range,
+    making min/max stats useless. (Reference analogue: none — it re-read
+    everything; this is the Spark-native layout contract.)
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -209,3 +209,38 @@ def test_disjunctive_predicate_pushes_single_side_bounds(spark, sf_smoke):
     pushed = " ".join(pushed_filters(df))
     assert "l_quantity" in pushed, pushed
     assert "p_size" in pushed or "p_brand" in pushed, pushed
+
+
+def test_cluster_by_write_produces_disjoint_file_ranges(spark, sf_smoke, tmp_path):
+    """Write-side clustering: each output file must cover a non-overlapping
+    l_orderkey slice (checked from real parquet footer stats), which is
+    what lets a selective scan prune whole files."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.partitioning import cluster_by_write
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = str(tmp_path / "clustered")
+    cluster_by_write(li, out, ["l_orderkey"], n_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            assert col.path_in_schema == "l_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # the clustered copy stays row-identical to the source
+    assert spark.read.parquet(out).count() == li.count()

@@ -5,6 +5,7 @@ Mirrors the reference's examples/ role (notebook flows like DLDemo.ipynb,
 MyMLPipeline.scala) for the rebuilt engine:
 
     corpus -> quality gate -> dedup (exact + MinHash near-dup) ->
+    decontaminate vs a held-out set -> boilerplate heavy hitters ->
     chunk -> (toy) train/validate on embeddings -> similarity lookup
 
 Run:  python examples/pipeline_demo.py [sf_dir]        (default sf0.001)
@@ -47,13 +48,27 @@ def main() -> None:
     print(f"after quality gate + dedup: {n_clean} documents "
           f"({n_docs - n_clean} removed)")
 
-    # 3. context-window chunking of the survivors
+    # 3. benchmark decontamination: drop survivors sharing 5-grams with the
+    # held-out set (source 'src0' stands in for an eval benchmark)
+    from caffeonspark_spark.operators.dedup import decontaminate
+
+    contaminated = decontaminate(spark, sf_dir).select("doc_id")
+    cleaned = cleaned.join(contaminated, "doc_id", "left_anti")
+    print(f"after decontamination: {cleaned.count()} documents")
+
+    # 4. corpus diagnostics: most frequent tokens (boilerplate candidates)
+    from caffeonspark_spark.operators.textops import heavy_hitter_tokens
+
+    hh = heavy_hitter_tokens(spark, sf_dir, k=5).collect()
+    print("top tokens:", [(r["token"], r["n"]) for r in hh])
+
+    # 5. context-window chunking of the survivors
     chunks = chunk_documents(spark, sf_dir).join(
         cleaned.select("doc_id"), "doc_id"
     )
     print(f"chunks for training: {chunks.count()}")
 
-    # 4. toy training with interleaved validation on the embeddings table
+    # 6. toy training with interleaved validation on the embeddings table
     emb = engine.table("embeddings")
     specs = [ColumnSpec("embedding", "float_array", channels=64),
              ColumnSpec("label", "int")]
@@ -71,7 +86,7 @@ def main() -> None:
         print(f"iter {mrow['iteration']:>3}: accuracy={mrow['accuracy'][0]:.3f} "
               f"loss={mrow['loss'][0]:.4f}")
 
-    # 5. similarity lookup: nearest neighbours of vector 0
+    # 7. similarity lookup: nearest neighbours of vector 0
     top = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
     print("top-5 neighbours of vec 0:",
           [(r["vec_id"], round(r["cos_sim"], 4)) for r in top])

@@ -96,3 +96,45 @@ def test_cosine_similarity_matches_numpy(spark, a, b):
     got = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
     expect = float(np.dot(a, b) / (na * nb))
     assert math.isclose(got, expect, rel_tol=1e-5, abs_tol=1e-5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # corpus docs: lists of tokens (some too short to shingle)
+        st.lists(TOKEN, min_size=0, max_size=12), min_size=1, max_size=6
+    ),
+    st.lists(  # benchmark docs
+        st.lists(TOKEN, min_size=0, max_size=12), min_size=1, max_size=3
+    ),
+)
+def test_decontaminate_matches_python_reference(spark, tmp_path_factory, corpus, bench):
+    """decontaminate == a pure-Python shingle-overlap model, including the
+    degenerate cases: docs shorter than n, duplicate shingles, full overlap."""
+    from caffeonspark_spark.operators.dedup import decontaminate
+
+    n = 3
+
+    def shingles(toks):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_sh = set().union(*[shingles(t) for t in bench]) if bench else set()
+    expect = {}
+    for i, toks in enumerate(corpus):
+        sh = shingles(toks)
+        hits = len(sh & bench_sh)
+        if hits:
+            expect[i] = (hits, len(sh))
+
+    rows = [(i, " ".join(t), "en", "srcX", 0) for i, t in enumerate(corpus)] + [
+        (1000 + j, " ".join(t), "en", "src0", 0) for j, t in enumerate(bench)
+    ]
+    d = tmp_path_factory.mktemp("decon_prop")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_contaminated"], r["n_shingles"])
+        for r in decontaminate(spark, str(d), n=n).collect()
+    }
+    assert got == expect

@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": R.top_supplier,
         "disjunctive_predicate_join": R.disjunctive_predicate_join,
         "dormant_customers": R.dormant_customers,
+        "right_outer_join": R.right_outer_join,
+        "null_safe_join": R.null_safe_join,
         "list_agg_sorted": R.list_agg_sorted,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
@@ -549,6 +551,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns ON s_nationkey = ns.n_nationkey
             WHERE r_name = 'ASIA' AND p_type = 'PROMO'
             GROUP BY 1
+        """,
+        "right_outer_join": f"""
+            SELECT c_custkey, c_mktsegment,
+                   COUNT(o_orderkey) AS n_orders,
+                   {_ds('COALESCE(o_totalprice, 0.0)')} AS total_spend
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment
+        """,
+        "null_safe_join": f"""
+            WITH li AS (
+                SELECT CASE WHEN l_quantity >= 10.0
+                            THEN CAST(FLOOR(l_quantity / 10) AS INT) END AS qty_bucket,
+                       l_extendedprice
+                FROM lineitem
+            ),
+            buckets AS (SELECT DISTINCT qty_bucket FROM li)
+            SELECT li.qty_bucket AS bucket,
+                   COUNT(*) AS n_lines,
+                   {_ds('l_extendedprice')} AS total_price
+            FROM li JOIN buckets ON li.qty_bucket IS NOT DISTINCT FROM buckets.qty_bucket
+            GROUP BY li.qty_bucket
         """,
         "forecast_revenue": f"""
             SELECT {_ds('l_extendedprice * l_discount', 4)} AS revenue,

@@ -958,3 +958,39 @@ def dormant_customers(spark, sf_dir) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+def right_outer_join(spark, sf_dir) -> DataFrame:
+    """orders RIGHT JOIN customer: every customer survives, orderless ones
+    with zero counts — the mirror of left_outer_join, kept so the full
+    outer-join matrix (left/right/full/semi/anti) is first-class."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+def null_safe_join(spark, sf_dir) -> DataFrame:
+    """Null-safe equality join (<=>): pairs rows even when both keys are
+    NULL. Derived nullable keys (quantity bucket, NULL for tiny orders) on
+    both sides; plain = would silently drop the NULL bucket."""
+    bucket = F.when(
+        F.col("l_quantity") >= 10.0, F.floor(F.col("l_quantity") / 10).cast("int")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        bucket.alias("qty_bucket"), "l_extendedprice"
+    )
+    buckets = (
+        _t(spark, sf_dir, "lineitem").select(bucket.alias("qty_bucket")).distinct()
+    )
+    return (
+        li.join(buckets, li.qty_bucket.eqNullSafe(buckets.qty_bucket), "inner")
+        .groupBy(li.qty_bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice").alias("total_price"))
+    )

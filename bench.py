@@ -49,6 +49,7 @@ BENCH_QUERIES = {
     "q_clean_corpus": D.clean_corpus,
     "q3_shipping_priority": R.shipping_priority,
     "q18_large_volume": R.large_volume_customers,
+    "q_decontaminate": D.decontaminate,
 }
 
 

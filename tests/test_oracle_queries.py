@@ -153,3 +153,27 @@ def test_approx_percentile_envelope(spark, sf_oracle):
         e50, e90 = exact[r["l_returnflag"]]
         assert abs(r["ap50"] - e50) / e50 < 0.01
         assert abs(r["ap90"] - e90) / e90 < 0.01
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_SF01_CHECK" not in __import__("os").environ,
+    reason="10x-scale oracle sweep is opt-in (SPARK_GRAFT_SF01_CHECK=1)",
+)
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",
+        "inner_equi_join",
+        "vector_mean",
+        "multiway_join",
+        "large_volume_customers",
+        "ngram_jaccard_pairs",
+        "percentile_agg",
+    ],
+)
+def test_oracle_match_sf01(spark, name):
+    """Scale-robustness: the same queries must hash-match at 10x the oracle
+    SF (catches accumulator overflow / scale-dependent nondeterminism)."""
+    df = QUERIES[name](spark, "/root/testdata/sf0.1")
+    ok, msg = compare(df, ORACLES[name], "/root/testdata/sf0.1", exact=True)
+    assert ok, f"{name}@sf0.1: {msg}"

@@ -205,3 +205,45 @@ def image_sample_to_tensor(
     if spec.crop:
         hwc = center_crop(hwc, *spec.crop)
     return transform_chw(hwc_to_chw(hwc), spec)
+
+
+def _sample_hash(sample_id: str, seed: int) -> int:
+    """Deterministic 64-bit hash of (sample_id, seed) — splitmix64 over the
+    id bytes. Pure function: the same sample under the same epoch seed gets
+    the same augmentation on any executor, any retry, any cluster size."""
+    h = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    for b in str(sample_id).encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return h ^ (h >> 31)
+
+
+def augment_hwc(
+    img_hwc: np.ndarray,
+    sample_id: str,
+    seed: int,
+    crop_h: int,
+    crop_w: int,
+    mirror_prob: float = 0.5,
+) -> np.ndarray:
+    """Seeded per-sample training augmentation: random-position crop +
+    random horizontal mirror, with all "randomness" derived from
+    hash(sample_id, seed).
+
+    The reference's random crop/mirror (``transform_param`` consumed by
+    ``FloatDataTransformer.java:15-36``) draws from the solver's RNG —
+    non-reproducible under task retry. Here a retried/speculative task
+    recomputes the identical augmentation, so training batches stay
+    deterministic end-to-end; a new epoch changes ``seed`` to re-roll every
+    sample."""
+    h = _sample_hash(sample_id, seed)
+    height, width = img_hwc.shape[:2]
+    max_top = max(height - crop_h, 0)
+    max_left = max(width - crop_w, 0)
+    top = (h & 0xFFFF) % (max_top + 1)
+    left = ((h >> 16) & 0xFFFF) % (max_left + 1)
+    out = img_hwc[top : top + crop_h, left : left + crop_w]
+    if ((h >> 32) & 0xFFFF) / 65536.0 < mirror_prob:
+        out = out[:, ::-1]
+    return out

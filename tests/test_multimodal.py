@@ -206,3 +206,40 @@ def test_decode_stubs_raise(spark):
         decode_audio(b"x", 16000)
     with pytest.raises(NotImplementedError):
         decode_video_frames(b"x", 1, 2, 2)
+
+
+def test_augment_deterministic_per_sample_and_seed():
+    """Same (sample, seed) → identical augmentation on every call (retry
+    safety); changing the seed re-rolls; different samples diverge."""
+    import numpy as np
+    from caffeonspark_spark.multimodal.columns import augment_hwc
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    a1 = augment_hwc(img, "s1", seed=7, crop_h=8, crop_w=8)
+    a2 = augment_hwc(img, "s1", seed=7, crop_h=8, crop_w=8)
+    assert a1.shape == (8, 8, 3)
+    assert np.array_equal(a1, a2)
+
+    reroll = augment_hwc(img, "s1", seed=8, crop_h=8, crop_w=8)
+    other = augment_hwc(img, "s2", seed=7, crop_h=8, crop_w=8)
+    assert not np.array_equal(a1, reroll) or not np.array_equal(a1, other)
+
+    # crop equal to the full frame degrades to identity-or-mirror
+    full = augment_hwc(img, "s3", seed=1, crop_h=16, crop_w=16)
+    assert np.array_equal(full, img) or np.array_equal(full, img[:, ::-1])
+
+
+def test_augment_distribution_over_samples():
+    """Across many samples the crop offsets must actually vary (the hash is
+    spreading, not collapsing to one corner)."""
+    import numpy as np
+    from caffeonspark_spark.multimodal.columns import augment_hwc
+
+    img = np.zeros((32, 32, 1), dtype=np.uint8)
+    for y in range(32):
+        img[y, :, 0] = y
+    tops = set()
+    for i in range(64):
+        out = augment_hwc(img, f"id{i}", seed=0, crop_h=8, crop_w=8, mirror_prob=0.0)
+        tops.add(int(out[0, 0, 0]))
+    assert len(tops) >= 8

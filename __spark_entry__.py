@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": S.ann_ivf_topk_query0,
         "bpe_token_stats": TX.bpe_token_stats,
         "heavy_hitter_tokens": TX.heavy_hitter_tokens,
+        "bm25_rank": TX.bm25_rank,
         "range_join_bands": R.range_join_bands,
         "quality_filter": TX.quality_filter,
         "time_rollup": TP.time_rollup,
@@ -626,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier GROUP BY s_nationkey
         """,
         "bpe_token_stats": TX.ORACLE_BPE_TOKEN_STATS,
+        "bm25_rank": TX.ORACLE_BM25_RANK,
         "chunk_documents": TX.ORACLE_CHUNK_DOCUMENTS,
         "range_join_bands": f"""
             SELECT band, COUNT(*) AS n_orders, {_ds('o_totalprice')} AS total

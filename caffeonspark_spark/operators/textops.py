@@ -326,3 +326,111 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
         )
         .orderBy(F.desc("n"), F.asc("token"))
     )
+
+
+BM25_TERMS = ("join", "scan", "window")
+
+
+def bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 relevance ranking of the corpus against a fixed term set —
+    the retrieval scorer used to curate training data by query relevance.
+
+    Shape: one pass computes per-doc token arrays; per-(doc, term) tf comes
+    from a higher-order filter over the array (no explode of all tokens —
+    fan-out is |docs| × |query terms|, not |tokens|); df and the corpus
+    stats (N, avgdl) are tiny aggregates broadcast back. Scores land on the
+    bround(9) grid so the floating ln/division chain hash-matches engines
+    with differently-rounded libm. At 100 TB: the only per-token work is
+    array construction already paid by tokenization; everything after is
+    per-doc × per-term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("ts"))
+    lens = toks.select("doc_id", F.size("ts").alias("dl"))
+    stats = F.broadcast(
+        lens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    terms_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    tf = (
+        toks.crossJoin(terms_df)
+        .select(
+            "doc_id",
+            "term",
+            F.size(F.filter(F.col("ts"), lambda x: x == F.col("term"))).alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    df_counts = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(df_counts, "term")
+        .join(lens, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        # fsum doctrine: round each term's contribution onto the 1e-9 grid,
+        # then sum exactly in decimal — order-independent and oracle-matched
+        .agg(
+            F.sum(F.bround(contrib, 9).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top)
+    )
+
+
+ORACLE_BM25_RANK = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    lens AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    terms(term) AS (VALUES ('join'), ('scan'), ('window')),
+    tf AS (
+        SELECT doc_id, term,
+               len(list_filter(ts, x -> x = term)) AS tf
+        FROM toks CROSS JOIN terms
+    ),
+    tf_pos AS (SELECT * FROM tf WHERE tf > 0),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf_pos GROUP BY term)
+    SELECT doc_id,
+           CAST(SUM(CAST(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+           AS DECIMAL(30,9))) AS DOUBLE) AS bm25
+    FROM tf_pos
+    JOIN dfc USING (term)
+    JOIN lens USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+"""

@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": TX.bpe_token_stats,
         "heavy_hitter_tokens": TX.heavy_hitter_tokens,
         "bm25_rank": TX.bm25_rank,
+        "redact_pii": TX.redact_pii,
+        "pack_documents": TX.pack_documents,
         "range_join_bands": R.range_join_bands,
         "quality_filter": TX.quality_filter,
         "time_rollup": TP.time_rollup,
@@ -628,6 +630,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_stats": TX.ORACLE_BPE_TOKEN_STATS,
         "bm25_rank": TX.ORACLE_BM25_RANK,
+        "redact_pii": TX.ORACLE_REDACT_PII,
+        "pack_documents": TX.ORACLE_PACK_DOCUMENTS,
         "chunk_documents": TX.ORACLE_CHUNK_DOCUMENTS,
         "range_join_bands": f"""
             SELECT band, COUNT(*) AS n_orders, {_ds('o_totalprice')} AS total

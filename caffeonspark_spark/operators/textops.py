@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from caffeonspark_spark.catalog import load_table
 from caffeonspark_spark.functions.text import LANG_MARKERS, STOPWORDS, ngrams, predict_lang
@@ -433,4 +434,96 @@ ORACLE_BM25_RANK = """
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT 20
+"""
+
+
+# conservative, RE2/Java-regex-compatible patterns (no lookbehind) so the
+# Spark plan and the DuckDB oracle apply byte-identical substitutions
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails / phone numbers / IPv4 addresses with
+    typed placeholder tags, reporting how many docs changed.
+
+    Pure regexp_replace chain — stays inside whole-stage codegen, no UDF;
+    the patterns avoid lookaround so Java regex (Spark) and RE2 (DuckDB)
+    substitute identically. At 100 TB this is a map-only pass: no shuffle
+    except the final 1-row count aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IPV4,
+        "[IP]",
+    )
+    return (
+        docs.select("doc_id", red.alias("clean_text"), "text")
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.col("clean_text") != F.col("text")).cast("int").alias("was_redacted"),
+        )
+    )
+
+
+ORACLE_REDACT_PII = f"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g'),
+               '{PII_IPV4}', '[IP]', 'g') AS clean_text,
+           CAST(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g'),
+               '{PII_IPV4}', '[IP]', 'g') <> text AS INT) AS was_redacted
+    FROM documents
+"""
+
+
+def pack_documents(
+    spark: SparkSession, sf_dir: str, budget: int = 512
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs for
+    pretraining batches (offset-based packing: a doc's pack is its running
+    token offset divided by the budget).
+
+    The running sum is windowed WITHIN each source shard (not a global
+    order), so the only shuffle is by ``source`` and packing parallelizes
+    across shards at any corpus size — the declared semantics make pack
+    assignment deterministic and oracle-checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
+        )
+    )
+
+
+ORACLE_PACK_DOCUMENTS = """
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+           SUM(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           CAST(FLOOR((SUM(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+                       OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)
+                 - len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) / 512.0)
+                AS BIGINT) AS pack_id
+    FROM documents
 """

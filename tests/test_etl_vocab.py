@@ -132,3 +132,30 @@ def test_heavy_hitters_match_exact_counts(spark, sf_smoke):
     for r in got:
         assert exact[r["token"]] == r["n"], r
     assert got[0]["n"] == max(exact.values())
+
+
+def test_redact_pii_planted(spark, tmp_path):
+    """Planted emails/phones/IPs are replaced with typed tags; clean text
+    passes through byte-identical."""
+    import os
+    from caffeonspark_spark.operators.textops import redact_pii
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk for details", "en", "s", 0),
+        (2, "call +1-555-123-4567 or 555.987.6543 now", "en", "s", 0),
+        (3, "server at 192.168.0.1 responded", "en", "s", 0),
+        (4, "perfectly clean sentence here", "en", "s", 0),
+    ]
+    d = tmp_path / "pii"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in redact_pii(spark, str(d)).collect()}
+    assert out[1]["clean_text"] == "contact [EMAIL] for details"
+    assert out[1]["was_redacted"] == 1
+    assert out[2]["clean_text"] == "call [PHONE] or [PHONE] now"
+    assert out[3]["clean_text"] == "server at [IP] responded"
+    assert out[4]["clean_text"] == "perfectly clean sentence here"
+    assert out[4]["was_redacted"] == 0

@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": TX.bm25_rank,
         "redact_pii": TX.redact_pii,
         "pack_documents": TX.pack_documents,
+        "repetition_stats": TX.repetition_stats,
         "range_join_bands": R.range_join_bands,
         "quality_filter": TX.quality_filter,
         "time_rollup": TP.time_rollup,
@@ -632,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": TX.ORACLE_BM25_RANK,
         "redact_pii": TX.ORACLE_REDACT_PII,
         "pack_documents": TX.ORACLE_PACK_DOCUMENTS,
+        "repetition_stats": TX.ORACLE_REPETITION_STATS,
         "chunk_documents": TX.ORACLE_CHUNK_DOCUMENTS,
         "range_join_bands": f"""
             SELECT band, COUNT(*) AS n_orders, {_ds('o_totalprice')} AS total

@@ -527,3 +527,63 @@ ORACLE_PACK_DOCUMENTS = """
                 AS BIGINT) AS pack_id
     FROM documents
 """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText-style
+    quality rules): fraction of bigrams that are duplicates and the share
+    of the single most frequent bigram. High values mark boilerplate /
+    degenerate generations for the quality gate.
+
+    One explode + one (doc_id, bigram) partial-agg shuffle; the ratios are
+    single IEEE divisions of exact integer counts, so they hash-match the
+    oracle without any rounding grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id", F.explode(ngrams(_toks(), n=2)).alias("bigram")
+    )
+    per_bigram = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            (
+                1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+            ).alias("dup_bigram_frac"),
+            (
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION_STATS = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks WHERE len(ts) >= 2
+    ),
+    per_bigram AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           SUM(c) AS n_bigrams,
+           COUNT(*) AS n_distinct_bigrams,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+    FROM per_bigram
+    GROUP BY doc_id
+"""

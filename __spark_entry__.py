@@ -342,8 +342,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "caption_encode": ETL.ORACLE_CAPTION_ENCODE,
         "fixed_size_partition": P.ORACLE_FIXED_SIZE_PARTITION,
-        # batch_assembly / features_identity: mapInArrow operators, not
-        # SQL-expressible -> rows-only check; semantics pinned in tests/
+        # batch_assembly / features_identity: mapInArrow operators whose
+        # DECLARED forms emit deterministic scalar projections (see
+        # ml/dataflow.py) so the batch semantics are oracle-checkable.
+        "batch_assembly": """
+            WITH ordered AS (
+                SELECT vec_id, label,
+                       (row_number() OVER (ORDER BY vec_id) - 1) // 64 AS b
+                FROM embeddings
+            )
+            SELECT CAST(COUNT(*) AS INT) AS n_samples,
+                   MIN(vec_id) AS first_id,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(label) AS BIGINT) AS label_sum,
+                   CAST(COUNT(*) * 64 AS INT) AS flat_len
+            FROM ordered GROUP BY b
+        """,
+        "features_identity": """
+            SELECT CAST(vec_id AS VARCHAR) AS SampleID,
+                   CAST(i AS INT) AS pos,
+                   embedding[CAST(i AS INT) + 1] AS ip1_val,
+                   CAST(label AS FLOAT) AS label_val
+            FROM embeddings, generate_series(0, 7) AS t(i)
+        """,
         # --- temporal / extended ---
         "asof_join": TP.ORACLE_ASOF_JOIN,
         "asof_join_tolerance": TP.ORACLE_ASOF_TOLERANCE,

@@ -222,7 +222,12 @@ def train(
     return state
 
 
-# --- declared queries (rows-only: mapInArrow ops are not SQL-expressible) --
+# --- declared queries ------------------------------------------------------
+#
+# The operators themselves (assemble_batches / features) return array<float>
+# columns for API users; the DECLARED queries below project those to scalar
+# long-form / summary columns so the driver's canonicalizer (which sorts
+# cell values) can hash them, and so DuckDB can express an exact oracle.
 
 EMBED_SPECS = [
     ColumnSpec("embedding", "float_array", channels=64),
@@ -231,18 +236,37 @@ EMBED_SPECS = [
 
 
 def batch_assembly_query(spark, sf_dir) -> DataFrame:
-    """Declared query (F9): assemble the embeddings table into 64-sample
-    NCHW-style batches; returns one row per batch with flattened tensors."""
+    """Declared query (F9, ``DataFrameSource.scala:225-302``): assemble the
+    embeddings table into 64-sample batches, then summarize each batch with
+    integer-exact scalars (membership sums, shape arithmetic).
+
+    The input is globally ordered on ``vec_id`` and collapsed to ONE
+    partition so batch composition is deterministic and DuckDB-expressible —
+    this is the oracle-exact declared form only; ``assemble_batches`` itself
+    is partition-parallel (batches never cross partitions) and is what a
+    pipeline would run at scale.
+    """
     from caffeonspark_spark.catalog import load_table
     from caffeonspark_spark.multimodal.batch import assemble_batches
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return assemble_batches(emb, EMBED_SPECS, batch_size=64, id_col="vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(1).sortWithinPartitions("vec_id")
+    batches = assemble_batches(emb, EMBED_SPECS, batch_size=64, id_col="vec_id")
+    ids_as_long = F.transform("sample_ids", lambda s: s.cast("long"))
+    return batches.select(
+        F.size("sample_ids").alias("n_samples"),
+        F.array_min(ids_as_long).alias("first_id"),
+        F.aggregate(ids_as_long, F.lit(0).cast("long"), lambda a, x: a + x).alias("id_sum"),
+        F.aggregate("label", F.lit(0.0), lambda a, x: a + x).cast("long").alias("label_sum"),
+        F.size("embedding").alias("flat_len"),
+    )
 
 
 def features_identity_query(spark, sf_dir) -> DataFrame:
-    """Declared query (M3): feature extraction with a projection "model"
-    (first 8 dims) → SampleID + blob columns."""
+    """Declared query (M3, ``CaffeOnSpark.scala:427-506``): feature
+    extraction with a projection "model" (first 8 dims), emitted in
+    posexploded long form ``(SampleID, pos, ip1_val, label_val)`` — scalar
+    cells only, value-exact vs the source floats (the model copies, it does
+    no arithmetic), so the driver can hash-match it against DuckDB."""
     from caffeonspark_spark.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -251,8 +275,13 @@ def features_identity_query(spark, sf_dir) -> DataFrame:
         flat = inputs["embedding"]
         return {"ip1": flat[:, :8], "label_out": inputs["label"]}
 
-    return features(
+    feat = features(
         emb, proj_model, EMBED_SPECS, ["ip1", "label_out"], batch_size=64, id_col="vec_id"
+    )
+    return feat.select(
+        "SampleID",
+        F.posexplode("ip1").alias("pos", "ip1_val"),
+        F.element_at("label_out", F.lit(1)).alias("label_val"),
     )
 
 

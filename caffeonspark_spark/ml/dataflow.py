@@ -206,9 +206,19 @@ def train(
         import json
 
         part_states = []
+        epoch_batches = 0
         for r in rows:
-            total_batches += r["n_batches"]
+            epoch_batches += r["n_batches"]
             part_states.append(json.loads(r["state_json"]))
+        if epoch_batches == 0:
+            # the reference's insufficient-data error path
+            # (CaffeOnSpark.scala:256-289): an epoch that contributes zero
+            # batches would otherwise re-submit the same job forever
+            raise ValueError(
+                f"insufficient data: epoch {epoch} produced 0 batches "
+                f"({total_batches}/{cfg.max_iter} iterations completed)"
+            )
+        total_batches += epoch_batches
         if merge_states is not None and part_states:
             # data-parallel reduce: e.g. parameter averaging (the rebuild's
             # stand-in for the reference's gradient allreduce shards)

@@ -214,10 +214,11 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5, top: int = 100
+def minhash_lsh_pairs_df(
+    docs: DataFrame, threshold: float = 0.5, top: int = 100
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH + signature-estimate filter.
+    """Near-dup pairs via banded MinHash-LSH + signature-estimate filter,
+    over any ``(doc_id, text)`` DataFrame.
 
     Candidates = pairs sharing ≥1 of 16 band hashes (band = hash of 4
     signature slots). Estimated Jaccard = fraction of equal signature
@@ -225,7 +226,6 @@ def minhash_lsh_pairs(
     Scale: candidates ∝ colliding pairs only; the band explode is 16 rows
     per doc; every join is an equi-join on an 8-byte key.
     """
-    docs = load_table(spark, sf_dir, "documents")
     # persist: the signature pipeline (shingle explode + 64 min-aggs) is the
     # expensive subtree and feeds BOTH sides of the self-join — without this
     # Spark computes it twice (broadcast + shuffle exchanges don't reuse).
@@ -277,6 +277,13 @@ def minhash_lsh_pairs(
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
     )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, top: int = 100
+) -> DataFrame:
+    """Declared query: MinHash-LSH near-dup pairs over the documents table."""
+    return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"), threshold, top)
 
 
 # --- 5. SimHash ----------------------------------------------------------
@@ -388,7 +395,14 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
     )
     survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
 
-    near = minhash_lsh_pairs(spark, sf_dir, threshold=neardup_threshold, top=10**6)
+    # near-dedup runs over the SURVIVORS of the earlier stages, not the raw
+    # table: if (a, b) near-dup but a was already removed by the quality gate
+    # or exact dedup, b must survive — otherwise no copy of that content
+    # remains. (Also cheaper: signatures are computed only for rows still in
+    # play.) Greedy keep-lowest-id within each pair, like the reference of
+    # record pipelines; use neardup_clusters + min-per-component when exact
+    # one-survivor-per-cluster semantics are needed.
+    near = minhash_lsh_pairs_df(survivors, threshold=neardup_threshold, top=10**6)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     return (
         survivors.join(drop, "doc_id", "left_anti")

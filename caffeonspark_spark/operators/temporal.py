@@ -173,13 +173,20 @@ def range_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range window frame: for every event, how many of the same
     user's events fall in the preceding hour (RANGE BETWEEN 1 HOUR
     PRECEDING) — the rate-limit/velocity feature shape. Spark range frames
-    need a numeric ordering, so ts is projected to epoch seconds; one
-    shuffle on user_id."""
+    need a numeric ordering, so ts is projected to epoch MICROSECONDS (the
+    engine's full timestamp precision — epoch seconds would truncate
+    sub-second events and count the 1-hour edge differently than the
+    oracle's full-precision INTERVAL frame); one shuffle on user_id."""
     ev = load_table(spark, sf_dir, "events")
+    # timestampdiff (not unix_micros/unix_timestamp) because ts is NTZ: no
+    # session-timezone conversion, no second-truncation
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(epoch_us)
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",

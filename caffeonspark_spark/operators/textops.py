@@ -440,7 +440,10 @@ ORACLE_BM25_RANK = """
 # conservative, RE2/Java-regex-compatible patterns (no lookbehind) so the
 # Spark plan and the DuckDB oracle apply byte-identical substitutions
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE = r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+# \b guards (supported by both Java regex and RE2) keep digit runs embedded
+# in longer numbers — order ids, card numbers, hashes — from getting a
+# partial '[PHONE]' substitution; only standalone phone-shaped runs match.
+PII_PHONE = r"\+?\b(?:[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b"
 PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 

@@ -120,7 +120,7 @@ class ImageDirDataSource(DataSource):
         return ImageDirReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "ImageDirWriter":
-        return ImageDirWriter(self.options)
+        return ImageDirWriter(self.options, overwrite)
 
 
 def register(spark) -> None:
@@ -160,8 +160,9 @@ class ImageDirWriter(DataSourceWriter):
     ``_SUCCESS`` + file listing). ``abort()`` removes orphaned payloads.
     """
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         self.base = options["path"]
+        self.overwrite = overwrite
 
     def write(self, rows) -> _WriteResult:
         os.makedirs(self.base, exist_ok=True)
@@ -174,12 +175,22 @@ class ImageDirWriter(DataSourceWriter):
         return _WriteResult(entries)
 
     def commit(self, messages) -> None:
-        lines = []
+        manifest = os.path.join(self.base, "labels.txt")
+        # keyed by filename so append-mode re-writes of the same id replace
+        # the prior entry instead of duplicating it
+        by_fname: dict[str, str] = {}
+        if not self.overwrite and os.path.exists(manifest):
+            # append mode MERGES with the existing manifest — rewriting it
+            # wholesale from this job's messages would silently orphan every
+            # previously written payload (the source plans exclusively from
+            # the manifest)
+            for fname, label, sample_id in parse_label_file(manifest):
+                by_fname[fname] = f"{fname} {label} {sample_id}"
         for msg in messages:
             for fname, label, sample_id in msg.entries:
-                lines.append(f"{fname} {label} {sample_id}")
-        with open(os.path.join(self.base, "labels.txt"), "w", encoding="utf-8") as fh:
-            fh.write("\n".join(sorted(lines)) + "\n")
+                by_fname[fname] = f"{fname} {label} {sample_id}"
+        with open(manifest, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(sorted(by_fname.values())) + "\n")
 
     def abort(self, messages) -> None:
         for msg in messages:
@@ -190,9 +201,10 @@ class ImageDirWriter(DataSourceWriter):
                     pass
 
 
-def write_image_dir(df, path: str) -> None:
+def write_image_dir(df, path: str, mode: str = "append") -> None:
     """Write an (id, label, data) DataFrame as a binary dir + label manifest
     (inverse of ``read_image_dir``; the reference's Binary2Sequence/E1 path
-    with a real commit protocol)."""
+    with a real commit protocol). ``append`` merges into an existing
+    manifest (new entries win per filename); ``overwrite`` rewrites it."""
     register(df.sparkSession)
-    df.write.format(FORMAT_NAME).mode("append").option("path", path).save()
+    df.write.format(FORMAT_NAME).mode(mode).option("path", path).save()

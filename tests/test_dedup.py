@@ -155,6 +155,43 @@ def test_clean_corpus_pipeline(spark, sf_oracle):
     assert ids == ids2
 
 
+def test_clean_corpus_neardup_over_survivors(spark, tmp_path):
+    """Near-dedup must run over the SURVIVORS of the quality/exact stages:
+    if doc A (near-dup of B) was already removed by the quality gate, B must
+    survive — otherwise no copy of that content remains. A genuine survivor
+    near-dup pair still drops its higher id."""
+    import os
+    from caffeonspark_spark.operators.dedup import clean_corpus
+
+    def txt(n_tokens, tag, every10="the"):
+        # unique tokens with a stopword every 10th position so sw_ratio=0.1
+        return " ".join(
+            every10 if i % 10 == 9 else f"{tag}tok{i}" for i in range(n_tokens)
+        )
+
+    base = txt(5200, "x")  # doc 1: 5200 tokens -> FAILS n_tokens <= 5000
+    trimmed = " ".join(base.split(" ")[:4000])  # doc 2: near-dup of 1, passes
+    keep = txt(500, "k")  # doc 4: passes
+    keep_dup = txt(520, "k")  # doc 5: near-dup of 4 (same first 500), passes
+    other = txt(300, "z")  # doc 3: unrelated, passes
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, trimmed, "en", "s", len(trimmed)),
+        (3, other, "en", "s", len(other)),
+        (4, keep, "en", "s", len(keep)),
+        (5, keep_dup, "en", "s", len(keep_dup)),
+    ]
+    d = tmp_path / "survivors"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    ids = {r["doc_id"] for r in clean_corpus(spark, str(d), neardup_threshold=0.6).collect()}
+    assert 2 in ids, "survivor near-dup of a quality-rejected doc must be kept"
+    assert ids == {2, 3, 4}, ids  # 5 dropped as near-dup of surviving 4
+
+
 def test_connected_components_chains(spark):
     """Planted topology: chain 1-2-3-4, pair 10-11, triangle 20-21-22 +
     isolated edge endpoints resolve to min-id components."""

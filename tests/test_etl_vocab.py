@@ -145,6 +145,10 @@ def test_redact_pii_planted(spark, tmp_path):
         (2, "call +1-555-123-4567 or 555.987.6543 now", "en", "s", 0),
         (3, "server at 192.168.0.1 responded", "en", "s", 0),
         (4, "perfectly clean sentence here", "en", "s", 0),
+        # digit runs embedded in longer numbers/identifiers must NOT get a
+        # partial [PHONE] substitution (boundary-guard regression)
+        (5, "card 1234567890123456 and order 99887766554433", "en", "s", 0),
+        (6, "sha bf90a1234567890c and id X12345678901", "en", "s", 0),
     ]
     d = tmp_path / "pii"
     os.makedirs(d, exist_ok=True)
@@ -159,3 +163,7 @@ def test_redact_pii_planted(spark, tmp_path):
     assert out[3]["clean_text"] == "server at [IP] responded"
     assert out[4]["clean_text"] == "perfectly clean sentence here"
     assert out[4]["was_redacted"] == 0
+    assert out[5]["clean_text"] == "card 1234567890123456 and order 99887766554433"
+    assert out[5]["was_redacted"] == 0
+    assert out[6]["clean_text"] == "sha bf90a1234567890c and id X12345678901"
+    assert out[6]["was_redacted"] == 0

@@ -84,6 +84,15 @@ def test_train_loop(spark, mnist_like):
     assert "loss" in state and state["epoch"] >= 1
 
 
+def test_train_empty_input_raises(spark, mnist_like):
+    """A zero-batch epoch must raise (the reference's insufficient-data
+    error), not re-submit the same job forever."""
+    empty = mnist_like.where("1 = 0")
+    cfg = TrainConfig(batch_size=16, max_iter=4)
+    with pytest.raises(ValueError, match="insufficient data"):
+        train(empty, make_counting_trainer(), SPECS, cfg)
+
+
 def test_train_with_validation_interleave(spark):
     """M2 e2e: softmax regression on the embeddings table with interleaved
     validation — the InterleaveTest.scala:36-57 analogue. Asserts the metric

@@ -155,6 +155,46 @@ def test_approx_percentile_envelope(spark, sf_oracle):
         assert abs(r["ap90"] - e90) / e90 < 0.01
 
 
+def test_range_window_subsecond_precision(spark, tmp_path):
+    """The 1-hour range frame must be exact at microsecond precision: an
+    event 3600.000001s after another is OUTSIDE its window, one at exactly
+    3600s is inside (regression for second-truncated frame ordering)."""
+    from datetime import datetime, timedelta
+
+    from caffeonspark_spark.operators.temporal import (
+        ORACLE_RANGE_WINDOW,
+        range_window_count,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=3600), 1, "click", 1.0, "{}"),  # edge: in
+        (3, t0 + timedelta(seconds=3600, microseconds=1), 1, "click", 1.0, "{}"),
+        (4, t0 + timedelta(seconds=1800, microseconds=500000), 1, "click", 1.0, "{}"),
+    ]
+    d = tmp_path / "subsec"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {r["event_id"]: r["n_last_hour"] for r in range_window_count(spark, str(d)).collect()}
+    # ev2 window covers [t0, t0+3600] -> ev1, ev4, itself; ev3's window
+    # starts at t0+0.000001 -> excludes ev1
+    assert got == {1: 1, 2: 3, 3: 3, 4: 2}, got
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r[2] for r in con.execute(ORACLE_RANGE_WINDOW).fetchall()}
+    con.close()
+    assert got == oracle, (got, oracle)
+
+
 @pytest.mark.skipif(
     "SPARK_GRAFT_SF01_CHECK" not in __import__("os").environ,
     reason="10x-scale oracle sweep is opt-in (SPARK_GRAFT_SF01_CHECK=1)",

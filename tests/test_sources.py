@@ -235,3 +235,30 @@ def test_imagedir_write_read_roundtrip(spark, tmp_path):
     back = read_image_dir(spark, out, partitions=2)
     got = {r["id"]: (r["label"], bytes(r["data"])) for r in back.collect()}
     assert got == {i: (l, d) for i, l, d in rows}
+
+
+def test_imagedir_append_merges_manifest(spark, tmp_path):
+    """A second append-mode write must MERGE into the existing manifest —
+    rewriting it wholesale would orphan every previously written payload
+    (the source plans exclusively from labels.txt). Overwrite mode rewrites."""
+    from caffeonspark_spark.sources.imagedir import read_image_dir, write_image_dir
+
+    out = str(tmp_path / "merged")
+    first = [(f"a{i}", 0, bytes([i])) for i in range(5)]
+    second = [(f"b{i}", 1, bytes([100 + i])) for i in range(3)]
+    schema = "id string, label int, data binary"
+    write_image_dir(spark.createDataFrame(first, schema), out)
+    write_image_dir(spark.createDataFrame(second, schema), out)
+
+    got = {r["id"]: (r["label"], bytes(r["data"])) for r in read_image_dir(spark, out).collect()}
+    assert got == {i: (l, d) for i, l, d in first + second}
+
+    # append of an existing id replaces its entry (no duplicate manifest line)
+    write_image_dir(spark.createDataFrame([("a0", 7, b"\xff")], schema), out)
+    got = {r["id"]: (r["label"], bytes(r["data"])) for r in read_image_dir(spark, out).collect()}
+    assert len(got) == 8 and got["a0"] == (7, b"\xff")
+
+    # overwrite rewrites the manifest wholesale
+    write_image_dir(spark.createDataFrame(second, schema), out, mode="overwrite")
+    got = {r["id"] for r in read_image_dir(spark, out).collect()}
+    assert got == {f"b{i}" for i in range(3)}

@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "ngram_jaccard_pruned": D.ngram_jaccard_pruned,
         "decontaminate": D.decontaminate,
         "minhash_lsh_pairs": D.minhash_lsh_pairs,
         "simhash_buckets": D.simhash_buckets,
@@ -325,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
+        "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,
         # dedup_fingerprint / minhash_lsh_pairs / simhash_buckets use
         # Spark-native xxhash64 → rows-only check; unit tests pin semantics

@@ -107,22 +107,26 @@ def prune_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, top: int = 50, max_df: int | None = None
+    spark: SparkSession, sf_dir: str, top: int = 50, max_df: int | None = 1000
 ) -> DataFrame:
     """Top near-duplicate candidate pairs by exact 3-gram-shingle Jaccard.
 
     Inverted-index join (shingle equality) → per-pair intersection counts →
     Jaccard from set sizes. Integer counts + one double division keep it
-    oracle-exact. At 100 TB the same shape works because the shingle join
-    only pairs documents that *share* a shingle; add the MinHash pre-filter
-    (below) when even that candidate set is too large.
+    oracle-exact (pruning is plain SQL, mirrored in the oracle). At 100 TB
+    the shape works because the shingle join only pairs documents that
+    *share* a shingle — AND because stop-shingle pruning is ON BY DEFAULT:
+    a boilerplate shingle shared by 1M docs alone would create 5·10^11
+    candidate pairs, so the default caps per-shingle fan-out at max_df²
+    (pass ``max_df=None`` explicitly to opt out, small corpora only). Sizes
+    come from the UNPRUNED sets, so reported Jaccard is a lower bound for
+    pairs whose overlap includes pruned shingles. Add the MinHash pre-filter
+    (below) when even the pruned candidate set is too large.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_sets(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
-        # scale path: cap join fan-out on boilerplate shingles (sizes are
-        # computed on the UNPRUNED sets so Jaccard denominators stay exact)
         sh = prune_stop_shingles(sh, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,7 +153,22 @@ def ngram_jaccard_pairs(
     )
 
 
-ORACLE_NGRAM_JACCARD = """
+def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the PRUNED near-dup verifier with a max_df small
+    enough (5) that stop-shingle pruning genuinely fires at oracle scale —
+    the hash-checked proof that the scale path computes what the SQL says."""
+    return ngram_jaccard_pairs(spark, sf_dir, max_df=5)
+
+
+def _oracle_ngram_jaccard(max_df: int | None) -> str:
+    prune = f"""
+    dfc AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle),
+    joinable AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        JOIN dfc USING (shingle) WHERE dfreq <= {max_df}
+    ),""" if max_df is not None else """
+    joinable AS (SELECT doc_id, shingle FROM sh),"""
+    return f"""
     WITH toks AS (
         SELECT doc_id,
                list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
@@ -160,11 +179,12 @@ ORACLE_NGRAM_JACCARD = """
                unnest(list_distinct(list_transform(range(1, len(ts) - 1),
                                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
         FROM toks WHERE len(ts) >= 3
-    ),
+    ),{prune}
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM joinable a JOIN joinable b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -175,6 +195,13 @@ ORACLE_NGRAM_JACCARD = """
     ORDER BY jaccard DESC, id_a ASC, id_b ASC
     LIMIT 50
 """
+
+
+# oracle twins mirror the engine defaults: pruning at max_df=1000 for the
+# standard query (a no-op at oracle SF, load-bearing at 100 TB), and the
+# aggressively pruned variant where pruning demonstrably fires
+ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard(1000)
+ORACLE_NGRAM_JACCARD_PRUNED = _oracle_ngram_jaccard(5)
 
 
 # --- 4. MinHash + LSH ----------------------------------------------------

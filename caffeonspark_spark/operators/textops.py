@@ -493,27 +493,54 @@ ORACLE_REDACT_PII = f"""
 
 
 def pack_documents(
-    spark: SparkSession, sf_dir: str, budget: int = 512
+    spark: SparkSession, sf_dir: str, budget: int = 512, subshard_width: int = 128
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget packs for
     pretraining batches (offset-based packing: a doc's pack is its running
-    token offset divided by the budget).
+    token offset within its source, ordered by doc_id, divided by the
+    budget).
 
-    The running sum is windowed WITHIN each source shard (not a global
-    order), so the only shuffle is by ``source`` and packing parallelizes
-    across shards at any corpus size — the declared semantics make pack
-    assignment deterministic and oracle-checkable.
+    HIERARCHICAL running sum — a single ``Window.partitionBy("source")``
+    would hand one task ALL rows of a source (billions at 100 TB), so the
+    cumsum is two-level with identical output:
+
+    1. local cumsum within ``(source, sub_shard)`` where sub_shard =
+       ``floor(doc_id / subshard_width)`` — contiguous doc_id ranges, so
+       each task owns at most ``subshard_width`` rows;
+    2. per-sub-shard token totals (one row per sub-shard — metadata-sized)
+       get their own tiny per-source cumsum, and the resulting offsets are
+       broadcast-joined back.
+
+    ``cum_tokens`` = local cumsum + sub-shard offset equals the flat
+    per-source running sum exactly, so pack ids are unchanged and the
+    oracle stays a plain window. Size ``subshard_width`` so the offsets
+    table stays driver-broadcastable (e.g. 2^20 at petabyte scale: 10^10
+    docs → ~10k offset rows); the small default exercises the hierarchy at
+    test scale.
     """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_toks())
-    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(subshard_width)).alias("_sub"),
+    )
+    w_local = Window.partitionBy("source", "_sub").orderBy(F.asc("doc_id"))
+    local = base.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    totals = local.groupBy("source", "_sub").agg(F.sum("n_tokens").alias("_sub_total"))
+    w_shard = Window.partitionBy("source").orderBy(F.asc("_sub"))
+    offsets = totals.withColumn(
+        "_offset", F.sum("_sub_total").over(w_shard) - F.col("_sub_total")
+    ).select("source", "_sub", "_offset")
     return (
-        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offsets), ["source", "_sub"])
+        .withColumn("cum_tokens", F.col("_local_cum") + F.col("_offset"))
         .withColumn(
             "pack_id",
             F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("long"),
         )
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "pack_id")
     )
 
 

@@ -101,6 +101,40 @@ def test_window_suite_single_shuffle(spark, sf_smoke):
     assert physical_plan(df).count("Window") >= 1
 
 
+def test_pack_documents_hierarchical_plan(spark, sf_smoke):
+    """Sequence packing must never hand one task a whole source: the bulk
+    window partitions by (source, sub-shard); only the metadata-sized
+    offset table gets a per-source window; offsets come back via broadcast.
+    And the two-level cumsum must equal the flat per-source running sum."""
+    from pyspark.sql.window import Window
+
+    from caffeonspark_spark.operators import textops as TX
+
+    df = TX.pack_documents(spark, sf_smoke, subshard_width=32)
+    plan = physical_plan(df)
+    # the row-scale window is keyed by (source, _sub)
+    assert "_sub" in plan and plan.count("Window") >= 2
+    assert has_broadcast_join(df)
+
+    # semantics: identical to the flat single-window form
+    from caffeonspark_spark.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")))
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    flat = (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(512)).cast("long"),
+        )
+    )
+    got = {r["doc_id"]: (r["cum_tokens"], r["pack_id"]) for r in df.collect()}
+    expect = {r["doc_id"]: (r["cum_tokens"], r["pack_id"]) for r in flat.collect()}
+    assert got == expect
+
+
 def test_range_join_broadcasts_bands(spark, sf_smoke):
     """The 5-row band table must broadcast (nested-loop on ranges); the
     orders side must not exchange before the join."""

@@ -14,10 +14,12 @@ Reference parity (SURVEY.md §1):
   (``FloatDataTransformer.java:15-36``): scale, mean-subtract, crop, mirror —
   plus resize (``Mat.resize``, ``Mat.java:72-76``) as a real NumPy
   nearest-neighbour implementation (no OpenCV in this container).
-* Encoded-image decode (``Mat.decode``, ``Mat.java:58-63``) needs an image
-  codec; the container has none, so it is STUBbed behind
-  ``NotImplementedError`` with a deterministic fake used by tests — the
-  Spark-side plumbing (schema, batching, UDF signatures) is real.
+* Encoded-image decode (``Mat.decode``, ``Mat.java:58-63``) resolves a real
+  codec by import-try — Pillow first, OpenCV second (both emitting the
+  reference's BGR order for 3-channel) — and falls back to the
+  deterministic ``fake_decode`` when neither is installed (this container
+  ships neither; the Spark-side plumbing — schema, batching, UDF
+  signatures — is real and codec-agnostic either way).
 
 Everything here is NumPy-on-Arrow-batches: these functions run inside
 ``mapInArrow`` workers, never per-row Python.
@@ -104,18 +106,72 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 
 # --- NumPy transforms (run inside Arrow batch workers) --------------------
 
-def decode_image(data: bytes, channels: int) -> np.ndarray:
-    """Decode encoded (JPEG/PNG) bytes → HWC uint8 array.
+def _resolve_codec():
+    """Import-try codec resolution: Pillow, then OpenCV, else None (the
+    deterministic fake covers tests). Returns (decode_fn, codec_name).
 
-    STUB: no image codec ships in this container. The deterministic fake
-    below (``fake_decode``) stands in for tests; production wires Pillow or
-    cv2 here — the callers (batch assembly) are codec-agnostic.
-    Reference: ``Mat.decode`` → OpenCV imdecode (``Mat.java:58-63``).
+    Both paths reproduce ``Mat.decode`` semantics (``Mat.java:58-63``:
+    OpenCV imdecode with grayscale/color/unchanged flags by channel count)
+    including OpenCV's BGR channel order for 3-channel output, so pixel
+    tensors are codec-independent.
     """
-    raise NotImplementedError(
-        "no image codec in this environment; use fake_decode for tests or "
-        "wire Pillow/cv2 in production"
-    )
+    try:
+        import io
+
+        from PIL import Image
+
+        def _pil_decode(data: bytes, channels: int) -> np.ndarray:
+            img = Image.open(io.BytesIO(data))
+            img = img.convert({1: "L", 3: "RGB", 4: "RGBA"}.get(channels, "RGB"))
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            if channels == 3:
+                arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode/OpenCV parity)
+            return np.ascontiguousarray(arr)
+
+        return _pil_decode, "pillow"
+    except ImportError:
+        pass
+    try:
+        import cv2
+
+        def _cv2_decode(data: bytes, channels: int) -> np.ndarray:
+            flags = (
+                cv2.IMREAD_GRAYSCALE
+                if channels == 1
+                else cv2.IMREAD_UNCHANGED if channels == 4 else cv2.IMREAD_COLOR
+            )
+            arr = cv2.imdecode(np.frombuffer(data, dtype=np.uint8), flags)
+            if arr is None:
+                raise ValueError("imdecode failed: not a decodable image payload")
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return np.ascontiguousarray(arr)  # already BGR
+
+        return _cv2_decode, "opencv"
+    except ImportError:
+        return None, None
+
+
+_CODEC_FN, CODEC_NAME = _resolve_codec()
+
+
+def decode_image(data: bytes, channels: int) -> np.ndarray:
+    """Decode encoded (JPEG/PNG) bytes → HWC uint8 array (BGR for 3-channel,
+    matching the reference's OpenCV ``Mat.decode``, ``Mat.java:58-63``).
+
+    Uses Pillow or OpenCV when importable (``CODEC_NAME`` says which);
+    raises otherwise — this container ships neither, so tests pin the
+    pipeline with the deterministic ``fake_decode`` and the callers (batch
+    assembly) stay codec-agnostic.
+    """
+    if _CODEC_FN is None:
+        raise NotImplementedError(
+            "no image codec in this environment (install Pillow or "
+            "opencv-python); use fake_decode for tests"
+        )
+    return _CODEC_FN(data, channels)
 
 
 def fake_decode(data: bytes, channels: int, height: int = 8, width: int = 8) -> np.ndarray:
@@ -184,20 +240,28 @@ def image_sample_to_tensor(
     encoded: bool = False,
     height: int | None = None,
     width: int | None = None,
-    decoder=fake_decode,
+    decoder=None,
 ) -> np.ndarray:
     """One image payload → transformed CHW float32 tensor per its spec.
 
     Mirrors the reference per-sample path: decode (or raw reshape) → resize
     → crop → CHW → scale/mean/mirror (``ImageDataSource.scala:126-163``,
     ``DataFrameSource.scala:135-176``).
+
+    ``decoder=None`` uses the real codec when one is importable (Pillow /
+    OpenCV — set ``out_height``/``out_width`` on the spec then, since real
+    images vary in size and batches must stack), falling back to the
+    deterministic ``fake_decode``; pass a callable to override.
     """
     h = height or spec.height
     w = width or spec.width
     if encoded:
-        hwc = decoder(data, spec.channels) if decoder is not fake_decode else fake_decode(
-            data, spec.channels, h or 8, w or 8
-        )
+        if decoder is not None:
+            hwc = decoder(data, spec.channels)
+        elif _CODEC_FN is not None:
+            hwc = decode_image(data, spec.channels)
+        else:
+            hwc = fake_decode(data, spec.channels, h or 8, w or 8)
     else:
         hwc = raw_to_hwc(data, spec.channels, h, w)
     if spec.out_height and spec.out_width:

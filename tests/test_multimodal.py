@@ -133,6 +133,57 @@ def test_fake_decode_deterministic():
     assert a.shape == (8, 8, 3)
 
 
+_REF_JPEG = "/root/reference/data/images/cat1.jpg"
+
+
+def _has_codec() -> bool:
+    from caffeonspark_spark.multimodal.columns import CODEC_NAME
+
+    return CODEC_NAME is not None
+
+
+def test_decode_image_codec_seam():
+    """Without a codec installed, decode_image raises the documented error;
+    with one, it decodes a real JPEG to HWC uint8 (Mat.decode parity)."""
+    import os
+
+    from caffeonspark_spark.multimodal.columns import decode_image
+
+    if not _has_codec():
+        with pytest.raises(NotImplementedError, match="image codec"):
+            decode_image(b"\xff\xd8\xff", 3)
+        return
+    with open(_REF_JPEG, "rb") as fh:
+        arr = decode_image(fh.read(), 3)
+    assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+    assert arr.shape[0] > 10 and arr.shape[1] > 10
+    assert os.path.exists(_REF_JPEG)
+
+
+@pytest.mark.skipif(
+    not _has_codec(), reason="no image codec (Pillow/OpenCV) in this container"
+)
+def test_real_jpeg_through_batch_assembly(spark):
+    """Reference JPEG fixtures (data/images) through encoded-image batch
+    assembly with a real codec: decode → resize → NCHW stack."""
+    import glob
+
+    paths = sorted(glob.glob("/root/reference/data/images/*.jpg"))[:4]
+    rows = []
+    for i, p in enumerate(paths):
+        with open(p, "rb") as fh:
+            rows.append((f"img{i}", bytearray(fh.read())))
+    df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, out_height=16, out_width=16
+    )
+    out = assemble_batches(df, [spec], batch_size=4).collect()
+    assert out[0]["data_shape"] == [len(paths), 3, 16, 16]
+    flat = np.asarray(out[0]["data"], dtype=np.float32)
+    # real pixels, not a constant fill
+    assert flat.std() > 1.0
+
+
 # --- audio/video modality (av.py) -----------------------------------------
 
 @pytest.fixture(scope="module")

@@ -53,9 +53,15 @@ def features(
 
     One ``mapInArrow`` pass: assemble a batch, call ``model_fn`` on the
     ``{column: (N, ...) ndarray}`` dict, emit one row per sample. The model
-    must return ``{blob: (N, k) ndarray}``. No shuffle; linear scan.
+    must return ``{blob: (N, k) ndarray}``. No shuffle; linear scan. The
+    loop is columnar both ways: zero-copy chunk slicing and vectorized
+    Arrow→NumPy in, flat-buffer ListArrays out — no per-row Python.
     """
-    from caffeonspark_spark.multimodal.batch import _column_tensor
+    from caffeonspark_spark.multimodal.batch import (
+        _column_tensor_arrow,
+        _list_array_from_matrix,
+        iter_batch_chunks,
+    )
 
     out_schema = ", ".join(
         ["SampleID string"] + [f"{b} array<float>" for b in output_blobs]
@@ -63,31 +69,19 @@ def features(
     spec_list = list(specs)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        carry: list[dict] = []
-
-        def emit(rows: list[dict]) -> pa.RecordBatch:
+        for chunk in iter_batch_chunks(batches, batch_size):
             inputs = {
-                s.name: _column_tensor([r[s.name] for r in rows], s, {}) for s in spec_list
+                s.name: _column_tensor_arrow(chunk.column(s.name), s) for s in spec_list
             }
             outputs = model_fn(inputs)
-            n = len(rows)
-            arrays = [pa.array([str(r[id_col]) for r in rows], type=pa.string())]
+            n = chunk.num_rows
+            arrays = [chunk.column(id_col).combine_chunks().cast(pa.string())]
             names = ["SampleID"]
             for b in output_blobs:
                 blob = np.asarray(outputs[b], dtype=np.float32).reshape(n, -1)
-                arrays.append(
-                    pa.array([blob[i] for i in range(n)], type=pa.list_(pa.float32()))
-                )
+                arrays.append(_list_array_from_matrix(blob, pa.float32()))
                 names.append(b)
-            return pa.RecordBatch.from_arrays(arrays, names=names)
-
-        for rb in batches:
-            carry.extend(rb.to_pylist())
-            while len(carry) >= batch_size:
-                chunk, carry = carry[:batch_size], carry[batch_size:]
-                yield emit(chunk)
-        if carry:
-            yield emit(carry)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(run, out_schema)
 
@@ -164,7 +158,10 @@ def train(
     Implementation: ``mapInArrow`` emitting one summary row per partition,
     collected per epoch (tiny: #partitions rows).
     """
-    from caffeonspark_spark.multimodal.batch import _column_tensor
+    from caffeonspark_spark.multimodal.batch import (
+        _column_tensor_arrow,
+        iter_batch_chunks,
+    )
 
     state = dict(init_state or {})
     spec_list = list(specs)
@@ -172,24 +169,14 @@ def train(
 
     def run_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         local_state = dict(state)
-        carry: list[dict] = []
         n_batches = 0
 
-        def feed(rows: list[dict]):
-            nonlocal n_batches
+        for chunk in iter_batch_chunks(batches, batch):
             inputs = {
-                s.name: _column_tensor([r[s.name] for r in rows], s, {}) for s in spec_list
+                s.name: _column_tensor_arrow(chunk.column(s.name), s) for s in spec_list
             }
             local_state.update(trainer(inputs, local_state) or {})
             n_batches += 1
-
-        for rb in batches:
-            carry.extend(rb.to_pylist())
-            while len(carry) >= batch:
-                chunk, carry = carry[:batch], carry[batch:]
-                feed(chunk)
-        if carry:
-            feed(carry)
         import json
 
         payload = json.dumps(

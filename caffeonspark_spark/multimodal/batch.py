@@ -48,6 +48,72 @@ def _batch_schema(specs: list[ColumnSpec]) -> str:
     return ", ".join(cols)
 
 
+def iter_batch_chunks(
+    batches: Iterator[pa.RecordBatch], batch_size: int
+) -> Iterator[pa.Table]:
+    """Regroup an Arrow batch stream into tables of exactly ``batch_size``
+    rows (last one partial) using zero-copy ``slice`` — no Python rows, no
+    copies; Arrow's reference counting carries the buffers through."""
+    buf: list[pa.RecordBatch] = []
+    n = 0
+    for rb in batches:
+        while rb.num_rows > 0:
+            take = min(batch_size - n, rb.num_rows)
+            buf.append(rb.slice(0, take))
+            n += take
+            rb = rb.slice(take)
+            if n == batch_size:
+                yield pa.Table.from_batches(buf)
+                buf, n = [], 0
+    if n:
+        yield pa.Table.from_batches(buf)
+
+
+def _list_array_from_matrix(mat: np.ndarray, arrow_type) -> pa.ListArray:
+    """(N, k) ndarray → Arrow list column of N rows, built from the flat
+    values buffer + arithmetic offsets (no per-row Python lists)."""
+    n, k = mat.shape
+    values = pa.array(mat.ravel(), type=arrow_type)
+    offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+def _column_tensor_arrow(col: pa.ChunkedArray | pa.Array, spec: ColumnSpec) -> np.ndarray:
+    """Arrow column → (N, *shape) float32 tensor, staying columnar for the
+    hot dtypes: scalars cast/convert via Arrow C++ and one NumPy astype;
+    fixed-length list columns reshape the flat values buffer. Image dtypes
+    decode per sample by necessity and fall back to the value-list path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if spec.dtype == "string":
+        # .toFloat parse of STRING tops, vectorized through an Arrow cast
+        return (
+            col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            .astype(np.float32).reshape(-1, 1)
+        )
+    if spec.dtype in ("int", "float"):
+        return (
+            col.to_numpy(zero_copy_only=False).astype(np.float32).reshape(-1, 1)
+        )
+    if spec.dtype in ("int_array", "float_array"):
+        n = len(col)
+        lens = np.diff(col.offsets.to_numpy())
+        if lens.size and (lens != lens[0]).any():
+            raise ValueError(
+                f"column {spec.name!r}: array rows must be fixed-length "
+                f"(got lengths {sorted(set(lens.tolist()))[:5]})"
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+        if n == 0:
+            return flat.reshape(0, 0)
+        mat = flat.reshape(n, int(lens[0]))
+        if spec.transpose:
+            mat = np.ascontiguousarray(mat.T)
+        return mat
+    # image dtypes: per-sample decode, unavoidable row loop over payloads
+    return _column_tensor(col.to_pylist(), spec, {})
+
+
 def _column_tensor(values, spec: ColumnSpec, aux: dict) -> np.ndarray:
     """Stack one declared column's python values into an (N, *shape) array."""
     if spec.dtype == "string":
@@ -100,30 +166,30 @@ def assemble_batches(
     spec_list = list(specs)
 
     def assemble(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        carry: list[dict] = []  # row dicts pending batch completion
-
-        def emit(rows: list[dict]) -> pa.RecordBatch:
-            # Arrow types must match the declared Spark schema exactly
-            # (list<float32> / list<int32>), so build arrays with explicit types
-            arrays = [pa.array([[str(r[id_col]) for r in rows]], type=pa.list_(pa.string()))]
+        # columnar end to end: zero-copy chunk slicing, Arrow-cast ids,
+        # vectorized column→tensor, list columns built from flat buffers —
+        # the only per-row Python left is image payload decode
+        for chunk in iter_batch_chunks(batches, batch_size):
+            ids = chunk.column(id_col).combine_chunks().cast(pa.string())
+            arrays = [
+                pa.ListArray.from_arrays(
+                    pa.array([0, len(ids)], type=pa.int32()), ids
+                )
+            ]
             names = ["sample_ids"]
             for spec in spec_list:
-                tensor = _column_tensor([r[spec.name] for r in rows], spec, {})
+                tensor = _column_tensor_arrow(chunk.column(spec.name), spec)
+                flat = tensor.ravel().astype(np.float32, copy=False)
                 arrays.append(
-                    pa.array([tensor.ravel().astype(np.float32)], type=pa.list_(pa.float32()))
+                    pa.ListArray.from_arrays(
+                        pa.array([0, flat.size], type=pa.int32()),
+                        pa.array(flat, type=pa.float32()),
+                    )
                 )
                 names.append(spec.name)
                 arrays.append(pa.array([list(tensor.shape)], type=pa.list_(pa.int32())))
                 names.append(f"{spec.name}_shape")
-            return pa.RecordBatch.from_arrays(arrays, names=names)
-
-        for rb in batches:
-            carry.extend(rb.to_pylist())
-            while len(carry) >= batch_size:
-                chunk, carry = carry[:batch_size], carry[batch_size:]
-                yield emit(chunk)
-        if carry:
-            yield emit(carry)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(assemble, out_schema)
 

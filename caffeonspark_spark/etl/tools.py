@@ -201,6 +201,122 @@ def binary_to_dataframe(
     )
 
 
+# --- E5: COCO dataset converter (composed tool) ---------------------------
+
+def coco_to_image_caption(spark: SparkSession, json_path: str) -> DataFrame:
+    """COCO annotation JSON → per-caption DataFrame
+    ``(id, height, width, file, url, caption)`` — the rebuild of
+    ``Conversions.Coco2ImageCaptionFile`` (``Conversions.scala:31-87``):
+    explode ``images`` and ``annotations``, join on ``image_id``, one row
+    per caption id. Without an ``annotations`` field, returns images only
+    (``coco_url`` instead of ``flickr_url``), like the reference.
+    """
+    df = spark.read.option("multiLine", "true").json(json_path)
+    has_ann = "annotations" in df.columns
+    url_col = "flickr_url" if has_ann else "coco_url"
+    images = df.select(F.explode("images").alias("img")).select(
+        F.col("img.id").alias("image_id"),
+        F.col("img.height").cast("int").alias("height"),
+        F.col("img.width").cast("int").alias("width"),
+        F.col("img.file_name").alias("file"),
+        F.col(f"img.{url_col}").alias("url"),
+    )
+    if not has_ann:
+        return images.withColumnRenamed("image_id", "id")
+    captions = df.select(F.explode("annotations").alias("a")).select(
+        F.col("a.image_id").alias("image_id"),
+        F.col("a.id").alias("id"),
+        F.col("a.caption").alias("caption"),
+    )
+    return images.join(captions, "image_id").select(
+        "id", "height", "width", "file", "url", "caption"
+    )
+
+
+def _image_payloads(spark: SparkSession, image_root: str) -> DataFrame:
+    """binaryFile scan of the image root → (file, image bytes) — the S8
+    whole-file ingest standing in for the reference's per-row
+    ``image2innerRow`` FS loop (``Conversions.scala:94-105``)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(image_root)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            F.col("content").alias("image"),
+        )
+    )
+
+
+def _with_image_struct(df: DataFrame, payloads: DataFrame) -> DataFrame:
+    """Attach the nested ``data: {height, width, image}`` struct
+    (INNER_DATA_FIELD_SCHEMA, ``Conversions.scala:89-92``) + ``label = 0``."""
+    return df.join(F.broadcast(payloads), "file").withColumn(
+        "data",
+        F.struct(
+            F.col("height").alias("height"),
+            F.col("width").alias("width"),
+            F.col("image").alias("image"),
+        ),
+    ).withColumn("label", F.lit(0).cast("int"))
+
+
+def image_to_embedding(image_root: str, image_caption_df: DataFrame) -> DataFrame:
+    """``Image2Embedding`` (``Conversions.scala:107-144``): images only →
+    ``(id string, data struct, label int)``."""
+    payloads = _image_payloads(image_caption_df.sparkSession, image_root)
+    return _with_image_struct(image_caption_df, payloads).select(
+        F.col("id").cast("string").alias("id"), "data", "label"
+    )
+
+
+def image_caption_to_embedding(
+    image_root: str, image_caption_df: DataFrame, vocab: Vocab, caption_length: int
+) -> DataFrame:
+    """``ImageCaption2Embedding`` (``Conversions.scala:148-207``): caption
+    rows + image payloads → ``(id string, data struct, label int,
+    input/cont/target_sentence array<int>)`` with the exact sentinel
+    layout of F2 (START=0 prefix, UNK=1, pad=-1)."""
+    enc = caption_to_embedding(
+        image_caption_df, vocab, caption_length, id_col="id", caption_col="caption"
+    )
+    payloads = _image_payloads(image_caption_df.sparkSession, image_root)
+    base = _with_image_struct(image_caption_df, payloads)
+    return base.join(enc, "id").select(
+        F.col("id").cast("string").alias("id"),
+        "data",
+        "label",
+        "input_sentence",
+        "cont_sentence",
+        "target_sentence",
+    )
+
+
+def coco_convert(
+    spark: SparkSession,
+    caption_file: str,
+    image_root: str,
+    caption_length: int = 10,
+    vocab_size: int = -1,
+    vocab_path: str | None = None,
+) -> tuple[DataFrame, Vocab | None, DataFrame]:
+    """E5 composed tool (``CocoDataSetConverter.scala:14-49``): COCO JSON +
+    image dir → caption DataFrame, ranked vocab (generated, optionally
+    saved+reloaded like the reference's HDFS round trip), and the embedding
+    DataFrame. Returns ``(image_caption_df, vocab, embedding_df)``; write
+    the frames with ``df.write.format(...)`` as the CLI did."""
+    df_ic = coco_to_image_caption(spark, caption_file)
+    if "caption" in df_ic.columns:
+        vocab = Vocab(spark).gen_from_data(df_ic, "caption", vocab_size)
+        if vocab_path is not None:
+            vocab.save(vocab_path)
+            vocab = Vocab(spark).load(vocab_path)
+        return df_ic, vocab, image_caption_to_embedding(
+            image_root, df_ic, vocab, caption_length
+        )
+    return df_ic, None, image_to_embedding(image_root, df_ic)
+
+
 def caption_encode_docs(spark: SparkSession, sf_dir: str, caption_length: int = 12,
                         vocab_size: int = 30) -> DataFrame:
     """Declared query: build a ranked vocab over documents.text and encode

@@ -60,6 +60,16 @@ def sentence_to_words(col: Column | str) -> Column:
     return F.filter(trimmed, lambda t: (t != F.lit("")) & (t != F.lit(".")))
 
 
+def sentence_to_words_py(sentence: str) -> list[str]:
+    """Driver-side twin of ``sentence_to_words`` (same token stream), for
+    tests and small driver-side comparisons — NOT a UDF."""
+    import re
+
+    runs = re.findall(r"([a-z0-9_]+|[^a-z0-9_\s]+)", sentence.lower())
+    toks = [t.strip() for t in runs]
+    return [t for t in toks if t and t != "."]
+
+
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """Word n-grams from a token-array column, as an array of joined strings.
 

@@ -100,6 +100,54 @@ def test_decode_roundtrip(spark, caption_df, vocab):
         assert decoded[cid] == caption  # captions are lowercase already
 
 
+def test_coco_converter_roundtrip(spark, tmp_path):
+    """E5 composed tool vs the reference CocoTest (``ToolTest.scala:84-134``):
+    COCO JSON + real JPEGs → caption DF → vocab (save/load) → embedding DF;
+    decode(input_sentence) and decode(target_sentence) reproduce the source
+    captions up to captionLength-1."""
+    import os
+
+    from caffeonspark_spark.etl.tools import coco_convert
+    from caffeonspark_spark.functions.text import sentence_to_words_py
+
+    root = "/root/reference/caffe-grid/src/test/resources"
+    caption_length = 10
+    df_ic, vocab, emb = coco_convert(
+        spark,
+        f"{root}/coco.json",
+        root,
+        caption_length=caption_length,
+        vocab_size=23,
+        vocab_path=str(tmp_path / "vocab"),
+    )
+    rows = {r["id"]: r for r in df_ic.collect()}
+    assert len(rows) == 2 and rows[3]["file"] == "COCO_train2014_000000057870.jpg"
+
+    w2i = vocab.word2index()
+    assert len(w2i) > 10
+    assert w2i["butterfly"] > 1  # Vocab.VALID_TOKEN_INDEX
+
+    erows = {r["id"]: r for r in emb.collect()}
+    assert set(erows) == {"2", "3"}
+    for r in erows.values():
+        # real image payloads, matching the on-disk file size (ToolTest:75-82)
+        fname = [v["file"] for v in rows.values() if str(v["id"]) == r["id"]][0]
+        assert len(bytes(r["data"]["image"])) == os.path.getsize(f"{root}/{fname}")
+        assert r["label"] == 0
+        assert len(r["input_sentence"]) == caption_length
+        assert r["input_sentence"][0] == START_END_ID
+
+    for col in ("input_sentence", "target_sentence"):
+        dec = {
+            r["id"]: r["caption"]
+            for r in embedding_to_caption(emb, vocab, embedding_col=col).collect()
+        }
+        for cid, row in rows.items():
+            words = sentence_to_words_py(row["caption"])
+            cutoff = min(len(words), caption_length - 1)
+            assert sentence_to_words_py(dec[str(cid)]) == words[:cutoff], (col, cid)
+
+
 def test_binary_to_dataframe(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("imgs")
     (d / "img0.bin").write_bytes(b"\x01\x02")

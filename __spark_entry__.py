@@ -325,11 +325,12 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_topk: approximate (LSH-bucketed) — rows-only check by design
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
+        "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,
-        # dedup_fingerprint / minhash_lsh_pairs / simhash_buckets use
-        # Spark-native xxhash64 → rows-only check; unit tests pin semantics
+        # minhash_lsh_pairs / simhash_buckets use Spark-native xxhash64 →
+        # rows-only check; unit tests pin semantics
         # --- text analysis ---
         "text_quality": TX.ORACLE_DOC_QUALITY,
         "text_lang_id": TX.ORACLE_DOC_LANG_ID,

@@ -161,6 +161,44 @@ _FP_BASE = 1000003
 _FP_MOD = (1 << 31) - 1
 
 
+# portable polynomial constants: acc < 2^31, so acc*BASE stays < 2^51 —
+# no overflow in either engine's 64-bit integer math
+_FP_MOD_P = (1 << 31) - 1
+_FP_CHAR_BASE = 31
+_FP_TOKEN_BASE = 1000003
+
+
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable token hash: fold (acc*31 + charcode) mod 2^31-1 over
+    the token's characters — the same arithmetic is plain SQL in DuckDB
+    (list_reduce over ascii codes), so fingerprints hash-match across
+    engines. Slower than xxhash64 (per-char fold); used by the
+    oracle-checked declared query, not the production default."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(_FP_CHAR_BASE) + x, F.lit(_FP_MOD_P)),
+    )
+
+
+def doc_fingerprint_portable(col: Column | str) -> Column:
+    """Order-sensitive rolling fingerprint with the portable token hash:
+    fp = fold (fp*1000003 + token_hash) mod 2^31-1 over the token stream.
+    Same polynomial structure as ``doc_fingerprint`` with xxhash64 swapped
+    for cross-engine arithmetic — whitespace-normalization semantics are
+    identical."""
+    th = F.transform(tokenize(col), portable_token_hash)
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(_FP_TOKEN_BASE) + x, F.lit(_FP_MOD_P)),
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over the
     token stream, each token first reduced with Spark's ``xxhash64``.

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from caffeonspark_spark.catalog import load_table
 from caffeonspark_spark.engine import scale_out
-from caffeonspark_spark.functions.text import doc_fingerprint, ngrams
+from caffeonspark_spark.functions.text import (
+    doc_fingerprint,  # noqa: F401 — production (xxhash64) fingerprint API
+    doc_fingerprint_portable,
+    ngrams,
+)
 
 # MinHash parameters: 64 hashes in 16 bands of 4 (standard banding math:
 # candidate threshold ≈ (1/16)^(1/4) ≈ 0.5 Jaccard)
@@ -68,14 +72,44 @@ ORACLE_DEDUP_EXACT = """
 def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint dedup (whitespace-normalized exact dupes).
 
-    Spark-native xxhash64 inside → rows-only driver check; semantics pinned
-    by tests/test_dedup.py with planted reformatted duplicates.
+    The declared query uses the PORTABLE polynomial fingerprint
+    (``doc_fingerprint_portable``: char-code folds, same arithmetic in
+    DuckDB) so the driver hash-checks it end to end; the production default
+    ``doc_fingerprint`` keeps xxhash64 token hashing (JVM-fast, same
+    whitespace-normalized semantics, pinned equal-shape by unit tests).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(F.col("doc_id"), doc_fingerprint(F.col("text")).alias("fp"))
+    fp = docs.select(F.col("doc_id"), doc_fingerprint_portable(F.col("text")).alias("fp"))
     return fp.groupBy("fp").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     ).select("keep_id", "n_copies", "fp")
+
+
+ORACLE_DEDUP_FINGERPRINT = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               list_transform(ts, t ->
+                   list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(ascii(t[i]) AS BIGINT)),
+                       (a, x) -> (a * 31 + x) % 2147483647)) AS hs
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id,
+               list_reduce([CAST(0 AS BIGINT)] || hs,
+                           (a, x) -> (a * 1000003 + x) % 2147483647) AS fp
+        FROM th
+    )
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, fp
+    FROM fps GROUP BY fp
+"""
 
 
 # --- 3. shingle Jaccard --------------------------------------------------

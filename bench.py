@@ -50,6 +50,14 @@ BENCH_QUERIES = {
     "q3_shipping_priority": R.shipping_priority,
     "q18_large_volume": R.large_volume_customers,
     "q_decontaminate": D.decontaminate,
+    # r2 additions: clean_corpus stages individually + packing/ranking ops
+    "q_quality_filter": TX.quality_filter,
+    "q_dedup_exact": D.dedup_exact_docs,
+    "q_dedup_fingerprint": D.dedup_fingerprint_docs,
+    "q_bm25": TX.bm25_rank,
+    "q_pack_documents": TX.pack_documents,
+    "q_repetition_stats": TX.repetition_stats,
+    "q_ngram_jaccard_pruned": D.ngram_jaccard_pruned,
 }
 
 

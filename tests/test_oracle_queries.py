@@ -196,8 +196,8 @@ def test_range_window_subsecond_precision(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    "SPARK_GRAFT_SF01_CHECK" not in __import__("os").environ,
-    reason="10x-scale oracle sweep is opt-in (SPARK_GRAFT_SF01_CHECK=1)",
+    "SPARK_GRAFT_SKIP_SF01" in __import__("os").environ,
+    reason="10x-scale oracle sweep disabled (SPARK_GRAFT_SKIP_SF01 set)",
 )
 @pytest.mark.parametrize(
     "name",

@@ -125,7 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": R.dormant_customers,
         "right_outer_join": R.right_outer_join,
         "null_safe_join": R.null_safe_join,
-        "list_agg_sorted": R.list_agg_sorted,
+        "list_agg_sorted": R.list_agg_sorted_query,
         "approx_distinct": R.approx_distinct,
         "ann_ivf_topk": S.ann_ivf_topk_query0,
         "bpe_token_stats": TX.bpe_token_stats,
@@ -148,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_filtered_ann": S.hybrid_filtered_topk,
         "correlation_agg": R.correlation_agg,
         "histogram_prices": R.histogram_prices,
-        "quantize_embeddings": V.quantize_embeddings,
+        "quantize_embeddings": V.quantize_embeddings_query,
         "profile_orders": R.profile_orders,
         "pq_topk": S.pq_topk_query0,
         "approx_percentile_agg": R.approx_percentile_agg,
@@ -388,10 +388,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM orders GROUP BY 1
         """,
+        # declared form joins the code array into a string so the driver's
+        # pandas canonicalizer never sees a list cell (r01 batch_assembly
+        # lesson); the array API is quantize_embeddings itself.
         "quantize_embeddings": """
             SELECT vec_id, scale,
-                   list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS codes,
+                   array_to_string(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)),
+                       ',') AS codes_cat,
+                   len(embedding) AS n_codes,
                    list_max(list_transform(embedding,
                        x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
                                 - CAST(x AS DOUBLE)))) AS max_err
@@ -647,9 +652,11 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
             GROUP BY c_nationkey
         """,
+        # declared form emits the sorted list as a '|'-joined string (no
+        # list cells for the driver canonicalizer); array API: list_agg_sorted.
         "list_agg_sorted": """
             SELECT CAST(s_nationkey AS INT) AS nationkey,
-                   list(s_name ORDER BY s_name) AS names,
+                   string_agg(s_name, '|' ORDER BY s_name) AS names_cat,
                    COUNT(*) AS n
             FROM supplier GROUP BY s_nationkey
         """,

@@ -524,6 +524,19 @@ def list_agg_sorted(spark, sf_dir) -> DataFrame:
     )
 
 
+def list_agg_sorted_query(spark, sf_dir) -> DataFrame:
+    """Declared form of list_agg_sorted: the sorted name array is emitted as
+    a '|'-joined string so the driver's pandas canonicalizer (which cannot
+    factorize list cells) and the DuckDB string_agg oracle both apply.
+    API users call list_agg_sorted for the real array column."""
+    out = list_agg_sorted(spark, sf_dir)
+    return out.select(
+        "nationkey",
+        F.array_join("names", "|").alias("names_cat"),
+        "n",
+    )
+
+
 def approx_distinct(spark, sf_dir) -> DataFrame:
     """HyperLogLog++ approximate distinct counts (rows-only check; the
     ±5%-of-exact envelope is pinned by a unit test). At 100 TB this replaces

@@ -144,3 +144,20 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(dequant).alias("max_err"),
         )
     )
+
+
+def quantize_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared form of quantize_embeddings: the int8 code array is emitted
+    as a ','-joined string plus its element count, so the driver's pandas
+    canonicalizer (no list cells) and the DuckDB array_to_string oracle both
+    apply. API users call quantize_embeddings for the real array column."""
+    out = quantize_embeddings(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_cat"
+        ),
+        F.size("codes").alias("n_codes"),
+        "max_err",
+    )

@@ -35,6 +35,21 @@ def test_all_queries_run(spark, sf_smoke):
         df.limit(5).collect()
 
 
+def test_declared_queries_are_canonicalizable(spark, sf_smoke):
+    """The driver's pandas canonicalizer sort_values every column — a list
+    or map cell raises TypeError (the r01 batch_assembly failure). Guard:
+    no declared query may expose complex-typed top-level columns; operators
+    returning arrays get a *_query scalar-projection declared form instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in QUERIES.items():
+        for field in fn(spark, sf_smoke).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"driver-uncanonicalizable columns: {bad}"
+
+
 def test_entry_smoke(spark):
     df = _entry.entry(spark)
     rows = df.collect()

@@ -1,0 +1,71 @@
+"""Driver-rehearsal: run every declared query + oracle as the round gate does.
+
+Two checks per query:
+1. the driver's pandas sort_values canonicalization must not crash
+   (it raises TypeError on list-typed cells — the r01 batch_assembly bug);
+2. values must exactly match the DuckDB oracle (tests/oracle_check.compare).
+
+Usage: python tools_rehearse_driver.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import __spark_entry__ as entry
+from tests.oracle_check import compare
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from caffeonspark_spark.engine import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    results = {}
+    n_err = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        rec = {"err": None}
+        try:
+            df = fn(spark, sf_dir)
+            pdf = df.toPandas()
+            rec["spark_rows"] = len(pdf)
+            # the driver's canonicalizer: sort columns by name then rows by
+            # every column — crashes on unhashable (list) cells.
+            pdf = pdf[sorted(pdf.columns)]
+            if len(pdf):
+                pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+            if name in oracles:
+                ok, msg = compare(df, oracles[name], sf_dir)
+                rec["hash_match"] = ok
+                if not ok:
+                    rec["err"] = msg
+                    n_err += 1
+                    print(f"MISMATCH {name}: {msg[:400]}", flush=True)
+            else:
+                rec["err"] = "no_oracle"
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"
+            n_err += 1
+            print(f"ERROR {name}: {rec['err'][:400]}", flush=True)
+        results[name] = rec
+        status = (
+            "no_oracle"
+            if rec.get("err") == "no_oracle"
+            else ("ok" if rec["err"] is None else "BAD")
+        )
+        print(f"{name}: {status} rows={rec.get('spark_rows')}", flush=True)
+
+    with open("/tmp/rehearsal.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\n{len(results)} queries, {n_err} problems")
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

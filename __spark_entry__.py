@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pruned": D.ngram_jaccard_pruned,
         "decontaminate": D.decontaminate,
         "minhash_lsh_pairs": D.minhash_lsh_pairs,
+        "minhash_signatures": D.minhash_signatures_portable_query,
         "simhash_buckets": D.simhash_buckets,
         # --- text analysis ---
         "text_quality": TX.doc_quality,
@@ -140,7 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": R.salted_join_agg,
         "stratified_sample": R.stratified_sample_docs,
         "clean_corpus": D.clean_corpus,
-        "zscore_by_group": V.zscore_events_query,
+        "zscore_by_group": V.zscore_events_exact_query,
         "asof_join_tolerance": TP.asof_join_tolerance_query,
         "chunk_documents": TX.chunk_documents,
         "neardup_clusters": D.neardup_clusters,
@@ -329,8 +330,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,
-        # minhash_lsh_pairs / simhash_buckets use Spark-native xxhash64 →
-        # rows-only check; unit tests pin semantics
+        # minhash_lsh_pairs uses Spark-native xxhash64 banding → rows-only;
+        # the core MinHash math is hash-checked via minhash_signatures below
+        "minhash_signatures": D.ORACLE_MINHASH_SIGNATURES,
+        "simhash_buckets": D.ORACLE_SIMHASH,
         # --- text analysis ---
         "text_quality": TX.ORACLE_DOC_QUALITY,
         "text_lang_id": TX.ORACLE_DOC_LANG_ID,
@@ -689,7 +692,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
         """,
-        # stratified_sample: Bernoulli sampling is engine-specific -> rows-only
+        "stratified_sample": R.ORACLE_STRATIFIED_SAMPLE,
+        "zscore_by_group": V.ORACLE_ZSCORE_EXACT,
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
         # rows-only; each stage is oracle-checked or unit-tested on its own
         # neardup_clusters: iterative connected components -> rows-only;

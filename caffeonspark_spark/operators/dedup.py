@@ -33,6 +33,7 @@ from caffeonspark_spark.functions.text import (
     doc_fingerprint,  # noqa: F401 — production (xxhash64) fingerprint API
     doc_fingerprint_portable,
     ngrams,
+    portable_token_hash,
 )
 
 # MinHash parameters: 64 hashes in 16 bands of 4 (standard banding math:
@@ -275,6 +276,64 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def minhash_signatures_portable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: MinHash signatures in LONG form (doc_id, perm,
+    minhash) over the engine-portable char-fold shingle hash — this
+    hash-checks the core MinHash math (universal-hash family, per-perm min)
+    against DuckDB, which the xxhash64 production path cannot. Same
+    one-shuffle plan as ``minhash_signatures``: 64 min-aggs with map-side
+    partials keyed by doc_id, then a codegen'd posexplode."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = shingle_sets(docs)
+    base = toks.select(
+        F.col("doc_id"), portable_token_hash(F.col("shingle")).alias("th")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_coeffs())
+    ]
+    wide = base.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)])
+        ).alias("perm", "minhash"),
+    )
+
+
+def _oracle_minhash_signatures() -> str:
+    coeffs = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
+    )
+    charfold = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(range(1, length(shingle) + 1), "
+        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    th AS (SELECT doc_id, {charfold} AS th FROM sh),
+    coeffs(perm, a, b) AS (VALUES {coeffs})
+    SELECT t.doc_id, c.perm, MIN((c.a * t.th + c.b) % 2147483647) AS minhash
+    FROM th t CROSS JOIN coeffs c
+    GROUP BY t.doc_id, c.perm
+"""
+
+
+ORACLE_MINHASH_SIGNATURES = _oracle_minhash_signatures()
+
+
 def minhash_lsh_pairs_df(
     docs: DataFrame, threshold: float = 0.5, top: int = 100
 ) -> DataFrame:
@@ -352,6 +411,28 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 32
 
 
+def _simhash_agg(tf: DataFrame, h: F.Column, bits: int, id_col: str) -> DataFrame:
+    """Shared SimHash core: per-(doc, token) tf rows + a token-hash column →
+    one hash agg with ``bits`` conditional sums, then bit assembly."""
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = tf.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def _tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = df.select(F.col(id_col), F.explode(_tokens(df, text_col)).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Frequency-weighted 32-bit SimHash per document (pure SQL).
 
@@ -360,28 +441,69 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     differ in few bits (Hamming), so grouping by the hash (or by prefix
     bands) buckets candidates.
     """
-    toks = df.select(F.col(id_col), F.explode(_tokens(df, text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.xxhash64(F.col("token"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = tf.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    return _simhash_agg(
+        _tf(df, id_col, text_col), F.xxhash64(F.col("token")), SIMHASH_BITS, id_col
+    )
+
+
+# portable variant: the token hash is the cross-engine char fold, which
+# yields values < 2^31, so 31 meaningful bits
+PORTABLE_SIMHASH_BITS = 31
+
+
+def simhash_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash over the engine-portable char-fold token hash (31 bits —
+    the fold is mod 2^31-1). Same frequency-weighted bit votes as
+    ``simhash``; used by the DECLARED query so DuckDB can replicate the
+    arithmetic cell-for-cell. Production callers keep xxhash64 ``simhash``
+    (one hash op per token vs a per-char fold)."""
+    return _simhash_agg(
+        _tf(df, id_col, text_col),
+        portable_token_hash(F.col("token")),
+        PORTABLE_SIMHASH_BITS,
+        id_col,
+    )
 
 
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: per-doc simhash (rows-only check; Hamming-neighbour
-    behavior pinned by tests with planted near-duplicates)."""
+    """Declared query: per-doc simhash via the portable token hash —
+    hash-checked against the DuckDB oracle; Hamming-neighbour behavior of
+    the production (xxhash64) variant pinned by planted-near-dup tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs).orderBy("doc_id")
+    return simhash_portable(docs).orderBy("doc_id")
+
+
+def _oracle_simhash_portable(bits: int = PORTABLE_SIMHASH_BITS) -> str:
+    charfold = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(range(1, length(token) + 1), "
+        "i -> CAST(ascii(token[i]) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    th AS (SELECT doc_id, tf, {charfold} AS h FROM tf),
+    sums AS (SELECT doc_id, {sums}
+             FROM th GROUP BY doc_id)
+    SELECT doc_id, {assemble} AS simhash
+    FROM sums
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash_portable()
 
 
 # --- 6. embedding-cosine near-duplicates ---------------------------------

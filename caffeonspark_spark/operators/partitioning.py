@@ -153,6 +153,42 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions, seed)
 
 
+# LCG scramble constants (public, glibc rand): key % p keeps the product
+# below 2^62 so the arithmetic is exact in any engine's 64-bit integers
+_SAMPLE_MOD = (1 << 31) - 1
+_SAMPLE_A = 1103515245
+_SAMPLE_B = 12345
+
+
+def sample_hash(key: F.Column) -> F.Column:
+    """Engine-portable pseudo-random scramble of an integer key into
+    [0, 2^31-1): h = ((key mod p) * a + b) mod p. The basis for
+    deterministic, REPRODUCIBLE sampling — the same row is kept on every
+    engine, run, and retry (unlike Bernoulli ``sampleBy``, whose RNG is
+    engine-specific). DuckDB twin: ``((key % p) * a + b) % p``."""
+    return F.pmod(
+        F.pmod(key.cast("long"), F.lit(_SAMPLE_MOD)) * F.lit(_SAMPLE_A) + F.lit(_SAMPLE_B),
+        F.lit(_SAMPLE_MOD),
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame, stratum_col: str, fractions: dict, key_col: str
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    sample_hash(key) / p < fraction(stratum). Map-only (no shuffle, no RNG
+    state); the kept set is a stable function of the key, so reruns,
+    speculative retries, and other engines agree row-for-row — the property
+    audit pipelines need that ``sampleBy`` cannot give across engines."""
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(stratum_col) == stratum
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    frac = frac.otherwise(F.lit(0.0))
+    h = sample_hash(F.col(key_col))
+    return df.where(h < frac * F.lit(float(_SAMPLE_MOD)))
+
+
 def hot_key_salted_join(
     left: DataFrame,
     right: DataFrame,

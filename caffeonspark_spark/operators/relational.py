@@ -587,13 +587,28 @@ def salted_join_agg(spark, sf_dir) -> DataFrame:
 
 
 def stratified_sample_docs(spark, sf_dir) -> DataFrame:
-    """Deterministic per-stratum sampling of documents by lang (rows-only:
-    Bernoulli sampling is engine-specific; fractions pinned by unit test)."""
-    from caffeonspark_spark.operators.partitioning import stratified_sample
+    """Declared query: deterministic hash-threshold stratified sampling of
+    documents by lang — the reproducible training-data-mix primitive
+    (downsample the over-represented stratum, keep the rare ones). The kept
+    set is a pure function of doc_id, so it hash-matches the DuckDB oracle
+    cell-for-cell; the Bernoulli ``stratified_sample`` (sampleBy) remains
+    the API for engine-native sampling."""
+    from caffeonspark_spark.operators.partitioning import stratified_sample_hash
 
     docs = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
-    return stratified_sample(docs.select("doc_id", "lang"), "lang", fractions, seed=42)
+    return stratified_sample_hash(
+        docs.select("doc_id", "lang"), "lang", fractions, "doc_id"
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+    SELECT doc_id, lang FROM documents
+    WHERE ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                      WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0
+                      ELSE 0.0 END * 2147483647.0
+"""
 
 
 def correlation_agg(spark, sf_dir) -> DataFrame:

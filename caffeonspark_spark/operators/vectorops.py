@@ -108,11 +108,52 @@ def zscore_by_group(
 
 
 def zscore_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: per-event-type z-score of event values (rows-only:
-    float summation order differs across engines; equality vs the
-    window-function formulation is unit-tested)."""
+    """Pandas grouped-map z-score over events (unit-test twin of the exact
+    declared form below; kept as the custom-Python-operator exemplar)."""
     ev = load_table(spark, sf_dir, "events")
     return zscore_by_group(ev, "event_type", "value", "event_id")
+
+
+def zscore_events_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: per-event-type z-score from ORDER-INDEPENDENT moment
+    sums — n, Σx, Σx² accumulated decimal-exact on the 2-decimal value grid,
+    sample variance (Σx² − Σx²/n)/(n−1) finished in double. Bit-identical at
+    any parallelism, hence oracle-checkable (unlike naive SUM(double), whose
+    combine order floats). Group stats are one tiny agg broadcast back onto
+    the events — at 100 TB the fact side never shuffles for this."""
+    from caffeonspark_spark.functions.arrays import dsum
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.count("value").alias("n"),
+            dsum("value", 2).alias("sx"),
+            dsum(F.col("value") * F.col("value"), 4).alias("sxx"),
+        )
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return ev.join(stats, "event_type").select(
+        "event_id",
+        "event_type",
+        F.when((F.col("n") > 1) & (var > 0), z).otherwise(F.lit(0.0)).alias("v_norm"),
+    )
+
+
+ORACLE_ZSCORE_EXACT = """
+    WITH stats AS (
+        SELECT event_type, COUNT(value) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           CASE WHEN n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+                THEN (value - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))
+                ELSE 0.0 END AS v_norm
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+"""
 
 
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from caffeonspark_spark.operators import relational as R
+from caffeonspark_spark.operators import sampling as SA
 from caffeonspark_spark.operators import dedup as D
 from caffeonspark_spark.operators import partitioning as P
 from caffeonspark_spark.operators import similarity as S
@@ -153,6 +154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": R.profile_orders,
         "pq_topk": S.pq_topk_query0,
         "approx_percentile_agg": R.approx_percentile_agg,
+        # --- dataset composition (training-data surgery) ---
+        "split_assign": SA.split_assign_docs,
+        "source_quota_sample": SA.source_quota_docs,
+        "temperature_resample": SA.temperature_resample_docs,
+        "kmeans_assign": S.kmeans_assign_query,
+        "dup_ngram_stats": D.dup_ngram_stats_docs,
     }
 
 
@@ -694,6 +701,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stratified_sample": R.ORACLE_STRATIFIED_SAMPLE,
         "zscore_by_group": V.ORACLE_ZSCORE_EXACT,
+        "split_assign": SA.ORACLE_SPLIT_ASSIGN,
+        "source_quota_sample": SA.ORACLE_SOURCE_QUOTA,
+        "temperature_resample": SA.ORACLE_TEMPERATURE_RESAMPLE,
+        "kmeans_assign": S.ORACLE_KMEANS_ASSIGN,
+        "dup_ngram_stats": D.ORACLE_DUP_NGRAM_STATS,
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
         # rows-only; each stage is oracle-checked or unit-tested on its own
         # neardup_clusters: iterative connected components -> rows-only;

@@ -239,6 +239,67 @@ ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard(1000)
 ORACLE_NGRAM_JACCARD_PRUNED = _oracle_ngram_jaccard(5)
 
 
+def dup_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document duplicated-passage signal (the aggregate form of
+    substring dedup a la Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): the fraction of a doc's distinct n-gram
+    shingles that also occur in at least one OTHER document. Docs with high
+    ``dup_ratio`` are boilerplate/templated content even when no single
+    full-document duplicate exists — the filter axis exact and MinHash
+    dedup both miss.
+
+    Plan: shingle explode → document-frequency hash agg keyed by shingle →
+    one equi-join back → per-doc agg. No pair join anywhere, so cost is
+    linear in corpus shingles (at 100 TB, hash the shingle to an 8-byte key
+    first — ``xxhash64(shingle)`` — to shrink the shuffle; string shingles
+    kept here for oracle parity)."""
+    sh = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    joined = sh.join(dfreq, "shingle")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_shingles")).alias("dup_ratio"),
+        )
+    )
+
+
+def dup_ngram_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: duplicated 3-gram ratio per document."""
+    return dup_ngram_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_DUP_NGRAM_STATS = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS dfr FROM sh GROUP BY shingle)
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS n_dup,
+           CAST(SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_ratio
+    FROM sh s JOIN dfreq USING (shingle)
+    GROUP BY s.doc_id
+"""
+
+
 # --- 4. MinHash + LSH ----------------------------------------------------
 
 def _perm_coeffs(n: int = MINHASH_PERMS, seed: int = 7):

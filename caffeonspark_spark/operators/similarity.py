@@ -483,3 +483,76 @@ def pq_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     book = train_pq_codebook(emb)
     return pq_topk(emb, emb.where(F.col("vec_id") == 0), book, k=10)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (the Lloyd's-iteration E-step, and the
+    partitioner behind IVF indexing and SemDeDup-style semantic dedup):
+    squared-L2 argmin of each corpus vector over a broadcast centroid table.
+
+    Plan shape at 100 TB: centroids are k rows → broadcast nested-loop
+    cross join, corpus streams map-side; the argmin is min(struct(dist,
+    id)) — a two-phase hash agg with map-side partials, NOT a window sort.
+    The distance fold runs left-to-right over array positions
+    (``F.aggregate``), so doubles are bit-identical across engines — what
+    makes this oracle-checkable where naive float math wouldn't be."""
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_c")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_c"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    best = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), F.col("centroid_id"), dist2.alias("dist2"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist2", "centroid_id")).alias("_m"))
+    )
+    return best.select(
+        id_col,
+        F.col("_m.centroid_id").alias("centroid_id"),
+        F.col("_m.dist2").alias("dist2"),
+    )
+
+
+def kmeans_assign_query(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Declared query: assign every embedding to the nearest of k=8
+    deterministic centroids (the vectors with vec_id < 8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, emb.where(F.col("vec_id") < k))
+
+
+ORACLE_KMEANS_ASSIGN = """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c
+        FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+        SELECT e.vec_id, centroid_id,
+               list_reduce(
+                   [CAST(0 AS DOUBLE)] ||
+                   list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))),
+                   (a, x) -> a + x) AS dist2
+        FROM embeddings e CROSS JOIN cent
+    )
+    SELECT vec_id, centroid_id, dist2 FROM (
+        SELECT vec_id, centroid_id, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, centroid_id) AS rk
+        FROM dists
+    ) WHERE rk = 1
+"""

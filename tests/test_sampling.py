@@ -1,0 +1,150 @@
+"""Dataset-composition operators: semantic properties beyond the oracle
+hash checks (stability, quota exactness, argmin correctness, plan shape)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.operators.sampling import (
+    resample_epochs,
+    source_quota_sample,
+    split_assign,
+    temperature_resample_plan,
+)
+from caffeonspark_spark.operators.similarity import kmeans_assign
+
+
+def test_split_assign_fractions_and_coverage(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id")
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # hash split at n=500: generous envelopes around 400/50/50
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.04 < counts["val"] / total < 0.18
+    assert 0.04 < counts["test"] / total < 0.18
+
+
+def test_split_assign_stable_under_corpus_growth(spark, sf_oracle):
+    """A row's split is a pure function of its key: filtering the corpus to
+    half must not change any surviving row's assignment."""
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id")
+    full = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    half = split_assign(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    joined = full.alias("f").join(half.alias("h"), "doc_id").where(
+        F.col("f.split") != F.col("h.split")
+    )
+    assert joined.count() == 0
+
+
+def test_source_quota_cap_and_prefilter_exactness(spark, sf_oracle):
+    """Quota holds per source, and the prefiltered ranking returns exactly
+    the k hash-smallest surviving rows (vs an unprefiltered reference with
+    the same contract semantics applied)."""
+    from caffeonspark_spark.operators.partitioning import _SAMPLE_MOD, sample_hash
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "source")
+    k = 5
+    out = source_quota_sample(docs, "source", "doc_id", k).select("doc_id", "source")
+    per_source = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= k for r in per_source)
+
+    # reference: same prefilter semantics, plain window (no optimization)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    h = sample_hash(F.col("doc_id"))
+    frac = F.least(F.lit(1.0), F.lit(float(8 * k)) / F.col("_n"))
+    pre = (
+        docs.join(counts, "source")
+        .withColumn("_h", h)
+        .where(F.col("_h") < frac * F.lit(float(_SAMPLE_MOD)))
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    ref = (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("doc_id", "source")
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+
+
+def test_temperature_resample_math(spark, sf_oracle):
+    plan = temperature_resample_plan(
+        load_table(spark, sf_oracle, "documents"), "source"
+    ).collect()
+    n = {r["source"]: r["n_docs"] for r in plan}
+    w = {r["source"]: r["weight"] for r in plan}
+    # weights normalize and follow sqrt proportionality
+    assert math.isclose(sum(w.values()), 1.0, rel_tol=1e-9)
+    z = sum(math.sqrt(v) for v in n.values())
+    for s in n:
+        assert math.isclose(w[s], math.sqrt(n[s]) / z, rel_tol=1e-9)
+    for r in plan:
+        assert r["repeat_factor"] >= 1
+        assert r["repeat_factor"] == math.ceil(r["target_docs"] / r["n_docs"])
+
+
+def test_resample_epochs_counts(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    plan = {r["source"]: r["repeat_factor"]
+            for r in temperature_resample_plan(docs, "source").collect()}
+    out = resample_epochs(docs, "source", "doc_id")
+    got = {r["source"]: r["n"]
+           for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r["source"]: r["n"]
+            for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in base.items():
+        assert got[s] == n * plan[s]
+
+
+def test_kmeans_assign_matches_numpy(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["dist2"])
+        for r in kmeans_assign(emb, emb.where(F.col("vec_id") < 8)).collect()
+    }
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    cents = {i: vecs[i] for i in range(8)}
+    for vid, v in vecs.items():
+        d = {c: float(np.sum((v - cv) ** 2)) for c, cv in cents.items()}
+        best = min(d, key=lambda c: (d[c], c))
+        assert out[vid][0] == best
+        assert math.isclose(out[vid][1], d[best], rel_tol=1e-9)
+
+
+def test_kmeans_assign_plan_broadcasts_centroids(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    plan = kmeans_assign(emb, emb.where(F.col("vec_id") < 8))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus side must not shuffle for the join or the argmin partials
+    assert "SortMergeJoin" not in plan
+
+
+def test_dup_ngram_stats_planted(spark):
+    """A doc sharing every shingle with a twin scores ratio 1.0; a unique
+    doc scores 0.0."""
+    from caffeonspark_spark.operators.dedup import dup_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "totally unique words nowhere else repeated"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_stats(df).collect()}
+    assert out[1]["dup_ratio"] == 1.0
+    assert out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[1]["n_shingles"] == 3

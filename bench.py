@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from caffeonspark_spark.engine import Config, get_spark  # noqa: E402
 from caffeonspark_spark.operators import dedup as D  # noqa: E402
 from caffeonspark_spark.operators import relational as R  # noqa: E402
+from caffeonspark_spark.operators import sampling as SA  # noqa: E402
 from caffeonspark_spark.operators import similarity as S  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP  # noqa: E402
 from caffeonspark_spark.operators import textops as TX  # noqa: E402
@@ -58,6 +59,12 @@ BENCH_QUERIES = {
     "q_pack_documents": TX.pack_documents,
     "q_repetition_stats": TX.repetition_stats,
     "q_ngram_jaccard_pruned": D.ngram_jaccard_pruned,
+    # r2 dataset-composition additions
+    "q_kmeans_assign": S.kmeans_assign_query,
+    "q_dup_ngram_stats": D.dup_ngram_stats_docs,
+    "q_source_quota": SA.source_quota_docs,
+    "q_split_assign": SA.split_assign_docs,
+    "q_minhash_signatures": D.minhash_signatures_portable_query,
 }
 
 

@@ -493,37 +493,50 @@ def kmeans_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment (the Lloyd's-iteration E-step, and the
     partitioner behind IVF indexing and SemDeDup-style semantic dedup):
-    squared-L2 argmin of each corpus vector over a broadcast centroid table.
+    squared-L2 argmin of each corpus vector over the centroid table.
 
-    Plan shape at 100 TB: centroids are k rows → broadcast nested-loop
-    cross join, corpus streams map-side; the argmin is min(struct(dist,
-    id)) — a two-phase hash agg with map-side partials, NOT a window sort.
-    The distance fold runs left-to-right over array positions
-    (``F.aggregate``), so doubles are bit-identical across engines — what
-    makes this oracle-checkable where naive float math wouldn't be."""
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_c")
+    Plan shape at 100 TB: centroids are k rows of driver metadata (the same
+    contract as the IVF centroid sample), embedded as an array-of-structs
+    plan literal — so the whole operator is ONE map-only Project: no join,
+    no aggregate, no shuffle; the corpus streams through codegen at k·dim
+    flops per row. The argmin is ``array_min`` over (dist2, centroid_id)
+    structs — lexicographic struct ordering gives the deterministic
+    smallest-id tie-break. Distance folds run left-to-right over array
+    positions, so doubles are bit-identical across engines — what makes
+    this oracle-checkable where naive float math wouldn't be."""
+    cent = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("_c"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("c"),
+            )
+            for r in cent
+        ]
     )
-    best = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select(F.col(id_col), F.col("centroid_id"), dist2.alias("dist2"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("dist2", "centroid_id")).alias("_m"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda cs: F.struct(
+                d2(cs["c"]).alias("dist2"), cs["cid"].alias("centroid_id")
+            ),
+        )
     )
-    return best.select(
-        id_col,
-        F.col("_m.centroid_id").alias("centroid_id"),
-        F.col("_m.dist2").alias("dist2"),
+    return corpus.select(
+        F.col(id_col),
+        best["centroid_id"].alias("centroid_id"),
+        best["dist2"].alias("dist2"),
     )
 
 

@@ -122,12 +122,13 @@ def test_kmeans_assign_matches_numpy(spark, sf_oracle):
         assert math.isclose(out[vid][1], d[best], rel_tol=1e-9)
 
 
-def test_kmeans_assign_plan_broadcasts_centroids(spark, sf_oracle):
+def test_kmeans_assign_plan_is_map_only(spark, sf_oracle):
+    """Centroids are plan literals: the assignment must be a single
+    map-only projection — no join, no aggregate, no exchange anywhere."""
     emb = load_table(spark, sf_oracle, "embeddings")
     plan = kmeans_assign(emb, emb.where(F.col("vec_id") < 8))._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
-    # the corpus side must not shuffle for the join or the argmin partials
-    assert "SortMergeJoin" not in plan
+    for op in ("Join", "Exchange", "Aggregate", "Sort"):
+        assert op not in plan, f"unexpected {op} in kmeans_assign plan"
 
 
 def test_dup_ngram_stats_planted(spark):

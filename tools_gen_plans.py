@@ -16,6 +16,7 @@ sys.path.insert(0, ".")
 from caffeonspark_spark.engine import Config, get_spark
 from caffeonspark_spark.operators import dedup as D  # noqa: F401
 from caffeonspark_spark.operators import relational as R
+from caffeonspark_spark.operators import sampling as SA  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
@@ -38,6 +39,8 @@ SHOW = {
     "shipping_priority (TPC-H Q3 class)": R.shipping_priority,
     "large_volume_customers (TPC-H Q18 class)": R.large_volume_customers,
     "decontaminate (benchmark n-gram screen)": D.decontaminate,
+    "kmeans_assign (centroid plan literals, map-only argmin)": S.kmeans_assign_query,
+    "source_quota_sample (broadcast counts, prefilter before rank)": SA.source_quota_docs,
 }
 
 

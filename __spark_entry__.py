@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": SA.source_quota_docs,
         "temperature_resample": SA.temperature_resample_docs,
         "kmeans_assign": S.kmeans_assign_query,
+        "kmeans_fit": S.kmeans_fit_query,
+        "semantic_dedup": S.semantic_dedup_query,
         "dup_ngram_stats": D.dup_ngram_stats_docs,
     }
 
@@ -705,6 +707,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quota_sample": SA.ORACLE_SOURCE_QUOTA,
         "temperature_resample": SA.ORACLE_TEMPERATURE_RESAMPLE,
         "kmeans_assign": S.ORACLE_KMEANS_ASSIGN,
+        "kmeans_fit": S.ORACLE_KMEANS_FIT,
+        "semantic_dedup": S.ORACLE_SEMANTIC_DEDUP,
         "dup_ngram_stats": D.ORACLE_DUP_NGRAM_STATS,
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
         # rows-only; each stage is oracle-checked or unit-tested on its own

@@ -505,15 +505,30 @@ def kmeans_assign(
     positions, so doubles are bit-identical across engines — what makes
     this oracle-checkable where naive float math wouldn't be."""
     cent = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
     )
+    best = nearest_centroid_col(cent, vec_col)
+    return corpus.select(
+        F.col(id_col),
+        best["centroid_id"].alias("centroid_id"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def nearest_centroid_col(
+    cent_rows: list[tuple[int, list[float]]], vec_col: str
+) -> F.Column:
+    """(dist2, centroid_id) struct of the nearest centroid, as a pure
+    expression over ``vec_col``: centroid rows are embedded as plan
+    literals, so any operator composing this stays map-only."""
     cent_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r[0])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("c"),
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("c"),
             )
-            for r in cent
+            for cid, vec in cent_rows
         ]
     )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -525,18 +540,13 @@ def kmeans_assign(
             lambda a, x: a + x,
         )
 
-    best = F.array_min(
+    return F.array_min(
         F.transform(
             cent_arr,
             lambda cs: F.struct(
                 d2(cs["c"]).alias("dist2"), cs["cid"].alias("centroid_id")
             ),
         )
-    )
-    return corpus.select(
-        F.col(id_col),
-        best["centroid_id"].alias("centroid_id"),
-        best["dist2"].alias("dist2"),
     )
 
 
@@ -545,6 +555,217 @@ def kmeans_assign_query(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFra
     deterministic centroids (the vectors with vec_id < 8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, emb.where(F.col("vec_id") < k))
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means, the full iterative loop — and deliberately
+    oracle-checkable, demonstrating that even ITERATIVE algorithms land in
+    the hash-matched column when every reduction is order-independent:
+    assignments are map-only literal-centroid argmins (see
+    ``nearest_centroid_col``) and the centroid update is a decimal-grid
+    mean (``fsum`` at the float scale), so after any number of rounds the
+    centroids are bit-identical across engines and parallelism.
+
+    Per iteration: one map-only pass + one (cid, pos)-keyed hash agg with
+    map-side partials + a k·dim driver collect (the Lloyd's-on-Spark
+    contract). Returns the final centroids in long form
+    (centroid_id, pos, c_val, n)."""
+    from caffeonspark_spark.functions.arrays import fsum
+
+    cent = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )
+    upd = None
+    for _ in range(iters):
+        best = nearest_centroid_col(cent, vec_col)
+        # two selects: ExtractGenerator re-plans a projection containing a
+        # generator and strips aliases inside higher-order-function lambdas,
+        # so resolve the struct fields BEFORE introducing posexplode
+        tagged = corpus.select(F.col(vec_col), best["centroid_id"].alias("centroid_id"))
+        assigned = tagged.select(
+            "centroid_id",
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        upd = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(fsum("x").alias("_sx"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "centroid_id",
+                "pos",
+                (F.col("_sx") / F.col("n")).alias("c_val"),
+                "n",
+            )
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in upd.collect():
+            by.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(r["c_val"])
+        cent = [
+            (cid, [vals[p] for p in range(len(vals))])
+            for cid, vals in sorted(by.items())
+        ]
+    return upd
+
+
+def kmeans_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: two full Lloyd's iterations (k=8) over embeddings;
+    emits the round-2 centroids in long form."""
+    return kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+
+
+def _oracle_kmeans_fit(k: int = 8, iters: int = 2) -> str:
+    fold = (
+        "list_reduce([CAST(0 AS DOUBLE)] || "
+        "list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.c[i])), "
+        "(a, x) -> a + x)"
+    )
+    ctes = [
+        f"cl0 AS (SELECT vec_id AS cid, list_transform(embedding, "
+        f"x -> CAST(x AS DOUBLE)) AS c FROM embeddings WHERE vec_id < {k})"
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"d{r} AS (SELECT e.vec_id, c.cid, {fold} AS dist2 "
+            f"FROM embeddings e CROSS JOIN cl{r-1} c)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist2, cid) AS rk FROM d{r}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"u{r} AS (SELECT cid, i - 1 AS pos, "
+            f"CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS c_val, "
+            f"COUNT(*) AS n FROM ("
+            f"SELECT a.cid, CAST(unnest(e.embedding) AS DOUBLE) AS x, "
+            f"generate_subscripts(e.embedding, 1) AS i "
+            f"FROM a{r} a JOIN embeddings e ON a.vec_id = e.vec_id) "
+            f"GROUP BY cid, i)"
+        )
+        ctes.append(
+            f"cl{r} AS (SELECT cid, list(c_val ORDER BY pos) AS c "
+            f"FROM u{r} GROUP BY cid)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT cid AS centroid_id, CAST(pos AS INT) AS pos, c_val, n FROM u{iters}
+"""
+    )
+
+
+ORACLE_KMEANS_FIT = _oracle_kmeans_fit()
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate candidates: cluster with a
+    fixed centroid table (map-only ``kmeans_assign``), then rank pairwise
+    cosine WITHIN clusters only. The pair join is cluster-local —
+    candidates ∝ Σ|cluster|², not |corpus|² — which is the entire point of
+    the SemDeDup recipe at 100 TB: k scales with corpus size so clusters
+    stay bounded, and the join key is the 8-byte centroid id. Cosine is
+    the decimal-exact deterministic form, so (unlike the LSH-bucketed
+    ``embedding_neardup_pairs``) this is fully oracle-checkable."""
+    assign = kmeans_assign(corpus, centroids, vec_col, id_col)
+    t = corpus.select(id_col, vec_col).join(assign.select(id_col, "centroid_id"), id_col)
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )
+
+
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: top-50 within-cluster cosine pairs (k=8 centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, emb.where(F.col("vec_id") < 8))
+
+
+ORACLE_SEMANTIC_DEDUP = """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)) AS c
+        FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+        SELECT e.vec_id, centroid_id,
+               list_reduce(
+                   [CAST(0 AS DOUBLE)] ||
+                   list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c[i])),
+                   (a, x) -> a + x) AS dist2
+        FROM embeddings e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, centroid_id) AS rk
+            FROM dists
+        ) WHERE rk = 1
+    ),
+    ex AS (
+        SELECT vec_id, unnest(embedding) AS ee,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dd
+        FROM ex GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(CAST(CAST(xa.ee AS DOUBLE) * CAST(xb.ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dab
+        FROM pairs p
+        JOIN ex xa ON xa.vec_id = p.id_a
+        JOIN ex xb ON xb.vec_id = p.id_b AND xa.i = xb.i
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           CASE WHEN na.dd * nb.dd <> 0
+                THEN d.dab / (sqrt(na.dd) * sqrt(nb.dd)) END AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.id_a = na.vec_id
+    JOIN norms nb ON d.id_b = nb.vec_id
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT 50
+"""
 
 
 ORACLE_KMEANS_ASSIGN = """

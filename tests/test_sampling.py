@@ -131,6 +131,50 @@ def test_kmeans_assign_plan_is_map_only(spark, sf_oracle):
         assert op not in plan, f"unexpected {op} in kmeans_assign plan"
 
 
+def test_kmeans_fit_matches_numpy_lloyds(spark, sf_smoke):
+    """Two full Lloyd's rounds equal the straightforward numpy loop
+    (assign to nearest of the k first vectors, mean-update, repeat)."""
+    from caffeonspark_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    cents = {i: vecs[i].copy() for i in range(8)}
+    for _ in range(2):
+        assign = {}
+        for vid, v in vecs.items():
+            d = {c: float(np.sum((v - cv) ** 2)) for c, cv in cents.items()}
+            assign[vid] = min(d, key=lambda c: (d[c], c))
+        for c in list(cents):
+            members = [vecs[v] for v, a in assign.items() if a == c]
+            if members:
+                cents[c] = np.mean(members, axis=0)
+    got = {(r["centroid_id"], r["pos"]): (r["c_val"], r["n"]) for r in kmeans_fit(emb).collect()}
+    sizes = {c: sum(1 for a in assign.values() if a == c) for c in cents}
+    for (cid, pos), (val, n) in got.items():
+        assert n == sizes[cid]
+        # decimal-grid means vs numpy float means: agree to ~1e-9
+        assert math.isclose(val, cents[cid][pos], rel_tol=0, abs_tol=1e-8)
+
+
+def test_semantic_dedup_pairs_cluster_local_and_ranked(spark, sf_smoke):
+    from caffeonspark_spark.operators.similarity import (
+        kmeans_assign,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    pairs = semantic_dedup_pairs(emb, cents, top=20).collect()
+    assert len(pairs) == 20
+    assign = {r["vec_id"]: r["centroid_id"] for r in kmeans_assign(emb, cents).collect()}
+    sims = [r["cos_sim"] for r in pairs]
+    assert sims == sorted(sims, reverse=True)
+    for r in pairs:
+        assert assign[r["id_a"]] == assign[r["id_b"]]
+        assert -1.000001 <= r["cos_sim"] <= 1.000001
+
+
 def test_dup_ngram_stats_planted(spark):
     """A doc sharing every shingle with a twin scores ratio 1.0; a unique
     doc scores 0.0."""

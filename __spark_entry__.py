@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": R.salted_join_agg,
         "stratified_sample": R.stratified_sample_docs,
         "clean_corpus": D.clean_corpus,
+        "clean_corpus_portable": D.clean_corpus_portable,
         "zscore_by_group": V.zscore_events_exact_query,
         "asof_join_tolerance": TP.asof_join_tolerance_query,
         "chunk_documents": TX.chunk_documents,
@@ -710,6 +711,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_fit": S.ORACLE_KMEANS_FIT,
         "semantic_dedup": S.ORACLE_SEMANTIC_DEDUP,
         "dup_ngram_stats": D.ORACLE_DUP_NGRAM_STATS,
+        # the composed pipeline, hash-checked END TO END via the portable
+        # MinHash + slice-equality banding twin
+        "clean_corpus_portable": D.ORACLE_CLEAN_CORPUS_PORTABLE,
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
         # rows-only; each stage is oracle-checked or unit-tested on its own
         # neardup_clusters: iterative connected components -> rows-only;

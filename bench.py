@@ -65,6 +65,7 @@ BENCH_QUERIES = {
     "q_source_quota": SA.source_quota_docs,
     "q_split_assign": SA.split_assign_docs,
     "q_minhash_signatures": D.minhash_signatures_portable_query,
+    "q_clean_corpus_portable": D.clean_corpus_portable,
     "q_kmeans_fit": S.kmeans_fit_query,
     "q_semantic_dedup": S.semantic_dedup_query,
 }

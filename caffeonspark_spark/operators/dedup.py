@@ -337,28 +337,34 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def minhash_signatures_portable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: MinHash signatures in LONG form (doc_id, perm,
-    minhash) over the engine-portable char-fold shingle hash — this
-    hash-checks the core MinHash math (universal-hash family, per-perm min)
-    against DuckDB, which the xxhash64 production path cannot. Same
-    one-shuffle plan as ``minhash_signatures``: 64 min-aggs with map-side
-    partials keyed by doc_id, then a codegen'd posexplode."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = shingle_sets(docs)
+def minhash_signatures_portable_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``minhash_signatures`` with the engine-portable char-fold shingle
+    hash instead of xxhash64 — identical one-shuffle plan (64 min-aggs with
+    map-side partials keyed by doc id), but every arithmetic step is plain
+    SQL in DuckDB, so anything composed on it stays hash-checkable."""
+    toks = shingle_sets(df, id_col=id_col, text_col=text_col)
     base = toks.select(
-        F.col("doc_id"), portable_token_hash(F.col("shingle")).alias("th")
+        F.col(id_col), portable_token_hash(F.col("shingle")).alias("th")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_perm_coeffs())
     ]
-    wide = base.groupBy("doc_id").agg(*aggs)
+    wide = base.groupBy(id_col).agg(*aggs)
     return wide.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)])
-        ).alias("perm", "minhash"),
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+    )
+
+
+def minhash_signatures_portable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: MinHash signatures in LONG form (doc_id, perm,
+    minhash) over the engine-portable char-fold shingle hash — this
+    hash-checks the core MinHash math (universal-hash family, per-perm min)
+    against DuckDB, which the xxhash64 production path cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_portable_df(docs).select(
+        "doc_id", F.posexplode("sig").alias("perm", "minhash")
     )
 
 
@@ -465,6 +471,59 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Declared query: MinHash-LSH near-dup pairs over the documents table."""
     return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"), threshold, top)
+
+
+def minhash_lsh_pairs_portable_df(
+    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``minhash_lsh_pairs_df`` in fully engine-portable arithmetic: the
+    portable char-fold shingle hash, and banding by DIRECT slice equality
+    (join on ``(band_idx, 4-slot slice)``) instead of xxhash64(band) — an
+    equi-join either way, and list equality is plain SQL in DuckDB, so the
+    whole candidate generation + estimate hash-matches across engines.
+
+    Same scale shape as the production path: candidates ∝ band collisions,
+    est_jaccard computed before the pair-dedup shuffle. The band key is a
+    4-long array (~32 B) instead of an 8-byte hash — acceptable; at 100 TB
+    prefer the xxhash64 production path, this one exists to make composed
+    pipelines oracle-checkable."""
+    sigs = minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col).persist()
+    bands = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(MINHASH_PERMS))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.where(F.col("est_jaccard") >= threshold)
 
 
 # --- 5. SimHash ----------------------------------------------------------
@@ -653,6 +712,113 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+def clean_corpus_portable(
+    spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.5
+) -> DataFrame:
+    """The composed cleaning pipeline (quality gate → exact dedup → MinHash-
+    LSH near-dedup), in fully oracle-checkable form: same three stages and
+    same greedy drop-higher-id rule as ``clean_corpus``, but exact dedup
+    groups on the raw text and near-dedup uses the portable MinHash + slice-
+    equality banding, so the ENTIRE pipeline — every stage composed — hash-
+    matches the DuckDB oracle cell-for-cell. The production ``clean_corpus``
+    keeps 8-byte xxhash64 keys everywhere (cheaper shuffles); this twin
+    proves the composition's semantics, not just each stage's.
+
+    Threshold 0.5 (vs the production 0.8) so the near-dedup stage
+    demonstrably fires at oracle scale."""
+    from caffeonspark_spark.operators.textops import quality_filter
+
+    quality = quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
+    docs = load_table(spark, sf_dir, "documents").join(quality, "doc_id")
+
+    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
+
+    near = minhash_lsh_pairs_portable_df(survivors, threshold=neardup_threshold)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_clean_corpus_portable(threshold: float = 0.5) -> str:
+    coeffs = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
+    )
+    charfold = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(range(1, length(shingle) + 1), "
+        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks, t -> list_contains(
+                       ['the','a','of','and','to','in','is','on','for','with'], t)))
+                        AS DOUBLE) / len(toks) AS sw_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                        AS DOUBLE) / length(text) AS p_ratio
+            FROM (SELECT doc_id, text,
+                         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+                  FROM documents)
+        )
+        WHERE n_tokens >= 10 AND n_tokens <= 5000
+          AND sw_ratio >= 0.05 AND p_ratio <= 0.2
+    ),
+    qdocs AS (
+        SELECT d.doc_id, d.text, q.n_tokens
+        FROM documents d JOIN q USING (doc_id)
+    ),
+    exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM qdocs GROUP BY text),
+    surv AS (SELECT qd.doc_id, qd.text, qd.n_tokens
+             FROM qdocs qd JOIN exact_keep USING (doc_id)),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM surv
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    th AS (SELECT doc_id, {charfold} AS th FROM sh),
+    coeffs(perm, a, b) AS (VALUES {coeffs}),
+    mh AS (
+        SELECT t.doc_id, c.perm, MIN((c.a * t.th + c.b) % 2147483647) AS minhash
+        FROM th t CROSS JOIN coeffs c
+        GROUP BY t.doc_id, c.perm
+    ),
+    sig AS (SELECT doc_id, list(minhash ORDER BY perm) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, sig, b.b AS band_idx,
+               list_slice(sig, 4 * b.b + 1, 4 * b.b + 4) AS band
+        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
+    ),
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    drops AS (SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= {threshold})
+    SELECT s.doc_id, s.n_tokens
+    FROM surv s ANTI JOIN drops USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+ORACLE_CLEAN_CORPUS_PORTABLE = _oracle_clean_corpus_portable()
 
 
 # --- 8. near-duplicate clustering (connected components) ------------------

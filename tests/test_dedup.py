@@ -192,6 +192,56 @@ def test_clean_corpus_neardup_over_survivors(spark, tmp_path):
     assert ids == {2, 3, 4}, ids  # 5 dropped as near-dup of surviving 4
 
 
+def test_minhash_lsh_pairs_portable_planted(spark, planted):
+    """Portable (char-fold + slice-equality banding) LSH pairs find the
+    planted dups with the right estimates: exact/whitespace dups at 1.0,
+    the one-token near-dup above 0.5, nothing pairing the unrelated docs."""
+    from caffeonspark_spark.operators.dedup import minhash_lsh_pairs_portable_df
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs_portable_df(planted, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(0, 3)] > 0.5
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_clean_corpus_portable_survivor_semantics(spark, tmp_path):
+    """The oracle-checkable twin keeps clean_corpus's composition semantics:
+    near-dedup over survivors only, greedy drop-higher-id."""
+    import os
+    from caffeonspark_spark.operators.dedup import clean_corpus_portable
+
+    def txt(n_tokens, tag, every10="the"):
+        return " ".join(
+            every10 if i % 10 == 9 else f"{tag}tok{i}" for i in range(n_tokens)
+        )
+
+    base = txt(5200, "x")
+    trimmed = " ".join(base.split(" ")[:4000])
+    keep = txt(500, "k")
+    keep_dup = txt(520, "k")
+    other = txt(300, "z")
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, trimmed, "en", "s", len(trimmed)),
+        (3, other, "en", "s", len(other)),
+        (4, keep, "en", "s", len(keep)),
+        (5, keep_dup, "en", "s", len(keep_dup)),
+    ]
+    d = tmp_path / "portable_surv"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    ids = {r["doc_id"] for r in clean_corpus_portable(spark, str(d), neardup_threshold=0.6).collect()}
+    assert ids == {2, 3, 4}, ids
+
+
 def test_connected_components_chains(spark):
     """Planted topology: chain 1-2-3-4, pair 10-11, triangle 20-21-22 +
     isolated edge endpoints resolve to min-id components."""

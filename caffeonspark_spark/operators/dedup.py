@@ -43,6 +43,35 @@ MINHASH_BANDS = 16
 MINHASH_ROWS_PER_BAND = 4
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime; products stay in long range
 
+# Persisted intermediates (shingle/signature/bucket tables) feed BOTH sides
+# of a self-join, so each call site caches its subtree exactly once. In a
+# long-lived session that re-runs these operators (bench loops, the driver
+# harness) unmanaged .persist() calls accumulate cached blocks until
+# executor storage evicts them, so each site instead REPLACES its previous
+# cached DataFrame — at most one cached copy per site — and
+# ``unpersist_cached()`` releases everything for embedding callers.
+_CACHED: dict[str, DataFrame] = {}
+
+
+def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
+    prev = _CACHED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    _CACHED[key] = df.persist()
+    return _CACHED[key]
+
+
+def unpersist_cached() -> None:
+    """Release every DataFrame persisted by this module's operators."""
+    for key in list(_CACHED):
+        try:
+            _CACHED.pop(key).unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
 
 def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
     return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
@@ -159,7 +188,7 @@ def ngram_jaccard_pairs(
     (below) when even the pruned candidate set is too large.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_sets(docs).persist()
+    sh = _persist_replacing("ngram_shingles", shingle_sets(docs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         sh = prune_stop_shingles(sh, max_df)
@@ -418,7 +447,7 @@ def minhash_lsh_pairs_df(
     # Spark computes it twice (broadcast + shuffle exchanges don't reuse).
     # One row of 64 longs per doc ≈ 0.5 KB — at 100 TB this is the
     # signatures table you'd write out once and join against.
-    sigs = minhash_signatures(docs).persist()
+    sigs = _persist_replacing("minhash_sigs", minhash_signatures(docs))
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -487,7 +516,10 @@ def minhash_lsh_pairs_portable_df(
     4-long array (~32 B) instead of an 8-byte hash — acceptable; at 100 TB
     prefer the xxhash64 production path, this one exists to make composed
     pipelines oracle-checkable."""
-    sigs = minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col).persist()
+    sigs = _persist_replacing(
+        "minhash_sigs_portable",
+        minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col),
+    )
     bands = sigs.select(
         F.col(id_col),
         "sig",
@@ -643,11 +675,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> 
 
     emb = load_table(spark, sf_dir, "embeddings")
     # single 8-bit table: 256 buckets -> pair join is bucket-local
-    sig = emb.select(
-        "vec_id",
-        "embedding",
-        F.element_at(lsh_table_buckets(F.col("embedding"), 64, 1, 8), 1).alias("bucket"),
-    ).persist()  # bucket UDF feeds both self-join sides; compute once
+    sig = _persist_replacing(
+        "embedding_buckets",
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.element_at(lsh_table_buckets(F.col("embedding"), 64, 1, 8), 1).alias("bucket"),
+        ),
+    )  # bucket UDF feeds both self-join sides; compute once
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

@@ -672,19 +672,48 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     top: int = 50,
+    margin: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate candidates: cluster with a
     fixed centroid table (map-only ``kmeans_assign``), then rank pairwise
     cosine WITHIN clusters only. The pair join is cluster-local —
     candidates ∝ Σ|cluster|², not |corpus|² — which is the entire point of
-    the SemDeDup recipe at 100 TB: k scales with corpus size so clusters
-    stay bounded, and the join key is the 8-byte centroid id. Cosine is
-    the decimal-exact deterministic form, so (unlike the LSH-bucketed
-    ``embedding_neardup_pairs``) this is fully oracle-checkable."""
+    the SemDeDup recipe at 100 TB: k must scale with corpus size
+    (``semantic_dedup_k``) so clusters stay bounded, and the join key is
+    the 8-byte centroid id.
+
+    Two-phase ranking keeps this fast without giving up the hash-checkable
+    decimal-exact output: phase 1 scores every within-cluster pair with
+    plain IEEE-double cosine (cheap, fixed left-to-right fold so it is
+    run-deterministic) and keeps the ``top·margin`` best; phase 2
+    recomputes the decimal-grid ``cosine_similarity`` ONLY on those
+    survivors and emits the exact top-``top``. The float pre-rank can only
+    change the answer if a true exact-top-``top`` pair falls outside the
+    float top-``top·margin`` — which needs a float error (~1e-15) larger
+    than the score gap across ``(margin-1)·top`` ranked pairs; with the
+    default 4× margin that is not a real risk, and the margin is a dial."""
     assign = kmeans_assign(corpus, centroids, vec_col, id_col)
-    t = corpus.select(id_col, vec_col).join(assign.select(id_col, "centroid_id"), id_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    fold = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    t = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_nrm", F.sqrt(fold))
+        .join(assign.select(id_col, "centroid_id"), id_col)
+    )
     a, b = t.alias("a"), t.alias("b")
-    return (
+    dot_f = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom_f = F.col("a._nrm") * F.col("b._nrm")
+    cand = (
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -693,26 +722,48 @@ def semantic_dedup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
-                "cos_sim"
-            ),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+            F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
+        )
+        .orderBy(F.desc_nulls_last("_approx"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top * margin)
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
     )
 
 
+def semantic_dedup_k(n_rows: int) -> int:
+    """SemDeDup's own scaling rule: k ∝ corpus size so expected cluster
+    size stays ~constant (≈250 here) and the pair work stays linear in N —
+    never N²/k with fixed k."""
+    return max(8, n_rows // 250)
+
+
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query: top-50 within-cluster cosine pairs (k=8 centroids)."""
+    """Declared query: top-50 within-cluster cosine pairs. k scales with
+    the corpus (``semantic_dedup_k``); centroids are the deterministic
+    first-k vectors so the DuckDB twin can reproduce them. At the driver's
+    oracle scale (sf0.01, 500 vectors) k resolves to 8, matching
+    ``ORACLE_SEMANTIC_DEDUP``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, emb.where(F.col("vec_id") < 8))
+    k = semantic_dedup_k(emb.count())
+    return semantic_dedup_pairs(emb, emb.where(F.col("vec_id") < k))
 
 
-ORACLE_SEMANTIC_DEDUP = """
+def _oracle_semantic_dedup(k: int = 8) -> str:
+    return f"""
     WITH cent AS (
         SELECT vec_id AS centroid_id, list_transform(embedding,
                    x -> CAST(x AS DOUBLE)) AS c
-        FROM embeddings WHERE vec_id < 8
+        FROM embeddings WHERE vec_id < {k}
     ),
     dists AS (
         SELECT e.vec_id, centroid_id,
@@ -766,6 +817,9 @@ ORACLE_SEMANTIC_DEDUP = """
     ORDER BY cos_sim DESC, id_a ASC, id_b ASC
     LIMIT 50
 """
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 
 ORACLE_KMEANS_ASSIGN = """

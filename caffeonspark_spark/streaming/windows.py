@@ -34,19 +34,48 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (smoke path; production
-    swaps in Kafka). ``ts`` becomes an instant TIMESTAMP (epoch micros):
-    watermarks require TIMESTAMP, not NTZ — event-time here is an absolute
-    instant by definition."""
+    swaps in Kafka).
+
+    ``ts`` comes out as a TIMESTAMP (instant) whose UTC wall-clock equals the
+    batch catalog's TIMESTAMP_NTZ column (``catalog._load_events``; the
+    session timezone is pinned UTC in ``engine.get_spark``, so the cast is
+    value-preserving). The on-disk type is probed from the parquet footer
+    (driver-side metadata only) because forcing a LongType schema onto a
+    µs-NTZ column silently yields micros-as-long — feeding that through a
+    nanos→µs ``div 1000`` put every event in 1970 and froze append-mode
+    watermarks (the round-4 streaming bug). Only when the file genuinely
+    stores nanos-as-long (TIMESTAMP(NANOS) via the legacy conf) do we divide.
+    Watermarks on Spark 4 require TIMESTAMP, not NTZ, hence the cast.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    disk_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    schema = T.StructType(
+        [
+            T.StructField(f.name, disk_ts if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
     # the streaming file source wants a directory; select just the events
     # table out of the sf_dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(disk_ts, T.LongType):
+        # nanos-as-long → µs floor-truncation → instant, same arithmetic as
+        # the batch catalog so stream/batch parity holds bit-for-bit
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(

@@ -22,6 +22,24 @@ def events_stream(spark, sf_smoke):
     return read_events_stream(spark, sf_smoke)
 
 
+def test_watermark_tracks_event_time(spark, events_stream):
+    """Regression: the tracked watermark must land in the data's epoch (2024),
+    not 1970 — a LongType schema forced onto the µs-NTZ parquet column once
+    fed millis-as-micros into event-time stats and froze append mode."""
+    q = (
+        tumbling_counts(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_probe")
+        .start()
+    )
+    q.processAllAvailable()
+    wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark")
+    q.stop()
+    assert wm is not None
+    assert "2024-" in wm, f"watermark out of range: {wm}"
+
+
 def test_tumbling_equals_batch(spark, sf_smoke, events_stream):
     run_to_memory(tumbling_counts(events_stream), "tumbling_out")
     got = spark.sql(
@@ -260,7 +278,6 @@ def test_stream_stream_interval_join(spark, sf_smoke, events_stream):
     produce exactly the rows of the equivalent batch interval join."""
     from pyspark.sql import functions as F
     from caffeonspark_spark.streaming.windows import (
-        EVENTS_SCHEMA,
         run_to_memory,
         stream_stream_interval_join,
     )
@@ -271,12 +288,10 @@ def test_stream_stream_interval_join(spark, sf_smoke, events_stream):
     run_to_memory(joined, "ssj_out")
     got = spark.sql("SELECT * FROM ssj_out")
 
-    # batch twin: read the raw parquet exactly as the stream source does
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_smoke}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # batch twin: the catalog's event-time column cast to an instant, exactly
+    # what read_events_stream produces (UTC session ⇒ value-preserving)
+    ev = load_table(spark, sf_smoke, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("l_key"),

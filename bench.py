@@ -26,6 +26,31 @@ from caffeonspark_spark.operators import temporal as TP  # noqa: E402
 from caffeonspark_spark.operators import textops as TX  # noqa: E402
 from caffeonspark_spark.operators import vectorops as V  # noqa: E402
 
+from caffeonspark_spark import catalog as C  # noqa: E402
+from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
+
+
+def _train_epoch_bench(spark, sf_dir):
+    """One softmax-regression epoch over the embeddings table (the M1 train
+    verb): mapInArrow batch assembly + NumPy trainer steps + per-partition
+    state reduce. Returns a 1-row summary DataFrame; the epoch itself runs
+    eagerly inside, so the bench timer captures the full wave."""
+    emb = C.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cfg = ML.TrainConfig(batch_size=64, max_iter=max(1, n // 64))
+    state = ML.train(
+        emb,
+        ML.softmax_trainer(dim=64, n_classes=10, lr=1.0),
+        ML.EMBED_SPECS,
+        cfg,
+        id_col="vec_id",
+    )
+    return spark.createDataFrame(
+        [(int(state["iterations"]), float(state.get("loss", 0.0)))],
+        "iterations long, loss double",
+    )
+
+
 # headline suite: the BASELINE.md classes + the LLM-pipeline extensions
 BENCH_QUERIES = {
     "q1_pricing_summary": R.pricing_summary,
@@ -68,6 +93,10 @@ BENCH_QUERIES = {
     "q_clean_corpus_portable": D.clean_corpus_portable,
     "q_kmeans_fit": S.kmeans_fit_query,
     "q_semantic_dedup": S.semantic_dedup_query,
+    # r5 additions: the M1/M3 ML verbs — guards the Arrow batch path
+    # (mapInArrow assembly + trainer feed) against per-row regressions
+    "q_features": ML.features_identity_query,
+    "q_train_epoch": _train_epoch_bench,
 }
 
 
@@ -95,6 +124,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
         timings[name] = round(best, 3)
+
+    from caffeonspark_spark.operators.dedup import unpersist_cached
+
+    unpersist_cached()  # release the dedup module's memoized intermediates
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

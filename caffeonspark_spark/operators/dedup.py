@@ -44,33 +44,49 @@ MINHASH_ROWS_PER_BAND = 4
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime; products stay in long range
 
 # Persisted intermediates (shingle/signature/bucket tables) feed BOTH sides
-# of a self-join, so each call site caches its subtree exactly once. In a
-# long-lived session that re-runs these operators (bench loops, the driver
-# harness) unmanaged .persist() calls accumulate cached blocks until
-# executor storage evicts them, so each site instead REPLACES its previous
-# cached DataFrame — at most one cached copy per site — and
-# ``unpersist_cached()`` releases everything for embedding callers.
-_CACHED: dict[str, DataFrame] = {}
+# of a self-join, so each call site caches its subtree exactly once. The
+# cache is memoizing and append-only: keyed by (session, site, analyzed-plan
+# semanticHash), so (a) the same input returns the SAME persisted DataFrame
+# — repeat invocations reuse rather than re-persist, (b) a different input
+# at the same site gets its own entry WITHOUT unpersisting the previous one
+# (an earlier, not-yet-evaluated plan may still reference it; eager
+# replacement silently recomputed both self-join sides), and (c) an external
+# `spark.catalog.clearCache()` (bench.py does this between queries) is safe:
+# on a cache hit whose blocks were cleared, storageLevel reads NONE and the
+# entry is re-persisted. ``unpersist_cached()`` releases everything — call
+# it at end-of-run (bench.py does); entries from stopped sessions hold only
+# dead handles, their blocks died with the session.
+_CACHED: dict[tuple, DataFrame] = {}
+_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _cache_key(key: str, df: DataFrame) -> tuple:
+    try:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - non-classic backend
+        plan_hash = None
+    return (id(df.sparkSession), key, plan_hash)
 
 
 def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
-    prev = _CACHED.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
-    _CACHED[key] = df.persist()
-    return _CACHED[key]
+    from pyspark import StorageLevel
+
+    full_key = _cache_key(key, df)
+    with _CACHE_LOCK:
+        df = _CACHED.setdefault(full_key, df)
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()
+        return df
 
 
 def unpersist_cached() -> None:
     """Release every DataFrame persisted by this module's operators."""
-    for key in list(_CACHED):
-        try:
-            _CACHED.pop(key).unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+    with _CACHE_LOCK:
+        for key in list(_CACHED):
+            try:
+                _CACHED.pop(key).unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
 
 
 def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
@@ -558,6 +574,77 @@ def minhash_lsh_pairs_portable_df(
     return cand.where(F.col("est_jaccard") >= threshold)
 
 
+def minhash_lsh_pairs_portable_query(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, top: int = 100
+) -> DataFrame:
+    """Declared query: MinHash-LSH near-dup pairs in fully engine-portable
+    arithmetic (char-fold shingle hash + slice-equality banding), so the
+    banded candidate generation itself hash-matches the DuckDB twin — the
+    production xxhash64 path stays available as ``minhash_lsh_pairs``
+    (rows-only) and inside ``clean_corpus``. Deterministic top ordering for
+    the value-hash compare."""
+    return (
+        minhash_lsh_pairs_portable_df(
+            load_table(spark, sf_dir, "documents"), threshold
+        )
+        .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top)
+    )
+
+
+def _oracle_minhash_lsh_pairs(threshold: float = 0.5, top: int = 100) -> str:
+    coeffs = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
+    )
+    charfold = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(range(1, length(shingle) + 1), "
+        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    th AS (SELECT doc_id, {charfold} AS th FROM sh),
+    coeffs(perm, a, b) AS (VALUES {coeffs}),
+    mh AS (
+        SELECT t.doc_id, c.perm, MIN((c.a * t.th + c.b) % 2147483647) AS minhash
+        FROM th t CROSS JOIN coeffs c
+        GROUP BY t.doc_id, c.perm
+    ),
+    sig AS (SELECT doc_id, list(minhash ORDER BY perm) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, sig, b.b AS band_idx,
+               list_slice(sig, 4 * b.b + 1, 4 * b.b + 4) AS band
+        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
+    ),
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= {threshold}
+    ORDER BY est_jaccard DESC, id_a ASC, id_b ASC
+    LIMIT {top}
+"""
+
+
+ORACLE_MINHASH_LSH_PAIRS = _oracle_minhash_lsh_pairs()
+
+
 # --- 5. SimHash ----------------------------------------------------------
 
 SIMHASH_BITS = 32
@@ -663,26 +750,27 @@ ORACLE_SIMHASH = _oracle_simhash_portable()
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> DataFrame:
     """Top near-duplicate embedding pairs by cosine similarity.
 
-    Bucket by LSH signature prefix first (sign-random-projections from
-    operators/similarity.py) so the pair join is bucket-local — candidates
-    ∝ Σ bucket², not |corpus|² — then exact deterministic cosine re-rank.
-    Rows-only driver check (the LSH bucketing isn't SQL-portable); planted
-    near-dup recall is pinned in tests/test_dedup.py.
+    Bucket by sign-LSH first (8 seeded hyperplanes → 256 buckets) so the
+    pair join is bucket-local — candidates ∝ Σ bucket², not |corpus|² —
+    then exact deterministic cosine re-rank. The bucket is the pure
+    Catalyst fold expression (``lsh_sign_bucket_expr``), bit-identical to
+    the DuckDB twin's ``list_reduce`` — so this is fully oracle-checkable
+    (``ORACLE_EMBEDDING_NEARDUP``); planted near-dup recall stays pinned
+    in tests/test_dedup.py.
     """
     from caffeonspark_spark.catalog import load_table
     from caffeonspark_spark.functions.arrays import cosine_similarity
-    from caffeonspark_spark.operators.similarity import lsh_table_buckets
+    from caffeonspark_spark.operators.similarity import lsh_sign_bucket_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # single 8-bit table: 256 buckets -> pair join is bucket-local
-    sig = _persist_replacing(
-        "embedding_buckets",
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.element_at(lsh_table_buckets(F.col("embedding"), 64, 1, 8), 1).alias("bucket"),
-        ),
-    )  # bucket UDF feeds both self-join sides; compute once
+    # single 8-bit table: 256 buckets -> pair join is bucket-local; the
+    # bucket expression is 8 dot products per row — cheap enough to
+    # recompute on both self-join sides, no persist needed
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_sign_bucket_expr(F.col("embedding"), 64, 8).alias("bucket"),
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -698,6 +786,53 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str, top: int = 25) -> 
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(top)
     )
+
+
+def _oracle_embedding_neardup(top: int = 25) -> str:
+    from caffeonspark_spark.operators.similarity import lsh_sign_bucket_sql
+
+    bucket = lsh_sign_bucket_sql("embedding", 64, 8)
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, unnest(embedding) AS ee,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dd
+        FROM ex GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    dots AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(CAST(CAST(xa.ee AS DOUBLE) * CAST(xb.ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dab
+        FROM pairs p
+        JOIN ex xa ON xa.vec_id = p.id_a
+        JOIN ex xb ON xb.vec_id = p.id_b AND xa.i = xb.i
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT d.id_a, d.id_b,
+           CASE WHEN na.dd * nb.dd <> 0
+                THEN d.dab / (sqrt(na.dd) * sqrt(nb.dd)) END AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.id_a = na.vec_id
+    JOIN norms nb ON d.id_b = nb.vec_id
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT {top}
+"""
+
+
+ORACLE_EMBEDDING_NEARDUP = _oracle_embedding_neardup()
 
 
 # --- 7. end-to-end corpus cleaning pipeline -------------------------------

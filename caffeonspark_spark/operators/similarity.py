@@ -137,6 +137,48 @@ def lsh_table_buckets(vec_col: F.Column, dim: int, n_tables: int, bits_per_table
     return lsh_table_buckets_udf(dim, n_tables, bits_per_table)(vec_col)
 
 
+def lsh_sign_bucket_expr(vec_col: F.Column, dim: int, bits: int = 8) -> F.Column:
+    """Single-table sign-LSH bucket as a PURE Catalyst expression: bit ``t``
+    is set iff dot(vec, plane_t) > 0, with the same seeded planes as the
+    Arrow-UDF path (``lsh_table_buckets``). Each dot is a left-to-right
+    ``aggregate`` fold over array positions, so a DuckDB ``list_reduce``
+    twin computes bit-identical doubles and therefore identical sign
+    decisions — what makes sign-LSH bucketing oracle-checkable. Intended
+    for small plane counts (bits·dim literals in the plan); the Arrow UDF
+    stays the multi-table production form."""
+    planes = _planes(dim, bits)
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    total = F.lit(0).cast("long")
+    for t in range(bits):
+        parr = F.array(*[F.lit(float(x)) for x in planes[t]])
+        dot = F.aggregate(
+            F.zip_with(v, parr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        total = total + F.when(dot > 0, F.lit(1 << t).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def lsh_sign_bucket_sql(vec_expr: str, dim: int, bits: int = 8) -> str:
+    """DuckDB rendering of ``lsh_sign_bucket_expr`` — the same seeded plane
+    literals, the same left-to-right fold, summed CASE bits."""
+    planes = _planes(dim, bits)
+    terms = []
+    for t in range(bits):
+        lits = ", ".join(repr(float(x)) for x in planes[t])
+        dot = (
+            f"list_reduce([CAST(0 AS DOUBLE)] || "
+            f"list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ([{lits}])[i]), "
+            f"(a, x) -> a + x)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << t} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query: DataFrame,

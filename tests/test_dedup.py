@@ -344,3 +344,39 @@ def test_decontaminate_planted(spark, tmp_path):
     assert out[2]["n_contaminated"] == 1
     assert out[2]["n_shingles"] == 5
     assert abs(out[2]["contamination"] - 0.2) < 1e-12
+
+
+def test_persist_replacing_memoizes_and_survives_clearcache(spark):
+    """The self-join cache contract: the same (site, input plan) returns the
+    SAME persisted DataFrame across invocations; an external clearCache()
+    (bench.py between queries) only drops blocks — the next call re-persists
+    instead of handing out an unpersisted handle; distinct inputs get
+    distinct entries without eagerly unpersisting the earlier one."""
+    from pyspark import StorageLevel
+
+    from caffeonspark_spark.operators.dedup import (
+        _persist_replacing,
+        unpersist_cached,
+    )
+
+    base = spark.range(100).withColumnRenamed("id", "k")
+    first = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
+    again = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
+    assert again is first  # memoized: double invocation reuses, not re-caches
+    assert first.storageLevel != StorageLevel.NONE
+    assert first.count() == 100
+
+    other = _persist_replacing("t_site", base.selectExpr("k", "k * 3 AS v"))
+    assert other is not first
+    # the earlier entry must STILL be cached: lazy plans referencing it
+    # would silently recompute if replacement unpersisted it
+    assert first.storageLevel != StorageLevel.NONE
+
+    spark.catalog.clearCache()
+    refreshed = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
+    assert refreshed is first
+    assert refreshed.storageLevel != StorageLevel.NONE  # re-persisted
+
+    unpersist_cached()
+    assert first.storageLevel == StorageLevel.NONE
+    assert other.storageLevel == StorageLevel.NONE

@@ -51,6 +51,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries, so the queries that have not yet received a
         # driver CORRECTNESS row lead (rounds 1-4 verified the trailing
         # block three times over). Grouping comments preserved per entry.
+        # --- r5 additions: remaining TPC-H classic shapes (Q4/Q5/Q12/Q13/
+        # Q17/Q21 — exists/not-exists, co-nation 6-way join, conditional
+        # counts, stacked aggs, decorrelated avg) ---
+        "order_priority_check": R.order_priority_check,
+        "local_supplier_volume": R.local_supplier_volume,
+        "line_priority_counts": R.line_priority_counts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_revenue": R.small_quantity_revenue,
+        "waiting_suppliers": R.waiting_suppliers,
         "embedding_neardup": D.embedding_neardup_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs_portable_query,
         "cube_agg": R.cube_agg,
@@ -165,6 +174,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "local_supplier_volume": f"""
+            SELECT n_name, {_ds('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "line_priority_counts": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                  FROM customer LEFT OUTER JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "small_quantity_revenue": f"""
+            WITH fact AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#3' AND p_type = 'PROMO'
+            ), pa AS (
+                SELECT l_partkey AS pk, {_da('l_quantity')} AS avg_qty
+                FROM fact GROUP BY l_partkey
+            )
+            SELECT {_ds('l_extendedprice')} / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM fact JOIN pa ON fact.l_partkey = pa.pk
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON l1.l_orderkey = o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 100
+        """,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 30.0 AND l_returnflag = 'R'

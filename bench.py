@@ -93,6 +93,10 @@ BENCH_QUERIES = {
     "q_clean_corpus_portable": D.clean_corpus_portable,
     "q_kmeans_fit": S.kmeans_fit_query,
     "q_semantic_dedup": S.semantic_dedup_query,
+    # r5 additions: heaviest of the newly added TPC-H classics — the
+    # co-nation 6-way join and the double exists/not-exists shape
+    "q5_local_supplier": R.local_supplier_volume,
+    "q21_waiting_suppliers": R.waiting_suppliers,
     # r5 additions: the M1/M3 ML verbs — guards the Arrow batch path
     # (mapInArrow assembly + trainer feed) against per-row regressions
     "q_features": ML.features_identity_query,

@@ -1022,3 +1022,167 @@ def null_safe_join(spark, sf_dir) -> DataFrame:
         .groupBy(li.qty_bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice").alias("total_price"))
     )
+
+
+def order_priority_check(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 shape: orders in one quarter with at least one late-shipped
+    line, counted per priority. (The testdata carries no commit/receipt
+    dates, so "late" is l_shipdate > o_orderdate + 60 days.)
+
+    Scale shape: EXISTS compiles to a LEFT SEMI hash join on l_orderkey with
+    the lateness comparison as a residual condition — each order is tested
+    once, no duplicate explosion, and the quarter filter prunes the probe
+    side at the parquet scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == o.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def local_supplier_volume(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier share
+    the nation, bounded to one region and one year. Six-way join: both dim
+    chains (nation→region) broadcast; the co-nation predicate rides the
+    supplier join so mismatched rows die before the aggregation; the year
+    filter reaches the orders scan."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias("revenue")
+        )
+    )
+
+
+def line_priority_counts(spark, sf_dir) -> DataFrame:
+    """TPC-H Q12 shape: per line-status (the testdata's stand-in for
+    shipmode), how many lines belong to critical- vs normal-priority orders
+    within a ship-date year. One equi join, conditional counts folded into
+    the map-side partial agg — a single shuffle on a 2-value key at any
+    scale."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def customer_order_distribution(spark, sf_dir) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many qualifying
+    orders they placed (zero included). Two stacked aggregations: a LEFT
+    OUTER join + count per customer (one shuffle on c_custkey), then the
+    histogram agg over the per-customer counts (second shuffle on a small
+    integer key). The left join keeps order-less customers so the 0 bucket
+    is real — a semi/inner join would silently drop it."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def small_quantity_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders for one
+    brand's PROMO parts were dropped. The correlated AVG subquery is
+    decorrelated: per-part average quantity computed ONCE as a groupBy over
+    the already-filtered part set, broadcast back to the fact rows — the
+    same single-pass plan Catalyst produces for the classic correlated
+    form, made explicit."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    part_avg = F.broadcast(
+        fact.groupBy(F.col("l_partkey").alias("pk")).agg(
+            davg("l_quantity").alias("avg_qty")
+        )
+    )
+    return (
+        fact.join(part_avg, fact.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(spark, sf_dir) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    failed multi-supplier order, counted and ranked. ("Late" =
+    l_shipdate > o_orderdate + 30 days; the testdata has no
+    commit/receipt dates.)
+
+    Scale shape: the EXISTS is a LEFT SEMI and the NOT EXISTS a LEFT ANTI
+    join, both on l_orderkey with the supplier-inequality (and lateness)
+    as residual conditions — order-local work, no pair explosion beyond
+    lines-per-order, and the 'F' status filter prunes every side's scan.
+    The final top-100 is TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"),
+        F.col("l_shipdate").alias("l2_shipdate"),
+    )
+    multi = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("l2_orderkey")) & (l1.l_suppkey != F.col("l2_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l2,
+        (multi.l_orderkey == F.col("l2_orderkey"))
+        & (multi.l_suppkey != F.col("l2_suppkey"))
+        & (F.col("l2_shipdate") > multi.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(s, sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

@@ -278,3 +278,43 @@ def test_cluster_by_write_produces_disjoint_file_ranges(spark, sf_smoke, tmp_pat
 
     # the clustered copy stays row-identical to the source
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_order_priority_check_semi_join(spark, sf_smoke):
+    """Q4 shape: the EXISTS must compile to a LEFT SEMI join (each order
+    tested once, no duplicate explosion) with the quarter filter pushed to
+    the orders scan."""
+    df = R.order_priority_check(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_smoke):
+    """Q5 shape: nation/region resolve as broadcasts; the year filter
+    reaches the orders scan; exactly one shuffle for the final group."""
+    df = R.local_supplier_volume(spark, sf_smoke)
+    assert has_broadcast_join(df)
+    assert any("o_orderdate" in p for p in pushed_filters(df))
+    assert has_partial_aggregation(df)
+
+
+def test_waiting_suppliers_semi_and_anti(spark, sf_smoke):
+    """Q21 shape: EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, both on
+    l_orderkey with residual supplier-inequality conditions; top-100 is
+    TakeOrderedAndProject, and the status filter reaches the orders scan."""
+    df = R.waiting_suppliers(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert any("o_orderstatus" in p for p in pushed_filters(df))
+
+
+def test_small_quantity_revenue_decorrelated(spark, sf_smoke):
+    """Q17 shape: the per-part average runs once and joins back broadcast —
+    no per-row subquery re-evaluation; part filters reach the part scan."""
+    df = R.small_quantity_revenue(spark, sf_smoke)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed or "p_type" in pushed, pushed

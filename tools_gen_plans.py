@@ -41,6 +41,9 @@ SHOW = {
     "decontaminate (benchmark n-gram screen)": D.decontaminate,
     "kmeans_assign (centroid plan literals, map-only argmin)": S.kmeans_assign_query,
     "source_quota_sample (broadcast counts, prefilter before rank)": SA.source_quota_docs,
+    "local_supplier_volume (TPC-H Q5 class, co-nation 6-way)": R.local_supplier_volume,
+    "waiting_suppliers (TPC-H Q21 class, semi+anti)": R.waiting_suppliers,
+    "semantic_dedup (k∝N clusters, float pre-rank + exact re-rank)": S.semantic_dedup_query,
 }
 
 

@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": R.customer_order_distribution,
         "small_quantity_revenue": R.small_quantity_revenue,
         "waiting_suppliers": R.waiting_suppliers,
+        # --- r5: incremental cross-corpus near-dedup (bipartite LSH) ---
+        "dedup_against_corpus": D.dedup_against_corpus_query,
         "embedding_neardup": D.embedding_neardup_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs_portable_query,
         "cube_agg": R.cube_agg,
@@ -231,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fact JOIN pa ON fact.l_partkey = pa.pk
             WHERE l_quantity < 0.2 * avg_qty
         """,
+        "dedup_against_corpus": D.ORACLE_DEDUP_AGAINST_CORPUS,
         "waiting_suppliers": """
             SELECT s_name, COUNT(*) AS numwait
             FROM lineitem l1

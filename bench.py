@@ -93,6 +93,8 @@ BENCH_QUERIES = {
     "q_clean_corpus_portable": D.clean_corpus_portable,
     "q_kmeans_fit": S.kmeans_fit_query,
     "q_semantic_dedup": S.semantic_dedup_query,
+    # r5 addition: incremental cross-corpus dedup (bipartite banded LSH)
+    "q_dedup_against_corpus": D.dedup_against_corpus_query,
     # r5 additions: heaviest of the newly added TPC-H classics — the
     # co-nation 6-way join and the double exists/not-exists shape
     "q5_local_supplier": R.local_supplier_volume,

@@ -1124,3 +1124,153 @@ ORACLE_DECONTAMINATE = """
     FROM hits JOIN sizes USING (doc_id)
     ORDER BY contamination DESC, doc_id ASC
 """
+
+
+# --- cross-corpus (incremental) dedup -------------------------------------
+
+def dedup_against_corpus_df(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs of NEW documents against an existing REFERENCE corpus
+    — the incremental-ingest shape (dedup each crawl batch against the
+    corpus you already kept) that within-corpus self-join dedup cannot
+    express. Returns ``(new_id, ref_id, est_jaccard)``.
+
+    Bipartite banded MinHash-LSH in fully engine-portable arithmetic
+    (char-fold shingle hash + slice-equality banding, same family as
+    ``minhash_lsh_pairs_portable_df``), so the whole operator
+    hash-matches a DuckDB twin.
+
+    Scale shape: the reference side's signatures are a one-pass linear agg
+    you would materialize ONCE and reuse for every batch (at 100 TB the
+    corpus signature table is ~0.5 KB/doc and the new batch is orders of
+    magnitude smaller than the corpus); the band join is a bipartite
+    equi-join whose candidates ∝ cross-corpus collisions only — no
+    within-corpus pairs, no all-pairs blowup. est_jaccard is computed from
+    the already-joined signature arrays before the pair-dedup shuffle.
+    """
+    sig_new = minhash_signatures_portable_df(new_docs, id_col=id_col, text_col=text_col)
+    sig_ref = minhash_signatures_portable_df(ref_docs, id_col=id_col, text_col=text_col)
+
+    def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.col("sig").alias(f"{out_id}_sig"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(
+                            F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND
+                        )
+                        for i in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band"),
+        )
+
+    a = _bands(sig_new, "new_id")
+    b = _bands(sig_ref, "ref_id").withColumnsRenamed(
+        {"band_idx": "r_band_idx", "band": "r_band"}
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("r_band_idx")) & (F.col("band") == F.col("r_band")),
+        )
+        .select(
+            "new_id",
+            "ref_id",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("new_id_sig"), F.col("ref_id_sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(MINHASH_PERMS))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["new_id", "ref_id"])
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def split_corpus_by_source(docs: DataFrame, boundary: int = 10):
+    """The declared-query corpus split: sources ``src{boundary}..`` are the
+    incoming batch, ``src0..src{boundary-1}`` the kept corpus."""
+    src_num = F.substring("source", 4, 9).cast("int")
+    return docs.where(src_num >= boundary), docs.where(src_num < boundary)
+
+
+def dedup_against_corpus_query(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35, top: int = 100
+) -> DataFrame:
+    """Declared query: incremental cross-corpus near-dup pairs — documents
+    from sources src10+ (the 'new batch') matched against src0-9 (the
+    'kept corpus'). Deterministic top ordering for the value-hash compare."""
+    new_docs, ref_docs = split_corpus_by_source(load_table(spark, sf_dir, "documents"))
+    return (
+        dedup_against_corpus_df(new_docs, ref_docs, threshold)
+        .orderBy(F.desc("est_jaccard"), F.asc("new_id"), F.asc("ref_id"))
+        .limit(top)
+    )
+
+
+def _oracle_dedup_against_corpus(threshold: float = 0.35, top: int = 100) -> str:
+    coeffs = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
+    )
+    charfold = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(range(1, length(shingle) + 1), "
+        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, is_new,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    th AS (SELECT doc_id, is_new, {charfold} AS th FROM sh),
+    coeffs(perm, a, b) AS (VALUES {coeffs}),
+    mh AS (
+        SELECT t.doc_id, t.is_new, c.perm,
+               MIN((c.a * t.th + c.b) % 2147483647) AS minhash
+        FROM th t CROSS JOIN coeffs c
+        GROUP BY t.doc_id, t.is_new, c.perm
+    ),
+    sig AS (SELECT doc_id, is_new, list(minhash ORDER BY perm) AS sig
+            FROM mh GROUP BY doc_id, is_new),
+    bands AS (
+        SELECT doc_id, is_new, sig, b.b AS band_idx,
+               list_slice(sig, 4 * b.b + 1, 4 * b.b + 4) AS band
+        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
+    ),
+    est AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id,
+               CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+         AND a.is_new AND NOT b.is_new
+    )
+    SELECT new_id, ref_id, est_jaccard FROM est
+    WHERE est_jaccard >= {threshold}
+    ORDER BY est_jaccard DESC, new_id ASC, ref_id ASC
+    LIMIT {top}
+"""
+
+
+ORACLE_DEDUP_AGAINST_CORPUS = _oracle_dedup_against_corpus()

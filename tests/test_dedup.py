@@ -380,3 +380,23 @@ def test_persist_replacing_memoizes_and_survives_clearcache(spark):
     unpersist_cached()
     assert first.storageLevel == StorageLevel.NONE
     assert other.storageLevel == StorageLevel.NONE
+
+
+def test_dedup_against_corpus_bipartite(spark, planted):
+    """Cross-corpus dedup: new batch {0,1,3} vs reference {2,4,5}. Must
+    flag the whitespace dup (1↔2 via 0's text) and NOT emit any
+    within-side pair; unrelated cross pairs stay below threshold."""
+    from caffeonspark_spark.operators.dedup import dedup_against_corpus_df
+
+    new_docs = planted.where(F.col("doc_id").isin(0, 1, 3))
+    ref_docs = planted.where(F.col("doc_id").isin(2, 4, 5))
+    pairs = dedup_against_corpus_df(new_docs, ref_docs, threshold=0.5).collect()
+    got = {(r["new_id"], r["ref_id"]) for r in pairs}
+    # docs 0 and 1 are (whitespace-)identical to reference doc 2
+    assert (0, 2) in got and (1, 2) in got
+    # near-dup doc 3 vs doc 2: est jaccard is high but direction must be new->ref
+    assert all(n in (0, 1, 3) and r in (2, 4, 5) for n, r in got)
+    # unrelated reference docs never matched
+    assert not any(r in (4, 5) for _, r in got)
+    for r in pairs:
+        assert r["est_jaccard"] >= 0.5

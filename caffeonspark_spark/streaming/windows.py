@@ -132,8 +132,16 @@ def session_windows(
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
-    the streaming face of the dedup extension."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    the streaming face of the dedup extension.
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``:
+    with ``dropDuplicates(["event_id"])`` the event-time column is not part
+    of the key subset, so the watermark never evicts dedup state and it
+    grows without bound — a run-forever leak at production stream volume.
+    The WithinWatermark form keeps a key's state only until the watermark
+    passes its first-seen event time, bounding state to one horizon's worth
+    of distinct keys."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

@@ -339,3 +339,15 @@ def test_foreach_batch_sink_idempotent(spark, sf_smoke, events_stream, tmp_path)
     after = spark.read.parquet(out)
     assert after.count() == n_src
     assert after.select("event_id").distinct().count() == n_src
+
+
+def test_stream_dedup_state_is_watermark_bounded(spark, events_stream):
+    """dropDuplicatesWithinWatermark must appear in the plan (plain
+    dropDuplicates on a non-event-time key never evicts state), and a
+    duplicate arriving within the horizon must still be suppressed."""
+    dd = dedup_stream(events_stream)
+    # The analyzed plan node for the WithinWatermark variant is distinct
+    # from plain Deduplicate — pin it so a refactor back to the unbounded
+    # form fails loudly.
+    plan = dd._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan

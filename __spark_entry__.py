@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": R.waiting_suppliers,
         # --- r5: incremental cross-corpus near-dedup (bipartite LSH) ---
         "dedup_against_corpus": D.dedup_against_corpus_query,
+        # --- r5: deterministic shuffle-shard training-data export ---
+        "shuffle_shards": SA.shuffle_shards_docs,
         "embedding_neardup": D.embedding_neardup_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs_portable_query,
         "cube_agg": R.cube_agg,
@@ -234,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_quantity < 0.2 * avg_qty
         """,
         "dedup_against_corpus": D.ORACLE_DEDUP_AGAINST_CORPUS,
+        "shuffle_shards": SA.ORACLE_SHUFFLE_SHARDS,
         "waiting_suppliers": """
             SELECT s_name, COUNT(*) AS numwait
             FROM lineitem l1

@@ -17,9 +17,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from caffeonspark_spark.catalog import load_table
-from caffeonspark_spark.operators.partitioning import _SAMPLE_MOD, sample_hash
+from caffeonspark_spark.operators.partitioning import (
+    _SAMPLE_A,
+    _SAMPLE_B,
+    _SAMPLE_MOD,
+    sample_hash,
+)
 
 
 def split_assign(
@@ -198,3 +204,63 @@ def resample_epochs(df: DataFrame, source_col: str, key_col: str) -> DataFrame:
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("repeat_factor"))))
         .drop("repeat_factor")
     )
+
+
+# --- deterministic shuffle-shard export -----------------------------------
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets a
+    ``(shard, pos)`` address from a seeded hash scramble of its key — the
+    export step that fixes training-data order before an LM run.
+
+    Properties a training pipeline needs and RNG shuffles lack:
+    * REPRODUCIBLE — shard/pos are a pure function of (key, seed); reruns,
+      retries, and other engines produce the identical layout.
+    * RESHUFFLABLE — a new seed is a new permutation; epochs can reshuffle
+      without re-reading anything but the key column.
+    * SCALE-SAFE — no global sort: the scramble is map-only, the shard
+      assignment shuffles once on the shard id, and position is a
+      within-shard sort (choose n_shards so one shard fits an executor;
+      at 100 TB that is thousands of shards, which also matches the
+      shard-per-file export layout downstream loaders want).
+
+    DuckDB twin: ``((key + seed) % p * a + b) % p`` with row_number() over
+    (shard, scramble) — fully hash-checkable.
+    """
+    k = F.pmod(
+        F.pmod(F.col(key_col).cast("long") + F.lit(seed), F.lit(_SAMPLE_MOD))
+        * F.lit(_SAMPLE_A)
+        + F.lit(_SAMPLE_B),
+        F.lit(_SAMPLE_MOD),
+    )
+    out = df.withColumn("_shuffle_key", k).withColumn(
+        "shard", F.pmod(F.col("_shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_shuffle_key", key_col)
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_shuffle_key")
+    )
+
+
+def shuffle_shards_docs(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8, seed: int = 42
+) -> DataFrame:
+    """Declared query: documents shuffled into 8 training shards, seed 42."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_shards(docs, "doc_id", n_shards, seed)
+
+
+ORACLE_SHUFFLE_SHARDS = f"""
+    SELECT doc_id, source, CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+        SELECT doc_id, source,
+               ((doc_id + 42) % {_SAMPLE_MOD} * {_SAMPLE_A} + {_SAMPLE_B})
+                 % {_SAMPLE_MOD} AS h
+        FROM documents
+    )
+"""

@@ -193,3 +193,33 @@ def test_dup_ngram_stats_planted(spark):
     assert out[2]["dup_ratio"] == 1.0
     assert out[3]["dup_ratio"] == 0.0
     assert out[1]["n_shingles"] == 3
+
+
+def test_shuffle_shards_reproducible_and_balanced(spark, sf_oracle):
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.sampling import shuffle_shards
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id")
+    a = shuffle_shards(docs, "doc_id", 8, seed=42).collect()
+    b = shuffle_shards(docs, "doc_id", 8, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # pure function of (key, seed)
+
+    by_id = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    n = len(by_id)
+    assert n == docs.count()
+
+    # every shard's positions are exactly 1..|shard| (a usable address space)
+    from collections import defaultdict
+    shards = defaultdict(list)
+    for sh, pos in by_id.values():
+        shards[sh].append(pos)
+    for sh, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), sh
+    # hash sharding stays roughly balanced
+    sizes = [len(ps) for ps in shards.values()]
+    assert len(sizes) == 8 and min(sizes) > 0.5 * n / 8 and max(sizes) < 2.0 * n / 8
+
+    # a different seed is a genuinely different permutation
+    c = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shuffle_shards(docs, "doc_id", 8, seed=7).collect()}
+    assert sum(by_id[k] != c[k] for k in by_id) > n // 2

@@ -6,7 +6,9 @@ MyMLPipeline.scala) for the rebuilt engine:
 
     corpus -> quality gate -> dedup (exact + MinHash near-dup) ->
     decontaminate vs a held-out set -> boilerplate heavy hitters ->
-    chunk -> (toy) train/validate on embeddings -> similarity lookup
+    cross-corpus dedup of an incoming batch -> chunk ->
+    shuffle-shard export -> (toy) train/validate on embeddings ->
+    similarity lookup
 
 Run:  python examples/pipeline_demo.py [sf_dir]        (default sf0.001)
 """
@@ -62,13 +64,32 @@ def main() -> None:
     hh = heavy_hitter_tokens(spark, sf_dir, k=5).collect()
     print("top tokens:", [(r["token"], r["n"]) for r in hh])
 
-    # 5. context-window chunking of the survivors
+    # 5. incremental ingest: dedup the "new batch" (sources src10+) against
+    # the kept corpus (src0-9) — bipartite LSH, no within-side pairs
+    from caffeonspark_spark.operators.dedup import (
+        dedup_against_corpus_df,
+        split_corpus_by_source,
+    )
+
+    new_docs, ref_docs = split_corpus_by_source(engine.table("documents"))
+    cross = dedup_against_corpus_df(new_docs, ref_docs, threshold=0.35)
+    print(f"new-batch docs near-duplicating the kept corpus: "
+          f"{cross.select('new_id').distinct().count()}")
+
+    # 6. context-window chunking of the survivors
     chunks = chunk_documents(spark, sf_dir).join(
         cleaned.select("doc_id"), "doc_id"
     )
     print(f"chunks for training: {chunks.count()}")
 
-    # 6. toy training with interleaved validation on the embeddings table
+    # 7. deterministic shuffle-shard export: fix the training order
+    from caffeonspark_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(cleaned.select("doc_id"), "doc_id", n_shards=4, seed=42)
+    sizes = sharded.groupBy("shard").count().orderBy("shard").collect()
+    print("shard sizes:", [(r["shard"], r["count"]) for r in sizes])
+
+    # 8. toy training with interleaved validation on the embeddings table
     emb = engine.table("embeddings")
     specs = [ColumnSpec("embedding", "float_array", channels=64),
              ColumnSpec("label", "int")]
@@ -86,7 +107,7 @@ def main() -> None:
         print(f"iter {mrow['iteration']:>3}: accuracy={mrow['accuracy'][0]:.3f} "
               f"loss={mrow['loss'][0]:.4f}")
 
-    # 7. similarity lookup: nearest neighbours of vector 0
+    # 9. similarity lookup: nearest neighbours of vector 0
     top = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=5).collect()
     print("top-5 neighbours of vec 0:",
           [(r["vec_id"], round(r["cos_sim"], 4)) for r in top])

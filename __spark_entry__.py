@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_corpus": D.dedup_against_corpus_query,
         # --- r5: deterministic shuffle-shard training-data export ---
         "shuffle_shards": SA.shuffle_shards_docs,
+        # --- r5: bigram-LM corpus-fit scoring (perplexity-filter stage) ---
+        "ngram_lm_score": TX.ngram_lm_score,
+        # --- r5: keep-best duplicate-group canonicalization ---
+        "keep_best_duplicate": D.keep_best_duplicate,
         "embedding_neardup": D.embedding_neardup_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs_portable_query,
         "cube_agg": R.cube_agg,
@@ -424,6 +428,8 @@ def oracle_sql() -> dict[str, str]:
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,
+        "keep_best_duplicate": D.ORACLE_KEEP_BEST_DUPLICATE,
+        "ngram_lm_score": TX.ORACLE_NGRAM_LM_SCORE,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,

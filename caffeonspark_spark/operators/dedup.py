@@ -158,6 +158,69 @@ ORACLE_DEDUP_FINGERPRINT = """
 """
 
 
+def keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group canonicalization with a keep-BEST policy: within each
+    (portable) fingerprint group keep the richest copy — max ``n_chars``,
+    then min ``doc_id`` — instead of ``dedup_fingerprint``'s keep-min-id.
+    This is the policy real corpus pipelines apply (keep the longest /
+    highest-quality variant of a duplicated page rather than an arbitrary
+    one). No reference counterpart — LLM-pipeline extension.
+
+    One window over the fingerprint partition. At 100 TB the partition key
+    is the 8-byte fingerprint and group sizes equal true duplicate
+    multiplicity (tiny), so the window is a hash-partitioned sort with no
+    skew beyond genuine duplication; the production form swaps in the
+    xxhash64 ``doc_fingerprint`` exactly as in ``dedup_fingerprint``.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "n_chars", doc_fingerprint_portable(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        fp.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("rk") == 1)
+        .select(F.col("doc_id").alias("keep_id"), "n_chars", "n_copies", "fp")
+    )
+
+
+ORACLE_KEEP_BEST_DUPLICATE = """
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, n_chars,
+               list_transform(ts, t ->
+                   list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(ascii(t[i]) AS BIGINT)),
+                       (a, x) -> (a * 31 + x) % 2147483647)) AS hs
+        FROM toks
+    ),
+    fps AS (
+        SELECT doc_id, n_chars,
+               list_reduce([CAST(0 AS BIGINT)] || hs,
+                           (a, x) -> (a * 1000003 + x) % 2147483647) AS fp
+        FROM th
+    )
+    SELECT doc_id AS keep_id, n_chars, n_copies, fp
+    FROM (
+        SELECT doc_id, n_chars, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY fp) AS n_copies
+        FROM fps
+    )
+    WHERE rk = 1
+"""
+
+
 # --- 3. shingle Jaccard --------------------------------------------------
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:

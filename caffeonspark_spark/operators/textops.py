@@ -617,3 +617,93 @@ ORACLE_REPETITION_STATS = """
     FROM per_bigram
     GROUP BY doc_id
 """
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit language-model scoring (the CCNet/Gopher perplexity-filter
+    stage; no reference counterpart — LLM-pipeline extension).
+
+    Trains a bigram model on the corpus itself (counts only) and scores each
+    document by how much smoothed transition evidence its bigrams carry:
+
+        lm_fit = Σ (C(bigram)+1)  /  Σ (C(context)+V)
+
+    — the ratio-of-sums form of add-one-smoothed P(w2|w1), weighting each
+    transition by its context mass. Ratio-of-sums instead of mean-of-logs
+    keeps every aggregate an exact BIGINT and the score ONE IEEE division,
+    so it hash-matches DuckDB bit-for-bit (same discipline as
+    ``market_share`` / ``repetition_stats``; libm ``ln`` is not guaranteed
+    identically rounded across engines). Low lm_fit = transitions rarely
+    seen in the corpus = out-of-distribution / noisy document.
+
+    Plan shape: one explode into (doc_id, bigram); two token-level hash
+    aggs (bigram counts, context counts) re-joined by equi-key; one per-doc
+    agg; the vocab size joins back as a broadcast scalar. At 100 TB the
+    count tables are vocab-sized (≪ corpus) — broadcastable when they fit,
+    plain shuffle hash join otherwise; nothing is all-pairs. The bigram
+    explode feeds three aggregates (≈3 corpus scans); at scale persist the
+    tokenized intermediate or, cheaper, the two count tables.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id", F.explode(ngrams(_toks(), n=2)).alias("bigram")
+    ).withColumn("ctx", F.substring_index("bigram", " ", 1))
+    bg_counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx_counts = bi.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
+    vocab = docs.select(F.explode(_toks()).alias("token")).agg(
+        F.countDistinct("token").alias("v")
+    )
+    per_doc = (
+        bi.join(bg_counts, "bigram")
+        .join(ctx_counts, "ctx")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("c_bg") + F.lit(1)).alias("num"),
+            F.sum("c_ctx").alias("sum_ctx"),
+        )
+    )
+    den = F.col("sum_ctx") + F.col("n_bigrams") * F.col("v")
+    return per_doc.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "n_bigrams",
+        "num",
+        den.alias("den"),
+        (F.col("num").cast("double") / den).alias("lm_fit"),
+    )
+
+
+ORACLE_NGRAM_LM_SCORE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bix AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS ctx FROM bi
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS c_bg FROM bix GROUP BY bigram),
+    ctxc AS (SELECT ctx, COUNT(*) AS c_ctx FROM bix GROUP BY ctx),
+    vocab AS (
+        SELECT COUNT(DISTINCT token) AS v
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(g.c_bg + 1) AS BIGINT) AS num,
+           CAST(SUM(x.c_ctx) + COUNT(*) * (SELECT v FROM vocab) AS BIGINT) AS den,
+           CAST(SUM(g.c_bg + 1) AS DOUBLE)
+             / (SUM(x.c_ctx) + COUNT(*) * (SELECT v FROM vocab)) AS lm_fit
+    FROM bix b
+    JOIN bgc g USING (bigram)
+    JOIN ctxc x USING (ctx)
+    GROUP BY b.doc_id
+"""

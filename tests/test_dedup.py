@@ -400,3 +400,29 @@ def test_dedup_against_corpus_bipartite(spark, planted):
     assert not any(r in (4, 5) for _, r in got)
     for r in pairs:
         assert r["est_jaccard"] >= 0.5
+
+
+def test_keep_best_duplicate_prefers_longest(spark, tmp_path):
+    """Within a fingerprint group (whitespace-normalized duplicates) the
+    richest copy (max n_chars, then min doc_id) survives, not the min-id."""
+    import os
+    from caffeonspark_spark.operators.dedup import keep_best_duplicate
+
+    base = "alpha beta gamma delta"
+    rows = [
+        (1, base, "en", "src0", 10),            # same fp, shortest n_chars
+        (2, "  alpha  beta gamma   delta ", "en", "src0", 30),  # same fp, longest
+        (3, "alpha beta gamma delta", "en", "src0", 30),  # same fp, ties #2 -> min id wins? no: id 2 < 3
+        (4, "unrelated tokens entirely", "en", "src1", 25),
+    ]
+    d = tmp_path / "keepbest"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["keep_id"]: r for r in keep_best_duplicate(spark, str(d)).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3
+    assert out[2]["n_chars"] == 30
+    assert out[4]["n_copies"] == 1

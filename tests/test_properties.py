@@ -138,3 +138,36 @@ def test_decontaminate_matches_python_reference(spark, tmp_path_factory, corpus,
         for r in decontaminate(spark, str(d), n=n).collect()
     }
     assert got == expect
+
+
+def test_ngram_lm_score_planted(spark, tmp_path):
+    """Hand-computed bigram-LM corpus-fit on a 2-doc corpus: the doc made of
+    the corpus's repeated transition scores higher than the singleton doc."""
+    import os
+    from caffeonspark_spark.operators.textops import ngram_lm_score
+
+    # corpus: "a b a b" (bigrams: ab, ba, ab) and "c d" (bigram: cd)
+    rows = [
+        (1, "a b a b", "en", "s", 7),
+        (2, "c d", "en", "s", 3),
+    ]
+    d = tmp_path / "lm"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in ngram_lm_score(spark, str(d)).collect()}
+    # V = 4 distinct tokens {a,b,c,d}
+    # C(ab)=2, C(ba)=1, C(cd)=1; contexts: C(a)=2, C(b)=1, C(c)=1
+    # doc1: bigrams [ab, ba, ab] -> num = (2+1)+(1+1)+(2+1) = 8
+    #       den = (2+2+1) + 3*4 = 17
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["num"] == 8
+    assert out[1]["den"] == 17
+    assert abs(out[1]["lm_fit"] - 8 / 17) < 1e-15
+    # doc2: bigram [cd] -> num = 1+1 = 2; den = 1 + 4 = 5
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["num"] == 2
+    assert out[2]["den"] == 5
+    assert out[1]["lm_fit"] > out[2]["lm_fit"]

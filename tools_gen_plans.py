@@ -17,6 +17,7 @@ from caffeonspark_spark.engine import Config, get_spark
 from caffeonspark_spark.operators import dedup as D  # noqa: F401
 from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import sampling as SA  # noqa: F401
+from caffeonspark_spark.operators import textops as TX  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
@@ -44,6 +45,8 @@ SHOW = {
     "local_supplier_volume (TPC-H Q5 class, co-nation 6-way)": R.local_supplier_volume,
     "waiting_suppliers (TPC-H Q21 class, semi+anti)": R.waiting_suppliers,
     "semantic_dedup (k∝N clusters, float pre-rank + exact re-rank)": S.semantic_dedup_query,
+    "ngram_lm_score (vocab-sized count tables re-joined by equi-key)": TX.ngram_lm_score,
+    "keep_best_duplicate (fp-partitioned ranking window)": D.keep_best_duplicate,
 }
 
 

@@ -5,10 +5,10 @@ Mirrors the reference's examples/ role (notebook flows like DLDemo.ipynb,
 MyMLPipeline.scala) for the rebuilt engine:
 
     corpus -> quality gate -> dedup (exact + MinHash near-dup) ->
-    decontaminate vs a held-out set -> boilerplate heavy hitters ->
-    cross-corpus dedup of an incoming batch -> chunk ->
-    shuffle-shard export -> (toy) train/validate on embeddings ->
-    similarity lookup
+    LM corpus-fit filter -> decontaminate vs a held-out set ->
+    boilerplate heavy hitters -> cross-corpus dedup of an incoming
+    batch -> BPE tokenizer training -> chunk -> shuffle-shard export ->
+    (toy) train/validate on embeddings -> similarity lookup
 
 Run:  python examples/pipeline_demo.py [sf_dir]        (default sf0.001)
 """
@@ -50,6 +50,18 @@ def main() -> None:
     print(f"after quality gate + dedup: {n_clean} documents "
           f"({n_docs - n_clean} removed)")
 
+    # 2b. LM corpus-fit filter: drop the most out-of-distribution docs
+    # (lowest smoothed-bigram evidence — the perplexity-filter stage)
+    from caffeonspark_spark.operators.textops import ngram_lm_score
+
+    lm = ngram_lm_score(spark, sf_dir)
+    cutoff = lm.approxQuantile("lm_fit", [0.02], 0.001)[0]
+    cleaned = cleaned.join(
+        lm.where(F.col("lm_fit") >= cutoff).select("doc_id"), "doc_id"
+    )
+    print(f"after LM corpus-fit filter (cutoff {cutoff:.4f}): "
+          f"{cleaned.count()} documents")
+
     # 3. benchmark decontamination: drop survivors sharing 5-grams with the
     # held-out set (source 'src0' stands in for an eval benchmark)
     from caffeonspark_spark.operators.dedup import decontaminate
@@ -75,6 +87,12 @@ def main() -> None:
     cross = dedup_against_corpus_df(new_docs, ref_docs, threshold=0.35)
     print(f"new-batch docs near-duplicating the kept corpus: "
           f"{cross.select('new_id').distinct().count()}")
+
+    # 5b. train the tokenizer on the corpus (BPE merge table)
+    from caffeonspark_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(spark, sf_dir, n_merges=5).collect()
+    print("BPE merges:", [(r["lhs"], r["rhs"], r["pair_count"]) for r in merges])
 
     # 6. context-window chunking of the survivors
     chunks = chunk_documents(spark, sf_dir).join(

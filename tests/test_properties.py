@@ -191,3 +191,27 @@ def test_bpe_train_planted(spark, tmp_path):
 
     out = [tuple(r) for r in bpe_train(spark, str(d), n_merges=3).collect()]
     assert out == [(0, "l", "o", 5), (1, "lo", "w", 5), (2, "low", "e", 2)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=1), min_size=0, max_size=10),
+    st.text(alphabet="ab", min_size=1, max_size=2),
+    st.text(alphabet="ab", min_size=1, max_size=2),
+)
+def test_bpe_merge_fold_matches_python_reference(spark, syms, l, r):
+    """The Catalyst greedy left-to-right merge fold must agree with a plain
+    Python implementation for arbitrary symbol streams and pair choices —
+    including overlap chains like (a,a) over 'a a a a'."""
+    from caffeonspark_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame([(0, syms)], "id long, syms array<string>")
+    got = _apply_merge(df, l, r).collect()[0]["syms"]
+
+    expect = []
+    for x in syms:
+        if expect and expect[-1] == l and x == r:
+            expect[-1] = l + r
+        else:
+            expect.append(x)
+    assert got == expect

@@ -52,6 +52,28 @@ def _train_epoch_bench(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = iter(range(10**6))
+
+
+def _stream_tumbling_bench(spark, sf_dir):
+    """Drive the watermarked tumbling-window aggregation over the events
+    table through the Structured Streaming file source to completion
+    (processAllAvailable), so the bench timer captures end-to-end stream
+    throughput — micro-batch planning, state store updates, and append-mode
+    finalization — not just a batch plan."""
+    from caffeonspark_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    name = run_to_memory(
+        tumbling_counts(read_events_stream(spark, sf_dir)),
+        f"bench_tumbling_{next(_STREAM_SEQ)}",
+    )
+    return spark.table(name)
+
+
 # headline suite: the BASELINE.md classes + the LLM-pipeline extensions
 BENCH_QUERIES = {
     "q1_pricing_summary": R.pricing_summary,
@@ -109,6 +131,7 @@ BENCH_QUERIES = {
     "q_ngram_lm_score": TX.ngram_lm_score,
     "q_keep_best_duplicate": D.keep_best_duplicate,
     "q_bpe_train": BPE.bpe_train,
+    "q_stream_tumbling": _stream_tumbling_bench,
 }
 
 

@@ -232,3 +232,14 @@ def test_oracle_match_sf01(spark, name):
     df = QUERIES[name](spark, "/root/testdata/sf0.1")
     ok, msg = compare(df, ORACLES[name], "/root/testdata/sf0.1", exact=True)
     assert ok, f"{name}@sf0.1: {msg}"
+
+
+def test_driver_rotation_fronts_unverified_queries():
+    """queries() must order every not-yet-driver-verified query ahead of all
+    verified ones, so the external 50-query sample always extends coverage."""
+    checked = _entry._driver_checked(set(ORACLES))
+    flags = [n in checked for n in QUERIES]
+    # all False (unchecked) entries precede all True (checked) entries
+    assert flags == sorted(flags), [
+        n for n, f in zip(QUERIES, flags) if f
+    ][:5]

@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": BPE.bpe_train,
         # --- r5: keep-best duplicate-group canonicalization ---
         "keep_best_duplicate": D.keep_best_duplicate,
+        # --- r5: duplicated-passage removal (substring dedup surgery) ---
+        "remove_dup_passages": D.remove_dup_passages_docs,
         "embedding_neardup": D.embedding_neardup_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs_portable_query,
         "cube_agg": R.cube_agg,
@@ -471,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_best_duplicate": D.ORACLE_KEEP_BEST_DUPLICATE,
         "ngram_lm_score": TX.ORACLE_NGRAM_LM_SCORE,
         "bpe_train": BPE.ORACLE_BPE_TRAIN,
+        "remove_dup_passages": D.ORACLE_REMOVE_DUP_PASSAGES,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,

@@ -347,6 +347,131 @@ ORACLE_NGRAM_JACCARD = _oracle_ngram_jaccard(1000)
 ORACLE_NGRAM_JACCARD_PRUNED = _oracle_ngram_jaccard(5)
 
 
+def remove_dup_passages(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Duplicated-passage REMOVAL (the surgical form of substring dedup a la
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    strip every token covered by any occurrence of an n-gram that appears in
+    ≥ 2 distinct documents, and rebuild the cleaned (whitespace-normalized,
+    lowercased) text. The aggregate signal lives in ``dup_ngram_stats``;
+    this operator actually rewrites the corpus.
+
+    Returns (id, clean_text, n_kept, n_tokens); docs whose every token is
+    boilerplate stay in the output with clean_text = ''.
+
+    Plan: positional n-gram explode → cross-doc document-frequency hash agg
+    → semi-join back → coverage positions (explode of an n-wide sequence,
+    ≤ n rows per gram occurrence, so linear in corpus tokens) → anti-join
+    against the positional token stream → per-doc ordered rebuild
+    (array_sort over (pos, token) structs). Every join is an equi-join;
+    nothing is pairwise. At 100 TB shrink the gram shuffle key to
+    ``xxhash64(gram)`` (string grams kept here for oracle parity), exactly
+    as documented on ``dup_ngram_stats``.
+    """
+    toks = _tokens(df, text_col)
+    base = df.select(F.col(id_col), toks.alias("ts"))
+    pos_grams = base.where(F.size("ts") >= n).select(
+        id_col, F.posexplode(ngrams(F.col("ts"), n=n)).alias("gpos0", "gram")
+    )
+    dup_grams = (
+        pos_grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("gram")
+    )
+    covered = (
+        pos_grams.join(dup_grams, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gpos0") + 1, F.col("gpos0") + n)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode("ts").alias("pos0", "token")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "token")
+    kept = tok_pos.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            "n_tokens",
+        )
+    )
+
+
+def remove_dup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: cross-document duplicated 5-gram passage removal."""
+    return remove_dup_passages(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_REMOVE_DUP_PASSAGES = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, g.gpos AS gpos, g.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts) - 3),
+                         i -> struct_pack(gpos := i,
+                                          gram := ts[i] || ' ' || ts[i+1] || ' ' ||
+                                                  ts[i+2] || ' ' || ts[i+3] || ' ' ||
+                                                  ts[i+4]))) AS g
+              FROM toks WHERE len(ts) >= 5)
+    ),
+    dup AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM pg)
+        GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc_id, unnest(range(gpos, gpos + 5)) AS pos
+            FROM pg JOIN dup USING (gram))
+    ),
+    tp AS (
+        SELECT doc_id, t.pos AS pos, t.token AS token
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts) + 1),
+                         i -> struct_pack(pos := i, token := ts[i]))) AS t
+              FROM toks)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.pos, tp.token
+        FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+        WHERE cov.pos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(b.ts) AS BIGINT) AS n_tokens
+    FROM toks b LEFT JOIN agg USING (doc_id)
+"""
+
+
 def dup_ngram_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -426,3 +426,32 @@ def test_keep_best_duplicate_prefers_longest(spark, tmp_path):
     assert out[2]["n_copies"] == 3
     assert out[2]["n_chars"] == 30
     assert out[4]["n_copies"] == 1
+
+
+def test_remove_dup_passages_planted(spark, tmp_path):
+    """A 5-gram shared by two docs is stripped from both (all 5 covered
+    positions, union over overlapping occurrences); unique text survives
+    with order preserved; a fully-boilerplate doc stays with empty text."""
+    import os
+    from caffeonspark_spark.operators.dedup import remove_dup_passages_docs
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro one two {shared} outro", "en", "s", 40),
+        (2, f"{shared} completely fresh tail here", "en", "s", 40),
+        (3, shared, "en", "s", 30),  # wait: appears in 3 docs, fully covered
+        (4, "nothing shared in this document at all", "en", "s", 38),
+    ]
+    d = tmp_path / "rmdup"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in remove_dup_passages_docs(spark, str(d)).collect()}
+    assert out[1]["clean_text"] == "intro one two outro"
+    assert (out[1]["n_kept"], out[1]["n_tokens"]) == (4, 9)
+    assert out[2]["clean_text"] == "completely fresh tail here"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "nothing shared in this document at all"
+    assert out[4]["n_kept"] == out[4]["n_tokens"] == 7

@@ -66,15 +66,67 @@ def video_struct_col(video: Column, n_frames: Column, height: Column, width: Col
 # --- decoders (stub + deterministic fake) ---------------------------------
 
 def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
-    """Decode compressed audio bytes → float32 waveform in [-1, 1].
+    """Decode audio bytes → float32 mono waveform in [-1, 1].
 
-    STUB: no audio codec in this container; wire torchaudio/soundfile/ffmpeg
-    here in production. Callers are codec-agnostic.
+    RIFF/WAVE PCM (8/16-bit) decodes for REAL with no codec library —
+    chunk walk + NumPy frombuffer; multi-channel payloads mix down to mono
+    by channel mean. Compressed formats (mp3/ogg/flac) raise — wire
+    torchaudio/soundfile/ffmpeg there in production; callers are
+    codec-agnostic either way.
     """
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _wav_pcm_decode(bytes(data))
     raise NotImplementedError(
-        "no audio codec in this environment; use fake_decode_audio for tests "
-        "or wire soundfile/ffmpeg in production"
+        "only RIFF/WAVE PCM decodes without a codec; use fake_decode_audio "
+        "for synthetic tests or wire soundfile/ffmpeg for compressed formats"
     )
+
+
+def _wav_pcm_decode(data: bytes) -> np.ndarray:
+    """Minimal RIFF chunk walk: locate fmt + data, return float32 mono."""
+    pos, n = 12, len(data)
+    fmt = raw = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("codec-free WAV path supports 8/16-bit PCM only")
+    if bits == 16:
+        wave = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        wave = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if n_channels > 1:
+        wave = wave[: len(wave) - len(wave) % n_channels]
+        wave = wave.reshape(-1, n_channels).mean(axis=1)
+    return wave.astype(np.float32)
+
+
+def encode_wav_pcm16(wave: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """float32 [-1, 1] → RIFF/WAVE 16-bit PCM bytes — the test/fixture twin
+    of the codec-free decode path."""
+    pcm = np.clip(np.asarray(wave, dtype=np.float32), -1.0, 1.0)
+    raw = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def fake_decode_audio(data: bytes, n_samples: int) -> np.ndarray:

@@ -106,9 +106,81 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 
 # --- NumPy transforms (run inside Arrow batch workers) --------------------
 
+def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
+    """Pure-NumPy decoder for header-only (codec-free) image containers:
+    PPM (P6), PGM (P5), and uncompressed 24-bit BI_RGB BMP. No external
+    codec library needed, so REAL bytes decode end-to-end even in
+    environments without Pillow/OpenCV (this container). Output matches
+    the ``Mat.decode`` contract (``Mat.java:58-63``): HWC uint8, BGR for
+    3-channel, integer BT.601 luma for grayscale conversion.
+    """
+    if data[:2] in (b"P6", b"P5"):
+        # netpbm: magic, whitespace/comment-separated width/height/maxval
+        fields, i, n = [], 2, len(data)
+        while len(fields) < 3:
+            while i < n and data[i : i + 1].isspace():
+                i += 1
+            if data[i : i + 1] == b"#":
+                while i < n and data[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not data[j : j + 1].isspace():
+                j += 1
+            fields.append(int(data[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError("numpy-native codec supports 8-bit netpbm only")
+        c_in = 3 if data[:2] == b"P6" else 1
+        arr = np.frombuffer(data, dtype=np.uint8, count=h * w * c_in, offset=i)
+        arr = arr.reshape(h, w, c_in)
+        if c_in == 3:
+            arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
+    elif data[:2] == b"BM":
+        # BITMAPINFOHEADER, uncompressed 24-bit, rows padded to 4 bytes
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError("numpy-native codec supports 24-bit BI_RGB BMP only")
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(data, dtype=np.uint8, count=abs(h) * stride, offset=off)
+        arr = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:
+            arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
+    else:
+        raise ValueError(
+            "numpy-native codec handles PPM/PGM/BMP only; install Pillow or "
+            "opencv-python for JPEG/PNG"
+        )
+    if channels == 1 and arr.shape[2] == 3:
+        b, g, r = (arr[:, :, k].astype(np.uint32) for k in range(3))
+        arr = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)[:, :, None]
+    elif channels == 3 and arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return np.ascontiguousarray(arr)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an HWC uint8 array as PPM P6 (3-channel, input BGR per the
+    engine's pixel contract) / PGM P5 (1-channel) — the test/fixture twin
+    of ``_numpy_decode``."""
+    h, w, c = img.shape
+    if c == 3:
+        return b"P6\n%d %d\n255\n" % (w, h) + img[:, :, ::-1].tobytes()
+    if c == 1:
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    raise ValueError("encode_ppm expects 1 or 3 channels")
+
+
 def _resolve_codec():
-    """Import-try codec resolution: Pillow, then OpenCV, else None (the
-    deterministic fake covers tests). Returns (decode_fn, codec_name).
+    """Import-try codec resolution: Pillow, then OpenCV, else the
+    pure-NumPy header-only codec (PPM/PGM/BMP — real decode with no
+    external library). Returns (decode_fn, codec_name).
 
     Both paths reproduce ``Mat.decode`` semantics (``Mat.java:58-63``:
     OpenCV imdecode with grayscale/color/unchanged flags by channel count)
@@ -151,26 +223,22 @@ def _resolve_codec():
 
         return _cv2_decode, "opencv"
     except ImportError:
-        return None, None
+        return _numpy_decode, "numpy-native"
 
 
 _CODEC_FN, CODEC_NAME = _resolve_codec()
 
 
 def decode_image(data: bytes, channels: int) -> np.ndarray:
-    """Decode encoded (JPEG/PNG) bytes → HWC uint8 array (BGR for 3-channel,
+    """Decode encoded image bytes → HWC uint8 array (BGR for 3-channel,
     matching the reference's OpenCV ``Mat.decode``, ``Mat.java:58-63``).
 
     Uses Pillow or OpenCV when importable (``CODEC_NAME`` says which);
-    raises otherwise — this container ships neither, so tests pin the
-    pipeline with the deterministic ``fake_decode`` and the callers (batch
-    assembly) stay codec-agnostic.
+    otherwise the pure-NumPy header-only codec handles PPM/PGM/BMP, so a
+    REAL decode path is exercised end-to-end even in this container
+    (JPEG/PNG payloads then raise with an install hint). Callers (batch
+    assembly) stay codec-agnostic either way.
     """
-    if _CODEC_FN is None:
-        raise NotImplementedError(
-            "no image codec in this environment (install Pillow or "
-            "opencv-python); use fake_decode for tests"
-        )
     return _CODEC_FN(data, channels)
 
 
@@ -248,17 +316,23 @@ def image_sample_to_tensor(
     → crop → CHW → scale/mean/mirror (``ImageDataSource.scala:126-163``,
     ``DataFrameSource.scala:135-176``).
 
-    ``decoder=None`` uses the real codec when one is importable (Pillow /
-    OpenCV — set ``out_height``/``out_width`` on the spec then, since real
-    images vary in size and batches must stack), falling back to the
-    deterministic ``fake_decode``; pass a callable to override.
+    ``decoder=None`` uses the real codec when one can handle the payload:
+    always under Pillow/OpenCV, and for PPM/PGM/BMP magic under the
+    pure-NumPy codec (set ``out_height``/``out_width`` on the spec then,
+    since real images vary in size and batches must stack). Arbitrary
+    synthetic bytes fall back to the deterministic ``fake_decode`` so
+    fixture pipelines stay reproducible; pass a callable to override.
     """
     h = height or spec.height
     w = width or spec.width
     if encoded:
         if decoder is not None:
             hwc = decoder(data, spec.channels)
-        elif _CODEC_FN is not None:
+        elif CODEC_NAME in ("pillow", "opencv") or bytes(data[:2]) in (
+            b"P6",
+            b"P5",
+            b"BM",
+        ):
             hwc = decode_image(data, spec.channels)
         else:
             hwc = fake_decode(data, spec.channels, h or 8, w or 8)

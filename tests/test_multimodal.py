@@ -137,20 +137,23 @@ _REF_JPEG = "/root/reference/data/images/cat1.jpg"
 
 
 def _has_codec() -> bool:
+    """True when a FULL (JPEG/PNG-capable) codec is importable; the
+    pure-NumPy PPM/PGM/BMP tier is always present."""
     from caffeonspark_spark.multimodal.columns import CODEC_NAME
 
-    return CODEC_NAME is not None
+    return CODEC_NAME in ("pillow", "opencv")
 
 
 def test_decode_image_codec_seam():
-    """Without a codec installed, decode_image raises the documented error;
-    with one, it decodes a real JPEG to HWC uint8 (Mat.decode parity)."""
+    """Under the numpy-native tier, JPEG payloads raise the documented
+    install hint; under Pillow/OpenCV a real JPEG decodes to HWC uint8
+    (Mat.decode parity)."""
     import os
 
     from caffeonspark_spark.multimodal.columns import decode_image
 
     if not _has_codec():
-        with pytest.raises(NotImplementedError, match="image codec"):
+        with pytest.raises(ValueError, match="PPM/PGM/BMP"):
             decode_image(b"\xff\xd8\xff", 3)
         return
     with open(_REF_JPEG, "rb") as fh:
@@ -158,6 +161,74 @@ def test_decode_image_codec_seam():
     assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
     assert arr.shape[0] > 10 and arr.shape[1] > 10
     assert os.path.exists(_REF_JPEG)
+
+
+def test_ppm_pgm_roundtrip_numpy_codec():
+    """REAL decode in this container: random BGR pixels → PPM P6 bytes →
+    decode_image → identical array; PGM for grayscale; and channel
+    conversions (BT.601 luma, gray replication) are pinned."""
+    from caffeonspark_spark.multimodal.columns import decode_image, encode_ppm
+
+    rng = np.random.default_rng(42)
+    bgr = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_ppm(bgr), 3), bgr)
+
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(encode_ppm(gray), 1), gray)
+    np.testing.assert_array_equal(
+        decode_image(encode_ppm(gray), 3), np.repeat(gray, 3, axis=2)
+    )
+
+    luma = decode_image(encode_ppm(bgr), 1)
+    b, g, r = (bgr[:, :, k].astype(np.uint32) for k in range(3))
+    np.testing.assert_array_equal(
+        luma[:, :, 0], ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    )
+
+
+def test_bmp_decode_numpy_codec():
+    """Hand-built uncompressed 24-bit BMP (bottom-up, padded rows) decodes
+    to the expected top-down BGR array."""
+    from caffeonspark_spark.multimodal.columns import decode_image
+
+    h, w = 2, 3  # stride = 12 (w*3=9 padded to 12)
+    top_down = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        rows += top_down[y].tobytes() + b"\x00" * (stride - w * 3)
+    header = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    np.testing.assert_array_equal(decode_image(bytes(header + rows), 3), top_down)
+
+
+def test_real_ppm_through_batch_assembly(spark):
+    """End-to-end REAL decode through the Spark encoded-image batch path
+    with no codec library: PPM payloads → magic-sniffed numpy decode →
+    resize → NCHW stack, pixels surviving bit-exact into the tensor."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(4)]
+    from caffeonspark_spark.multimodal.columns import encode_ppm
+
+    rows = [(f"img{i}", bytearray(encode_ppm(img))) for i, img in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, out_height=16, out_width=16
+    )
+    out = assemble_batches(df, [spec], batch_size=4).collect()
+    assert out[0]["data_shape"] == [4, 3, 16, 16]
+    flat = np.asarray(out[0]["data"], dtype=np.float32).reshape(4, 3, 16, 16)
+    for i, img in enumerate(imgs):  # CHW float32 of the same pixels
+        np.testing.assert_array_equal(
+            flat[i], np.transpose(img, (2, 0, 1)).astype(np.float32)
+        )
 
 
 @pytest.mark.skipif(
@@ -294,3 +365,60 @@ def test_augment_distribution_over_samples():
         out = augment_hwc(img, f"id{i}", seed=0, crop_h=8, crop_w=8, mirror_prob=0.0)
         tops.add(int(out[0, 0, 0]))
     assert len(tops) >= 8
+
+
+def test_wav_pcm_roundtrip():
+    """REAL audio decode in this container: sine → 16-bit PCM WAV bytes →
+    decode_audio → waveform within quantization error; stereo mixes to
+    mono; compressed magic still raises the documented hint."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.av import decode_audio, encode_wav_pcm16
+
+    t = np.arange(800, dtype=np.float32) / 16000.0
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    got = decode_audio(encode_wav_pcm16(wave, 16000), 16000)
+    assert got.dtype == np.float32 and got.shape == wave.shape
+    np.testing.assert_allclose(got, wave, atol=1e-4)
+
+    stereo = np.empty(2 * len(wave), dtype=np.float32)
+    stereo[0::2], stereo[1::2] = wave, -wave  # L/R cancel -> silence
+    got2 = decode_audio(encode_wav_pcm16(stereo, 16000, n_channels=2), 16000)
+    assert got2.shape == wave.shape
+    np.testing.assert_allclose(got2, 0.0, atol=1e-4)
+
+    with _pytest.raises(NotImplementedError, match="RIFF/WAVE"):
+        decode_audio(b"ID3\x04rest-of-an-mp3", 16000)
+
+
+def test_wav_through_frame_energy(spark):
+    """End-to-end REAL audio through the Arrow-batched frame-energy
+    operator: a loud-then-silent WAV yields high then ~zero frame energy."""
+    from caffeonspark_spark.multimodal.av import (
+        audio_frame_energy,
+        audio_struct_col,
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    n = 1024
+    wave = np.zeros(n, dtype=np.float32)
+    wave[: n // 2] = 0.9 * np.sign(np.sin(np.arange(n // 2, dtype=np.float32)))
+    payload = encode_wav_pcm16(wave, 16000)
+    base = spark.createDataFrame(
+        [(0, bytearray(payload), 16000, n)], "id long, audio binary, sr int, ns int"
+    ).select(
+        "id",
+        audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
+    )
+    out = audio_frame_energy(
+        base,
+        frame_len=256,
+        n_frames=4,
+        decoder=lambda data, ns: decode_audio(data, 16000),
+    ).collect()
+    assert len(out) == 1
+    energy = out[0]["energy"]
+    assert len(energy) == 4
+    assert energy[0] > 0.5 and energy[1] > 0.5
+    assert energy[2] < 1e-6 and energy[3] < 1e-6

@@ -44,6 +44,16 @@ def tokenize(col: Column | str) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
+def space_tokens(col: Column | str) -> Column:
+    """Single-SPACE split tokenizer (lowercased, empties dropped) — the
+    oracle-parity twin of ``tokenize``: DuckDB's
+    ``string_split(lower(x), ' ')`` does exactly this, so every
+    oracle-checked text operator standardizes on it. The sole shared
+    definition; textops/dedup/bpe all delegate here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda t: t != F.lit(""))
+
+
 def sentence_to_words(col: Column | str) -> Column:
     """Reference-faithful tokenizer (``Conversions.scala:22-29``).
 

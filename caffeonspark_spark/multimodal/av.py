@@ -75,33 +75,45 @@ def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     codec-agnostic either way.
     """
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return _wav_pcm_decode(bytes(data))
+        return _wav_pcm_decode(bytes(data), expect_rate=sample_rate)
     raise NotImplementedError(
         "only RIFF/WAVE PCM decodes without a codec; use fake_decode_audio "
         "for synthetic tests or wire soundfile/ffmpeg for compressed formats"
     )
 
 
-def _wav_pcm_decode(data: bytes) -> np.ndarray:
-    """Minimal RIFF chunk walk: locate fmt + data, return float32 mono."""
+def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
+    """Minimal RIFF chunk walk: locate fmt + data, return float32 mono.
+    A positive ``expect_rate`` is checked against the fmt chunk's sample
+    rate — a mismatch raises rather than silently mis-timing downstream
+    frame features."""
     pos, n = 12, len(data)
     fmt = raw = None
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > n:
+            raise ValueError("malformed WAV: chunk overruns buffer")
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or raw is None:
+    if fmt is None or len(fmt) < 16 or raw is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
         raise ValueError("codec-free WAV path supports 8/16-bit PCM only")
+    if len(raw) % ((bits // 8) * n_channels):
+        raise ValueError("malformed WAV: truncated PCM data chunk")
+    header_rate = int.from_bytes(fmt[4:8], "little")
+    if expect_rate and header_rate != expect_rate:
+        raise ValueError(
+            f"WAV sample rate {header_rate} != expected {expect_rate}"
+        )
     if bits == 16:
         wave = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     else:

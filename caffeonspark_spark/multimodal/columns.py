@@ -328,12 +328,16 @@ def image_sample_to_tensor(
     if encoded:
         if decoder is not None:
             hwc = decoder(data, spec.channels)
-        elif CODEC_NAME in ("pillow", "opencv") or bytes(data[:2]) in (
-            b"P6",
-            b"P5",
-            b"BM",
-        ):
+        elif CODEC_NAME in ("pillow", "opencv"):
             hwc = decode_image(data, spec.channels)
+        elif bytes(data[:2]) in (b"P6", b"P5", b"BM"):
+            # numpy-native tier: real decode for real containers; synthetic
+            # bytes that merely START with a container magic fall back to
+            # the fake so fixture pipelines never crash an executor batch
+            try:
+                hwc = decode_image(data, spec.channels)
+            except ValueError:
+                hwc = fake_decode(data, spec.channels, h or 8, w or 8)
         else:
             hwc = fake_decode(data, spec.channels, h or 8, w or 8)
     else:

@@ -35,11 +35,10 @@ N_MERGES = 8
 def _word_vocab(docs: DataFrame) -> DataFrame:
     """Word-frequency table with each word exploded into single-char symbols
     (the one corpus-wide scan; everything after is vocab-sized)."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
-    )
+    from caffeonspark_spark.functions.text import space_tokens
+
     return (
-        docs.select(F.explode(toks).alias("word"))
+        docs.select(F.explode(space_tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn(
@@ -72,25 +71,27 @@ def _best_pair(vocab: DataFrame):
     return row[0] if row else None
 
 
-def _sq(s: str) -> str:
-    return s.replace("'", "''")
-
-
 def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
     """Greedy left-to-right merge of the (l, r) pair in every symbol
-    sequence — a Catalyst ``aggregate`` fold with an array accumulator."""
-    l_, r_, lr_ = _sq(l), _sq(r), _sq(l + r)
+    sequence — a Catalyst ``aggregate`` fold with an array accumulator.
+    The pair rides in as ``F.lit`` values (never spliced into SQL text),
+    so symbols containing quotes/backslashes can't break or skew the
+    expression."""
+    lit_l, lit_r, lit_lr = F.lit(l), F.lit(r), F.lit(l + r)
+
+    def merge(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (x == lit_r)
+        )
+        return F.when(
+            hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lit_lr))
+        ).otherwise(F.concat(acc, F.array(x)))
+
     return vocab.withColumn(
         "syms",
-        F.expr(
-            f"""
-            aggregate(syms, cast(array() as array<string>), (acc, x) ->
-              CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l_}'
-                        AND x = '{r_}'
-                   THEN concat(slice(acc, 1, size(acc) - 1), array('{lr_}'))
-                   ELSE concat(acc, array(x)) END)
-            """
-        ),
+        F.aggregate("syms", F.array().cast("array<string>"), merge),
     )
 
 

@@ -90,7 +90,9 @@ def unpersist_cached() -> None:
 
 
 def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
-    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    from caffeonspark_spark.functions.text import space_tokens
+
+    return space_tokens(text_col)
 
 
 # --- 1. exact ------------------------------------------------------------
@@ -131,14 +133,19 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies", "fp")
 
 
-ORACLE_DEDUP_FINGERPRINT = """
-    WITH toks AS (
-        SELECT doc_id,
+def _portable_fps_cte(carry: str = "") -> str:
+    """Shared oracle CTE chain computing the portable polynomial document
+    fingerprint (char-fold token hash → token-stream fold), carrying any
+    extra columns named in ``carry`` alongside doc_id — the single source
+    of the fingerprint arithmetic for every fingerprint-family oracle."""
+    cols = "doc_id" + (f", {carry}" if carry else "")
+    return f"""toks AS (
+        SELECT {cols},
                list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
         FROM documents
     ),
     th AS (
-        SELECT doc_id,
+        SELECT {cols},
                list_transform(ts, t ->
                    list_reduce(
                        [CAST(0 AS BIGINT)] ||
@@ -148,11 +155,15 @@ ORACLE_DEDUP_FINGERPRINT = """
         FROM toks
     ),
     fps AS (
-        SELECT doc_id,
+        SELECT {cols},
                list_reduce([CAST(0 AS BIGINT)] || hs,
                            (a, x) -> (a * 1000003 + x) % 2147483647) AS fp
         FROM th
-    )
+    )"""
+
+
+ORACLE_DEDUP_FINGERPRINT = f"""
+    WITH {_portable_fps_cte()}
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, fp
     FROM fps GROUP BY fp
 """
@@ -187,28 +198,8 @@ def keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KEEP_BEST_DUPLICATE = """
-    WITH toks AS (
-        SELECT doc_id, n_chars,
-               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-        FROM documents
-    ),
-    th AS (
-        SELECT doc_id, n_chars,
-               list_transform(ts, t ->
-                   list_reduce(
-                       [CAST(0 AS BIGINT)] ||
-                       list_transform(range(1, length(t) + 1),
-                                      i -> CAST(ascii(t[i]) AS BIGINT)),
-                       (a, x) -> (a * 31 + x) % 2147483647)) AS hs
-        FROM toks
-    ),
-    fps AS (
-        SELECT doc_id, n_chars,
-               list_reduce([CAST(0 AS BIGINT)] || hs,
-                           (a, x) -> (a * 1000003 + x) % 2147483647) AS fp
-        FROM th
-    )
+ORACLE_KEEP_BEST_DUPLICATE = f"""
+    WITH {_portable_fps_cte(carry="n_chars")}
     SELECT doc_id AS keep_id, n_chars, n_copies, fp
     FROM (
         SELECT doc_id, n_chars, fp,

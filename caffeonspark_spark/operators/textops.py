@@ -21,7 +21,9 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def _toks(text_col: str = "text") -> F.Column:
-    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    from caffeonspark_spark.functions.text import space_tokens
+
+    return space_tokens(text_col)
 
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,16 +51,21 @@ def main() -> None:
           f"({n_docs - n_clean} removed)")
 
     # 2b. LM corpus-fit filter: drop the most out-of-distribution docs
-    # (lowest smoothed-bigram evidence — the perplexity-filter stage)
+    # (lowest smoothed-bigram evidence — the perplexity-filter stage).
+    # Anti-join against the BELOW-cutoff set so docs with no score (fewer
+    # than 2 tokens — no bigrams) are kept, and persist the scores: the
+    # 3-scan scoring plan feeds both the quantile and the filter.
     from caffeonspark_spark.operators.textops import ngram_lm_score
 
-    lm = ngram_lm_score(spark, sf_dir)
-    cutoff = lm.approxQuantile("lm_fit", [0.02], 0.001)[0]
-    cleaned = cleaned.join(
-        lm.where(F.col("lm_fit") >= cutoff).select("doc_id"), "doc_id"
-    )
-    print(f"after LM corpus-fit filter (cutoff {cutoff:.4f}): "
-          f"{cleaned.count()} documents")
+    lm = ngram_lm_score(spark, sf_dir).persist()
+    quantiles = lm.approxQuantile("lm_fit", [0.02], 0.001)
+    if quantiles:
+        cutoff = quantiles[0]
+        low = lm.where(F.col("lm_fit") < cutoff).select("doc_id")
+        cleaned = cleaned.join(low, "doc_id", "left_anti")
+        print(f"after LM corpus-fit filter (cutoff {cutoff:.4f}): "
+              f"{cleaned.count()} documents")
+    lm.unpersist()
 
     # 3. benchmark decontamination: drop survivors sharing 5-grams with the
     # held-out set (source 'src0' stands in for an eval benchmark)

@@ -195,9 +195,9 @@ def test_bpe_train_planted(spark, tmp_path):
 
 @settings(max_examples=15, deadline=None)
 @given(
-    st.lists(st.text(alphabet="ab", min_size=1, max_size=1), min_size=0, max_size=10),
-    st.text(alphabet="ab", min_size=1, max_size=2),
-    st.text(alphabet="ab", min_size=1, max_size=2),
+    st.lists(st.text(alphabet="ab'\\", min_size=1, max_size=1), min_size=0, max_size=10),
+    st.text(alphabet="ab'\\", min_size=1, max_size=2),
+    st.text(alphabet="ab'\\", min_size=1, max_size=2),
 )
 def test_bpe_merge_fold_matches_python_reference(spark, syms, l, r):
     """The Catalyst greedy left-to-right merge fold must agree with a plain

@@ -148,22 +148,25 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure steady state
     _run(R.scan_filter_project(spark, sf_dir).limit(1))
 
+    from caffeonspark_spark.operators.dedup import unpersist_cached
+
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         # two runs, keep the best: the first pays per-query codegen/JVM JIT
-        # warm-up and host-VM timing noise (observed 2-3x run-to-run); min of
-        # two approximates steady-state engine throughput
+        # warm-up and host-VM timing noise (observed 2-3x run-to-run); min
+        # of two approximates steady-state engine throughput. Caches are
+        # dropped BETWEEN the runs so the second run recomputes data (the
+        # dedup module memoizes persisted intermediates by plan — without
+        # the release, run 2 of those queries would time warm block reads,
+        # not engine compute).
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
+            unpersist_cached()
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
-
-    from caffeonspark_spark.operators.dedup import unpersist_cached
-
-    unpersist_cached()  # release the dedup module's memoized intermediates
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

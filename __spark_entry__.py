@@ -104,8 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": SA.shuffle_shards_docs,
         # --- r5: bigram-LM corpus-fit scoring (perplexity-filter stage) ---
         "ngram_lm_score": TX.ngram_lm_score,
-        # --- r5: BPE tokenizer training (iterative, hash-checked) ---
+        # --- r5: BPE tokenizer training + corpus encoding (iterative,
+        # hash-checked end to end) ---
         "bpe_train": BPE.bpe_train,
+        "bpe_encode": BPE.bpe_encode,
         # --- r5: keep-best duplicate-group canonicalization ---
         "keep_best_duplicate": D.keep_best_duplicate,
         # --- r5: duplicated-passage removal (substring dedup surgery) ---
@@ -473,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "keep_best_duplicate": D.ORACLE_KEEP_BEST_DUPLICATE,
         "ngram_lm_score": TX.ORACLE_NGRAM_LM_SCORE,
         "bpe_train": BPE.ORACLE_BPE_TRAIN,
+        "bpe_encode": BPE.ORACLE_BPE_ENCODE,
         "remove_dup_passages": D.ORACLE_REMOVE_DUP_PASSAGES,
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,

@@ -71,11 +71,12 @@ def _best_pair(vocab: DataFrame):
     return row[0] if row else None
 
 
-def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
-    """Greedy left-to-right merge of the (l, r) pair in every symbol
-    sequence — a Catalyst ``aggregate`` fold with an array accumulator.
-    The pair rides in as ``F.lit`` values (never spliced into SQL text),
-    so symbols containing quotes/backslashes can't break or skew the
+def _merge_fold(syms, l: str, r: str):
+    """Greedy left-to-right merge of the (l, r) pair over a symbol-array
+    column — a Catalyst ``aggregate`` fold with an array accumulator,
+    shared by training (vocab table) and encoding (document words). The
+    pair rides in as ``F.lit`` values (never spliced into SQL text), so
+    symbols containing quotes/backslashes can't break or skew the
     expression."""
     lit_l, lit_r, lit_lr = F.lit(l), F.lit(r), F.lit(l + r)
 
@@ -89,19 +90,19 @@ def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
             hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lit_lr))
         ).otherwise(F.concat(acc, F.array(x)))
 
-    return vocab.withColumn(
-        "syms",
-        F.aggregate("syms", F.array().cast("array<string>"), merge),
-    )
+    return F.aggregate(syms, F.array().cast("array<string>"), merge)
 
 
-def bpe_train(
+def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
+    return vocab.withColumn("syms", _merge_fold(F.col("syms"), l, r))
+
+
+def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges on the documents corpus; returns the
-    merge table (merge_rank, lhs, rhs, pair_count) — the artifact a
-    tokenizer loads. All counts are exact BIGINTs, so the result
-    hash-matches the unrolled DuckDB twin bit-for-bit."""
+) -> list[tuple]:
+    """The training loop: returns the ordered merge list as driver
+    metadata (rank, lhs, rhs, pair_count) — shared by ``bpe_train`` (the
+    declared merge-table query) and ``bpe_encode`` (tokenization)."""
     docs = load_table(spark, sf_dir, "documents")
     base = _word_vocab(docs).persist()
     try:
@@ -114,9 +115,7 @@ def bpe_train(
             merges.append((rank, best["l"], best["r"], best["c"]))
             if rank < n_merges - 1:
                 vocab = _apply_merge(vocab, best["l"], best["r"])
-        return spark.createDataFrame(
-            merges, "merge_rank int, lhs string, rhs string, pair_count long"
-        )
+        return merges
     finally:
         # only the round-0 word table is persisted; later rounds stack
         # cheap fold expressions on top of it, and the result rows are
@@ -124,10 +123,82 @@ def bpe_train(
         base.unpersist()
 
 
-def oracle_bpe_train(n_merges: int = N_MERGES) -> str:
-    """DuckDB twin with the merge rounds unrolled into chained CTEs: each
-    round computes its best pair (b{i}) and derives the next vocab (v{i+1})
-    with the same greedy list_reduce fold."""
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the documents corpus; returns the
+    merge table (merge_rank, lhs, rhs, pair_count) — the artifact a
+    tokenizer loads. All counts are exact BIGINTs, so the result
+    hash-matches the unrolled DuckDB twin bit-for-bit."""
+    return spark.createDataFrame(
+        bpe_train_merges(spark, sf_dir, n_merges),
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Tokenize the corpus with the just-trained merge table (the encode
+    half of the BPE pipeline): each document's words are exploded with
+    position, split to characters, and every merge is applied in rank
+    order with the same greedy fold training used; the per-doc result is
+    the subword count and the reassembled subword text (word order
+    preserved via the position sort). Train and encode are BOTH
+    hash-checked against one unrolled DuckDB chain, so the full
+    train→encode path is oracle-exact end to end.
+
+    Scale shape: training cost is as documented on ``bpe_train``;
+    encoding is a map-only pass over the corpus (n_merges chained folds
+    per word, no joins, no shuffle beyond the per-doc agg)."""
+    from caffeonspark_spark.functions.text import space_tokens
+
+    merges = bpe_train_merges(spark, sf_dir, n_merges)
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(space_tokens("text")).alias("wpos", "word")
+    )
+    syms = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    for (_, l, r, _) in merges:
+        syms = _merge_fold(syms, l, r)
+    enc = words.select("doc_id", "wpos", syms.alias("syms"))
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("syms")).alias("n_subwords"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("wpos").alias("wpos"),
+                            F.array_join("syms", " ").alias("sub"),
+                        )
+                    )
+                ),
+                lambda s: s["sub"],
+            ),
+        ).alias("subword_text"),
+    )
+
+
+def _merge_fold_sql(src: str, bi: str) -> str:
+    """DuckDB rendering of the greedy merge fold against round table
+    ``bi``; LEFT JOIN ON TRUE + NULL-comparison fallthrough make an empty
+    (exhausted) round an identity application, matching the Spark side's
+    early break."""
+    return f"""SELECT {{cols}},
+               list_reduce(list_transform(syms, s -> [s]),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {bi}.l
+                                       AND x[1] = {bi}.r
+                                  THEN acc[:len(acc)-1] || [{bi}.l || {bi}.r]
+                                  ELSE acc || x END) AS syms
+        FROM {src} LEFT JOIN {bi} ON TRUE"""
+
+
+def _bpe_cte_parts(n_merges: int) -> list[str]:
+    """The unrolled training chain (v0→p0→b0→v1→…): each round computes
+    its best pair (b{i}) and derives the next vocab with the same greedy
+    list_reduce fold — shared by the train and encode oracles."""
     parts = [
         """v0 AS (
         SELECT word, COUNT(*) AS freq,
@@ -154,17 +225,15 @@ def oracle_bpe_train(n_merges: int = N_MERGES) -> str:
     )"""
         )
         if i < n_merges - 1:
-            parts.append(
-                f"""v{i+1} AS (
-        SELECT word, freq,
-               list_reduce(list_transform(syms, s -> [s]),
-                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{i}.l
-                                       AND x[1] = b{i}.r
-                                  THEN acc[:len(acc)-1] || [b{i}.l || b{i}.r]
-                                  ELSE acc || x END) AS syms
-        FROM v{i} CROSS JOIN b{i}
-    )"""
-            )
+            body = _merge_fold_sql(f"v{i}", f"b{i}").format(cols="word, freq")
+            parts.append(f"""v{i+1} AS (
+        {body}
+    )""")
+    return parts
+
+
+def oracle_bpe_train(n_merges: int = N_MERGES) -> str:
+    parts = _bpe_cte_parts(n_merges)
     selects = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs,"
         f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
@@ -173,4 +242,39 @@ def oracle_bpe_train(n_merges: int = N_MERGES) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
 
 
+def oracle_bpe_encode(n_merges: int = N_MERGES) -> str:
+    """Encode twin: the training chain, then every document word exploded
+    with position, character-split, and passed through all n merge folds
+    in rank order; per-doc subword count + position-ordered reassembly."""
+    parts = _bpe_cte_parts(n_merges)
+    parts.append(
+        """dw AS (
+        SELECT doc_id, w.wpos AS wpos,
+               list_transform(range(1, length(w.word) + 1),
+                              i -> substring(w.word, i, 1)) AS syms
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts) + 1),
+                         i -> struct_pack(wpos := i, word := ts[i]))) AS w
+              FROM (SELECT doc_id,
+                           list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS ts
+                    FROM documents))
+    )"""
+    )
+    prev = "dw"
+    for i in range(n_merges):
+        body = _merge_fold_sql(prev, f"b{i}").format(cols="doc_id, wpos")
+        parts.append(f"""e{i} AS (
+        {body}
+    )""")
+        prev = f"e{i}"
+    final = f"""SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+           string_agg(array_to_string(syms, ' '), ' ' ORDER BY wpos)
+               AS subword_text
+    FROM {prev} GROUP BY doc_id"""
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
 ORACLE_BPE_TRAIN = oracle_bpe_train()
+ORACLE_BPE_ENCODE = oracle_bpe_encode()

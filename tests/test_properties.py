@@ -215,3 +215,27 @@ def test_bpe_merge_fold_matches_python_reference(spark, syms, l, r):
         else:
             expect.append(x)
     assert got == expect
+
+
+def test_bpe_encode_planted(spark, tmp_path):
+    """Encoding with the trained merges: after (l,o),(lo,w),(low,e) the
+    corpus re-tokenizes to the hand-computed subword streams."""
+    import os
+    from caffeonspark_spark.operators.bpe import bpe_encode
+
+    rows = [
+        (1, "low low low", "en", "s", 11),
+        (2, "lower lowest", "en", "s", 12),
+    ]
+    d = tmp_path / "bpe_enc"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in bpe_encode(spark, str(d), n_merges=3).collect()}
+    assert out[1]["subword_text"] == "low low low"
+    assert (out[1]["n_words"], out[1]["n_subwords"]) == (3, 3)
+    # lower -> [lowe, r]; lowest -> [lowe, s, t]
+    assert out[2]["subword_text"] == "lowe r lowe s t"
+    assert (out[2]["n_words"], out[2]["n_subwords"]) == (2, 5)

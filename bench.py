@@ -131,6 +131,7 @@ BENCH_QUERIES = {
     "q_ngram_lm_score": TX.ngram_lm_score,
     "q_keep_best_duplicate": D.keep_best_duplicate,
     "q_bpe_train": BPE.bpe_train,
+    "q_bpe_encode": BPE.bpe_encode,
     "q_remove_dup_passages": D.remove_dup_passages_docs,
     "q_stream_tumbling": _stream_tumbling_bench,
 }

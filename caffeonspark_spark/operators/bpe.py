@@ -148,9 +148,12 @@ def bpe_encode(
     hash-checked against one unrolled DuckDB chain, so the full
     train→encode path is oracle-exact end to end.
 
-    Scale shape: training cost is as documented on ``bpe_train``;
-    encoding is a map-only pass over the corpus (n_merges chained folds
-    per word, no joins, no shuffle beyond the per-doc agg)."""
+    Scale shape: training cost is as documented on ``bpe_train``; the
+    n_merges chained folds run over the DISTINCT vocabulary only (words
+    repeat — encoding each occurrence measured ~6× slower at sf0.1), and
+    occurrences pick up their subwords via an equi-join on the word (AQE
+    broadcasts the vocab side while it fits; plain hash join at web-scale
+    vocabularies). Only the per-doc agg shuffles."""
     from caffeonspark_spark.functions.text import space_tokens
 
     merges = bpe_train_merges(spark, sf_dir, n_merges)
@@ -160,7 +163,8 @@ def bpe_encode(
     syms = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
     for (_, l, r, _) in merges:
         syms = _merge_fold(syms, l, r)
-    enc = words.select("doc_id", "wpos", syms.alias("syms"))
+    vocab_enc = words.select("word").distinct().select("word", syms.alias("syms"))
+    enc = words.join(vocab_enc, "word").select("doc_id", "wpos", "syms")
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("syms")).alias("n_subwords"),

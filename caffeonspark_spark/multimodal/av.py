@@ -3,11 +3,13 @@
 The north-star extension alongside images (SURVEY.md §1.4): treat
 audio/video payloads as ``binary`` columns wrapped in typed structs, with
 decode / feature-extract / frame-sample as Arrow-batched operators over
-``mapInPandas``. No media codec ships in this container, so the byte→signal
-decode step is STUBbed behind ``NotImplementedError`` with a deterministic
-fake — the Spark-side plumbing (struct schemas, UDF signatures, batch
-iteration, output shapes) is real and tested, and production only swaps the
-decoder callable (ffmpeg/torchaudio/PyAV), exactly like ``columns.decode_image``.
+``mapInPandas``. RIFF/WAVE PCM audio decodes for REAL with no codec
+library (``_wav_pcm_decode``: chunk walk + NumPy); compressed audio and
+all video remain behind ``NotImplementedError`` with a deterministic fake,
+and production swaps the decoder callable (ffmpeg/torchaudio/PyAV),
+exactly like ``columns.decode_image``'s codec tiers. The Spark-side
+plumbing (struct schemas, UDF signatures, batch iteration, output shapes)
+is identical for real and fake decoders.
 
 Scale posture: one linear ``mapInPandas`` pass per operator — no shuffle, no
 driver collect; payload bytes stay in Arrow buffers end to end. At 100 TB the
@@ -122,6 +124,16 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         wave = wave[: len(wave) - len(wave) % n_channels]
         wave = wave.reshape(-1, n_channels).mean(axis=1)
     return wave.astype(np.float32)
+
+
+def wav_frame_decoder(data: bytes, n_samples: int) -> np.ndarray:
+    """Seam-compatible REAL decoder for ``audio_frame_energy`` /
+    ``mapInPandas`` operators, whose decoder contract is
+    ``(payload, n_samples)``: decodes RIFF/WAVE PCM and ignores the
+    declared ``n_samples`` (the waveform's true length governs framing).
+    ``decode_audio``'s own second argument is an EXPECTED SAMPLE RATE —
+    do not pass it directly as a seam decoder."""
+    return _wav_pcm_decode(bytes(data))
 
 
 def encode_wav_pcm16(wave: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:

@@ -133,6 +133,8 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         w, h, maxval = fields
         if maxval != 255:
             raise ValueError("numpy-native codec supports 8-bit netpbm only")
+        if w <= 0 or h <= 0:
+            raise ValueError("degenerate netpbm dimensions")
         c_in = 3 if data[:2] == b"P6" else 1
         arr = np.frombuffer(data, dtype=np.uint8, count=h * w * c_in, offset=i)
         arr = arr.reshape(h, w, c_in)
@@ -147,6 +149,8 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         comp = int.from_bytes(data[30:34], "little")
         if bpp != 24 or comp != 0:
             raise ValueError("numpy-native codec supports 24-bit BI_RGB BMP only")
+        if w <= 0 or h == 0:
+            raise ValueError("degenerate BMP dimensions")
         stride = (w * 3 + 3) & ~3
         rows = np.frombuffer(data, dtype=np.uint8, count=abs(h) * stride, offset=off)
         arr = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
@@ -180,7 +184,8 @@ def encode_ppm(img: np.ndarray) -> bytes:
 def _resolve_codec():
     """Import-try codec resolution: Pillow, then OpenCV, else the
     pure-NumPy header-only codec (PPM/PGM/BMP — real decode with no
-    external library). Returns (decode_fn, codec_name).
+    external library; ``fake_decode`` remains only as the batch-assembly
+    fallback for synthetic payloads). Returns (decode_fn, codec_name).
 
     Both paths reproduce ``Mat.decode`` semantics (``Mat.java:58-63``:
     OpenCV imdecode with grayscale/color/unchanged flags by channel count)

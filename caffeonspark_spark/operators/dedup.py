@@ -64,19 +64,18 @@ def _cache_key(key: str, df: DataFrame) -> tuple | None:
     """(session, site, plan) identity, or None when no SAFE identity exists.
     Without the analyzed-plan semanticHash (non-classic backends) two
     different inputs at the same site would collapse into one entry and
-    silently return stale data — memoization is skipped instead. The
-    session component is the applicationId (stable string), not id(): a
-    GC'd session's id() can be recycled by a new session, which would
-    resurrect a dead DataFrame handle."""
+    silently return stale data — such entries get a unique untracked key
+    instead (still released by ``unpersist_cached``). The session
+    component is the SESSION OBJECT itself: a stable id (unlike id(),
+    which GC can recycle onto a new session) that also keeps sibling
+    ``newSession()``s distinct (unlike applicationId, which they share);
+    the cached DataFrame already holds a reference to its session, so
+    keying on it adds no new lifetime."""
     try:
         plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - non-classic backend
         return None
-    try:
-        session = df.sparkSession.sparkContext.applicationId
-    except Exception:  # pragma: no cover
-        session = id(df.sparkSession)
-    return (session, key, plan_hash)
+    return (df.sparkSession, key, plan_hash)
 
 
 def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
@@ -84,7 +83,11 @@ def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
 
     full_key = _cache_key(key, df)
     if full_key is None:  # pragma: no cover - non-classic backend
-        return df.persist()
+        # no safe memoization identity: persist untracked-but-releasable
+        df.persist()
+        with _CACHE_LOCK:
+            _CACHED[("untracked", key, id(df))] = df
+        return df
     with _CACHE_LOCK:
         df = _CACHED.setdefault(full_key, df)
         if df.storageLevel == StorageLevel.NONE:

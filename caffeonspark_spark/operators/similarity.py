@@ -816,15 +816,23 @@ _ROW_COUNTS: dict[tuple, int] = {}
 
 
 def _row_count_memo(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
-    """Memoized table row count per (session, dir): the count is parquet
-    footer metadata (cheap, but still a Spark job) and sizing k does not
-    need it re-run for every query construction — plan-only generation,
-    bench best-of-N, and driver re-invocations all reuse the first one."""
+    """Memoized table row count per (session, dir, table-mtime): the count
+    is parquet footer metadata (cheap, but still a Spark job) and sizing k
+    does not need it re-run for every query construction — plan-only
+    generation, bench best-of-N, and driver re-invocations all reuse the
+    first one. The file mtime in the key invalidates the memo when the
+    table is rewritten in place within one session."""
+    import os
+
     try:
         app = spark.sparkContext.applicationId
     except Exception:  # pragma: no cover
         app = id(spark)
-    key = (app, sf_dir)
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:  # pragma: no cover - non-local path (hdfs/s3)
+        mtime = None
+    key = (app, sf_dir, mtime)
     if key not in _ROW_COUNTS:
         _ROW_COUNTS[key] = df.count()
     return _ROW_COUNTS[key]

@@ -397,8 +397,8 @@ def test_wav_through_frame_energy(spark):
     from caffeonspark_spark.multimodal.av import (
         audio_frame_energy,
         audio_struct_col,
-        decode_audio,
         encode_wav_pcm16,
+        wav_frame_decoder,
     )
 
     n = 1024
@@ -412,13 +412,20 @@ def test_wav_through_frame_energy(spark):
         audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
     )
     out = audio_frame_energy(
-        base,
-        frame_len=256,
-        n_frames=4,
-        decoder=lambda data, ns: decode_audio(data, 16000),
+        base, frame_len=256, n_frames=4, decoder=wav_frame_decoder
     ).collect()
     assert len(out) == 1
     energy = out[0]["energy"]
     assert len(energy) == 4
     assert energy[0] > 0.5 and energy[1] > 0.5
     assert energy[2] < 1e-6 and energy[3] < 1e-6
+
+
+def test_degenerate_magic_payload_falls_back_to_fake(spark):
+    """A payload with PPM magic but degenerate (0x0) dims must fall back
+    to fake_decode inside batch assembly instead of crashing the batch."""
+    rows = [("bad", bytearray(b"P6\n0 0\n255\n")), ("bm", bytearray(b"BM\x00\x00"))]
+    df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+    spec = ColumnSpec("data", "encoded_image", channels=3, height=4, width=4)
+    out = assemble_batches(df, [spec], batch_size=2).collect()
+    assert out[0]["data_shape"] == [2, 3, 4, 4]

@@ -532,7 +532,7 @@ ORACLE_DUP_NGRAM_STATS = """
     ),
     dfreq AS (SELECT shingle, COUNT(*) AS dfr FROM sh GROUP BY shingle)
     SELECT s.doc_id, COUNT(*) AS n_shingles,
-           SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS n_dup,
+           CAST(SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
            CAST(SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
                AS dup_ratio
     FROM sh s JOIN dfreq USING (shingle)

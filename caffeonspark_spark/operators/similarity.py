@@ -527,35 +527,136 @@ def pq_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.where(F.col("vec_id") == 0), book, k=10)
 
 
+#: above this k, centroids stop being plan literals: a k·dim literal
+#: expression bloats the plan (multi-GB at SemDeDup's k = n/250 on 10^10
+#: docs) and the per-row fold costs k·dim scalar ops with no SIMD.  The
+#: Arrow path broadcasts the centroid matrix and runs a blocked numpy
+#: argmin instead — same O(k·dim) flops but vectorized, with a plan that
+#: stays O(1) in k.
+KMEANS_LITERAL_K_MAX = 1024
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_literal_k: int = KMEANS_LITERAL_K_MAX,
 ) -> DataFrame:
     """Nearest-centroid assignment (the Lloyd's-iteration E-step, and the
     partitioner behind IVF indexing and SemDeDup-style semantic dedup):
     squared-L2 argmin of each corpus vector over the centroid table.
 
-    Plan shape at 100 TB: centroids are k rows of driver metadata (the same
-    contract as the IVF centroid sample), embedded as an array-of-structs
-    plan literal — so the whole operator is ONE map-only Project: no join,
-    no aggregate, no shuffle; the corpus streams through codegen at k·dim
-    flops per row. The argmin is ``array_min`` over (dist2, centroid_id)
-    structs — lexicographic struct ordering gives the deterministic
-    smallest-id tie-break. Distance folds run left-to-right over array
-    positions, so doubles are bit-identical across engines — what makes
-    this oracle-checkable where naive float math wouldn't be."""
+    Two physical strategies, switched on k (both map-only — no join, no
+    shuffle; centroids are driver metadata in either case):
+
+    * ``k <= max_literal_k`` — centroids embed as an array-of-structs plan
+      literal and the argmin is ``array_min`` over (dist2, centroid_id)
+      structs evaluated in whole-stage codegen.  Lexicographic struct
+      ordering gives the deterministic smallest-id tie-break, and the
+      distance folds run left-to-right over array positions, so doubles
+      are bit-identical across engines — what makes this path
+      oracle-checkable where naive float math wouldn't be.
+    * ``k > max_literal_k`` — the literal expression would bloat the plan
+      (k·dim literals; multi-GB at SemDeDup scale), so the centroid matrix
+      ships as an executor broadcast and a blocked numpy argmin runs under
+      ``mapInArrow``-style batching (see ``_kmeans_assign_arrow``).  Same
+      argmin semantics (smallest centroid_id wins exact ties); float
+      summation order differs from the literal fold, so this path is the
+      scale path, not the oracle path.
+    """
     cent = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in centroids.select(id_col, vec_col).collect()
     )
+    if len(cent) > max_literal_k:
+        return _kmeans_assign_arrow(corpus, cent, vec_col, id_col)
     best = nearest_centroid_col(cent, vec_col)
     return corpus.select(
         F.col(id_col),
         best["centroid_id"].alias("centroid_id"),
         best["dist2"].alias("dist2"),
     )
+
+
+def _kmeans_assign_arrow(
+    corpus: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    row_chunk: int = 1024,
+    cent_block: int = 4096,
+) -> DataFrame:
+    """Large-k nearest-centroid assignment: broadcast centroid matrix +
+    Arrow-batched numpy argmin.
+
+    The centroid matrix (k·dim float64 — 12 MB at k=5·10^4, dim=32) is a
+    SparkContext broadcast, NOT a plan literal, so the logical plan stays
+    O(1) in k.  Inside each Arrow batch the distance matrix is computed in
+    (row_chunk × cent_block) tiles — peak scratch ~32 MB regardless of k —
+    with a running (best_dist2, best_cid) min.  Ties: centroid blocks are
+    scanned in ascending-cid order and updates are strictly-less-than, and
+    ``np.argmin`` takes the first minimum within a block, so the smallest
+    centroid_id wins exact ties — the same tie-break as the literal path.
+
+    Above ~10^5 centroids even a vectorized flat scan is the wrong
+    algorithm (k·dim flops/row); layer a coarse quantizer on top by first
+    assigning to sqrt(k) super-centroids with this same operator, then
+    flat-scanning only the matching sub-table (IVF-style two-level
+    assignment) — the composition is two chained calls, no new operator.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids = np.asarray([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.asarray([v for _, v in cent_rows], dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, C, cn))
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("centroid_id", LongType(), False),
+            StructField("dist2", DoubleType(), False),
+        ]
+    )
+
+    def assign(batches):
+        b_cids, b_C, b_cn = bc.value
+        k = len(b_cids)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            n = len(ids)
+            best_d = np.empty(n, dtype=np.float64)
+            best_j = np.empty(n, dtype=np.int64)
+            for r0 in range(0, n, row_chunk):
+                r1 = min(r0 + row_chunk, n)
+                X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs[r0:r1]])
+                xn = (X * X).sum(axis=1)
+                bd = np.full(r1 - r0, np.inf)
+                bj = np.zeros(r1 - r0, dtype=np.int64)
+                for c0 in range(0, k, cent_block):
+                    c1 = min(c0 + cent_block, k)
+                    d2 = xn[:, None] - 2.0 * (X @ b_C[c0:c1].T) + b_cn[None, c0:c1]
+                    jb = np.argmin(d2, axis=1)
+                    db = d2[np.arange(r1 - r0), jb]
+                    upd = db < bd
+                    bd[upd] = db[upd]
+                    bj[upd] = jb[upd] + c0
+                best_d[r0:r1] = np.maximum(bd, 0.0)
+                best_j[r0:r1] = bj
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "centroid_id": b_cids[best_j] if n else np.array([], dtype=np.int64),
+                    "dist2": best_d,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(assign, schema=out_schema)
 
 
 def nearest_centroid_col(

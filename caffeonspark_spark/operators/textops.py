@@ -525,7 +525,7 @@ def pack_documents(
     base = docs.select(
         "doc_id",
         "source",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         F.floor(F.col("doc_id") / F.lit(subshard_width)).alias("_sub"),
     )
     w_local = Window.partitionBy("source", "_sub").orderBy(F.asc("doc_id"))
@@ -548,10 +548,11 @@ def pack_documents(
 
 ORACLE_PACK_DOCUMENTS = """
     SELECT doc_id, source,
-           len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
-           SUM(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
                OVER (PARTITION BY source ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
            CAST(FLOOR((SUM(len(list_filter(string_split(lower(text), ' '), t -> t <> '')))
                        OVER (PARTITION BY source ORDER BY doc_id
                              ROWS UNBOUNDED PRECEDING)
@@ -612,7 +613,7 @@ ORACLE_REPETITION_STATS = """
         SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           SUM(c) AS n_bigrams,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
            COUNT(*) AS n_distinct_bigrams,
            1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac

@@ -72,6 +72,91 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, exact: bool = True):
     return True, f"ok ({len(s_rows)} rows)"
 
 
+def duckdb_run_pandas(sql: str, sf_dir: str):
+    """Run the oracle and fetch via pandas — the driver's code path.
+
+    DuckDB types like HUGEINT (the result of SUM(BIGINT)) become float64
+    here even though ``fetchall`` yields Python ints; a hasher over pandas
+    values therefore sees ``7.0`` where Spark hashes ``7``. This fetch path
+    exists so rehearsal reproduces the driver's verdict (the r5
+    pack_documents/repetition_stats reds were invisible to the
+    fetchall-based ``compare``)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    pdf = con.execute(sql).df()
+    con.close()
+    return pdf
+
+
+def _pd_cell(v):
+    """Canonicalize one pandas cell preserving the int/float distinction."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, np.bool_):
+        return repr(bool(v))
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_pd_cell(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_pd_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return repr(v)
+
+
+def compare_pandas(spark_df, oracle_sql: str, sf_dir: str):
+    """Dtype-faithful compare mirroring the driver: both sides round-trip
+    through pandas (Spark ``.toPandas()``, DuckDB ``.df()``), columns sorted
+    by name, rows sorted by stringified values, cells compared as canonical
+    strings so an int64-vs-float64 dtype split (HUGEINT!) fails loudly."""
+    s_pdf = spark_df.toPandas()
+    d_pdf = duckdb_run_pandas(oracle_sql, sf_dir)
+
+    if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+        return False, (
+            f"columns differ: spark={sorted(s_pdf.columns)} "
+            f"duckdb={sorted(d_pdf.columns)}"
+        )
+    if len(s_pdf) != len(d_pdf):
+        return False, f"row count differs: spark={len(s_pdf)} duckdb={len(d_pdf)}"
+
+    cols = sorted(s_pdf.columns)
+    s_rows = sorted(
+        tuple(_pd_cell(v) for v in row)
+        for row in s_pdf[cols].itertuples(index=False, name=None)
+    )
+    d_rows = sorted(
+        tuple(_pd_cell(v) for v in row)
+        for row in d_pdf[cols].itertuples(index=False, name=None)
+    )
+    mismatches = []
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            mismatches.append((i, a, b))
+            if len(mismatches) >= 3:
+                break
+    if mismatches:
+        return False, f"pandas-typed mismatches (first {len(mismatches)}): {mismatches}"
+    return True, f"ok ({len(s_rows)} rows, pandas-typed)"
+
+
 def _close(a, b, rel=1e-9):
     if len(a) != len(b):
         return False

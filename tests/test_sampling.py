@@ -131,6 +131,46 @@ def test_kmeans_assign_plan_is_map_only(spark, sf_oracle):
         assert op not in plan, f"unexpected {op} in kmeans_assign plan"
 
 
+def test_kmeans_assign_arrow_matches_literal(spark, sf_oracle):
+    """The large-k Arrow argmin path agrees with the literal-plan path
+    (same centroid ids, dist2 to float tolerance) when forced on via
+    max_literal_k=0."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8)
+    lit = {
+        r["vec_id"]: (r["centroid_id"], r["dist2"])
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    arw = {
+        r["vec_id"]: (r["centroid_id"], r["dist2"])
+        for r in kmeans_assign(emb, cents, max_literal_k=0).collect()
+    }
+    assert set(lit) == set(arw)
+    for vid, (cid, d2) in lit.items():
+        assert arw[vid][0] == cid
+        assert math.isclose(arw[vid][1], d2, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_kmeans_assign_large_k_no_plan_bloat(spark, sf_oracle):
+    """k = 5×10^4 must pick the broadcast+Arrow path: no literal centroid
+    array in the plan (plan size stays O(1) in k) and the query analyzes
+    instantly.  Synthesizes 50k centroids driver-side — they're metadata."""
+    import numpy as np
+    from caffeonspark_spark.operators.similarity import _kmeans_assign_arrow
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    cent_rows = [(i, rng.standard_normal(dim).tolist()) for i in range(50_000)]
+    out = _kmeans_assign_arrow(emb, cent_rows, "embedding", "vec_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, f"plan bloated to {len(plan)} chars at k=50k"
+    assert "named_struct" not in plan
+    # executes end-to-end over the real table in bounded memory
+    row = out.orderBy("vec_id").first()
+    assert row["centroid_id"] in range(50_000) and row["dist2"] >= 0.0
+
+
 def test_kmeans_fit_matches_numpy_lloyds(spark, sf_smoke):
     """Two full Lloyd's rounds equal the straightforward numpy loop
     (assign to nearest of the k first vectors, mean-update, repeat)."""

@@ -14,7 +14,7 @@ import json
 import sys
 
 import __spark_entry__ as entry
-from tests.oracle_check import compare
+from tests.oracle_check import compare, compare_pandas
 
 
 def main() -> int:
@@ -42,11 +42,18 @@ def main() -> int:
                 pdf.sort_values(by=list(pdf.columns), kind="mergesort")
             if name in oracles:
                 ok, msg = compare(df, oracles[name], sf_dir)
-                rec["hash_match"] = ok
+                # the driver hashes pandas-typed frames — a dtype split
+                # (DuckDB HUGEINT -> float64) passes `compare` but fails
+                # this path, exactly as it fails the driver.
+                ok2, msg2 = compare_pandas(df, oracles[name], sf_dir)
+                rec["hash_match"] = ok and ok2
                 if not ok:
                     rec["err"] = msg
+                elif not ok2:
+                    rec["err"] = f"pandas-typed only: {msg2}"
+                if not (ok and ok2):
                     n_err += 1
-                    print(f"MISMATCH {name}: {msg[:400]}", flush=True)
+                    print(f"MISMATCH {name}: {rec['err'][:400]}", flush=True)
             else:
                 rec["err"] = "no_oracle"
         except Exception as e:  # noqa: BLE001

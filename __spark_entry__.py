@@ -46,12 +46,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _driver_checked(has_oracle: set[str]) -> set[str]:
-    """Query names already verified by a driver CORRECTNESS row in any
-    committed round artifact (CORRECTNESS_r*.json beside this file): a
-    green hash row, or a rows-only row for a query that STILL has no
-    oracle (one that has since gained an oracle deserves a real hash
-    check and stays in the front rotation)."""
+def _ever_green(has_oracle: set[str]) -> set[str]:
+    """Query names with a driver CORRECTNESS row in any committed round
+    artifact (CORRECTNESS_r*.json beside this file): a green hash row, or
+    a rows-only row for a query that STILL has no oracle (one that has
+    since gained an oracle deserves a real hash check and stays in the
+    front rotation)."""
     import glob
     import json
     import os
@@ -71,14 +71,68 @@ def _driver_checked(has_oracle: set[str]) -> set[str]:
     return seen
 
 
+def query_fingerprints(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracles: dict[str, str],
+) -> dict[str, str]:
+    """Content fingerprint per query: sha256 of the defining MODULE's
+    source plus the oracle SQL. Module-level (not function-level) on
+    purpose — a query's semantics usually live in helpers the query
+    function merely composes, so any edit to the family's module
+    conservatively re-fronts the whole family for driver re-verification."""
+    import hashlib
+    import inspect
+    import sys
+
+    mod_src: dict[str, str] = {}
+    fps: dict[str, str] = {}
+    for name, fn in base.items():
+        mod = getattr(fn, "__module__", None)
+        if mod not in mod_src:
+            try:
+                mod_src[mod] = inspect.getsource(sys.modules[mod])
+            except Exception:  # pragma: no cover - builtins/partials
+                mod_src[mod] = repr(fn)
+        payload = mod_src[mod] + "\n---oracle---\n" + oracles.get(name, "")
+        fps[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
+    return fps
+
+
+def _driver_checked(
+    has_oracle: set[str], live_fps: dict[str, str]
+) -> set[str]:
+    """A query is retired from the externally-sampled front 50 only if it
+    has an ever-green driver row AND its content fingerprint still matches
+    the one recorded (QUERY_FPS.json, synced at round start when the repo
+    is exactly the code the driver verified — see
+    tools_sync_fingerprints.py). A query whose implementation, helpers, or
+    oracle changed after its green row re-enters the rotation."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "QUERY_FPS.json")) as f:
+            recorded = json.load(f)
+    except Exception:
+        recorded = {}
+    return {
+        name
+        for name in _ever_green(has_oracle)
+        if recorded.get(name) == live_fps.get(name)
+    }
+
+
 def _rotate_for_driver_visibility(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The external harness hash-checks only the FIRST 50 entries each
-    round. Order never-driver-checked queries first (stable within each
-    group) so every round's sample extends external verification coverage
-    automatically — no manual reordering between rounds."""
-    checked = _driver_checked(set(oracle_sql()))
+    round. Order never-driver-checked (or changed-since-checked) queries
+    first (stable within each group) so every round's sample extends
+    external verification coverage automatically — no manual reordering
+    between rounds."""
+    oracles = oracle_sql()
+    checked = _driver_checked(set(oracles), query_fingerprints(base, oracles))
     return {
         **{k: v for k, v in base.items() if k not in checked},
         **{k: v for k, v in base.items() if k in checked},
@@ -201,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_mean_by_label": V.vector_mean_by_label,
         "cosine_topk_bruteforce": S.cosine_topk_query0,
         "ann_lsh_topk": S.ann_lsh_topk_query0,
+        # --- r6: recall-twin rows making the approximate ANN family
+        # hash-checkable (oracle recomputes the exact top-k and asserts
+        # the recall floor holds) ---
+        "ann_lsh_recall": S.ann_lsh_recall_query0,
+        "ann_ivf_recall": S.ann_ivf_recall_query0,
+        "pq_recall": S.pq_recall_query0,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -468,7 +528,11 @@ def oracle_sql() -> dict[str, str]:
         # --- similarity ---
         "cosine_topk_bruteforce": S.ORACLE_COSINE_TOPK,
         "hybrid_filtered_ann": S.ORACLE_HYBRID_FILTERED,
-        # ann_lsh_topk: approximate (LSH-bucketed) — rows-only check by design
+        # ann_lsh_topk: approximate (LSH-bucketed) — rows-only check by
+        # design; its recall-twin below IS hash-checked
+        "ann_lsh_recall": S.ORACLE_ANN_RECALL,
+        "ann_ivf_recall": S.ORACLE_ANN_RECALL,
+        "pq_recall": S.ORACLE_PQ_RECALL,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,

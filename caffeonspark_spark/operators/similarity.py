@@ -313,6 +313,155 @@ def ann_ivf_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") == 0), k=10)
 
 
+def l2_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact squared-L2 top-k of the corpus to ONE broadcast query row —
+    the exactness reference for PQ's asymmetric-distance scan (PQ
+    approximates L2, not cosine). Same broadcast-no-shuffle shape as
+    ``cosine_topk``."""
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qv = F.transform(F.col("query_vec"), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(v, qv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        corpus.crossJoin(q)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(F.col(id_col), d2.alias("l2_dist2"))
+        .orderBy(F.asc("l2_dist2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _recall_row(
+    exact: DataFrame, approx: DataFrame, id_col: str, min_hits: int, qid: int
+) -> DataFrame:
+    """One-row recall report: |approx ∩ exact| >= min_hits, plus the exact
+    top-k's row count. This is the shape that makes an APPROXIMATE operator
+    driver-hash-checkable (the reference pins approximate behavior with
+    threshold asserts the same way — SourceTest.scala:171-178): the oracle
+    recomputes the exact top-k in SQL and asserts the bound holds, so a
+    recall regression below ``min_hits`` flips ``recall_pass`` and fails
+    the hash. All inputs are k-row metadata, so the joins are trivial."""
+    ex = exact.select(id_col)
+    hits = ex.join(approx.select(id_col), id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    kx = ex.agg(F.count(F.lit(1)).alias("k_exact"))
+    return kx.crossJoin(hits).select(
+        F.lit(qid).cast("long").alias("query_id"),
+        F.col("k_exact"),
+        (F.col("n_hits") >= min_hits).alias("recall_pass"),
+    )
+
+
+#: recall@10 floors for the seeded synthetic corpus: measured 7/10 for
+#: LSH, 9-10/10 for IVF (exact cosine re-rank over generated candidates)
+#: and 6-7/10 for PQ (16× lossy codes) at sf0.001 and sf0.01; bounds sit
+#: ≥2 hits under the measured minima so only a real regression — not
+#: float jitter on a borderline candidate — can flip them.
+ANN_LSH_MIN_HITS = 5
+ANN_IVF_MIN_HITS = 6
+PQ_MIN_HITS = 4
+
+
+def ann_lsh_recall_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: multi-table LSH ANN recall@10 against the exact
+    cosine top-10 for vec_id=0 (the oracle-backed twin of ``ann_lsh_topk``
+    — that query's output is hash-unstable by nature, this one is not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    return _recall_row(
+        cosine_topk(emb, q, k=10),
+        ann_lsh_topk(emb, q, dim=64, k=10),
+        "vec_id",
+        ANN_LSH_MIN_HITS,
+        qid=0,
+    )
+
+
+def ann_ivf_recall_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: IVF ANN recall@10 against exact cosine top-10
+    (oracle-backed twin of ``ann_ivf_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    return _recall_row(
+        cosine_topk(emb, q, k=10),
+        ann_ivf_topk(emb, q, k=10),
+        "vec_id",
+        ANN_IVF_MIN_HITS,
+        qid=0,
+    )
+
+
+def pq_recall_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: PQ asymmetric-distance recall@10 against the exact
+    squared-L2 top-10 (oracle-backed twin of ``pq_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0)
+    book = train_pq_codebook(emb)
+    return _recall_row(
+        l2_topk(emb, q, k=10),
+        pq_topk(emb, q, book, k=10),
+        "vec_id",
+        PQ_MIN_HITS,
+        qid=0,
+    )
+
+
+ORACLE_ANN_RECALL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+    parts AS (
+        SELECT ex.vec_id,
+               SUM(CAST(ee AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot_qe,
+               SUM(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)) AS dot_ee,
+               SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot_qq
+        FROM ex, q GROUP BY ex.vec_id
+    ),
+    exact AS (
+        SELECT vec_id FROM parts
+        ORDER BY dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) DESC, vec_id ASC
+        LIMIT 10
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id,
+           COUNT(*) AS k_exact,
+           TRUE AS recall_pass
+    FROM exact
+"""
+
+
+ORACLE_PQ_RECALL = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (SELECT vec_id, unnest(embedding) AS ee, generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id <> 0),
+    parts AS (
+        SELECT ex.vec_id,
+               SUM((CAST(ee AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                   * (CAST(ee AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))) AS d2
+        FROM ex, q GROUP BY ex.vec_id
+    ),
+    exact AS (SELECT vec_id FROM parts ORDER BY d2 ASC, vec_id ASC LIMIT 10)
+    SELECT CAST(0 AS BIGINT) AS query_id,
+           COUNT(*) AS k_exact,
+           TRUE AS recall_pass
+    FROM exact
+"""
+
+
 def hybrid_filtered_topk(spark: SparkSession, sf_dir: str, lang: str = "en", k: int = 10) -> DataFrame:
     """Hybrid retrieval: metadata filter + vector similarity in ONE plan —
     top-k cosine neighbours of vec_id=0 restricted to vectors whose id maps

@@ -237,9 +237,26 @@ def test_oracle_match_sf01(spark, name):
 def test_driver_rotation_fronts_unverified_queries():
     """queries() must order every not-yet-driver-verified query ahead of all
     verified ones, so the external 50-query sample always extends coverage."""
-    checked = _entry._driver_checked(set(ORACLES))
+    fps = _entry.query_fingerprints(QUERIES, ORACLES)
+    checked = _entry._driver_checked(set(ORACLES), fps)
     flags = [n in checked for n in QUERIES]
     # all False (unchecked) entries precede all True (checked) entries
     assert flags == sorted(flags), [
         n for n, f in zip(QUERIES, flags) if f
     ][:5]
+
+
+def test_changed_query_reenters_rotation():
+    """A query whose content fingerprint diverges from QUERY_FPS.json must
+    NOT stay retired — edits to a query or its oracle re-front it for
+    driver re-verification (r5 advice: name-only retirement was blind to
+    changes)."""
+    fps = _entry.query_fingerprints(QUERIES, ORACLES)
+    checked = _entry._driver_checked(set(ORACLES), fps)
+    assert checked, "expected some retired queries with matching fingerprints"
+    victim = next(iter(checked))
+    mutated = dict(fps)
+    mutated[victim] = "deadbeefdeadbeef"
+    rechecked = _entry._driver_checked(set(ORACLES), mutated)
+    assert victim not in rechecked
+    assert rechecked == checked - {victim}

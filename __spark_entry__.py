@@ -27,6 +27,7 @@ from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
 from caffeonspark_spark.ml import dataflow as ML
+from caffeonspark_spark.streaming import windows as SW
 
 # decimal accumulator renderings shared by the oracle strings
 _DS = "CAST(SUM(CAST(({x}) AS DECIMAL(30,{s}))) AS DOUBLE)"
@@ -261,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": S.ann_lsh_recall_query0,
         "ann_ivf_recall": S.ann_ivf_recall_query0,
         "pq_recall": S.pq_recall_query0,
+        # --- r6: stream-to-completion must equal the batch window agg ---
+        "stream_tumbling_parity": SW.stream_tumbling_parity,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -533,6 +536,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": S.ORACLE_ANN_RECALL,
         "ann_ivf_recall": S.ORACLE_ANN_RECALL,
         "pq_recall": S.ORACLE_PQ_RECALL,
+        # --- streaming: stream-to-completion parity vs the batch window agg
+        "stream_tumbling_parity": f"""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                   COUNT(*) AS n_events, {_ds('value')} AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,

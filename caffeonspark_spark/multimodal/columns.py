@@ -75,6 +75,12 @@ class ColumnSpec:
     mean_value: tuple[float, ...] = field(default=())
     crop: tuple[int, int] | None = None  # (h, w) center crop
     mirror: bool = False
+    #: fixture/test escape hatch ONLY: when True, a payload that carries a
+    #: real container magic (P6/P5/BM) but fails to decode falls back to
+    #: ``fake_decode`` instead of raising. Default False so a truncated or
+    #: corrupt image in a production batch fails loudly rather than
+    #: yielding deterministic garbage pixels.
+    fake_fallback: bool = False
 
     def __post_init__(self):
         if self.dtype not in DTYPES:
@@ -336,12 +342,16 @@ def image_sample_to_tensor(
         elif CODEC_NAME in ("pillow", "opencv"):
             hwc = decode_image(data, spec.channels)
         elif bytes(data[:2]) in (b"P6", b"P5", b"BM"):
-            # numpy-native tier: real decode for real containers; synthetic
-            # bytes that merely START with a container magic fall back to
-            # the fake so fixture pipelines never crash an executor batch
+            # numpy-native tier: a payload claiming a real container must
+            # decode — a truncated/corrupt PPM/BMP in a production batch
+            # fails loudly instead of silently yielding garbage pixels.
+            # Fixture pipelines that synthesize magic-prefixed bytes opt in
+            # to the deterministic fake via spec.fake_fallback.
             try:
                 hwc = decode_image(data, spec.channels)
             except ValueError:
+                if not spec.fake_fallback:
+                    raise
                 hwc = fake_decode(data, spec.channels, h or 8, w or 8)
         else:
             hwc = fake_decode(data, spec.channels, h or 8, w or 8)

@@ -58,24 +58,76 @@ _MH_PRIME = (1 << 31) - 1  # Mersenne prime; products stay in long range
 # dead handles, their blocks died with the session.
 _CACHED: dict[tuple, DataFrame] = {}
 _CACHE_LOCK = __import__("threading").Lock()
+#: session token -> weakref(session); lets the cache detect sessions whose
+#: underlying context has stopped and drop their (dead-handle) entries
+#: without holding the session object inside key tuples.
+_SESSION_REFS: dict[str, object] = {}
+
+
+def _session_token(session) -> str:
+    """Stable per-session identity WITHOUT putting the session object in
+    key tuples: a uuid stamped onto the session (so sibling
+    ``newSession()``s stay distinct, unlike applicationId, and GC can't
+    recycle it onto a new session, unlike id()). The session is tracked by
+    weakref only — a long-lived process creating many short-lived sessions
+    no longer pins each one in the memo keys."""
+    import uuid
+    import weakref
+
+    tok = getattr(session, "_cos_dedup_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        try:
+            session._cos_dedup_token = tok
+        except Exception:  # pragma: no cover - unsettable session proxy
+            tok = f"id-{id(session)}"
+    if tok not in _SESSION_REFS:
+        try:
+            _SESSION_REFS[tok] = weakref.ref(session)
+        except TypeError:  # pragma: no cover - non-weakref-able proxy
+            _SESSION_REFS[tok] = None
+    return tok
+
+
+def _session_stopped(tok: str) -> bool:
+    ref = _SESSION_REFS.get(tok)
+    if ref is None:
+        return False
+    session = ref()
+    if session is None:
+        return True
+    try:
+        return session.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _purge_dead_locked() -> None:
+    """Drop entries whose session is stopped/collected (their persisted
+    blocks died with the session — only dead handles remain). Called under
+    the lock, opportunistically on every persist and from
+    ``unpersist_cached``."""
+    dead = {t for t in _SESSION_REFS if _session_stopped(t)}
+    if not dead:
+        return
+    for k in list(_CACHED):
+        if k[0] in dead:
+            _CACHED.pop(k, None)
+    for t in dead:
+        _SESSION_REFS.pop(t, None)
 
 
 def _cache_key(key: str, df: DataFrame) -> tuple | None:
-    """(session, site, plan) identity, or None when no SAFE identity exists.
-    Without the analyzed-plan semanticHash (non-classic backends) two
-    different inputs at the same site would collapse into one entry and
+    """(session-token, site, plan) identity, or None when no SAFE identity
+    exists. Without the analyzed-plan semanticHash (non-classic backends)
+    two different inputs at the same site would collapse into one entry and
     silently return stale data — such entries get a unique untracked key
-    instead (still released by ``unpersist_cached``). The session
-    component is the SESSION OBJECT itself: a stable id (unlike id(),
-    which GC can recycle onto a new session) that also keeps sibling
-    ``newSession()``s distinct (unlike applicationId, which they share);
-    the cached DataFrame already holds a reference to its session, so
-    keying on it adds no new lifetime."""
+    instead (still released by ``unpersist_cached``)."""
     try:
         plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
     except Exception:  # pragma: no cover - non-classic backend
         return None
-    return (df.sparkSession, key, plan_hash)
+    return (_session_token(df.sparkSession), key, plan_hash)
 
 
 def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
@@ -89,6 +141,7 @@ def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
             _CACHED[("untracked", key, id(df))] = df
         return df
     with _CACHE_LOCK:
+        _purge_dead_locked()
         df = _CACHED.setdefault(full_key, df)
         if df.storageLevel == StorageLevel.NONE:
             df.persist()
@@ -103,6 +156,8 @@ def unpersist_cached() -> None:
                 _CACHED.pop(key).unpersist()
             except Exception:  # pragma: no cover - session already stopped
                 pass
+        _purge_dead_locked()
+        _SESSION_REFS.clear()
 
 
 def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:

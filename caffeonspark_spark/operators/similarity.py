@@ -1065,24 +1065,31 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROW_COUNTS: dict[tuple, int] = {}
 
 
-def _row_count_memo(spark: SparkSession, sf_dir: str, df: DataFrame) -> int:
+def _row_count_memo(
+    spark: SparkSession, sf_dir: str, df: DataFrame, table: str = "embeddings"
+) -> int:
     """Memoized table row count per (session, dir, table-mtime): the count
     is parquet footer metadata (cheap, but still a Spark job) and sizing k
     does not need it re-run for every query construction — plan-only
     generation, bench best-of-N, and driver re-invocations all reuse the
     first one. The file mtime in the key invalidates the memo when the
-    table is rewritten in place within one session."""
+    table is rewritten in place within one session. When no mtime is
+    observable (hdfs/s3 paths), memoization is SKIPPED entirely — a stale
+    count on a rewritten remote table would silently mis-size
+    ``semantic_dedup_k``, and one footer-metadata count is cheap."""
     import os
 
+    from caffeonspark_spark.catalog import table_path
+
+    try:
+        mtime = os.path.getmtime(table_path(sf_dir, table))
+    except OSError:  # non-local path (hdfs/s3) — no staleness signal
+        return df.count()
     try:
         app = spark.sparkContext.applicationId
     except Exception:  # pragma: no cover
         app = id(spark)
-    try:
-        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
-    except OSError:  # pragma: no cover - non-local path (hdfs/s3)
-        mtime = None
-    key = (app, sf_dir, mtime)
+    key = (app, sf_dir, table, mtime)
     if key not in _ROW_COUNTS:
         _ROW_COUNTS[key] = df.count()
     return _ROW_COUNTS[key]

@@ -144,6 +144,74 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+_PARITY_SEQ = [0]
+
+
+def stream_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch parity row: drive the tumbling hourly window
+    aggregation over the events table as a REAL Structured Streaming query
+    (file source → complete-mode window agg → memory sink, run to
+    completion) and return it in the batch ``events_hourly`` shape. The
+    oracle is the batch SQL — stream-to-completion must equal the batch
+    window agg exactly, which pins the whole streaming path (source
+    conversion, event-time windowing, incremental state) with a hash
+    check rather than a rows-only count.
+
+    Determinism notes: ``ts`` converts nanos→µs→TIMESTAMP_NTZ with the
+    SAME exact-long arithmetic as the batch catalog
+    (``catalog._load_events``) so results are timezone-independent;
+    ``sum_value`` uses the decimal-grid sum (``dsum``) like the batch twin
+    so doubles are bit-identical; complete output mode emits every window
+    (append mode would hold back windows the watermark never passed at
+    end-of-stream)."""
+    import os
+
+    from caffeonspark_spark.functions.arrays import dsum
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    disk_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    schema = T.StructType(
+        [
+            T.StructField(f.name, disk_ts if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if isinstance(disk_ts, T.LongType):
+        raw = raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    agg = (
+        raw.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _PARITY_SEQ[0] += 1
+    name = f"stream_tumbling_parity_{_PARITY_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against the file source and
     return the in-memory result table name (test/smoke harness)."""

@@ -455,3 +455,34 @@ def test_remove_dup_passages_planted(spark, tmp_path):
     assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["clean_text"] == "nothing shared in this document at all"
     assert out[4]["n_kept"] == out[4]["n_tokens"] == 7
+
+
+def test_cache_purges_dead_session_entries():
+    """Entries whose session is stopped or collected must be dropped by the
+    opportunistic purge — a long-lived process cycling short sessions must
+    not accumulate dead handles (r5 advice)."""
+    from caffeonspark_spark.operators import dedup as D
+
+    tok = "t-dead-fixture"
+    D._SESSION_REFS[tok] = lambda: None  # weakref surrogate: collected
+    D._CACHED[(tok, "site", 1)] = object()
+    live_tok = "t-live-fixture"
+
+    class _Ctx:
+        _jsc = object()
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    live = _Sess()
+    D._SESSION_REFS[live_tok] = lambda: live
+    D._CACHED[(live_tok, "site", 2)] = object()
+    try:
+        with D._CACHE_LOCK:
+            D._purge_dead_locked()
+        assert (tok, "site", 1) not in D._CACHED
+        assert tok not in D._SESSION_REFS
+        assert (live_tok, "site", 2) in D._CACHED
+    finally:
+        D._CACHED.pop((live_tok, "site", 2), None)
+        D._SESSION_REFS.pop(live_tok, None)

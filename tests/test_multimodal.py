@@ -421,11 +421,30 @@ def test_wav_through_frame_energy(spark):
     assert energy[2] < 1e-6 and energy[3] < 1e-6
 
 
-def test_degenerate_magic_payload_falls_back_to_fake(spark):
-    """A payload with PPM magic but degenerate (0x0) dims must fall back
-    to fake_decode inside batch assembly instead of crashing the batch."""
+def test_degenerate_magic_payload_falls_back_to_fake_when_opted_in(spark):
+    """With spec.fake_fallback=True (the fixture escape hatch), a payload
+    with PPM magic but degenerate (0x0) dims falls back to fake_decode
+    inside batch assembly instead of crashing the batch."""
     rows = [("bad", bytearray(b"P6\n0 0\n255\n")), ("bm", bytearray(b"BM\x00\x00"))]
     df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
-    spec = ColumnSpec("data", "encoded_image", channels=3, height=4, width=4)
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, height=4, width=4, fake_fallback=True
+    )
     out = assemble_batches(df, [spec], batch_size=2).collect()
     assert out[0]["data_shape"] == [2, 3, 4, 4]
+
+
+def test_corrupt_magic_payload_raises_by_default():
+    """By default a truncated/corrupt payload that CLAIMS a real container
+    (P6/P5/BM magic) must raise, not silently substitute garbage pixels —
+    silent fake output would mask data corruption in a production batch."""
+    from caffeonspark_spark.multimodal.columns import (
+        CODEC_NAME,
+        image_sample_to_tensor,
+    )
+
+    if CODEC_NAME in ("pillow", "opencv"):
+        pytest.skip("real codec present; numpy-native strictness not in play")
+    spec = ColumnSpec("data", "encoded_image", channels=3, height=4, width=4)
+    with pytest.raises(ValueError):
+        image_sample_to_tensor(b"P6\n0 0\n255\n", spec, encoded=True)

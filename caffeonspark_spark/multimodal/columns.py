@@ -113,14 +113,23 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 # --- NumPy transforms (run inside Arrow batch workers) --------------------
 
 def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
-    """Pure-NumPy decoder for header-only (codec-free) image containers:
-    PPM (P6), PGM (P5), and uncompressed 24-bit BI_RGB BMP. No external
-    codec library needed, so REAL bytes decode end-to-end even in
-    environments without Pillow/OpenCV (this container). Output matches
-    the ``Mat.decode`` contract (``Mat.java:58-63``): HWC uint8, BGR for
-    3-channel, integer BT.601 luma for grayscale conversion.
+    """Pure-NumPy decoder for codec-free image containers: PPM (P6), PGM
+    (P5), uncompressed 24-bit BI_RGB BMP, and baseline JPEG (SOF0/SOF1 via
+    the from-spec decoder in ``multimodal/jpeg.py``). No external codec
+    library needed, so REAL bytes — including the reference's own
+    ``data/images/*.jpg`` fixture class (``ImageDataSource.scala:126-143``)
+    — decode end-to-end even in environments without Pillow/OpenCV (this
+    container). Output matches the ``Mat.decode`` contract
+    (``Mat.java:58-63``): HWC uint8, BGR for 3-channel, integer BT.601
+    luma for grayscale conversion.
     """
-    if data[:2] in (b"P6", b"P5"):
+    if data[:2] == b"\xff\xd8":
+        from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+
+        arr = decode_baseline_jpeg(data)
+        if arr.shape[2] == 3:
+            arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
+    elif data[:2] in (b"P6", b"P5"):
         # netpbm: magic, whitespace/comment-separated width/height/maxval
         fields, i, n = [], 2, len(data)
         while len(fields) < 3:
@@ -164,8 +173,8 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
             arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
     else:
         raise ValueError(
-            "numpy-native codec handles PPM/PGM/BMP only; install Pillow or "
-            "opencv-python for JPEG/PNG"
+            "numpy-native codec handles PPM/PGM/BMP/baseline-JPEG only; "
+            "install Pillow or opencv-python for PNG and other containers"
         )
     if channels == 1 and arr.shape[2] == 3:
         b, g, r = (arr[:, :, k].astype(np.uint32) for k in range(3))
@@ -328,7 +337,7 @@ def image_sample_to_tensor(
     ``DataFrameSource.scala:135-176``).
 
     ``decoder=None`` uses the real codec when one can handle the payload:
-    always under Pillow/OpenCV, and for PPM/PGM/BMP magic under the
+    always under Pillow/OpenCV, and for PPM/PGM/BMP/JPEG magic under the
     pure-NumPy codec (set ``out_height``/``out_width`` on the spec then,
     since real images vary in size and batches must stack). Arbitrary
     synthetic bytes fall back to the deterministic ``fake_decode`` so
@@ -341,7 +350,7 @@ def image_sample_to_tensor(
             hwc = decoder(data, spec.channels)
         elif CODEC_NAME in ("pillow", "opencv"):
             hwc = decode_image(data, spec.channels)
-        elif bytes(data[:2]) in (b"P6", b"P5", b"BM"):
+        elif bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8"):
             # numpy-native tier: a payload claiming a real container must
             # decode — a truncated/corrupt PPM/BMP in a production batch
             # fails loudly instead of silently yielding garbage pixels.

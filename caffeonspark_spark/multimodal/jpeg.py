@@ -1,0 +1,315 @@
+"""Pure-Python/NumPy baseline JPEG (SOF0/SOF1) decoder.
+
+Closes the reference-parity gap for the codec-less container: the
+reference decodes JPEG via OpenCV (``Mat.java:58-63``, used by
+``ImageDataSource.scala:126-143``), so its own ``data/images/*.jpg``
+fixture class must decode end-to-end here too. This is the third tier of
+``_resolve_codec`` (Pillow → OpenCV → numpy-native): correctness-first,
+implemented straight from the public JPEG specification (ITU-T T.81
+baseline process) — sequential DCT, Huffman entropy coding, 8-bit
+precision, grayscale or YCbCr with arbitrary sampling factors, restart
+markers. Progressive (SOF2) and arithmetic coding raise with an install
+hint, same as the other unsupported containers.
+
+Throughput note: this tier exists for correctness in codec-free
+environments, not speed — the per-bit Huffman loop is Python. Production
+environments install Pillow/OpenCV and never reach it; the Spark-side
+plumbing (Arrow batching, schema, spec handling) is identical across
+tiers, which is the part that matters at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: zigzag scan order: zigzag index -> natural (row-major) index
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _idct_matrix() -> np.ndarray:
+    """8-point DCT-III (inverse DCT-II) basis: spatial = M.T @ coeffs @ M."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment (16 length counts +
+    symbols in code order)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any real marker (left for the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # real marker: baseline streams pad the tail with 1-bits;
+                # synthesize them instead of consuming the marker
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.bitbuf = 0
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude value (T.81 EXTEND procedure)."""
+    if t == 0:
+        return 0
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes → HWC uint8 (1 channel for grayscale,
+    3 channels RGB for YCbCr color). Raises ValueError on non-baseline
+    streams (progressive, 12-bit, arithmetic) or malformed/truncated
+    data."""
+    try:
+        return _decode_baseline_jpeg(data)
+    except (IndexError, KeyError) as e:
+        raise ValueError(f"malformed or truncated JPEG stream: {e!r}") from e
+
+
+def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (height, width, components)
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no payload
+            continue
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    vals = (
+                        np.frombuffer(seg, np.uint8, 128, i)
+                        .reshape(64, 2)
+                        .astype(np.int32)
+                    )
+                    vals = (vals[:, 0] << 8) | vals[:, 1]
+                    i += 128
+                q = np.zeros(64, np.int32)
+                q[ZIGZAG] = vals  # de-zigzag into natural order
+                qtables[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                total = sum(counts)
+                symbols = seg[i + 17 : i + 17 + total]
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(counts, symbols)
+                i += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if height == 0 or width == 0:
+                raise ValueError("degenerate JPEG dimensions")
+            frame = (height, width, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG supported by the numpy-native "
+                "codec; install Pillow or opencv-python for this stream"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_sel = {}
+            for c in range(ns):
+                cs = seg[1 + 2 * c]
+                td_ta = seg[2 + 2 * c]
+                scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+            return _decode_scan(
+                data,
+                pos + seglen,
+                frame,
+                scan_sel,
+                qtables,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("JPEG stream ended before SOS")
+
+
+def _decode_scan(
+    data, pos, frame, scan_sel, qtables, huff_dc, huff_ac, restart_interval
+) -> np.ndarray:
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    reader = _BitReader(data, pos)
+    zz = ZIGZAG
+    m = _IDCT_M
+
+    def read_block(ci):
+        comp = comps[ci]
+        td, ta = scan_sel[comp["id"]]
+        dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+        coef = np.zeros(64, np.float64)
+        t = reader.decode(dc_tab)
+        preds[ci] += _extend(reader.receive(t), t)
+        coef[0] = preds[ci]
+        k = 1
+        while k <= 63:
+            rs = reader.decode(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: run of 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[zz[k]] = _extend(reader.receive(s), s)
+            k += 1
+        block = coef.reshape(8, 8) * qtables[comp["tq"]]
+        return m.T @ block @ m
+
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align()
+                if (
+                    reader.data[reader.pos] == 0xFF
+                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 2
+                preds[:] = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = read_block(ci)
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu_index += 1
+
+    # level shift, upsample to full resolution, crop
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci] + 128.0
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:height, :width])
+
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        raise ValueError("unsupported JPEG component count")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -145,22 +145,57 @@ def _has_codec() -> bool:
 
 
 def test_decode_image_codec_seam():
-    """Under the numpy-native tier, JPEG payloads raise the documented
-    install hint; under Pillow/OpenCV a real JPEG decodes to HWC uint8
-    (Mat.decode parity)."""
+    """A real JPEG decodes to HWC uint8 under EVERY tier now — Pillow/
+    OpenCV when installed, the from-spec baseline decoder otherwise
+    (Mat.decode parity: the reference's own fixture class must work)."""
     import os
 
     from caffeonspark_spark.multimodal.columns import decode_image
 
-    if not _has_codec():
-        with pytest.raises(ValueError, match="PPM/PGM/BMP"):
-            decode_image(b"\xff\xd8\xff", 3)
-        return
     with open(_REF_JPEG, "rb") as fh:
         arr = decode_image(fh.read(), 3)
     assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
     assert arr.shape[0] > 10 and arr.shape[1] > 10
     assert os.path.exists(_REF_JPEG)
+
+
+def test_truncated_jpeg_raises_value_error():
+    """Truncated JPEG payloads raise ValueError (not IndexError) so batch
+    error handling sees a consistent decode-failure type."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+
+    with open(_REF_JPEG, "rb") as fh:
+        data = fh.read()
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\xff\xd8\xff")
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(data[: len(data) // 3])
+
+
+def test_jpeg_roundtrip_baseline_decoder():
+    """Spec-valid fixture encoder → from-spec decoder round-trip: 4:4:4,
+    4:2:0 subsampled, and grayscale, each within quantization-error
+    tolerance of the source pixels."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:24, 0:20]
+    base = np.stack(
+        [(xx * 5 + yy * 2) % 256, (255 - xx * 3) % 256, (yy * 7) % 256], axis=2
+    ).astype(np.float64)
+    img = np.clip(base + rng.normal(0, 3, base.shape), 0, 255).astype(np.uint8)
+
+    for sub, tol_mean, tol_max in ((False, 3.0, 16), (True, 5.0, 32)):
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, subsample=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.mean() < tol_mean and err.max() < tol_max, (sub, err.mean(), err.max())
+
+    gray = img[:, :, :1]
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(gray, quant=4))
+    err = np.abs(dec.astype(int) - gray.astype(int))
+    assert dec.shape == gray.shape and err.mean() < 2.0
 
 
 def test_ppm_pgm_roundtrip_numpy_codec():
@@ -236,7 +271,10 @@ def test_real_ppm_through_batch_assembly(spark):
 )
 def test_real_jpeg_through_batch_assembly(spark):
     """Reference JPEG fixtures (data/images) through encoded-image batch
-    assembly with a real codec: decode → resize → NCHW stack."""
+    assembly under EVERY codec tier — Pillow/OpenCV when installed, the
+    from-spec baseline decoder otherwise (before r6 this silently went
+    through fake_decode in codec-less containers): decode → resize →
+    NCHW stack, real pixel variance asserted."""
     import glob
 
     paths = sorted(glob.glob("/root/reference/data/images/*.jpg"))[:4]

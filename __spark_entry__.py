@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": S.pq_recall_query0,
         # --- r6: stream-to-completion must equal the batch window agg ---
         "stream_tumbling_parity": SW.stream_tumbling_parity,
+        # --- r6: the remaining TPC-H classic shapes, re-based where the
+        # testdata lacks partsupp (Q2 correlated min, Q9 profit rollup,
+        # Q11 global-threshold HAVING, Q16 distinct counts w/ blacklist,
+        # Q20 correlated half-sum semi-join) ---
+        "min_cost_supplier": R.min_cost_supplier,
+        "product_type_profit": R.product_type_profit,
+        "important_stock": R.important_stock,
+        "parts_supplier_counts": R.parts_supplier_counts,
+        "promotion_candidates": R.promotion_candidates,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -541,6 +550,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
                    COUNT(*) AS n_events, {_ds('value')} AS sum_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # --- r6 TPC-H completions ---
+        "min_cost_supplier": """
+            WITH offers AS (
+                SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+                       MIN(CAST(l.l_extendedprice AS DOUBLE)
+                           / CAST(l.l_quantity AS DOUBLE)) AS unit_cost
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_size = 15
+                GROUP BY p.p_partkey, p.p_brand, l.l_suppkey
+            ),
+            mc AS (SELECT p_partkey AS mk, MIN(unit_cost) AS min_cost
+                   FROM offers GROUP BY p_partkey)
+            SELECT s.s_acctbal, s.s_name, n.n_name, o.p_partkey, o.p_brand,
+                   o.unit_cost
+            FROM offers o
+            JOIN mc ON o.p_partkey = mc.mk AND o.unit_cost = mc.min_cost
+            JOIN supplier s ON o.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY s.s_acctbal DESC, n.n_name ASC, s.s_name ASC,
+                     o.p_partkey ASC
+            LIMIT 100
+        """,
+        "product_type_profit": f"""
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+                   {_ds("l.l_extendedprice * (1 - l.l_discount)"
+                        " - 0.5 * p.p_retailprice * l.l_quantity", 4)} AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%gear%'
+            GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+            ORDER BY nation ASC, o_year DESC
+        """,
+        "important_stock": f"""
+            WITH joined AS (
+                SELECT l.l_quantity * p.p_retailprice AS v, p.p_partkey
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            per_part AS (
+                SELECT p_partkey, {_ds('v')} AS stock_value
+                FROM joined GROUP BY p_partkey
+            ),
+            total AS (SELECT {_ds('v')} AS grand_total FROM joined)
+            SELECT p_partkey, stock_value
+            FROM per_part, total
+            WHERE stock_value > grand_total * 0.0005
+            ORDER BY stock_value DESC, p_partkey ASC
+        """,
+        "parts_supplier_counts": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+              AND l.l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC,
+                     p.p_size ASC
+        """,
+        "promotion_candidates": f"""
+            WITH lp AS (
+                SELECT l.l_suppkey, l.l_quantity, l.l_shipdate
+                FROM lineitem l
+                WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+            ),
+            per AS (
+                SELECT l_suppkey,
+                       {_ds("CASE WHEN EXTRACT(year FROM l_shipdate) = 1997"
+                            " THEN l_quantity ELSE 0.0 END")} AS qty_1997,
+                       {_ds('l_quantity')} AS qty_total
+                FROM lp GROUP BY l_suppkey
+            )
+            SELECT s.s_name, n.n_name, s.s_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_suppkey IN (
+                SELECT l_suppkey FROM per WHERE qty_1997 > 0.18 * qty_total)
+            ORDER BY s.s_name ASC
         """,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,

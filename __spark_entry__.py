@@ -273,6 +273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_stock": R.important_stock,
         "parts_supplier_counts": R.parts_supplier_counts,
         "promotion_candidates": R.promotion_candidates,
+        # --- r6: accuracy twins converting the approximate/hash-native
+        # family to hash-checked rows (sketch within bounds of exact;
+        # native clean_corpus consistent with its oracle-checked portable
+        # twin) ---
+        "approx_distinct_check": R.approx_distinct_check,
+        "approx_percentile_check": R.approx_percentile_check,
+        "heavy_hitter_check": TX.heavy_hitter_check,
+        "clean_corpus_consistency": D.clean_corpus_consistency,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -634,6 +642,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_suppkey FROM per WHERE qty_1997 > 0.18 * qty_total)
             ORDER BY s.s_name ASC
         """,
+        # --- r6 accuracy twins for the approximate family ---
+        "approx_distinct_check": R.ORACLE_APPROX_DISTINCT_CHECK,
+        "approx_percentile_check": R.ORACLE_APPROX_PERCENTILE_CHECK,
+        "heavy_hitter_check": TX.oracle_heavy_hitter_check(),
+        "clean_corpus_consistency": D.ORACLE_CLEAN_CORPUS_CONSISTENCY,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,

@@ -1249,6 +1249,36 @@ def _oracle_clean_corpus_portable(threshold: float = 0.5) -> str:
 ORACLE_CLEAN_CORPUS_PORTABLE = _oracle_clean_corpus_portable()
 
 
+def clean_corpus_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistency twin making the PRODUCTION ``clean_corpus`` (xxhash64
+    keys — no SQL oracle possible by design) driver-hash-checkable: run it
+    beside the oracle-checked portable pipeline and emit the portable
+    survivor count plus a boolean asserting the two survivor SETS differ
+    by at most 5% (measured: identical at test scales). The oracle
+    recomputes the portable count in SQL, so both a portable-pipeline
+    regression AND a native-pipeline divergence flip the hash."""
+    nat = clean_corpus(spark, sf_dir).select("doc_id", F.lit(1).alias("_n"))
+    por = clean_corpus_portable(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_p")
+    )
+    both = nat.join(por, "doc_id", "full_outer")
+    return both.agg(
+        F.sum("_p").alias("n_portable"),
+        (
+            F.sum(
+                F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0)
+            )
+            <= F.lit(0.05) * F.sum("_p")
+        ).alias("native_matches"),
+    )
+
+
+ORACLE_CLEAN_CORPUS_CONSISTENCY = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_portable, TRUE AS native_matches
+    FROM ({_oracle_clean_corpus_portable()})
+"""
+
+
 # --- 8. near-duplicate clustering (connected components) ------------------
 
 def connected_components(

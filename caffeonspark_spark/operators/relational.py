@@ -549,6 +549,79 @@ def approx_distinct(spark, sf_dir) -> DataFrame:
     )
 
 
+def approx_distinct_check(spark, sf_dir) -> DataFrame:
+    """Accuracy twin making the HLL sketch driver-hash-checkable (the
+    recall-twin pattern): per group, the EXACT distinct counts plus
+    booleans asserting the sketch (rsd=0.02) landed within ±5% of exact.
+    The oracle recomputes the exact counts in SQL and asserts the bounds
+    hold, so a sketch-accuracy regression flips the hash. One pass: exact
+    and approximate aggregates share the same shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("_ao") - F.col("exact_orders"))
+            <= F.lit(0.05) * F.col("exact_orders")
+        ).alias("orders_within_5pct"),
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("parts_within_5pct"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_APPROX_DISTINCT_CHECK = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def approx_percentile_check(spark, sf_dir) -> DataFrame:
+    """Accuracy twin for the KLL-style percentile sketch: per group, the
+    row count plus booleans asserting approx_percentile(accuracy=10000)
+    is within ±1% of Spark's own EXACT percentile. The exact values are
+    deliberately NOT projected — cross-engine float interpolation order
+    could differ by an ulp — so the hash carries counts + bounds, which
+    is what the sketch contract promises."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_ep50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("_ap90"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_ep90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        (F.abs(F.col("_ap50") - F.col("_ep50")) <= F.lit(0.01) * F.col("_ep50")).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("_ap90") - F.col("_ep90")) <= F.lit(0.01) * F.col("_ep90")).alias(
+            "p90_within_1pct"
+        ),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_APPROX_PERCENTILE_CHECK = """
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def range_join_bands(spark, sf_dir) -> DataFrame:
     """Range (theta) join: orders binned into price bands via
     lo <= o_totalprice < hi. The band table is driver metadata (5 rows)

@@ -331,6 +331,75 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     )
 
 
+def heavy_hitter_check(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Accuracy twin for the approx_top_k heavy-hitter sketch (the
+    recall-twin pattern): one row asserting (a) the sketch reported k
+    items, (b) its top item IS the exact most frequent token, and (c)
+    every reported count is within ±2% of that token's exact count. The
+    oracle recomputes the exact top token count in SQL, so a sketch
+    regression flips the hash. The exact side reuses the token groupBy the
+    sketch is meant to replace — fine at verification scale, the point of
+    the twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_toks()).alias("token"))
+    sketch = (
+        toks.agg(F.expr(f"approx_top_k(token, {k})").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("approx_n"),
+        )
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top1_exact = exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(1)
+    joined = sketch.join(exact, "token")
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_reported"),
+        F.max(
+            F.when(
+                F.abs(F.col("approx_n") - F.col("exact_n"))
+                > F.lit(0.02) * F.col("exact_n"),
+                1,
+            ).otherwise(0)
+        ).alias("_any_off"),
+    )
+    top1_sketch = sketch.orderBy(F.desc("approx_n"), F.asc("token")).limit(1)
+    return (
+        stats.crossJoin(
+            top1_exact.select(
+                F.col("token").alias("top_token"), F.col("exact_n").alias("top_exact_n")
+            )
+        )
+        .crossJoin(top1_sketch.select(F.col("token").alias("_sk_token")))
+        .select(
+            F.col("n_reported"),
+            "top_token",
+            "top_exact_n",
+            (F.col("_sk_token") == F.col("top_token")).alias("top1_matches"),
+            (F.col("_any_off") == 0).alias("counts_within_2pct"),
+        )
+    )
+
+
+def oracle_heavy_hitter_check(k: int = 10) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents)
+        GROUP BY token
+    ),
+    top1 AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1)
+    SELECT CAST({k} AS BIGINT) AS n_reported,
+           token AS top_token,
+           n AS top_exact_n,
+           TRUE AS top1_matches,
+           TRUE AS counts_within_2pct
+    FROM top1
+"""
+
+
 BM25_TERMS = ("join", "scan", "window")
 
 

@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_check": R.approx_percentile_check,
         "heavy_hitter_check": TX.heavy_hitter_check,
         "clean_corpus_consistency": D.clean_corpus_consistency,
+        "minhash_native_consistency": D.minhash_native_consistency,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -1036,9 +1037,15 @@ def oracle_sql() -> dict[str, str]:
         # MinHash + slice-equality banding twin
         "clean_corpus_portable": D.ORACLE_CLEAN_CORPUS_PORTABLE,
         # clean_corpus: composes MinHash near-dedup (engine-hash-specific) ->
-        # rows-only; each stage is oracle-checked or unit-tested on its own
-        # neardup_clusters: iterative connected components -> rows-only;
-        # clustering semantics pinned by planted-topology unit test
+        # rows-only; its consistency twin (clean_corpus_consistency) IS
+        # hash-checked against the portable pipeline's SQL count
+        # neardup_clusters: iterative min-label components, value-checked
+        # against a recursive-CTE components oracle over the portable pair
+        # set (native and portable pair sets coincide on this corpus)
+        "neardup_clusters": D.ORACLE_NEARDUP_CLUSTERS,
+        # minhash_lsh_pairs_native: xxhash64 banding -> its consistency
+        # twin below is hash-checked vs the portable pair count
+        "minhash_native_consistency": D.ORACLE_MINHASH_NATIVE_CONSISTENCY,
         # approx_percentile_agg: KLL-style sketch -> rows-only; 1% envelope
         # vs the exact percentile pinned by unit test
         # approx_distinct: HLL sketch (engine-specific) -> rows-only; the

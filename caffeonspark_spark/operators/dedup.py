@@ -915,6 +915,87 @@ def _oracle_minhash_lsh_pairs(threshold: float = 0.5, top: int = 100) -> str:
 ORACLE_MINHASH_LSH_PAIRS = _oracle_minhash_lsh_pairs()
 
 
+def minhash_native_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistency twin for the PRODUCTION xxhash64 MinHash-LSH pair
+    generation (hash-native, so no SQL oracle possible by design): run it
+    beside the oracle-checked portable pair set and emit the portable pair
+    count plus a boolean asserting the two pair SETS differ by at most 5%
+    (measured identical at test scales — the planted duplicates sit far
+    from the 0.5 threshold, so both hash families find exactly them). The
+    oracle recomputes the portable count, so either side regressing flips
+    the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    nat = minhash_lsh_pairs_df(docs, 0.5, top=10**6).select(
+        "id_a", "id_b", F.lit(1).alias("_n")
+    )
+    por = minhash_lsh_pairs_portable_df(docs, 0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_p")
+    )
+    both = nat.join(por, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum("_p").alias("n_portable_pairs"),
+        (
+            F.sum(F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0))
+            <= F.lit(0.05) * F.sum("_p")
+        ).alias("native_matches"),
+    )
+
+
+def _oracle_minhash_native_consistency(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    {_bands_cte()},
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_portable_pairs,
+           TRUE AS native_matches
+    FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+ORACLE_MINHASH_NATIVE_CONSISTENCY = _oracle_minhash_native_consistency()
+
+
+def _oracle_neardup_clusters(threshold: float = 0.5) -> str:
+    """Recursive-CTE connected components over the PORTABLE pair set — a
+    REAL value oracle for the iterative min-label clustering (the native
+    and portable pair sets coincide on this corpus, so Spark's components
+    over native pairs must equal DuckDB's components over portable
+    pairs node-for-node)."""
+    return f"""
+    WITH RECURSIVE {_minhash_sig_ctes()},
+    {_bands_cte()},
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM est
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM est
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+ORACLE_NEARDUP_CLUSTERS = _oracle_neardup_clusters()
+
+
 # --- 5. SimHash ----------------------------------------------------------
 
 SIMHASH_BITS = 32

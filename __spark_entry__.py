@@ -128,14 +128,20 @@ def _rotate_for_driver_visibility(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The external harness hash-checks only the FIRST 50 entries each
-    round. Order never-driver-checked (or changed-since-checked) queries
-    first (stable within each group) so every round's sample extends
-    external verification coverage automatically — no manual reordering
-    between rounds."""
+    round. Three tiers, stable within each: (1) queries with NO green
+    driver row ever — external coverage must extend to these first;
+    (2) ever-green queries whose content fingerprint changed since their
+    green row — due for re-verification, but they already passed once so
+    they rank behind tier 1 (module-level fingerprints are coarse: one
+    edited helper re-fronts its whole family, which must not crowd
+    never-verified queries out of the 50-sample); (3) retired
+    (green + fingerprint unchanged)."""
     oracles = oracle_sql()
+    green = _ever_green(set(oracles))
     checked = _driver_checked(set(oracles), query_fingerprints(base, oracles))
     return {
-        **{k: v for k, v in base.items() if k not in checked},
+        **{k: v for k, v in base.items() if k not in green},
+        **{k: v for k, v in base.items() if k in green and k not in checked},
         **{k: v for k, v in base.items() if k in checked},
     }
 

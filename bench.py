@@ -134,6 +134,17 @@ BENCH_QUERIES = {
     "q_bpe_encode": BPE.bpe_encode,
     "q_remove_dup_passages": D.remove_dup_passages_docs,
     "q_stream_tumbling": _stream_tumbling_bench,
+    # r6 additions: the remaining TPC-H classic shapes (Q2 correlated min,
+    # Q9 profit rollup, Q11 global-threshold HAVING, Q16 distinct counts,
+    # Q20 correlated half-sum), the large-k Arrow centroid assignment, and
+    # the heaviest accuracy twin (exact-beside-sketch heavy hitters)
+    "q2_min_cost_supplier": R.min_cost_supplier,
+    "q9_product_profit": R.product_type_profit,
+    "q11_important_stock": R.important_stock,
+    "q16_parts_supplier": R.parts_supplier_counts,
+    "q20_promotion": R.promotion_candidates,
+    "q_heavy_hitter_check": TX.heavy_hitter_check,
+    "q_neardup_clusters": D.neardup_clusters,
 }
 
 

@@ -235,15 +235,20 @@ def test_oracle_match_sf01(spark, name):
 
 
 def test_driver_rotation_fronts_unverified_queries():
-    """queries() must order every not-yet-driver-verified query ahead of all
-    verified ones, so the external 50-query sample always extends coverage."""
+    """queries() must order tiers: never-driver-green first, then
+    ever-green-but-fingerprint-stale, then retired — so the external
+    50-query sample extends coverage to brand-new queries before spending
+    slots re-verifying edited families."""
     fps = _entry.query_fingerprints(QUERIES, ORACLES)
+    green = _entry._ever_green(set(ORACLES))
     checked = _entry._driver_checked(set(ORACLES), fps)
-    flags = [n in checked for n in QUERIES]
-    # all False (unchecked) entries precede all True (checked) entries
-    assert flags == sorted(flags), [
-        n for n, f in zip(QUERIES, flags) if f
+    tier = [0 if n not in green else (1 if n not in checked else 2) for n in QUERIES]
+    assert tier == sorted(tier), [
+        (n, t) for n, t in zip(QUERIES, tier)
     ][:5]
+    # every never-green query fits in the externally-sampled front 50
+    front = list(QUERIES)[:50]
+    assert all(n in front for n in QUERIES if n not in green)
 
 
 def test_changed_query_reenters_rotation():

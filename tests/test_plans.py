@@ -344,3 +344,30 @@ def test_keep_best_duplicate_window_partitioned(spark, sf_smoke):
     # the window spec must carry the fp partition key (a partition-less
     # window would render windowspecdefinition(n_chars ... ) with no fp)
     assert "windowspecdefinition(fp" in plan, plan
+
+
+def test_min_cost_supplier_single_window_shuffle(spark, sf_smoke):
+    """Q2 shape: the correlated min decorrelates into a window sharing the
+    offer agg's p_partkey hashpartitioning — at most 2 shuffles total (agg
+    + final ordering path), every dim broadcast, top-100 as
+    TakeOrderedAndProject (no global sort)."""
+    from caffeonspark_spark.operators import relational as R
+
+    plan = physical_plan(R.min_cost_supplier(spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_important_stock_no_double_sum(spark, sf_smoke):
+    """Q11 shape: the global total must come from its own decimal-grid agg
+    over the joined fact (broadcast back), not a float re-sum of per-part
+    doubles; part is a broadcast dim."""
+    from caffeonspark_spark.operators import relational as R
+
+    plan = physical_plan(R.important_stock(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    # the only hash-shuffle is the per-part aggregation
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

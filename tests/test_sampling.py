@@ -263,3 +263,27 @@ def test_shuffle_shards_reproducible_and_balanced(spark, sf_oracle):
     c = {r["doc_id"]: (r["shard"], r["pos"])
          for r in shuffle_shards(docs, "doc_id", 8, seed=7).collect()}
     assert sum(by_id[k] != c[k] for k in by_id) > n // 2
+
+
+def test_kmeans_assign_twolevel_ivf_composition(spark, sf_smoke):
+    """The two-level (IVF-style) assignment for very large k: agreement
+    with the exact flat scan rises with nprobe, every row is assigned,
+    and approximate dist2 is never better than exact (it scans a subset
+    of centroids)."""
+    from caffeonspark_spark.operators.similarity import kmeans_assign_twolevel
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    cents = emb.where(F.col("vec_id") < 64)
+    exact = {
+        r["vec_id"]: (r["centroid_id"], r["dist2"])
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    two = {
+        r["vec_id"]: (r["centroid_id"], r["dist2"])
+        for r in kmeans_assign_twolevel(emb, cents, nprobe=4).collect()
+    }
+    assert set(two) == set(exact)
+    agree = sum(1 for k in exact if two[k][0] == exact[k][0])
+    assert agree >= int(0.7 * len(exact)), f"agreement {agree}/{len(exact)}"
+    for vid, (_, d2) in two.items():
+        assert d2 >= exact[vid][1] - 1e-9

@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": S.pq_recall_query0,
         # --- r6: stream-to-completion must equal the batch window agg ---
         "stream_tumbling_parity": SW.stream_tumbling_parity,
+        "stream_sliding_parity": SW.stream_sliding_parity,
+        "stream_session_parity": SW.stream_session_parity,
         # --- r6: the remaining TPC-H classic shapes, re-based where the
         # testdata lacks partsupp (Q2 correlated min, Q9 profit rollup,
         # Q11 global-threshold HAVING, Q16 distinct counts w/ blacklist,
@@ -565,6 +567,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
                    COUNT(*) AS n_events, {_ds('value')} AS sum_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # sliding windows: reconstruct Spark's epoch-aligned 1h/15min grid —
+        # each event belongs to exactly 4 windows (grid truncation minus
+        # i*15min, i in 0..3)
+        "stream_sliding_parity": f"""
+            WITH e AS (
+                SELECT event_type, value,
+                       TIMESTAMP '1970-01-01 00:00:00'
+                         + to_seconds(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT))
+                         AS grid
+                FROM events
+            ),
+            x AS (
+                SELECT event_type, value,
+                       grid - to_seconds(i * 900) AS win_start
+                FROM e, (SELECT unnest(range(0, 4)) AS i)
+            )
+            SELECT win_start, event_type, COUNT(*) AS n_events,
+                   {_ds('value')} AS sum_value
+            FROM x GROUP BY win_start, event_type
+        """,
+        # session windows: streaming session_window must equal the batch
+        # lag/cumsum sessionization session-for-session
+        "stream_session_parity": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_id
+                FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS sess_start, MAX(ts) AS sess_last,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         # --- r6 TPC-H completions ---
         "min_cost_supplier": """

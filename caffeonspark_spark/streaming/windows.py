@@ -147,26 +147,13 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 _PARITY_SEQ = [0]
 
 
-def stream_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-equals-batch parity row: drive the tumbling hourly window
-    aggregation over the events table as a REAL Structured Streaming query
-    (file source → complete-mode window agg → memory sink, run to
-    completion) and return it in the batch ``events_hourly`` shape. The
-    oracle is the batch SQL — stream-to-completion must equal the batch
-    window agg exactly, which pins the whole streaming path (source
-    conversion, event-time windowing, incremental state) with a hash
-    check rather than a rows-only count.
-
-    Determinism notes: ``ts`` converts nanos→µs→TIMESTAMP_NTZ with the
-    SAME exact-long arithmetic as the batch catalog
-    (``catalog._load_events``) so results are timezone-independent;
-    ``sum_value`` uses the decimal-grid sum (``dsum``) like the batch twin
-    so doubles are bit-identical; complete output mode emits every window
-    (append mode would hold back windows the watermark never passed at
-    end-of-stream)."""
+def _read_events_ntz_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source events stream with ``ts`` as TIMESTAMP_NTZ, converted
+    with the SAME exact-long arithmetic as the batch catalog
+    (``catalog._load_events``) so streaming results are bit-identical to
+    batch and independent of the session timezone — the foundation of the
+    parity rows below."""
     import os
-
-    from caffeonspark_spark.functions.arrays import dsum
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     disk_ts = (
@@ -187,15 +174,41 @@ def stream_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     if isinstance(disk_ts, T.LongType):
-        raw = raw.withColumn(
+        return raw.withColumn(
             "ts",
             F.expr(
                 "timestampadd(MICROSECOND, ts div 1000,"
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
-    else:
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _run_parity(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
+    _PARITY_SEQ[0] += 1
+    name = f"stream_{tag}_parity_{_PARITY_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
+
+
+def stream_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch parity row: drive the tumbling hourly window
+    aggregation over the events table as a REAL Structured Streaming query
+    (file source → complete-mode window agg → memory sink, run to
+    completion) and return it in the batch ``events_hourly`` shape. The
+    oracle is the batch SQL — stream-to-completion must equal the batch
+    window agg exactly, which pins the whole streaming path (source
+    conversion, event-time windowing, incremental state) with a hash
+    check rather than a rows-only count.
+
+    Determinism notes: ``ts`` is TIMESTAMP_NTZ via exact long arithmetic
+    (timezone-independent); ``sum_value`` uses the decimal-grid sum
+    (``dsum``) like the batch twin so doubles are bit-identical; complete
+    output mode emits every window (append mode would hold back windows
+    the watermark never passed at end-of-stream)."""
+    from caffeonspark_spark.functions.arrays import dsum
+
+    raw = _read_events_ntz_stream(spark, sf_dir)
     agg = (
         raw.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
@@ -206,10 +219,55 @@ def stream_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    _PARITY_SEQ[0] += 1
-    name = f"stream_tumbling_parity_{_PARITY_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name)
+    return _run_parity(spark, agg, "tumbling")
+
+
+def stream_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming parity: 1-hour windows sliding by 15
+    minutes (each event lands in exactly 4 windows), driven to completion
+    and hash-checked against a DuckDB oracle that reconstructs Spark's
+    epoch-aligned window grid with unnest(range(0,4)) arithmetic. Pins
+    the overlapping-window assignment logic, not just tumbling."""
+    from caffeonspark_spark.functions.arrays import dsum
+
+    raw = _read_events_ntz_stream(spark, sf_dir)
+    agg = (
+        raw.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_parity(spark, agg, "sliding")
+
+
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming parity: per-user gap-based sessions
+    (30-minute gap) via the native streaming ``session_window``, driven to
+    completion; the oracle is the BATCH sessionization SQL (lag → gap flag
+    → cumulative sum), proving streaming and batch sessionization agree
+    session-for-session. ``session_window`` ends sessions at last-event +
+    gap, so the comparable last-event time is ``sess.end - gap``."""
+    raw = _read_events_ntz_stream(spark, sf_dir)
+    agg = (
+        raw.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.expr("sess.end - INTERVAL '30' MINUTE").alias("sess_last"),
+            "n_events",
+        )
+    )
+    return _run_parity(spark, agg, "session")
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

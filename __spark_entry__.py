@@ -290,6 +290,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_check": TX.heavy_hitter_check,
         "clean_corpus_consistency": D.clean_corpus_consistency,
         "minhash_native_consistency": D.minhash_native_consistency,
+        # --- r6: corpus-observability operators (the reports a training
+        # pipeline watches: tokenizer fertility per language, source
+        # vocabulary diversity, sequence-packing efficiency) ---
+        "tokenizer_fertility": TX.tokenizer_fertility,
+        "vocab_growth": TX.vocab_growth,
+        "packing_efficiency": TX.packing_efficiency,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -698,6 +704,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentile_check": R.ORACLE_APPROX_PERCENTILE_CHECK,
         "heavy_hitter_check": TX.oracle_heavy_hitter_check(),
         "clean_corpus_consistency": D.ORACLE_CLEAN_CORPUS_CONSISTENCY,
+        "tokenizer_fertility": TX.ORACLE_TOKENIZER_FERTILITY,
+        "vocab_growth": TX.ORACLE_VOCAB_GROWTH,
+        "packing_efficiency": TX.ORACLE_PACKING_EFFICIENCY,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,

@@ -331,6 +331,151 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     )
 
 
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-token and
+    tokens-per-doc — the signal a training pipeline watches to spot
+    languages a tokenizer fragments badly (high fertility = more tokens
+    per unit text = wasted context budget). One pass, one (lang) hash agg
+    with map-side partials; ratios are single IEEE divisions of exact
+    long sums, so hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = _toks()
+    per_doc = docs.select(
+        "lang",
+        F.size(ts).cast("long").alias("_nt"),
+        F.aggregate(
+            F.transform(ts, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("_nc"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_nc").alias("total_token_chars"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_token_chars").cast("double") / F.col("total_tokens")).alias(
+            "chars_per_token"
+        ),
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "tokens_per_doc"
+        ),
+    ).orderBy("lang")
+
+
+ORACLE_TOKENIZER_FERTILITY = """
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                    AS BIGINT) AS nt,
+               CAST(list_sum(list_transform(
+                        list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                        t -> length(t))) AS BIGINT) AS nc
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM(nc) AS DOUBLE) / SUM(nt) AS chars_per_token,
+           CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+    FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diversity per source: type-token ratio (distinct tokens
+    over total tokens) — low TTR flags templated/boilerplate-heavy
+    sources, a standard corpus-quality signal. One explode + one
+    two-phase distinct agg per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_toks()).alias("token"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("token").alias("distinct_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_tokens",
+            (
+                F.col("distinct_tokens").cast("double") / F.col("total_tokens")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_VOCAB_GROWTH = """
+    WITH t AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                 AS token
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS total_tokens,
+           COUNT(DISTINCT token) AS distinct_tokens,
+           CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS type_token_ratio
+    FROM t GROUP BY source ORDER BY source
+"""
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str, budget: int = 512) -> DataFrame:
+    """Packing-efficiency report over ``pack_documents``: per-pack token
+    totals rolled into a one-row summary — pack count, mean tokens per
+    pack, and the fraction of packs whose assigned tokens exceed the
+    budget (offset-based packing lets a document straddle its boundary).
+    The observability metric a pretraining pipeline tracks to size its
+    sequence budget; composes the declared packing operator, one extra
+    (pack) hash agg."""
+    packs = pack_documents(spark, sf_dir, budget=budget)
+    per_pack = packs.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        (F.sum("pack_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "mean_tokens_per_pack"
+        ),
+        (
+            F.sum(F.when(F.col("pack_tokens") > budget, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("overflow_frac"),
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = """
+    WITH base AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                 AS n_tokens,
+               CAST(FLOOR((SUM(len(list_filter(string_split(lower(text), ' '),
+                                               t -> t <> '')))
+                           OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+                     - len(list_filter(string_split(lower(text), ' '),
+                                       t -> t <> ''))) / 512.0)
+                    AS BIGINT) AS pack_id
+        FROM documents
+    ),
+    per_pack AS (
+        SELECT source, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM base GROUP BY source, pack_id
+    )
+    SELECT COUNT(*) AS n_packs,
+           CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(pack_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens_per_pack,
+           CAST(SUM(CASE WHEN pack_tokens > 512 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS overflow_frac
+    FROM per_pack
+"""
+
+
 def heavy_hitter_check(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Accuracy twin for the approx_top_k heavy-hitter sketch (the
     recall-twin pattern): one row asserting (a) the sketch reported k

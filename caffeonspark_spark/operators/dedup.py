@@ -1388,22 +1388,24 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # old and new labels meet in THIS join, so the convergence flag is
+        # computed in the same pass and read off the materialized
+        # checkpoint — no extra old-vs-new join per round
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "new_label"
+                ),
+                (
+                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -486,3 +486,34 @@ def test_corrupt_magic_payload_raises_by_default():
     spec = ColumnSpec("data", "encoded_image", channels=3, height=4, width=4)
     with pytest.raises(ValueError):
         image_sample_to_tensor(b"P6\n0 0\n255\n", spec, encoded=True)
+
+
+def test_jpeg_roundtrip_property():
+    """Property: ANY uint8 image (random noise included — the worst case
+    for DCT coding) survives encode->decode within the quantization error
+    bound; dims and channel count always round-trip exactly. Spark-free,
+    pins the from-spec codec pair against shape/marker bugs."""
+    from hypothesis import given, settings, strategies as st
+
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 25),
+        w=st.integers(1, 25),
+        c=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        # 4:4:4 / grayscale only: chroma subsampling AVERAGES 2x2 blocks,
+        # so on noise its per-pixel error is unbounded-ish by design —
+        # the deterministic smooth-image test covers that mode instead
+        dec = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 64, (h, w, c, err.max())
+
+    check()

@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": TX.tokenizer_fertility,
         "vocab_growth": TX.vocab_growth,
         "packing_efficiency": TX.packing_efficiency,
+        # --- r6: incremental aggregation maintenance (partial rollups
+        # merged by re-agg must equal the one-shot batch rollup) ---
+        "incremental_rollup_merge": R.incremental_rollup_merge,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -707,6 +710,12 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": TX.ORACLE_TOKENIZER_FERTILITY,
         "vocab_growth": TX.ORACLE_VOCAB_GROWTH,
         "packing_efficiency": TX.ORACLE_PACKING_EFFICIENCY,
+        # incremental merge must equal the one-shot rollup — same oracle
+        "incremental_rollup_merge": f"""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                   COUNT(*) AS n_events, {_ds('value')} AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
         # --- dedup ---
         "dedup_exact": D.ORACLE_DEDUP_EXACT,
         "dedup_fingerprint": D.ORACLE_DEDUP_FINGERPRINT,

@@ -345,6 +345,39 @@ def events_hourly(spark, sf_dir) -> DataFrame:
     )
 
 
+def incremental_rollup_merge(spark, sf_dir) -> DataFrame:
+    """Incremental aggregation maintenance: the hourly rollup computed as
+    TWO independent partial aggregations (simulating a prior materialized
+    state plus a new micro-batch, split here by event_id parity) MERGED by
+    re-aggregation — and the result must equal the single-pass batch
+    rollup (the oracle IS the ``events_hourly`` SQL). This is the
+    mergeable-aggregate contract behind incremental ETL at 100 TB:
+    maintain (count, decimal-sum) partials keyed by (hour, type), merge
+    new batches by addition, finalize to double only at read time.
+    Partials stay DECIMAL through the merge — decimal addition is
+    associative, so partial+merge is bit-identical to the one-shot
+    aggregation on any batch boundary."""
+    e = _t(spark, sf_dir, "events")
+    key = [F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")]
+
+    def partial(df):
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).alias("_sv"),
+        )
+
+    prior = partial(e.where(F.col("event_id") % 2 == 0))
+    batch = partial(e.where(F.col("event_id") % 2 == 1))
+    return (
+        prior.unionByName(batch)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
 def correlated_subquery_topk(spark, sf_dir) -> DataFrame:
     """Top-1 order per customer via window (decorrelated greatest-n-per-group)."""
     o = _t(spark, sf_dir, "orders")

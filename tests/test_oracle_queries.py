@@ -224,6 +224,13 @@ def test_range_window_subsecond_precision(spark, tmp_path):
         "large_volume_customers",
         "ngram_jaccard_pairs",
         "percentile_agg",
+        # r6 representatives: correlated-min window, global-threshold
+        # HAVING, streaming parity, recursive-components oracle, packing
+        "min_cost_supplier",
+        "important_stock",
+        "stream_tumbling_parity",
+        "neardup_clusters",
+        "packing_efficiency",
     ],
 )
 def test_oracle_match_sf01(spark, name):

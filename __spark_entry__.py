@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6: incremental aggregation maintenance (partial rollups
         # merged by re-agg must equal the one-shot batch rollup) ---
         "incremental_rollup_merge": R.incremental_rollup_merge,
+        # --- r6: interval-overlap (time-range) join: sessions × hot hours
+        "interval_overlap_sessions": TP.interval_overlap_sessions,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -710,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": TX.ORACLE_TOKENIZER_FERTILITY,
         "vocab_growth": TX.ORACLE_VOCAB_GROWTH,
         "packing_efficiency": TX.ORACLE_PACKING_EFFICIENCY,
+        "interval_overlap_sessions": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         # incremental merge must equal the one-shot rollup — same oracle
         "incremental_rollup_merge": f"""
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

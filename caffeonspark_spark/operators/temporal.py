@@ -268,3 +268,88 @@ def asof_join(
         F.col(f"{right_ts}{suffix}"),
         *[F.col(f"{c}{suffix}") for c in payload],
     )
+
+
+def interval_overlap_sessions(
+    spark: SparkSession, sf_dir: str, hot_factor: float = 1.5
+) -> DataFrame:
+    """Interval-overlap join (the time-range join class): per-user sessions
+    overlapped against "hot hours" — hours whose event count exceeds
+    ``hot_factor`` × the average hourly count. Emits sessions touching at
+    least one hot hour with the overlap count.
+
+    Scale shape: the hot-hour set is an aggregate of the fact table
+    (small — it is bounded by the time span, not the data volume), so the
+    overlap is a BROADCAST range join: the big session side streams
+    through unchanged, each row probing the in-memory interval set. For
+    interval sets too large to broadcast, bucketize both sides by hour
+    and equi-join on the bucket (each interval explodes to its covered
+    hours) — same results, shuffle bound by interval span. Threshold
+    determinism: avg = exact-long total / exact-long hour count in ONE
+    double division on both engines, so hot/not decisions are identical."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
+    )
+    hot = (
+        hourly.crossJoin(F.broadcast(stats))
+        .where(F.col("n") > F.lit(hot_factor) * F.col("avg_n"))
+        .select("hr")
+    )
+    sessions = sessionize(events)
+    overlap = sessions.join(
+        F.broadcast(hot),
+        (F.col("hr") < F.col("sess_end"))
+        & (F.col("hr") + F.expr("INTERVAL '1' HOUR") > F.col("sess_start")),
+    )
+    return (
+        overlap.groupBy("user_id", "session_id")
+        .agg(
+            F.min("sess_start").alias("sess_start"),
+            F.count(F.lit(1)).alias("n_hot_hours"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_INTERVAL_OVERLAP_SESSIONS = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n FROM hourly
+    ),
+    hot AS (
+        SELECT hr FROM hourly, stats WHERE n > 1.5 * avg_n
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_id, MIN(s.sess_start) AS sess_start,
+           COUNT(*) AS n_hot_hours
+    FROM sessions s JOIN hot h
+      ON h.hr < s.sess_end AND h.hr + INTERVAL '1' HOUR > s.sess_start
+    GROUP BY s.user_id, s.session_id
+    ORDER BY s.user_id, s.session_id
+"""

@@ -47,6 +47,9 @@ SHOW = {
     "semantic_dedup (k∝N clusters, float pre-rank + exact re-rank)": S.semantic_dedup_query,
     "ngram_lm_score (vocab-sized count tables re-joined by equi-key)": TX.ngram_lm_score,
     "keep_best_duplicate (fp-partitioned ranking window)": D.keep_best_duplicate,
+    "min_cost_supplier (TPC-H Q2 class, window-min decorrelation)": R.min_cost_supplier,
+    "important_stock (TPC-H Q11 class, global-scalar HAVING)": R.important_stock,
+    "incremental_rollup_merge (mergeable decimal partials)": R.incremental_rollup_merge,
 }
 
 

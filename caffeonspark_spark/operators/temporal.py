@@ -353,3 +353,48 @@ ORACLE_INTERVAL_OVERLAP_SESSIONS = """
     GROUP BY s.user_id, s.session_id
     ORDER BY s.user_id, s.session_id
 """
+
+
+def asof_join_forward(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Forward as-of join: for each ``left_type`` event, the user's NEXT
+    ``right_type`` event at-or-after it (the attribution mirror of the
+    backward form — "first click after the purchase"). Same union-tag +
+    window shape on the same user_id partitioning, with the frame reversed
+    to unboundedFollowing and ``first`` instead of ``last``; one shuffle,
+    no self-join."""
+    e = events.select("event_id", "ts", "user_id", "event_type")
+    tagged = e.where(F.col("event_type").isin(left_type, right_type)).withColumn(
+        "_is_right", (F.col("event_type") == right_type).cast("int")
+    )
+    # right-events first at identical ts so ties count as "at-or-after"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("_is_right"), F.asc("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = tagged.withColumn(
+        "next_right_ts",
+        F.first(F.when(F.col("_is_right") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return matched.where(F.col("event_type") == left_type).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("next_right_ts").alias("next_click_ts"),
+    )
+
+
+def asof_join_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_forward(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ASOF_FORWARD = """
+    SELECT e.event_id, e.user_id, e.ts AS purchase_ts,
+           (SELECT min(c.ts) FROM events c
+            WHERE c.user_id = e.user_id AND c.event_type = 'click'
+              AND c.ts >= e.ts) AS next_click_ts
+    FROM events e
+    WHERE e.event_type = 'purchase'
+"""

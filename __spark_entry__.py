@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_sessions": TP.interval_overlap_sessions,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
+        # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
+        "rrf_fusion": TX.rrf_fusion,
         "dedup_exact": D.dedup_exact_docs,
         "dedup_fingerprint": D.dedup_fingerprint_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -716,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency": TX.ORACLE_PACKING_EFFICIENCY,
         "interval_overlap_sessions": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
+        "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle
         "incremental_rollup_merge": f"""
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

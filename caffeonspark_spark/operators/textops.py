@@ -653,6 +653,73 @@ ORACLE_BM25_RANK = """
 """
 
 
+def rrf_fusion(
+    spark: SparkSession, sf_dir: str, kq: int = 60, depth: int = 20, top: int = 10
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the DENSE ranking
+    (exact cosine top-``depth`` for the vec_id=0 query) and the SPARSE
+    ranking (BM25 top-``depth`` for the fixed term set) —
+    score = Σ 1/(kq + rank) over the lists a document appears in. The
+    standard fusion for hybrid search; no score normalization needed,
+    which is what makes it oracle-checkable (ranks are integers, the
+    fusion is two exact divisions). Both input rankings are broadcast-
+    small (top-``depth``), so the fusion is driver-light metadata work on
+    top of the two retrieval plans."""
+    from caffeonspark_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=depth)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            )
+            .alias("r_dense"),
+        )
+    )
+    sparse = bm25_rank(spark, sf_dir, top=depth).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_sparse"),
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(kq) + F.col("r_dense")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(kq) + F.col("r_sparse")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(top)
+
+
+def oracle_rrf_fusion(kq: int = 60, depth: int = 20, top: int = 10) -> str:
+    from caffeonspark_spark.operators.similarity import ORACLE_COSINE_TOPK
+
+    return f"""
+    WITH dense_raw AS ({ORACLE_COSINE_TOPK.replace("LIMIT 10", f"LIMIT {depth}")}),
+    dense AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r_dense
+        FROM dense_raw
+    ),
+    sparse_raw AS ({ORACLE_BM25_RANK}),
+    sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_sparse
+        FROM sparse_raw
+    )
+    SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / ({kq} + d.r_dense), CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({kq} + s.r_sparse), CAST(0.0 AS DOUBLE)) AS rrf
+    FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {top}
+"""
+
+
 # conservative, RE2/Java-regex-compatible patterns (no lookbehind) so the
 # Spark plan and the DuckDB oracle apply byte-identical substitutions
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -100,17 +100,21 @@ def query_fingerprints(
 
 
 def _driver_checked(
-    has_oracle: set[str], live_fps: dict[str, str]
+    has_oracle: set[str], live_fps: dict[str, str], green: set[str] | None = None
 ) -> set[str]:
     """A query is retired from the externally-sampled front 50 only if it
     has an ever-green driver row AND its content fingerprint still matches
     the one recorded (QUERY_FPS.json, synced at round start when the repo
     is exactly the code the driver verified — see
     tools_sync_fingerprints.py). A query whose implementation, helpers, or
-    oracle changed after its green row re-enters the rotation."""
+    oracle changed after its green row re-enters the rotation. Pass the
+    already-computed ``green`` set to avoid re-parsing every round
+    artifact."""
     import json
     import os
 
+    if green is None:
+        green = _ever_green(has_oracle)
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "QUERY_FPS.json")) as f:
@@ -118,9 +122,7 @@ def _driver_checked(
     except Exception:
         recorded = {}
     return {
-        name
-        for name in _ever_green(has_oracle)
-        if recorded.get(name) == live_fps.get(name)
+        name for name in green if recorded.get(name) == live_fps.get(name)
     }
 
 
@@ -138,7 +140,9 @@ def _rotate_for_driver_visibility(
     (green + fingerprint unchanged)."""
     oracles = oracle_sql()
     green = _ever_green(set(oracles))
-    checked = _driver_checked(set(oracles), query_fingerprints(base, oracles))
+    checked = _driver_checked(
+        set(oracles), query_fingerprints(base, oracles), green=green
+    )
     return {
         **{k: v for k, v in base.items() if k not in green},
         **{k: v for k, v in base.items() if k in green and k not in checked},

@@ -152,6 +152,11 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     while pos < n:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # optional 0xFF fill bytes before a marker are legal (T.81
+        # B.1.1.2) — skip them so 'FF FF C4' parses as DHT, not as a
+        # bogus marker 0xFF with a garbage segment length
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

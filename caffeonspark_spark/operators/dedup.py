@@ -106,8 +106,12 @@ def _purge_dead_locked() -> None:
     """Drop entries whose session is stopped/collected (their persisted
     blocks died with the session — only dead handles remain). Called under
     the lock, opportunistically on every persist and from
-    ``unpersist_cached``."""
-    dead = {t for t in _SESSION_REFS if _session_stopped(t)}
+    ``unpersist_cached``. Iterates a SNAPSHOT of the token table:
+    ``_session_token`` inserts without the lock (it runs before
+    ``_persist_replacing`` takes it) and ``_session_stopped``'s py4j
+    round-trip releases the GIL, so iterating the live dict could raise
+    'dictionary changed size during iteration'."""
+    dead = {t for t in list(_SESSION_REFS) if _session_stopped(t)}
     if not dead:
         return
     for k in list(_CACHED):
@@ -932,11 +936,18 @@ def minhash_native_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.lit(1).alias("_p")
     )
     both = nat.join(por, ["id_a", "id_b"], "full_outer")
+    # coalesce: on a corpus with NO qualifying pairs both sums are NULL,
+    # but the oracle's COUNT(*) is 0 with TRUE — match that, not NULL
     return both.agg(
-        F.sum("_p").alias("n_portable_pairs"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("n_portable_pairs"),
         (
-            F.sum(F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0))
-            <= F.lit(0.05) * F.sum("_p")
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            <= F.lit(0.05) * F.coalesce(F.sum("_p"), F.lit(0))
         ).alias("native_matches"),
     )
 
@@ -1338,18 +1349,27 @@ def clean_corpus_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     by at most 5% (measured: identical at test scales). The oracle
     recomputes the portable count in SQL, so both a portable-pipeline
     regression AND a native-pipeline divergence flip the hash."""
-    nat = clean_corpus(spark, sf_dir).select("doc_id", F.lit(1).alias("_n"))
+    # SAME near-dup threshold (0.5) on both sides: the default native 0.8
+    # would conflate legitimate threshold-band differences ([0.5, 0.8)
+    # pairs) with hash-family divergence — the comparison must isolate the
+    # hash family as the only variable.
+    nat = clean_corpus(spark, sf_dir, neardup_threshold=0.5).select(
+        "doc_id", F.lit(1).alias("_n")
+    )
     por = clean_corpus_portable(spark, sf_dir).select(
         "doc_id", F.lit(1).alias("_p")
     )
     both = nat.join(por, "doc_id", "full_outer")
     return both.agg(
-        F.sum("_p").alias("n_portable"),
+        F.coalesce(F.sum("_p"), F.lit(0)).cast("long").alias("n_portable"),
         (
-            F.sum(
-                F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_n").isNull() | F.col("_p").isNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
             )
-            <= F.lit(0.05) * F.sum("_p")
+            <= F.lit(0.05) * F.coalesce(F.sum("_p"), F.lit(0))
         ).alias("native_matches"),
     )
 
@@ -1414,8 +1434,10 @@ def connected_components(
 def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Declared query: cluster MinHash-LSH near-duplicate pairs into
     components (the dedup group assignment a pipeline keeps one survivor
-    per). Rows-only check (iterative + engine-hash-specific); clustering
-    semantics pinned by unit test with planted chains."""
+    per). VALUE-checked since r6 against ``ORACLE_NEARDUP_CLUSTERS`` — a
+    recursive-CTE min-label propagation over the portable pair set (the
+    native and portable pair sets coincide on this corpus); clustering
+    semantics additionally pinned by unit test with planted chains."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, top=10**6)
     return connected_components(pairs).orderBy("node")
 

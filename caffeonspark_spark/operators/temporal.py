@@ -362,27 +362,22 @@ def asof_join_forward(
 ) -> DataFrame:
     """Forward as-of join: for each ``left_type`` event, the user's NEXT
     ``right_type`` event at-or-after it (the attribution mirror of the
-    backward form — "first click after the purchase"). Same union-tag +
-    window shape on the same user_id partitioning, with the frame reversed
-    to unboundedFollowing and ``first`` instead of ``last``; one shuffle,
-    no self-join."""
-    e = events.select("event_id", "ts", "user_id", "event_type")
-    tagged = e.where(F.col("event_type").isin(left_type, right_type)).withColumn(
-        "_is_right", (F.col("event_type") == right_type).cast("int")
+    backward form — "first click after the purchase"). Composes the
+    generic ``asof_join(direction='forward')`` — whose reversed-time
+    window already counts a SAME-timestamp right event as "at-or-after"
+    (right rows sort before left at equal ts in the desc-time order, so
+    they land inside the running frame) — rather than re-deriving the
+    frame; one shuffle, no self-join."""
+    left = events.where(F.col("event_type") == left_type).select(
+        "event_id", "user_id", "ts"
     )
-    # right-events first at identical ts so ties count as "at-or-after"
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.desc("_is_right"), F.asc("event_id"))
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    matched = tagged.withColumn(
-        "next_right_ts",
-        F.first(F.when(F.col("_is_right") == 1, F.col("ts")), ignorenulls=True).over(w),
-    )
-    return matched.where(F.col("event_type") == left_type).select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts"),
-        F.col("next_right_ts").alias("next_click_ts"),
+    right = events.where(F.col("event_type") == right_type).select("user_id", "ts")
+    out = asof_join(left, right, on="user_id", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("next_click_ts"),
     )
 
 

@@ -705,7 +705,7 @@ def oracle_rrf_fusion(kq: int = 60, depth: int = 20, top: int = 10) -> str:
                row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r_dense
         FROM dense_raw
     ),
-    sparse_raw AS ({ORACLE_BM25_RANK}),
+    sparse_raw AS ({ORACLE_BM25_RANK.replace("LIMIT 20", f"LIMIT {depth}")}),
     sparse AS (
         SELECT doc_id,
                row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_sparse

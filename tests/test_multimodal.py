@@ -517,3 +517,19 @@ def test_jpeg_roundtrip_property():
         assert err.max() <= 64, (h, w, c, err.max())
 
     check()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """Optional 0xFF fill bytes before a marker are legal (T.81 B.1.1.2);
+    'FF FF C4' must parse as a fill byte + DHT, not as a bogus marker."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    enc = encode_baseline_jpeg(img, quant=4)
+    # inject a fill byte before the DHT marker (FF C4)
+    i = enc.index(b"\xff\xc4")
+    padded = enc[:i] + b"\xff" + enc[i:]
+    dec = decode_baseline_jpeg(padded)
+    assert dec.shape == img.shape
+    np.testing.assert_array_equal(dec, decode_baseline_jpeg(enc))

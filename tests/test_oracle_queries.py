@@ -272,3 +272,101 @@ def test_changed_query_reenters_rotation():
     rechecked = _entry._driver_checked(set(ORACLES), mutated)
     assert victim not in rechecked
     assert rechecked == checked - {victim}
+
+
+def test_interval_overlap_planted(spark, tmp_path_factory):
+    """Planted topology: a session spanning a hot hour overlaps it; a
+    session entirely inside cold hours is absent; a session TOUCHING a hot
+    hour's boundary only at its closing instant still counts (half-open
+    window semantics: hr < sess_end AND hr + 1h > sess_start)."""
+    import os
+    from datetime import datetime
+
+    from caffeonspark_spark.operators.temporal import interval_overlap_sessions
+
+    d = tmp_path_factory.mktemp("iov")
+    # hour 10 is hot (5 events), hours 11-12 cold (1 event each)
+    rows = []
+    eid = 0
+    for m in (0, 5, 10, 15, 20):  # user 1: 5 events inside hour 10 -> hot
+        rows.append((eid := eid + 1, datetime(2024, 1, 1, 10, m), 1, "click", 1.0, "{}"))
+    rows.append((eid := eid + 1, datetime(2024, 1, 1, 11, 30), 2, "click", 1.0, "{}"))
+    rows.append((eid := eid + 1, datetime(2024, 1, 1, 12, 30), 3, "click", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(str(d), "events.parquet"))
+
+    out = {
+        (r["user_id"], r["session_id"]): r["n_hot_hours"]
+        for r in interval_overlap_sessions(spark, str(d)).collect()
+    }
+    # avg hourly count = 7/3; hot threshold 1.5*avg = 3.5 -> only hour 10
+    assert out == {(1, 0): 1}, out
+
+
+def test_incremental_merge_boundary_invariance(spark, sf_smoke):
+    """The mergeable-partial contract must hold for ANY batch boundary,
+    not just the declared event_id parity: splitting by user_id parity
+    and by a 90/10 id split must all merge to the identical rollup."""
+    from caffeonspark_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_smoke, "events")
+    key = [F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")]
+
+    def partial(df):
+        return df.groupBy(*key).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).alias("_sv"),
+        )
+
+    def merged(pred):
+        return (
+            partial(e.where(pred))
+            .unionByName(partial(e.where(~pred)))
+            .groupBy("hour", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("_sv").cast("double").alias("sum_value"),
+            )
+        )
+
+    base = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in merged(F.col("event_id") % 2 == 0).collect()
+    }
+    for pred in (F.col("user_id") % 2 == 0, F.col("event_id") % 10 == 0):
+        other = {
+            (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in merged(pred).collect()
+        }
+        assert other == base
+
+
+def test_rrf_fusion_rank_semantics(spark, sf_oracle):
+    """RRF sanity: every fused score equals 1/(60+r_dense) + 1/(60+r_sparse)
+    recomputed from the two input rankings; docs present in BOTH lists
+    score the sum, docs in one list score a single term."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import cosine_topk
+    from caffeonspark_spark.operators.textops import bm25_rank, rrf_fusion
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    dense = [
+        r["vec_id"]
+        for r in cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .collect()
+    ]
+    sparse = [r["doc_id"] for r in bm25_rank(spark, sf_oracle, top=20).collect()]
+    expect = {}
+    for i, d in enumerate(dense):
+        expect[d] = expect.get(d, 0.0) + 1.0 / (60 + i + 1)
+    for i, d in enumerate(sparse):
+        expect[d] = expect.get(d, 0.0) + 1.0 / (60 + i + 1)
+    got = {r["doc_id"]: r["rrf"] for r in rrf_fusion(spark, sf_oracle).collect()}
+    for doc, score in got.items():
+        assert abs(score - expect[doc]) < 1e-12, (doc, score, expect[doc])
+    # top of the fused list dominates every unfused candidate's best term
+    assert max(got.values()) >= max(expect.values()) - 1e-12

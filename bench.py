@@ -28,6 +28,7 @@ from caffeonspark_spark.operators import textops as TX  # noqa: E402
 from caffeonspark_spark.operators import vectorops as V  # noqa: E402
 
 from caffeonspark_spark import catalog as C  # noqa: E402
+from caffeonspark_spark.streaming import windows as SW  # noqa: E402
 from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
 
 
@@ -145,6 +146,16 @@ BENCH_QUERIES = {
     "q20_promotion": R.promotion_candidates,
     "q_heavy_hitter_check": TX.heavy_hitter_check,
     "q_neardup_clusters": D.neardup_clusters,
+    # r6 late additions: streaming-batch parity trio (full stream-to-
+    # completion runs), incremental partial-agg merge, interval-overlap
+    # range join, hybrid RRF retrieval, forward as-of join
+    "q_stream_parity_tumbling": SW.stream_tumbling_parity,
+    "q_stream_parity_sliding": SW.stream_sliding_parity,
+    "q_stream_parity_session": SW.stream_session_parity,
+    "q_incremental_rollup": R.incremental_rollup_merge,
+    "q_interval_overlap": TP.interval_overlap_sessions,
+    "q_rrf_fusion": TX.rrf_fusion,
+    "q_asof_forward": TP.asof_join_forward_query,
 }
 
 

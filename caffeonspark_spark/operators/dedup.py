@@ -1422,6 +1422,12 @@ def connected_components(
                     F.coalesce("nbr_label", F.col("label")) < F.col("label")
                 ).alias("_changed"),
             )
+            # labels are one row per node IN THE EDGE SET (near-dup graphs
+            # are tiny relative to the corpus); coalesce to core-count
+            # partitions before materializing so each iteration doesn't
+            # schedule sql.shuffle.partitions near-empty tasks — driver
+            # sessions without tuned confs run 200 by default
+            .coalesce(edges.sparkSession.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         changed = new_labels.where(F.col("_changed")).limit(1).count()

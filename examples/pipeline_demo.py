@@ -135,6 +135,36 @@ def main() -> None:
     print("top-5 neighbours of vec 0:",
           [(r["vec_id"], round(r["cos_sim"], 4)) for r in top])
 
+    # 10. hybrid retrieval: fuse the dense ranking with BM25 by
+    # reciprocal rank (no score normalization needed)
+    from caffeonspark_spark.operators.textops import rrf_fusion
+
+    fused = rrf_fusion(spark, sf_dir).collect()
+    print("hybrid (RRF) top docs:",
+          [(r["doc_id"], round(r["rrf"], 4)) for r in fused[:5]])
+
+    # 11. corpus observability: the reports a pretraining pipeline watches
+    from caffeonspark_spark.operators.textops import (
+        packing_efficiency,
+        tokenizer_fertility,
+    )
+
+    for r in tokenizer_fertility(spark, sf_dir).collect():
+        print(f"fertility[{r['lang']}]: {r['chars_per_token']:.2f} chars/token, "
+              f"{r['tokens_per_doc']:.1f} tokens/doc")
+    pe = packing_efficiency(spark, sf_dir).collect()[0]
+    print(f"packing: {pe['n_packs']} packs, "
+          f"{pe['mean_tokens_per_pack']:.1f} tokens/pack, "
+          f"overflow {pe['overflow_frac']:.2%}")
+
+    # 12. streaming the same pipeline: the hourly window agg driven through
+    # a real Structured Streaming source equals the batch rollup exactly
+    from caffeonspark_spark.streaming.windows import stream_tumbling_parity
+
+    stream_rows = stream_tumbling_parity(spark, sf_dir).count()
+    print(f"stream-to-completion hourly windows: {stream_rows} "
+          "(bit-identical to the batch rollup — see stream_tumbling_parity)")
+
     spark.stop()
 
 

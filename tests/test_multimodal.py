@@ -266,9 +266,6 @@ def test_real_ppm_through_batch_assembly(spark):
         )
 
 
-@pytest.mark.skipif(
-    not _has_codec(), reason="no image codec (Pillow/OpenCV) in this container"
-)
 def test_real_jpeg_through_batch_assembly(spark):
     """Reference JPEG fixtures (data/images) through encoded-image batch
     assembly under EVERY codec tier — Pillow/OpenCV when installed, the

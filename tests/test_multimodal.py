@@ -136,14 +136,6 @@ def test_fake_decode_deterministic():
 _REF_JPEG = "/root/reference/data/images/cat1.jpg"
 
 
-def _has_codec() -> bool:
-    """True when a FULL (JPEG/PNG-capable) codec is importable; the
-    pure-NumPy PPM/PGM/BMP tier is always present."""
-    from caffeonspark_spark.multimodal.columns import CODEC_NAME
-
-    return CODEC_NAME in ("pillow", "opencv")
-
-
 def test_decode_image_codec_seam():
     """A real JPEG decodes to HWC uint8 under EVERY tier now — Pillow/
     OpenCV when installed, the from-spec baseline decoder otherwise

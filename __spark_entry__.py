@@ -72,29 +72,83 @@ def _ever_green(has_oracle: set[str]) -> set[str]:
     return seen
 
 
+def _module_segments(mod_name: str) -> dict[str, str]:
+    """Source segment per top-level name (def/class/assign) of a module.
+    Used by the per-query fingerprint to pull in exactly the helpers a
+    query function references instead of the whole module."""
+    import ast
+    import inspect
+    import sys
+
+    src = inspect.getsource(sys.modules[mod_name])
+    seg: dict[str, str] = {}
+    for node in ast.parse(src).body:
+        txt = ast.get_source_segment(src, node) or ""
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            seg[node.name] = txt
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    seg[t.id] = txt
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            seg[node.target.id] = txt
+    return seg
+
+
+def _closure_names(seg: dict[str, str], root: str) -> list[str]:
+    """Transitive set of same-module top-level names reachable from
+    ``root`` by bare-name reference (ast.Name) inside each segment's
+    source. Sorted for a deterministic fingerprint payload."""
+    import ast
+
+    todo, done = [root], set()
+    while todo:
+        cur = todo.pop()
+        if cur in done or cur not in seg:
+            continue
+        done.add(cur)
+        try:
+            tree = ast.parse(seg[cur])
+        except SyntaxError:  # pragma: no cover - indented segment
+            import textwrap
+
+            tree = ast.parse(textwrap.dedent(seg[cur]))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and node.id in seg and node.id not in done:
+                todo.append(node.id)
+    return sorted(done)
+
+
 def query_fingerprints(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
 ) -> dict[str, str]:
-    """Content fingerprint per query: sha256 of the defining MODULE's
-    source plus the oracle SQL. Module-level (not function-level) on
-    purpose — a query's semantics usually live in helpers the query
-    function merely composes, so any edit to the family's module
-    conservatively re-fronts the whole family for driver re-verification."""
-    import hashlib
-    import inspect
-    import sys
+    """Content fingerprint PER QUERY: sha256 of the query function's
+    source, plus the sources of every same-module top-level helper /
+    constant it transitively references by name, plus its oracle SQL.
 
-    mod_src: dict[str, str] = {}
+    r6 used module-level fingerprints; one edited helper re-fronted its
+    whole ~40-query family and the re-verification backlog took two
+    rounds to clear (r6 VERDICT item 3). Per-query closures keep the
+    conservative property (an edit to a query, any helper it actually
+    uses, or its oracle re-fronts it) while an edit to an UNRELATED
+    function in the same module no longer re-fronts the family."""
+    import hashlib
+
+    seg_cache: dict[str, dict[str, str]] = {}
     fps: dict[str, str] = {}
     for name, fn in base.items():
         mod = getattr(fn, "__module__", None)
-        if mod not in mod_src:
-            try:
-                mod_src[mod] = inspect.getsource(sys.modules[mod])
-            except Exception:  # pragma: no cover - builtins/partials
-                mod_src[mod] = repr(fn)
-        payload = mod_src[mod] + "\n---oracle---\n" + oracles.get(name, "")
+        fn_name = getattr(fn, "__name__", None)
+        try:
+            if mod not in seg_cache:
+                seg_cache[mod] = _module_segments(mod)
+            seg = seg_cache[mod]
+            names = _closure_names(seg, fn_name)
+            body = "\n".join(seg[n] for n in names) if names else repr(fn)
+        except Exception:  # pragma: no cover - builtins/partials
+            body = repr(fn)
+        payload = body + "\n---oracle---\n" + oracles.get(name, "")
         fps[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
     return fps
 
@@ -134,10 +188,11 @@ def _rotate_for_driver_visibility(
     driver row ever — external coverage must extend to these first;
     (2) ever-green queries whose content fingerprint changed since their
     green row — due for re-verification, but they already passed once so
-    they rank behind tier 1 (module-level fingerprints are coarse: one
-    edited helper re-fronts its whole family, which must not crowd
-    never-verified queries out of the 50-sample); (3) retired
-    (green + fingerprint unchanged)."""
+    they rank behind tier 1 (fingerprints are per-query closures: only a
+    query whose own source, referenced helpers, or oracle changed is
+    re-fronted, so tier 2 stays small and never crowds never-verified
+    queries out of the 50-sample); (3) retired (green + fingerprint
+    unchanged)."""
     oracles = oracle_sql()
     green = _ever_green(set(oracles))
     checked = _driver_checked(

@@ -274,6 +274,67 @@ def test_changed_query_reenters_rotation():
     assert rechecked == checked - {victim}
 
 
+def test_oracle_edit_refronts_only_that_query():
+    """Per-query fingerprints (r6 verdict item 3): editing ONE query's
+    oracle SQL must change ONE fingerprint — module-level fingerprints
+    re-fronted ~40-query families per helper edit and made driver
+    re-verification take two rounds."""
+    fps = _entry.query_fingerprints(QUERIES, ORACLES)
+    victim = "pricing_summary"
+    mutated_oracles = dict(ORACLES)
+    mutated_oracles[victim] = ORACLES[victim] + " -- edited"
+    fps2 = _entry.query_fingerprints(QUERIES, mutated_oracles)
+    changed = {n for n in fps if fps[n] != fps2[n]}
+    assert changed == {victim}
+
+
+def test_fingerprint_closure_scoped_to_referenced_helpers(tmp_path):
+    """A helper edit re-fronts only the queries that (transitively)
+    reference it: closure = query fn + same-module helpers reachable by
+    bare name, nothing else."""
+    import importlib.util
+    import sys
+
+    src = (
+        "LIM = 5\n\n"
+        "def _shared(x):\n    return x + LIM\n\n"
+        "def _only_a(x):\n    return _shared(x) * 2\n\n"
+        "def _only_b(x):\n    return x - 1\n\n"
+        "def query_a(spark, sf):\n    return _only_a(1)\n\n"
+        "def query_b(spark, sf):\n    return _only_b(1)\n"
+    )
+    p = tmp_path / "fpmod.py"
+    p.write_text(src)
+    spec = importlib.util.spec_from_file_location("fpmod", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sys.modules["fpmod"] = mod
+    try:
+        seg = _entry._module_segments("fpmod")
+        assert _entry._closure_names(seg, "query_a") == [
+            "LIM",
+            "_only_a",
+            "_shared",
+            "query_a",
+        ]
+        assert _entry._closure_names(seg, "query_b") == ["_only_b", "query_b"]
+        base = {"qa": mod.query_a, "qb": mod.query_b}
+        fps1 = _entry.query_fingerprints(base, {})
+        # edit _only_b in place: only query_b's fingerprint may change
+        p.write_text(src.replace("return x - 1", "return x - 2"))
+        spec2 = importlib.util.spec_from_file_location("fpmod", p)
+        mod2 = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(mod2)
+        sys.modules["fpmod"] = mod2
+        fps2 = _entry.query_fingerprints(
+            {"qa": mod2.query_a, "qb": mod2.query_b}, {}
+        )
+        assert fps1["qa"] == fps2["qa"]
+        assert fps1["qb"] != fps2["qb"]
+    finally:
+        sys.modules.pop("fpmod", None)
+
+
 def test_interval_overlap_planted(spark, tmp_path_factory):
     """Planted topology: a session spanning a hot hour overlaps it; a
     session entirely inside cold hours is absent; a session TOUCHING a hot

@@ -360,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_merge": R.incremental_rollup_merge,
         # --- r6: interval-overlap (time-range) join: sessions × hot hours
         "interval_overlap_sessions": TP.interval_overlap_sessions,
+        # --- r7: the scale twin — hour-bucket equi-join, no broadcast ---
+        "interval_overlap_bucketized": TP.interval_overlap_bucketized,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -776,6 +778,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": TX.ORACLE_VOCAB_GROWTH,
         "packing_efficiency": TX.ORACLE_PACKING_EFFICIENCY,
         "interval_overlap_sessions": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
+        # the bucketized form is result-identical by construction: same oracle
+        "interval_overlap_bucketized": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

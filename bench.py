@@ -154,6 +154,8 @@ BENCH_QUERIES = {
     "q_stream_parity_session": SW.stream_session_parity,
     "q_incremental_rollup": R.incremental_rollup_merge,
     "q_interval_overlap": TP.interval_overlap_sessions,
+    # r7: the scale twin — hour-bucket equi-join, no broadcast range probe
+    "q_interval_overlap_bucketized": TP.interval_overlap_bucketized,
     "q_rrf_fusion": TX.rrf_fusion,
     "q_asof_forward": TP.asof_join_forward_query,
 }

@@ -270,6 +270,24 @@ def asof_join(
     )
 
 
+def _hot_hours(events: DataFrame, hot_factor: float) -> DataFrame:
+    """Hours whose event count exceeds ``hot_factor`` × the average hourly
+    count. Threshold determinism: avg = exact-long total / exact-long hour
+    count in ONE double division on both engines, so hot/not decisions are
+    identical between Spark and the DuckDB oracle."""
+    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .where(F.col("n") > F.lit(hot_factor) * F.col("avg_n"))
+        .select("hr")
+    )
+
+
 def interval_overlap_sessions(
     spark: SparkSession, sf_dir: str, hot_factor: float = 1.5
 ) -> DataFrame:
@@ -288,17 +306,7 @@ def interval_overlap_sessions(
     determinism: avg = exact-long total / exact-long hour count in ONE
     double division on both engines, so hot/not decisions are identical."""
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    stats = hourly.agg(
-        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n")
-    )
-    hot = (
-        hourly.crossJoin(F.broadcast(stats))
-        .where(F.col("n") > F.lit(hot_factor) * F.col("avg_n"))
-        .select("hr")
-    )
+    hot = _hot_hours(events, hot_factor)
     sessions = sessionize(events)
     overlap = sessions.join(
         F.broadcast(hot),
@@ -353,6 +361,52 @@ ORACLE_INTERVAL_OVERLAP_SESSIONS = """
     GROUP BY s.user_id, s.session_id
     ORDER BY s.user_id, s.session_id
 """
+
+
+def interval_overlap_bucketized(
+    spark: SparkSession, sf_dir: str, hot_factor: float = 1.5
+) -> DataFrame:
+    """The SCALE twin of ``interval_overlap_sessions``: identical results
+    (same oracle), but the range predicate is rewritten as an hour-bucket
+    EQUI-join, for interval sets too large to broadcast.
+
+    Each session explodes to the hour buckets it covers —
+    ``sequence(trunc(sess_start), trunc(sess_end), 1h)`` filtered to
+    ``hr < sess_end`` reproduces the half-open predicate
+    ``hr < sess_end AND hr + 1h > sess_start`` exactly (the truncated
+    start hour is the smallest hour satisfying the second conjunct; the
+    filter enforces the first) — then equi-joins the hot-hour set on the
+    bucket. Each covered hour appears once per session, so a bucket match
+    IS an overlap: no per-(session, interval) dedup needed. Shuffle is
+    bound by Σ interval-hours, candidates by bucket collisions — no
+    broadcast, no nested-loop, survives an interval side of any size.
+    100 TB posture: sessions are hours long, so the explode factor is
+    small; a skewed hot bucket salts like any equi-join key (SCALE.md)."""
+    events = load_table(spark, sf_dir, "events")
+    hot = _hot_hours(events, hot_factor)
+    sessions = sessionize(events)
+    buckets = sessions.select(
+        "user_id",
+        "session_id",
+        "sess_start",
+        "sess_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("sess_start")),
+                F.date_trunc("hour", F.col("sess_end")),
+                F.expr("INTERVAL '1' HOUR"),
+            )
+        ).alias("hr"),
+    ).where(F.col("hr") < F.col("sess_end"))
+    overlap = buckets.join(hot, "hr")
+    return (
+        overlap.groupBy("user_id", "session_id")
+        .agg(
+            F.min("sess_start").alias("sess_start"),
+            F.count(F.lit(1)).alias("n_hot_hours"),
+        )
+        .orderBy("user_id", "session_id")
+    )
 
 
 def asof_join_forward(

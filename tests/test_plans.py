@@ -368,6 +368,43 @@ def test_important_stock_no_double_sum(spark, sf_smoke):
 
     plan = physical_plan(R.important_stock(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    # the 1-row global total joins back as a broadcast nested loop (the
+    # only legal shape for a join with no key), never a cartesian product
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
     # the only hash-shuffle is the per-part aggregation
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_interval_overlap_bucketized_equijoin_plan(spark, sf_smoke):
+    """The scale twin of the interval-overlap join must be a pure
+    equi-join on the hour bucket: no nested-loop/range probe, no
+    cartesian — the property that lets an unbroadcastable interval set
+    scale (SCALE.md). The broadcast form, by contrast, IS the
+    nested-loop range probe."""
+    from caffeonspark_spark.operators import temporal as TP
+
+    plan = physical_plan(TP.interval_overlap_bucketized(spark, sf_smoke))
+    assert "CartesianProduct" not in plan, plan
+    # the only BroadcastNestedLoopJoin allowed is the 1-row avg threshold
+    # stats join inside _hot_hours; the session×hot join itself must key
+    # on the exploded hour bucket (formatted plans print each node twice
+    # — tree + detail — so count the "(n) Node" detail lines)
+    assert plan.count(") BroadcastNestedLoopJoin") <= 1, plan
+    assert "hr" in plan and "Join" in plan
+    broad = physical_plan(TP.interval_overlap_sessions(spark, sf_smoke))
+    assert broad.count(") BroadcastNestedLoopJoin") >= 2, broad
+
+
+def test_interval_overlap_bucketized_bitequal(spark, sf_smoke):
+    """Bucketized and broadcast forms must agree bit-for-bit — same rows,
+    same overlap counts (they share one DuckDB oracle)."""
+    from caffeonspark_spark.operators import temporal as TP
+
+    a = sorted(
+        map(tuple, TP.interval_overlap_sessions(spark, sf_smoke).collect())
+    )
+    b = sorted(
+        map(tuple, TP.interval_overlap_bucketized(spark, sf_smoke).collect())
+    )
+    assert a and a == b

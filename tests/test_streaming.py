@@ -165,6 +165,14 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(r["event_type"] != "late" for r in rows)
     total = sum(r["n_events"] for r in rows)
     assert total <= 30  # 31 written, the late one dropped (some windows may still be open)
+    # emitted-window pin: exactly the two closed windows appear — the
+    # base+10h window (20 on-time events; closed when batch 2 advanced the
+    # watermark) and the base+15h window (5 events; closed by batch 3) —
+    # and the dropped base+7h straggler materialized NO window. Base epoch
+    # 1_700_000_000s is 22:13:20 UTC, so +10h/+15h windows start at
+    # hour-of-day 8 and 13 (events fall inside one hour each: :13:20-:13:39).
+    emitted = {(r["win_start"].hour, r["event_type"]): r["n_events"] for r in rows}
+    assert emitted == {(8, "click"): 20, (13, "click"): 5}, emitted
 
 
 def test_checkpoint_restart_exactly_once(spark, tmp_path):

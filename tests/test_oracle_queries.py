@@ -231,6 +231,16 @@ def test_range_window_subsecond_precision(spark, tmp_path):
         "stream_tumbling_parity",
         "neardup_clusters",
         "packing_efficiency",
+        # r7: the rest of the r6-new operator classes (judge task 6) —
+        # previously only correctness-checked at sf0.01 / benched at sf0.1
+        "stream_sliding_parity",
+        "stream_session_parity",
+        "kmeans_fit",
+        "rrf_fusion",
+        "interval_overlap_sessions",
+        "interval_overlap_bucketized",
+        "incremental_rollup_merge",
+        "asof_join_forward",
     ],
 )
 def test_oracle_match_sf01(spark, name):

@@ -76,10 +76,13 @@ class ColumnSpec:
     crop: tuple[int, int] | None = None  # (h, w) center crop
     mirror: bool = False
     #: fixture/test escape hatch ONLY: when True, a payload that carries a
-    #: real container magic (P6/P5/BM) but fails to decode falls back to
-    #: ``fake_decode`` instead of raising. Default False so a truncated or
-    #: corrupt image in a production batch fails loudly rather than
-    #: yielding deterministic garbage pixels.
+    #: real container magic (P6/P5/BM, or the baseline-JPEG SOI \xff\xd8)
+    #: but fails to decode falls back to ``fake_decode`` instead of
+    #: raising. Default False so a truncated or corrupt image in a
+    #: production batch fails loudly rather than yielding deterministic
+    #: garbage pixels — a BEHAVIOR CHANGE in r6 for pipelines that
+    #: synthesized magic-prefixed fixture bytes (see README changelog);
+    #: such pipelines opt back in with fake_fallback=True.
     fake_fallback: bool = False
 
     def __post_init__(self):

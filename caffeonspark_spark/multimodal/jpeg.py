@@ -217,6 +217,16 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # spec-legal multi-scan baseline (one scan per component):
+                # this single-scan decoder would KeyError mid-stream on the
+                # absent components — classify it with the other
+                # unsupported-stream classes instead
+                raise ValueError(
+                    "multi-scan baseline JPEG not supported by the "
+                    "numpy-native codec; install Pillow or opencv-python "
+                    "for this stream"
+                )
             scan_sel = {}
             for c in range(ns):
                 cs = seg[1 + 2 * c]
@@ -303,9 +313,13 @@ def _decode_scan(
     full = []
     for ci, comp in enumerate(comps):
         p = planes[ci] + 128.0
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        if comp["v"] != vmax or comp["h"] != hmax:
+            # index-map upsampling (out pixel j <- plane pixel j*v//vmax)
+            # handles ANY sampling ratio, including non-divisible ones
+            # like 3:2 that integer-ratio np.repeat would under-upsample
+            rows = (np.arange(mcus_y * 8 * vmax) * comp["v"]) // vmax
+            cols = (np.arange(mcus_x * 8 * hmax) * comp["h"]) // hmax
+            p = p[np.ix_(rows, cols)]
         full.append(p[:height, :width])
 
     if len(full) == 1:

@@ -111,11 +111,19 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+def _nn_resample(p: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    rows = (np.arange(oh) * p.shape[0]) // oh
+    cols = (np.arange(ow) * p.shape[1]) // ow
+    return p[np.ix_(rows, cols)]
+
+
 def encode_baseline_jpeg(
-    img: np.ndarray, quant: int = 4, subsample: bool = False
+    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None
 ) -> bytes:
     """HWC uint8 (1 or 3 channels, RGB) → baseline JPEG bytes.
-    ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling)."""
+    ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling);
+    ``samp=[(hy,vy),(hc,vc),(hc,vc)]`` overrides with arbitrary sampling
+    factors (chroma nearest-resampled), e.g. the non-divisible 3:2."""
     h, w = img.shape[:2]
     channels = img.shape[2] if img.ndim == 3 else 1
     q = np.full((8, 8), float(quant))
@@ -129,7 +137,17 @@ def encode_baseline_jpeg(
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
+        if samp is not None:
+            hmax0 = max(s[0] for s in samp)
+            vmax0 = max(s[1] for s in samp)
+            resampled = []
+            for p, (sh, sv) in zip([y, cb, cr], samp):
+                oh, ow = -(-h * sv // vmax0), -(-w * sh // hmax0)
+                resampled.append(
+                    p if (sh, sv) == (hmax0, vmax0) else _nn_resample(p, oh, ow)
+                )
+            y, cb, cr = resampled
+        elif subsample:
             ph, pw = (-h) % 2, (-w) % 2
             cbp = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
             crp = np.pad(cr, ((0, ph), (0, pw)), mode="edge")

@@ -190,6 +190,45 @@ def test_jpeg_roundtrip_baseline_decoder():
     assert dec.shape == gray.shape and err.mean() < 2.0
 
 
+def test_jpeg_nondivisible_sampling_factors():
+    """T.81-legal sampling ratios that don't divide evenly (Y 3x3, chroma
+    2x2 → 3:2) must decode via index-map upsampling, not under-upsample
+    and die in np.stack (the r6 ADVICE finding)."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    rng = np.random.default_rng(7)
+    # near-grayscale content: chroma is ~flat so nearest-resampled chroma
+    # carries no information loss and the decode error is quant-bounded
+    g = rng.integers(40, 216, (26, 22, 1), dtype=np.uint8)
+    img = np.repeat(g, 3, axis=2)
+    enc = encode_baseline_jpeg(img, quant=4, samp=[(3, 3), (2, 2), (2, 2)])
+    dec = decode_baseline_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6.0 and err.max() < 48, (err.mean(), err.max())
+
+
+def test_jpeg_multiscan_sos_rejected_with_install_hint():
+    """A spec-valid MULTI-SCAN baseline stream (one scan per component) is
+    outside this single-scan decoder: it must raise the same install-hint
+    ValueError as other unsupported stream classes, not KeyError mid-scan
+    (the r6 ADVICE finding)."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    img = np.full((16, 16, 3), 90, np.uint8)
+    data = bytearray(encode_baseline_jpeg(img, quant=4))
+    i = bytes(data).find(b"\xff\xda")
+    assert i > 0
+    seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+    # rewrite the 3-component SOS header as a 1-component scan
+    one_comp = b"\x00\x08\x01\x01\x00\x00\x3f\x00"
+    patched = bytes(data[: i + 2]) + one_comp + bytes(data[i + 2 + seglen :])
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_baseline_jpeg(patched)
+
+
 def test_ppm_pgm_roundtrip_numpy_codec():
     """REAL decode in this container: random BGR pixels → PPM P6 bytes →
     decode_image → identical array; PGM for grayscale; and channel

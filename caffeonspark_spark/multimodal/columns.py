@@ -76,7 +76,7 @@ class ColumnSpec:
     crop: tuple[int, int] | None = None  # (h, w) center crop
     mirror: bool = False
     #: fixture/test escape hatch ONLY: when True, a payload that carries a
-    #: real container magic (P6/P5/BM, or the baseline-JPEG SOI \xff\xd8)
+    #: real container magic (P6/P5/BM, baseline-JPEG SOI \xff\xd8, or PNG \x89P)
     #: but fails to decode falls back to ``fake_decode`` instead of
     #: raising. Default False so a truncated or corrupt image in a
     #: production batch fails loudly rather than yielding deterministic
@@ -117,8 +117,9 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 
 def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
     """Pure-NumPy decoder for codec-free image containers: PPM (P6), PGM
-    (P5), uncompressed 24-bit BI_RGB BMP, and baseline JPEG (SOF0/SOF1 via
-    the from-spec decoder in ``multimodal/jpeg.py``). No external codec
+    (P5), uncompressed 24-bit BI_RGB BMP, baseline JPEG (SOF0/SOF1 via
+    the from-spec decoder in ``multimodal/jpeg.py``), and 8-bit
+    non-interlaced PNG (``multimodal/png.py``; zlib is stdlib). No external codec
     library needed, so REAL bytes — including the reference's own
     ``data/images/*.jpg`` fixture class (``ImageDataSource.scala:126-143``)
     — decode end-to-end even in environments without Pillow/OpenCV (this
@@ -130,6 +131,19 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
 
         arr = decode_baseline_jpeg(data)
+        if arr.shape[2] == 3:
+            arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
+    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+        from caffeonspark_spark.multimodal.png import decode_png
+
+        arr = decode_png(data)
+        if arr.shape[2] == 2:  # gray+alpha: keep luma (IMREAD_GRAYSCALE)
+            arr = arr[:, :, :1]
+        if arr.shape[2] == 4:
+            if channels == 4:
+                arr = arr[:, :, [2, 1, 0, 3]]  # RGBA -> BGRA (IMREAD_UNCHANGED)
+            else:
+                arr = arr[:, :, :3]  # drop alpha (IMREAD_COLOR)
         if arr.shape[2] == 3:
             arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
     elif data[:2] in (b"P6", b"P5"):
@@ -176,8 +190,8 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
             arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
     else:
         raise ValueError(
-            "numpy-native codec handles PPM/PGM/BMP/baseline-JPEG only; "
-            "install Pillow or opencv-python for PNG and other containers"
+            "numpy-native codec handles PPM/PGM/BMP/baseline-JPEG/PNG only; "
+            "install Pillow or opencv-python for other containers"
         )
     if channels == 1 and arr.shape[2] == 3:
         b, g, r = (arr[:, :, k].astype(np.uint32) for k in range(3))
@@ -340,7 +354,7 @@ def image_sample_to_tensor(
     ``DataFrameSource.scala:135-176``).
 
     ``decoder=None`` uses the real codec when one can handle the payload:
-    always under Pillow/OpenCV, and for PPM/PGM/BMP/JPEG magic under the
+    always under Pillow/OpenCV, and for PPM/PGM/BMP/JPEG/PNG magic under the
     pure-NumPy codec (set ``out_height``/``out_width`` on the spec then,
     since real images vary in size and batches must stack). Arbitrary
     synthetic bytes fall back to the deterministic ``fake_decode`` so
@@ -353,7 +367,7 @@ def image_sample_to_tensor(
             hwc = decoder(data, spec.channels)
         elif CODEC_NAME in ("pillow", "opencv"):
             hwc = decode_image(data, spec.channels)
-        elif bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8"):
+        elif bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P"):
             # numpy-native tier: a payload claiming a real container must
             # decode — a truncated/corrupt PPM/BMP in a production batch
             # fails loudly instead of silently yielding garbage pixels.

@@ -321,6 +321,74 @@ def test_real_jpeg_through_batch_assembly(spark):
     assert flat.std() > 1.0
 
 
+def test_png_roundtrip_all_filters_and_color_types():
+    """From-spec PNG tier: every scanline filter (0-4) and every 8-bit
+    color type round-trips bit-exact through the fixture encoder →
+    ``decode_png`` (zlib is stdlib, so this is a REAL decode)."""
+    from caffeonspark_spark.multimodal.png import decode_png
+    from tests.png_fixture import encode_png
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], None):  # None = cycle 0-4
+            dec = decode_png(encode_png(img, filters=filters))
+            np.testing.assert_array_equal(dec, img, err_msg=f"c={c} f={filters}")
+    # palette (color type 3): indices expand through PLTE to RGB
+    pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(10, 12, 1), dtype=np.uint8)
+    dec = decode_png(encode_png(idx, palette=pal))
+    np.testing.assert_array_equal(dec, pal[idx[:, :, 0]])
+
+
+def test_png_unsupported_and_corrupt_streams():
+    """Adam7 / 16-bit raise the install-hint ValueError (same contract as
+    the JPEG tier's unsupported classes); truncation raises ValueError,
+    never IndexError/zlib.error."""
+    import struct as _struct
+
+    from caffeonspark_spark.multimodal.png import PNG_SIGNATURE, decode_png
+    from tests.png_fixture import encode_png
+
+    img = np.full((8, 8, 3), 50, np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_png(encode_png(img, interlace=1))
+    # patch IHDR depth byte to 16
+    ihdr_off = good.find(b"IHDR") + 4
+    deep = bytearray(good)
+    deep[ihdr_off + 8] = 16
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_png(bytes(deep))
+    with pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIGNATURE + _struct.pack(">I4s", 4, b"IEND"))
+
+
+def test_png_through_batch_assembly(spark):
+    """PNG payloads through the Spark encoded-image batch path with no
+    codec library: magic-sniffed numpy decode → NCHW stack, pixels
+    surviving bit-exact (BGR contract) into the tensor."""
+    from tests.png_fixture import encode_png
+
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(4)]
+    rows = [(f"img{i}", bytearray(encode_png(img))) for i, img in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, out_height=16, out_width=16
+    )
+    out = assemble_batches(df, [spec], batch_size=4).collect()
+    assert out[0]["data_shape"] == [4, 3, 16, 16]
+    flat = np.asarray(out[0]["data"], dtype=np.float32).reshape(4, 3, 16, 16)
+    for i, img in enumerate(imgs):
+        # PNG is RGB; the decode contract is BGR (Mat parity) -> flip C
+        np.testing.assert_array_equal(
+            flat[i], np.transpose(img[:, :, ::-1], (2, 0, 1)).astype(np.float32)
+        )
+
+
 # --- audio/video modality (av.py) -----------------------------------------
 
 @pytest.fixture(scope="module")

@@ -287,3 +287,41 @@ def test_kmeans_assign_twolevel_ivf_composition(spark, sf_smoke):
     assert agree >= int(0.7 * len(exact)), f"agreement {agree}/{len(exact)}"
     for vid, (_, d2) in two.items():
         assert d2 >= exact[vid][1] - 1e-9
+
+
+def test_kmeans_assign_twolevel_recall_floor_realistic_k(spark):
+    """Recall floor at REALISTIC k (the regime the two-level composition
+    exists for, k >> 1024): seeded clustered corpus, k=1500 centroids,
+    nprobe=4 — recall vs the exact Arrow-path scan must hold ≥0.9 so the
+    IVF composition can't silently degrade (r6 verdict stretch task; the
+    docstring's measured 0.78 was the UNstructured worst case at k=64)."""
+    import numpy as np
+
+    from caffeonspark_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_twolevel,
+    )
+
+    rng = np.random.default_rng(42)
+    k, n, dim = 1500, 3000, 16
+    cents_np = rng.uniform(0.0, 1.0, (k, dim))
+    owner = rng.integers(0, k, n)
+    corpus_np = cents_np[owner] + rng.normal(0.0, 0.01, (n, dim))
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]]) for i in range(k)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in corpus_np[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    exact = {
+        r["vec_id"]: r["centroid_id"] for r in kmeans_assign(corpus, cents).collect()
+    }
+    two = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_assign_twolevel(corpus, cents, nprobe=4).collect()
+    }
+    assert set(two) == set(exact) and len(exact) == n
+    recall = sum(1 for i in exact if two[i] == exact[i]) / n
+    assert recall >= 0.9, f"two-level recall {recall:.3f} at k={k}, nprobe=4"

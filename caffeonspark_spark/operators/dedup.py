@@ -34,6 +34,7 @@ from caffeonspark_spark.functions.text import (
     doc_fingerprint_portable,
     ngrams,
     portable_token_hash,
+    space_tokens,
 )
 
 # MinHash parameters: 64 hashes in 16 bands of 4 (standard banding math:
@@ -1633,3 +1634,98 @@ def _oracle_dedup_against_corpus(threshold: float = 0.35, top: int = 100) -> str
 
 
 ORACLE_DEDUP_AGAINST_CORPUS = _oracle_dedup_against_corpus()
+
+
+def winnow_fingerprints_docs(
+    spark: SparkSession, sf_dir: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS local fingerprinting algorithm): hash every k-gram of
+    the token stream, slide a window of ``w`` consecutive k-gram hashes,
+    select each window's minimum, and emit the distinct selected hashes
+    per document. The winnowing guarantee: any shared substring of length
+    ≥ w+k-1 tokens yields at least one shared fingerprint, so overlap
+    detection needs only fingerprint equality — the positional complement
+    of the order-free MinHash family above.
+
+    Engine-portable arithmetic throughout (char-fold token hash and
+    polynomial k-gram fold mod 2^31-1, the ``_portable_fps_cte`` grammar)
+    so DuckDB reproduces every fingerprint bit-for-bit. Plan shape: ONE
+    projection does tokens → k-gram hashes → windowed mins → distinct as
+    nested array expressions (no explode-then-window shuffle; the window
+    min runs inside the row), then a single explode to (doc_id, fp) rows.
+    100 TB posture: linear in tokens × k, no shuffle at all before the
+    output sort; fingerprint density ≈ 2/(w+1) of gram count bounds the
+    output. Short docs: fewer than w grams (but ≥1) emit the global min
+    (one degenerate window); empty docs emit nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.lit(2147483647)
+    th = F.transform(space_tokens(F.col("text")), portable_token_hash)
+    n_grams = F.size(th) - F.lit(k - 1)
+    gh = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda p: F.aggregate(
+                F.slice(th, p, k),
+                F.lit(0).cast("long"),
+                lambda a, x: F.pmod(a * F.lit(1000003) + x, mod),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_wins = F.size(F.col("gh")) - F.lit(w - 1)
+    fps = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda s: F.array_min(F.slice(F.col("gh"), s, w)),
+        ),
+    ).otherwise(
+        F.when(F.size(F.col("gh")) >= 1, F.array(F.array_min(F.col("gh"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return (
+        docs.select("doc_id", gh.alias("gh"))
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+ORACLE_WINNOW_FINGERPRINTS = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               list_transform(ts, t ->
+                   list_reduce(
+                       [CAST(0 AS BIGINT)] ||
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(ascii(t[i]) AS BIGINT)),
+                       (a, x) -> (a * 31 + x) % 2147483647)) AS hs
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= 3 THEN
+                   list_transform(range(1, len(hs) - 3 + 2), p ->
+                       list_reduce([CAST(0 AS BIGINT)] || hs[p:p+2],
+                                   (a, x) -> (a * 1000003 + x) % 2147483647))
+               ELSE [] END AS gh
+        FROM th
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               CASE WHEN len(gh) >= 4 THEN
+                   list_transform(range(1, len(gh) - 4 + 2),
+                                  s -> list_min(gh[s:s+3]))
+               WHEN len(gh) >= 1 THEN [list_min(gh)]
+               ELSE [] END AS fps
+        FROM grams
+    )
+    SELECT doc_id, UNNEST(list_distinct(fps)) AS fp
+    FROM winnowed
+    ORDER BY doc_id, fp
+"""

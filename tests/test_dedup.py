@@ -486,3 +486,36 @@ def test_cache_purges_dead_session_entries():
     finally:
         D._CACHED.pop((live_tok, "site", 2), None)
         D._SESSION_REFS.pop(live_tok, None)
+
+
+def test_winnow_fingerprints_guarantee_planted(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. §2): two documents
+    sharing a token run of length >= w+k-1 (= 6 at k=3, w=4) share at
+    least one fingerprint; disjoint-vocabulary docs share none; a short
+    doc with >= 1 but < w k-grams still emits exactly one fingerprint
+    (its global min); an empty-ish doc below k tokens emits none."""
+    import os
+
+    from caffeonspark_spark.operators.dedup import winnow_fingerprints_docs
+
+    shared = "zeta eta theta iota kappa lambda"  # 6 tokens = w+k-1
+    rows = [
+        (1, f"one two three four five six seven {shared}", "en", "s", 60),
+        (2, f"{shared} aaa bbb ccc ddd eee fff ggg", "en", "s", 60),
+        (3, "totally different vocabulary everywhere here now", "en", "s", 48),
+        (4, "tiny doc here", "en", "s", 13),  # 3 tokens -> 1 gram < w
+        (5, "xy", "en", "s", 2),  # below k tokens -> no grams
+    ]
+    d = tmp_path / "winnow"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    fps = {}
+    for r in winnow_fingerprints_docs(spark, str(d)).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token run must yield a shared fingerprint"
+    assert not (fps[3] & (fps[1] | fps[2]))
+    assert len(fps[4]) == 1
+    assert 5 not in fps

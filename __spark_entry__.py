@@ -362,8 +362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_sessions": TP.interval_overlap_sessions,
         # --- r7: the scale twin — hour-bucket equi-join, no broadcast ---
         "interval_overlap_bucketized": TP.interval_overlap_bucketized,
-        # --- r7: TPC-H Q22 shape — completes the classic Q1-Q22 inventory
-        "global_sales_opportunity": R.global_sales_opportunity,
         # --- r7: winnowing (MOSS) positional fingerprints ---
         "winnow_fingerprints": D.winnow_fingerprints_docs,
         # --- r6: forward as-of join (attribution mirror of the backward form)
@@ -785,21 +783,6 @@ def oracle_sql() -> dict[str, str]:
         # the bucketized form is result-identical by construction: same oracle
         "interval_overlap_bucketized": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         "winnow_fingerprints": D.ORACLE_WINNOW_FINGERPRINTS,
-        "global_sales_opportunity": f"""
-            WITH pos_avg AS (
-                SELECT {_da('c_acctbal')} AS avg_bal
-                FROM customer WHERE c_acctbal > 0.0
-            )
-            SELECT c_nationkey, COUNT(*) AS numcust,
-                   {_ds('c_acctbal')} AS totacctbal
-            FROM customer, pos_avg
-            WHERE c_acctbal > avg_bal
-              AND NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_custkey = customer.c_custkey
-                                AND o.o_totalprice > 300000.0)
-            GROUP BY c_nationkey
-            ORDER BY c_nationkey
-        """,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -156,8 +156,7 @@ BENCH_QUERIES = {
     "q_interval_overlap": TP.interval_overlap_sessions,
     # r7: the scale twin — hour-bucket equi-join, no broadcast range probe
     "q_interval_overlap_bucketized": TP.interval_overlap_bucketized,
-    # r7: Q22 anti-join shape + winnowing positional fingerprints
-    "q22_sales_opportunity": R.global_sales_opportunity,
+    # r7: winnowing positional fingerprints
     "q_winnow_fingerprints": D.winnow_fingerprints_docs,
     "q_rrf_fusion": TX.rrf_fusion,
     "q_asof_forward": TP.asof_join_forward_query,

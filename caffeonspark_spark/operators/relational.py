@@ -1456,40 +1456,3 @@ def promotion_candidates(spark, sf_dir) -> DataFrame:
         .select("s_name", "n_name", "s_acctbal")
         .orderBy(F.asc("s_name"))
     )
-
-
-def global_sales_opportunity(spark, sf_dir) -> DataFrame:
-    """TPC-H Q22 shape (re-based: nation key stands in for the phone
-    country code the testdata lacks, and "no orders" becomes "no
-    high-value orders" because the dense synthetic data gives every
-    customer some order): per-nation count and balance total of customers
-    whose balance beats the GLOBAL positive-balance average and who have
-    placed no order above 300k.
-
-    Scale shape: the global average is a 1-row decimal-grid agg broadcast
-    back (no per-row subquery); the existence check is a LEFT ANTI join
-    against the filtered orders key projection — the filter pushes to the
-    orders scan, the shuffle keys on c_custkey only, and the anti join
-    never materializes a payload. The final agg keys on nation (tiny).
-    Completes the classic TPC-H shape inventory (Q1-Q22)."""
-    c = _t(spark, sf_dir, "customer")
-    o = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice") > 300000.0)
-        .select("o_custkey")
-    )
-    pos_avg = c.where(F.col("c_acctbal") > 0.0).agg(
-        davg("c_acctbal", scale=2).alias("avg_bal")
-    )
-    rich = c.crossJoin(F.broadcast(pos_avg)).where(
-        F.col("c_acctbal") > F.col("avg_bal")
-    )
-    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
-    return (
-        no_orders.groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal", scale=2).alias("totacctbal"),
-        )
-        .orderBy("c_nationkey")
-    )

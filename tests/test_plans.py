@@ -376,19 +376,6 @@ def test_important_stock_no_double_sum(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_global_sales_opportunity_anti_join_pushdown(spark, sf_smoke):
-    """Q22 shape: the high-value-order filter must reach the orders scan
-    (PushedFilters), the existence check must be a broadcast LEFT ANTI
-    join, and the global average joins back as the 1-row broadcast."""
-    from caffeonspark_spark.operators import relational as R
-
-    plan = physical_plan(R.global_sales_opportunity(spark, sf_smoke))
-    assert "LeftAnti" in plan, plan
-    assert "GreaterThan(o_totalprice,300000.0)" in plan, plan
-    assert "CartesianProduct" not in plan
-    assert plan.count(") BroadcastNestedLoopJoin") == 1  # the 1-row avg only
-
-
 def test_interval_overlap_bucketized_equijoin_plan(spark, sf_smoke):
     """The scale twin of the interval-overlap join must be a pure
     equi-join on the hour bucket: no nested-loop/range probe, no

@@ -177,6 +177,13 @@ def main() -> None:
 
     from caffeonspark_spark.operators.dedup import unpersist_cached
 
+    # iterative drivers (N collect/merge rounds) expose many times more
+    # wall-clock surface to a host-contention burst than one-shot queries;
+    # BENCH_r06 recorded 2-4x one-off inflations on exactly these rows with
+    # zero code change (BASELINE.md round-7 attribution). A third timed run
+    # bounds a single burst's influence on the recorded minimum.
+    _EXTRA_RUN = {"q_kmeans_fit", "q_bpe_train", "q_dedup_against_corpus"}
+
     timings: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         # two runs, keep the best: the first pays per-query codegen/JVM JIT
@@ -187,7 +194,7 @@ def main() -> None:
         # the release, run 2 of those queries would time warm block reads,
         # not engine compute).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in _EXTRA_RUN else 2):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

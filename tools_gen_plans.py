@@ -19,6 +19,7 @@ from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import sampling as SA  # noqa: F401
 from caffeonspark_spark.operators import textops as TX  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
+from caffeonspark_spark.operators import temporal as TP
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
 
@@ -50,6 +51,12 @@ SHOW = {
     "min_cost_supplier (TPC-H Q2 class, window-min decorrelation)": R.min_cost_supplier,
     "important_stock (TPC-H Q11 class, global-scalar HAVING)": R.important_stock,
     "incremental_rollup_merge (mergeable decimal partials)": R.incremental_rollup_merge,
+    "interval_overlap_bucketized (hour-bucket equi-join scale twin)": (
+        TP.interval_overlap_bucketized
+    ),
+    "winnow_fingerprints (shuffle-free nested-array winnowing)": (
+        D.winnow_fingerprints_docs
+    ),
 }
 
 

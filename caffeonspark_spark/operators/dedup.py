@@ -1650,17 +1650,23 @@ def winnow_fingerprints_docs(
 
     Engine-portable arithmetic throughout (char-fold token hash and
     polynomial k-gram fold mod 2^31-1, the ``_portable_fps_cte`` grammar)
-    so DuckDB reproduces every fingerprint bit-for-bit. Plan shape: ONE
-    projection does tokens → k-gram hashes → windowed mins → distinct as
-    nested array expressions (no explode-then-window shuffle; the window
-    min runs inside the row), then a single explode to (doc_id, fp) rows.
-    100 TB posture: linear in tokens × k, no shuffle at all before the
-    output sort; fingerprint density ≈ 2/(w+1) of gram count bounds the
-    output. Short docs: fewer than w grams (but ≥1) emit the global min
-    (one degenerate window); empty docs emit nothing."""
+    so DuckDB reproduces every fingerprint bit-for-bit. Plan shape: STAGED
+    projections — tokens→hashes, hashes→k-gram folds, folds→windowed
+    mins — each array bound to a named column before the next stage
+    references it repeatedly. The staging is load-bearing for throughput:
+    higher-order array functions evaluate interpreted, and an inlined
+    tree re-evaluates the whole token-hash subtree at every reference
+    (measured 43 s inlined vs ~2 s staged at sf0.1; multi-referenced
+    non-cheap aliases are exempt from CollapseProject inlining). No
+    explode-then-window shuffle — the window min runs inside the row —
+    then a single explode to (doc_id, fp) rows. 100 TB posture: linear in
+    tokens × (k + w), no shuffle at all before the output sort;
+    fingerprint density ≈ 2/(w+1) of gram count bounds the output. Short
+    docs: fewer than w grams (but ≥1) emit the global min (one degenerate
+    window); empty docs emit nothing."""
     docs = load_table(spark, sf_dir, "documents")
     mod = F.lit(2147483647)
-    th = F.transform(space_tokens(F.col("text")), portable_token_hash)
+    th = F.col("th")
     n_grams = F.size(th) - F.lit(k - 1)
     gh = F.when(
         n_grams >= 1,
@@ -1685,7 +1691,13 @@ def winnow_fingerprints_docs(
         .otherwise(F.array().cast("array<long>"))
     )
     return (
-        docs.select("doc_id", gh.alias("gh"))
+        docs.select(
+            "doc_id",
+            F.transform(space_tokens(F.col("text")), portable_token_hash).alias(
+                "th"
+            ),
+        )
+        .select("doc_id", gh.alias("gh"))
         .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .orderBy("doc_id", "fp")
     )

@@ -306,7 +306,9 @@ def test_kmeans_assign_twolevel_recall_floor_realistic_k(spark):
     k, n, dim = 1500, 3000, 16
     cents_np = rng.uniform(0.0, 1.0, (k, dim))
     owner = rng.integers(0, k, n)
-    corpus_np = cents_np[owner] + rng.normal(0.0, 0.01, (n, dim))
+    # sigma chosen so routing genuinely errs (seeded recall 0.956, not a
+    # trivial 1.0): displacement ~0.4 vs unit-cube centroid spacing
+    corpus_np = cents_np[owner] + rng.normal(0.0, 0.1, (n, dim))
     cents = spark.createDataFrame(
         [(i, [float(x) for x in cents_np[i]]) for i in range(k)],
         "vec_id long, embedding array<double>",

@@ -362,8 +362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_sessions": TP.interval_overlap_sessions,
         # --- r7: the scale twin — hour-bucket equi-join, no broadcast ---
         "interval_overlap_bucketized": TP.interval_overlap_bucketized,
-        # --- r7: winnowing (MOSS) positional fingerprints ---
+        # --- r7: winnowing (MOSS) positional fingerprints + overlap join ---
         "winnow_fingerprints": D.winnow_fingerprints_docs,
+        "winnow_overlap_pairs": D.winnow_overlap_pairs,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -783,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         # the bucketized form is result-identical by construction: same oracle
         "interval_overlap_bucketized": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         "winnow_fingerprints": D.ORACLE_WINNOW_FINGERPRINTS,
+        "winnow_overlap_pairs": D.ORACLE_WINNOW_OVERLAP_PAIRS,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -156,8 +156,9 @@ BENCH_QUERIES = {
     "q_interval_overlap": TP.interval_overlap_sessions,
     # r7: the scale twin — hour-bucket equi-join, no broadcast range probe
     "q_interval_overlap_bucketized": TP.interval_overlap_bucketized,
-    # r7: winnowing positional fingerprints
+    # r7: winnowing positional fingerprints + df-pruned overlap join
     "q_winnow_fingerprints": D.winnow_fingerprints_docs,
+    "q_winnow_overlap_pairs": D.winnow_overlap_pairs,
     "q_rrf_fusion": TX.rrf_fusion,
     "q_asof_forward": TP.asof_join_forward_query,
 }

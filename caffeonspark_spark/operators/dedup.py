@@ -1665,6 +1665,12 @@ def winnow_fingerprints_docs(
     docs: fewer than w grams (but ≥1) emit the global min (one degenerate
     window); empty docs emit nothing."""
     docs = load_table(spark, sf_dir, "documents")
+    return _winnow_fps(docs, k, w).orderBy("doc_id", "fp")
+
+
+def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint rows — the staged-projection
+    core shared by the declared query (sorted) and the overlap join."""
     mod = F.lit(2147483647)
     th = F.col("th")
     n_grams = F.size(th) - F.lit(k - 1)
@@ -1699,8 +1705,47 @@ def winnow_fingerprints_docs(
         )
         .select("doc_id", gh.alias("gh"))
         .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
-        .orderBy("doc_id", "fp")
     )
+
+
+def winnow_overlap_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """Document-overlap candidates from winnowing fingerprints — the MOSS
+    use of ``winnow_fingerprints_docs``: pairs of documents sharing at
+    least ``min_shared`` selected fingerprints, with the shared count.
+
+    Scale shape (mirrors ``ngram_jaccard_pruned``'s stop-shingle
+    discipline): fingerprints appearing in more than ``max_df`` documents
+    are STOP fingerprints (boilerplate) and are dropped before the
+    self-join — a fingerprint shared by 1M docs would otherwise create
+    5·10^11 pairs on its own. After pruning, pair count is bounded by
+    Σ df·(df-1)/2 ≤ max_df · Σ df: linear in surviving fingerprint
+    occurrences. One fingerprint materialization feeds both the df
+    counts and the join (persisted; released by the bench's cache
+    drop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _winnow_fps(docs, k, w)
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    kept = fps.join(
+        df_counts.where(F.col("df") <= max_df).select("fp"), "fp"
+    )
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
 
 
 ORACLE_WINNOW_FINGERPRINTS = """
@@ -1736,8 +1781,29 @@ ORACLE_WINNOW_FINGERPRINTS = """
                WHEN len(gh) >= 1 THEN [list_min(gh)]
                ELSE [] END AS fps
         FROM grams
+    ),
+    fpd AS (
+        SELECT doc_id, UNNEST(list_distinct(fps)) AS fp FROM winnowed
     )
-    SELECT doc_id, UNNEST(list_distinct(fps)) AS fp
-    FROM winnowed
+    SELECT doc_id, fp
+    FROM fpd
     ORDER BY doc_id, fp
 """
+
+# the overlap oracle reuses the fingerprint CTE chain verbatim up to fpd
+ORACLE_WINNOW_OVERLAP_PAIRS = (
+    ORACLE_WINNOW_FINGERPRINTS.rsplit("SELECT doc_id, fp", 1)[0]
+    + """,
+    dfc AS (
+        SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= 10
+    ),
+    kept AS (
+        SELECT fpd.doc_id, fpd.fp FROM fpd JOIN dfc USING (fp)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+"""
+)

@@ -519,3 +519,31 @@ def test_winnow_fingerprints_guarantee_planted(spark, tmp_path):
     assert not (fps[3] & (fps[1] | fps[2]))
     assert len(fps[4]) == 1
     assert 5 not in fps
+
+
+def test_winnow_overlap_pairs_planted(spark, tmp_path):
+    """Overlap candidates: two docs sharing a long run emit a pair with
+    n_shared >= min_shared; a boilerplate fingerprint present in EVERY doc
+    is df-pruned and creates no pairs among otherwise-disjoint docs."""
+    import os
+
+    from caffeonspark_spark.operators.dedup import winnow_overlap_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    boiler = "standard footer text all rights reserved forever and ever amen"
+    rows = [(1, f"intro {run} outro one", "en", "s", 80),
+            (2, f"{run} closing words here", "en", "s", 80)]
+    # 12 more docs sharing ONLY the boilerplate run -> its fingerprints
+    # exceed max_df=10 and must be pruned
+    rows += [(10 + i, f"unique{i} words{i} body{i} {boiler}", "en", "s", 70)
+             for i in range(12)]
+    d = tmp_path / "wpairs"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(spark, str(d)).collect()}
+    assert pairs.get((1, 2), 0) >= 2, pairs
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs

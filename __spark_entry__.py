@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: winnowing (MOSS) positional fingerprints + overlap join ---
         "winnow_fingerprints": D.winnow_fingerprints_docs,
         "winnow_overlap_pairs": D.winnow_overlap_pairs,
+        # --- r7: leakage-safe split (near-dup clusters share one split) ---
+        "leakage_safe_split": SA.leakage_safe_split,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -785,6 +787,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_bucketized": TP.ORACLE_INTERVAL_OVERLAP_SESSIONS,
         "winnow_fingerprints": D.ORACLE_WINNOW_FINGERPRINTS,
         "winnow_overlap_pairs": D.ORACLE_WINNOW_OVERLAP_PAIRS,
+        "leakage_safe_split": SA.ORACLE_LEAKAGE_SAFE_SPLIT,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

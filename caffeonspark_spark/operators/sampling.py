@@ -264,3 +264,78 @@ ORACLE_SHUFFLE_SHARDS = f"""
         FROM documents
     )
 """
+
+
+def leakage_safe_split(
+    spark: SparkSession,
+    sf_dir: str,
+    fractions: dict[str, float] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents NEVER
+    straddle splits. A hash split on doc_id (``split_assign``) puts ~20%
+    of each near-dup cluster's members in val/test while their twins
+    train — the classic eval-contamination leak a dedup pipeline exists
+    to prevent. Here the split key is the near-dup CLUSTER representative
+    (min doc_id of the connected component, from ``neardup_clusters``;
+    singleton docs are their own group), so the whole cluster lands in
+    one split, and the assignment keeps ``split_assign``'s stability
+    property — adding or removing unrelated docs never moves a group.
+
+    Scale shape: the components table is EDGE-SET sized (only clustered
+    docs appear), joined back to the corpus by one equi-join on doc_id;
+    the split itself stays map-only. Oracle: the recursive-CTE component
+    oracle composed with the LCG split arithmetic — both engines compute
+    identical group keys and thresholds."""
+    from caffeonspark_spark.operators.dedup import neardup_clusters
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = neardup_clusters(spark, sf_dir, threshold=threshold).select(
+        F.col("node"), F.col("component")
+    )
+    grouped = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+    )
+    return (
+        split_assign(grouped, "group_id", fractions)
+        .select("doc_id", "source", "group_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_leakage_safe_split() -> str:
+    """Recursive-CTE components + LCG split — composed from the shared
+    component oracle so the cluster arithmetic has one source of truth."""
+    from caffeonspark_spark.operators.dedup import _oracle_neardup_clusters
+
+    base = _oracle_neardup_clusters().rsplit("SELECT node, MIN(lbl)", 1)[0]
+    return (
+        base
+        + f""",
+    comp AS (
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ),
+    grouped AS (
+        SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, source, group_id,
+           CASE WHEN h < 0.8 * {_SAMPLE_MOD} THEN 'train'
+                WHEN h < 0.9 * {_SAMPLE_MOD} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source, group_id,
+               ((group_id % {_SAMPLE_MOD}) * {_SAMPLE_A} + {_SAMPLE_B})
+                 % {_SAMPLE_MOD} AS h
+        FROM grouped
+    )
+    ORDER BY doc_id
+"""
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = _oracle_leakage_safe_split()

@@ -327,3 +327,40 @@ def test_kmeans_assign_twolevel_recall_floor_realistic_k(spark):
     assert set(two) == set(exact) and len(exact) == n
     recall = sum(1 for i in exact if two[i] == exact[i]) / n
     assert recall >= 0.9, f"two-level recall {recall:.3f} at k={k}, nprobe=4"
+
+
+def test_leakage_safe_split_groups_near_dups(spark, tmp_path):
+    """The leakage property: near-duplicate docs whose RAW doc_id hashes
+    land in different splits (doc 1 -> train, doc 23 -> val under the LCG
+    arithmetic) must share one split under leakage_safe_split, keyed by
+    their cluster representative (min id); unrelated singletons keep
+    their own doc_id as group and their plain split_assign verdict."""
+    import os
+
+    from caffeonspark_spark.operators.sampling import leakage_safe_split, split_assign
+
+    near = ("the quick brown fox jumps over the lazy dog again and again "
+            "every single morning before breakfast is served warm")
+    rows = [
+        (1, near, "en", "s", 110),
+        (23, near + " ok", "en", "s", 113),  # near-dup of doc 1
+        (5, "completely unrelated text about databases and join plans", "en", "s", 57),
+    ]
+    d = tmp_path / "leak"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in leakage_safe_split(spark, str(d)).collect()}
+    assert set(out) == {1, 5, 23}
+    # clustered pair: same group (min id) and therefore same split
+    assert out[1]["group_id"] == out[23]["group_id"] == 1
+    assert out[1]["split"] == out[23]["split"]
+    # raw hash WOULD have separated them — that's the leak being closed
+    raw = {r["doc_id"]: r["split"] for r in split_assign(
+        spark.createDataFrame([(1,), (23,)], "doc_id long"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert raw[1] != raw[23]
+    # singleton: own group, plain verdict
+    assert out[5]["group_id"] == 5

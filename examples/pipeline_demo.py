@@ -105,6 +105,21 @@ def main() -> None:
     )
     print(f"chunks for training: {chunks.count()}")
 
+    # 6b. positional overlap audit: winnowing (MOSS) fingerprints catch
+    # shared passages the order-free MinHash pass scores low on Jaccard
+    from caffeonspark_spark.operators.dedup import winnow_overlap_pairs
+
+    wpairs = winnow_overlap_pairs(spark, sf_dir).count()
+    print(f"winnowing overlap candidates (>=2 shared fingerprints): {wpairs}")
+
+    # 6c. leakage-safe split: near-dup clusters share one split, so eval
+    # never scores a document whose twin was trained on
+    from caffeonspark_spark.operators.sampling import leakage_safe_split
+
+    splits = leakage_safe_split(spark, sf_dir)
+    split_sizes = splits.groupBy("split").count().orderBy("split").collect()
+    print("leakage-safe splits:", [(r["split"], r["count"]) for r in split_sizes])
+
     # 7. deterministic shuffle-shard export: fix the training order
     from caffeonspark_spark.operators.sampling import shuffle_shards
 

@@ -98,6 +98,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("malformed or truncated PNG stream")
         pos += 12 + length  # length + type + data + crc (crc not verified)
         if ctype == b"IHDR":
+            if len(chunk) != 13:
+                raise ValueError("malformed PNG IHDR chunk")
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)

@@ -239,3 +239,50 @@ def test_bpe_encode_planted(spark, tmp_path):
     # lower -> [lowe, r]; lowest -> [lowe, s, t]
     assert out[2]["subword_text"] == "lowe r lowe s t"
     assert (out[2]["n_words"], out[2]["n_subwords"]) == (2, 5)
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+    st.random_module(),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_decoder_total_on_mutated_streams(offset, junk, _rnd):
+    """Decoder totality: arbitrary byte-splices into a valid PNG either
+    decode or raise ValueError — never IndexError/struct.error/zlib.error
+    (the batch-assembly error contract all decode tiers share)."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.png import decode_png
+    from tests.png_fixture import encode_png
+
+    base = encode_png(np.full((6, 5, 3), 77, np.uint8))
+    pos = offset % len(base)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_png(mutated)
+    except ValueError:
+        pass
+
+
+@given(
+    st.integers(min_value=2, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+    st.random_module(),
+)
+@settings(max_examples=120, deadline=None)
+def test_jpeg_decoder_total_on_mutated_streams(offset, junk, _rnd):
+    """Same totality contract for the baseline JPEG tier (keeps the SOI
+    magic so mutations exercise the parser, not the magic gate)."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    base = encode_baseline_jpeg(np.full((8, 8, 3), 90, np.uint8))
+    pos = 2 + (offset % (len(base) - 2))
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_baseline_jpeg(mutated)
+    except ValueError:
+        pass

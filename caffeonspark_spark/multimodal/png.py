@@ -6,13 +6,14 @@ stdlib, so PNG needs no external codec library. Production environments
 install Pillow/OpenCV and never reach this tier; the Spark-side plumbing
 (Arrow batches, schemas) is identical either way.
 
-Scope (the tier contract, mirroring ``jpeg.py``): 8-bit samples, color
-types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
-scanline filters, non-interlaced. Adam7 interlace, 16-bit and sub-byte
-depths raise the same install-hint ValueError as other unsupported stream
-classes. Output is HWC uint8 in the file's natural channel count with RGB
-order — the caller (``columns._numpy_decode``) applies the BGR/channel
-contract.
+Scope (the tier contract, mirroring ``jpeg.py``): 8- and 16-bit samples
+(16-bit keeps the high byte, OpenCV's 16→8 behavior for 8-bit
+consumers), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), all five scanline filters, non-interlaced AND Adam7
+interlaced. Sub-byte depths (1/2/4) raise the same install-hint
+ValueError as other unsupported stream classes. Output is HWC uint8 in
+the file's natural channel count with RGB order — the caller
+(``columns._numpy_decode``) applies the BGR/channel contract.
 """
 
 from __future__ import annotations
@@ -114,10 +115,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("degenerate PNG dimensions")
     if comp != 0 or filt != 0 or color not in _CHANNELS:
         raise ValueError("malformed PNG header")
-    if depth != 8:
+    if depth not in (8, 16) or (depth == 16 and color == 3):
         raise ValueError(f"{depth}-bit PNG {_INSTALL_HINT}")
-    if interlace != 0:
-        raise ValueError(f"Adam7-interlaced PNG {_INSTALL_HINT}")
+    if interlace not in (0, 1):
+        raise ValueError("malformed PNG header")
     if not idat:
         raise ValueError("PNG stream has no IDAT")
     try:
@@ -125,8 +126,23 @@ def decode_png(data: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"malformed or truncated PNG stream: {exc}") from None
     nch = _CHANNELS[color]
-    stride = width * nch
-    arr = _unfilter(raw, height, stride, nch).reshape(height, width, nch)
+    bpp = nch * (depth // 8)
+    if interlace == 0:
+        arr = _to_samples(
+            _unfilter(raw, height, width * bpp, bpp), height, width, nch, depth
+        )
+    else:  # Adam7: seven independently-filtered sub-images in one stream
+        arr = np.zeros((height, width, nch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[pos : pos + need], ph, pw * bpp, bpp)
+            pos += need
+            arr[y0:height:dy, x0:width:dx] = _to_samples(sub, ph, pw, nch, depth)
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG stream has no PLTE")
@@ -135,3 +151,26 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("PNG palette index out of range")
         arr = palette[idx]
     return np.ascontiguousarray(arr)
+
+
+#: Adam7 pass origins and strides (x0, y0, dx, dy), spec order
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _to_samples(
+    rows: np.ndarray, h: int, w: int, nch: int, depth: int
+) -> np.ndarray:
+    """(h, stride) filtered-byte grid → (h, w, nch) uint8 samples. 16-bit
+    samples keep the high byte — the 16→8 downscale OpenCV's imdecode
+    applies for 8-bit consumers."""
+    if depth == 8:
+        return rows.reshape(h, w, nch)
+    return rows.reshape(h, w, nch, 2)[:, :, :, 0].copy()

@@ -45,27 +45,58 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> byte
     return bytes([ftype]) + bytes(out.astype(np.uint8))
 
 
-def encode_png(
-    img: np.ndarray, filters=None, palette: np.ndarray | None = None, interlace: int = 0
-) -> bytes:
-    """HWC uint8 → PNG bytes. ``filters`` is a per-row filter-type list
-    (default: cycle through 0-4). Pass ``palette`` (N×3 uint8) with a
-     1-channel index image for color type 3."""
-    h, w, c = img.shape
-    color = 3 if palette is not None else _COLOR_BY_CHANNELS[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+def _row_bytes(row_px: np.ndarray, depth: int) -> np.ndarray:
+    """One pixel row (w, c) → the scanline byte vector (big-endian for
+    16-bit samples)."""
+    if depth == 8:
+        return row_px.reshape(-1).astype(np.uint8)
+    be = row_px.reshape(-1).astype(">u2")
+    return np.frombuffer(be.tobytes(), np.uint8)
+
+
+def _filtered_image(img: np.ndarray, filters, depth: int) -> bytes:
+    h = img.shape[0]
+    c = img.shape[2]
+    bpp = c * (depth // 8)
     raw = bytearray()
-    bpp = c
-    prev = np.zeros(w * c, np.uint8)
+    prev = np.zeros(img.shape[1] * bpp, np.uint8)
     for y in range(h):
-        row = img[y].reshape(-1)
+        row = _row_bytes(img[y], depth)
         ftype = filters[y % len(filters)] if filters else y % 5
         raw += _filter_row(ftype, row, prev, bpp)
         prev = row
+    return bytes(raw)
+
+
+def encode_png(
+    img: np.ndarray,
+    filters=None,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+    depth: int = 8,
+) -> bytes:
+    """HWC uint8 (or uint16 with ``depth=16``) → PNG bytes. ``filters``
+    is a per-row filter-type list (default: cycle through 0-4);
+    ``interlace=1`` emits a real Adam7 stream (7 independently filtered
+    passes). Pass ``palette`` (N×3 uint8) with a 1-channel index image
+    for color type 3."""
+    from caffeonspark_spark.multimodal.png import ADAM7_PASSES
+
+    h, w, c = img.shape
+    color = 3 if palette is not None else _COLOR_BY_CHANNELS[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    if interlace == 0:
+        raw = _filtered_image(img, filters, depth)
+    else:
+        raw = b"".join(
+            _filtered_image(img[y0:h:dy, x0:w:dx], filters, depth)
+            for x0, y0, dx, dy in ADAM7_PASSES
+            if img[y0:h:dy, x0:w:dx].shape[0] and img[y0:h:dy, x0:w:dx].shape[1]
+        )
     out = bytearray(PNG_SIGNATURE)
     out += _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IDAT", zlib.compress(raw))
     out += _chunk(b"IEND", b"")
     return bytes(out)

@@ -341,10 +341,30 @@ def test_png_roundtrip_all_filters_and_color_types():
     np.testing.assert_array_equal(dec, pal[idx[:, :, 0]])
 
 
+def test_png_adam7_and_16bit_roundtrip():
+    """Adam7 interlace: seven independently filtered passes reassemble
+    bit-exact (incl. dims not divisible by 8, which exercise empty and
+    ragged passes). 16-bit: high byte survives (the OpenCV 16→8 behavior)."""
+    from caffeonspark_spark.multimodal.png import decode_png
+    from tests.png_fixture import encode_png
+
+    rng = np.random.default_rng(19)
+    for h, w, c in ((13, 11, 3), (8, 8, 1), (3, 2, 4), (1, 1, 1), (9, 17, 2)):
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        dec = decode_png(encode_png(img, interlace=1))
+        np.testing.assert_array_equal(dec, img, err_msg=f"adam7 {h}x{w}x{c}")
+    img16 = rng.integers(0, 65536, size=(7, 5, 3), dtype=np.uint16)
+    dec = decode_png(encode_png(img16, depth=16))
+    np.testing.assert_array_equal(dec, (img16 >> 8).astype(np.uint8))
+    # Adam7 + 16-bit combined
+    dec = decode_png(encode_png(img16, depth=16, interlace=1))
+    np.testing.assert_array_equal(dec, (img16 >> 8).astype(np.uint8))
+
+
 def test_png_unsupported_and_corrupt_streams():
-    """Adam7 / 16-bit raise the install-hint ValueError (same contract as
-    the JPEG tier's unsupported classes); truncation raises ValueError,
-    never IndexError/zlib.error."""
+    """Sub-byte depths raise the install-hint ValueError (same contract
+    as the JPEG tier's unsupported classes); truncation raises
+    ValueError, never IndexError/zlib.error."""
     import struct as _struct
 
     from caffeonspark_spark.multimodal.png import PNG_SIGNATURE, decode_png
@@ -352,12 +372,10 @@ def test_png_unsupported_and_corrupt_streams():
 
     img = np.full((8, 8, 3), 50, np.uint8)
     good = encode_png(img)
-    with pytest.raises(ValueError, match="install Pillow"):
-        decode_png(encode_png(img, interlace=1))
-    # patch IHDR depth byte to 16
+    # patch IHDR depth byte to 4 (sub-byte, out of tier scope)
     ihdr_off = good.find(b"IHDR") + 4
     deep = bytearray(good)
-    deep[ihdr_off + 8] = 16
+    deep[ihdr_off + 8] = 4
     with pytest.raises(ValueError, match="install Pillow"):
         decode_png(bytes(deep))
     with pytest.raises(ValueError):

@@ -6,14 +6,17 @@ stdlib, so PNG needs no external codec library. Production environments
 install Pillow/OpenCV and never reach this tier; the Spark-side plumbing
 (Arrow batches, schemas) is identical either way.
 
-Scope (the tier contract, mirroring ``jpeg.py``): 8- and 16-bit samples
-(16-bit keeps the high byte, OpenCV's 16→8 behavior for 8-bit
-consumers), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-6 (RGBA), all five scanline filters, non-interlaced AND Adam7
-interlaced. Sub-byte depths (1/2/4) raise the same install-hint
-ValueError as other unsupported stream classes. Output is HWC uint8 in
-the file's natural channel count with RGB order — the caller
-(``columns._numpy_decode``) applies the BGR/channel contract.
+Scope (the tier contract, mirroring ``jpeg.py``): every spec-legal
+depth/color combination — 1/2/4-bit gray and palette (sub-byte
+grayscale scales to full range, 1-bit → 0/255, like imdecode), 8-bit
+everything, 16-bit gray/RGB/alpha (high byte kept, OpenCV's 16→8
+behavior for 8-bit consumers); color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters;
+non-interlaced AND Adam7 interlaced. Only spec-ILLEGAL combinations
+(16-bit palette, sub-byte multi-channel) raise the install-hint
+ValueError. Output is HWC uint8 in the file's natural channel count
+with RGB order — the caller (``columns._numpy_decode``) applies the
+BGR/channel contract.
 """
 
 from __future__ import annotations
@@ -115,7 +118,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("degenerate PNG dimensions")
     if comp != 0 or filt != 0 or color not in _CHANNELS:
         raise ValueError("malformed PNG header")
-    if depth not in (8, 16) or (depth == 16 and color == 3):
+    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and color == 3) or (
+        depth < 8 and color not in (0, 3)
+    ):
         raise ValueError(f"{depth}-bit PNG {_INSTALL_HINT}")
     if interlace not in (0, 1):
         raise ValueError("malformed PNG header")
@@ -126,11 +131,8 @@ def decode_png(data: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"malformed or truncated PNG stream: {exc}") from None
     nch = _CHANNELS[color]
-    bpp = nch * (depth // 8)
     if interlace == 0:
-        arr = _to_samples(
-            _unfilter(raw, height, width * bpp, bpp), height, width, nch, depth
-        )
+        arr, _ = _decode_pass(raw, height, width, nch, depth, color)
     else:  # Adam7: seven independently-filtered sub-images in one stream
         arr = np.zeros((height, width, nch), np.uint8)
         pos = 0
@@ -139,10 +141,9 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[pos : pos + need], ph, pw * bpp, bpp)
-            pos += need
-            arr[y0:height:dy, x0:width:dx] = _to_samples(sub, ph, pw, nch, depth)
+            sub, used = _decode_pass(raw[pos:], ph, pw, nch, depth, color)
+            pos += used
+            arr[y0:height:dy, x0:width:dx] = sub
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG stream has no PLTE")
@@ -165,12 +166,33 @@ ADAM7_PASSES = (
 )
 
 
-def _to_samples(
-    rows: np.ndarray, h: int, w: int, nch: int, depth: int
-) -> np.ndarray:
-    """(h, stride) filtered-byte grid → (h, w, nch) uint8 samples. 16-bit
-    samples keep the high byte — the 16→8 downscale OpenCV's imdecode
-    applies for 8-bit consumers."""
-    if depth == 8:
-        return rows.reshape(h, w, nch)
-    return rows.reshape(h, w, nch, 2)[:, :, :, 0].copy()
+def _decode_pass(
+    raw: bytes, h: int, w: int, nch: int, depth: int, color: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image of ``raw``; returns the
+    (h, w, nch) uint8 samples and the bytes consumed. 16-bit samples keep
+    the high byte (OpenCV's 16→8 downscale for 8-bit consumers);
+    sub-byte grayscale scales to full range (1-bit → 0/255, like
+    imdecode); sub-byte palette indices pass through."""
+    if depth >= 8:
+        bpp = nch * (depth // 8)
+        stride = w * bpp
+        used = h * (stride + 1)
+        rows = _unfilter(raw[:used], h, stride, bpp)
+        if depth == 8:
+            return rows.reshape(h, w, nch), used
+        return rows.reshape(h, w, nch, 2)[:, :, :, 0].copy(), used
+    # sub-byte (1/2/4-bit gray or palette): filters run with bpp=1 over the
+    # byte-packed scanline; samples are MSB-first bit groups, row-padded
+    stride = (w * depth + 7) // 8
+    used = h * (stride + 1)
+    rows = _unfilter(raw[:used], h, stride, 1)
+    bits = np.unpackbits(rows, axis=1)  # (h, stride*8), MSB first
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (bits.reshape(h, -1, depth) * weights).sum(axis=2).astype(np.uint8)
+    samples = samples[:, :w]
+    if color == 0:
+        samples = (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    return samples[:, :, None], used

@@ -47,19 +47,24 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> byte
 
 def _row_bytes(row_px: np.ndarray, depth: int) -> np.ndarray:
     """One pixel row (w, c) → the scanline byte vector (big-endian for
-    16-bit samples)."""
+    16-bit samples; MSB-first bit-packed, zero-padded to the byte
+    boundary, for sub-byte depths)."""
     if depth == 8:
         return row_px.reshape(-1).astype(np.uint8)
-    be = row_px.reshape(-1).astype(">u2")
-    return np.frombuffer(be.tobytes(), np.uint8)
+    if depth == 16:
+        be = row_px.reshape(-1).astype(">u2")
+        return np.frombuffer(be.tobytes(), np.uint8)
+    vals = row_px.reshape(-1).astype(np.uint8)
+    bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1))
 
 
 def _filtered_image(img: np.ndarray, filters, depth: int) -> bytes:
     h = img.shape[0]
     c = img.shape[2]
-    bpp = c * (depth // 8)
+    bpp = max(1, c * (depth // 8))  # sub-byte depths filter with bpp=1
     raw = bytearray()
-    prev = np.zeros(img.shape[1] * bpp, np.uint8)
+    prev = np.zeros((img.shape[1] * c * depth + 7) // 8, np.uint8)
     for y in range(h):
         row = _row_bytes(img[y], depth)
         ftype = filters[y % len(filters)] if filters else y % 5

@@ -647,3 +647,32 @@ def test_jpeg_fill_bytes_before_marker():
     dec = decode_baseline_jpeg(padded)
     assert dec.shape == img.shape
     np.testing.assert_array_equal(dec, decode_baseline_jpeg(enc))
+
+
+def test_png_subbyte_depths_roundtrip():
+    """1/2/4-bit gray (scaled to full range like imdecode) and 4-bit
+    palette (indices pass through PLTE), incl. Adam7-interlaced sub-byte
+    and a width that isn't a whole number of packed bytes."""
+    from caffeonspark_spark.multimodal.png import decode_png
+    from tests.png_fixture import encode_png
+
+    rng = np.random.default_rng(23)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        g = rng.integers(0, maxv + 1, size=(9, 11, 1), dtype=np.uint8)
+        for inter in (0, 1):
+            dec = decode_png(encode_png(g, depth=depth, interlace=inter))
+            np.testing.assert_array_equal(
+                dec, (g.astype(int) * (255 // maxv)).astype(np.uint8),
+                err_msg=f"gray depth={depth} interlace={inter}",
+            )
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 5, 1), dtype=np.uint8)
+    dec = decode_png(encode_png(idx, palette=pal, depth=4))
+    np.testing.assert_array_equal(dec, pal[idx[:, :, 0]])
+    # spec-illegal: sub-byte RGB stays an install-hint rejection
+    good = encode_png(np.full((4, 4, 3), 9, np.uint8))
+    bad = bytearray(good)
+    bad[good.find(b"IHDR") + 4 + 8] = 4
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_png(bytes(bad))

@@ -73,25 +73,42 @@ def _ever_green(has_oracle: set[str]) -> set[str]:
 
 
 def _module_segments(mod_name: str) -> dict[str, str]:
-    """Source segment per top-level name (def/class/assign) of a module.
-    Used by the per-query fingerprint to pull in exactly the helpers a
-    query function references instead of the whole module."""
+    """Source segment per top-level name (def/class/assign/import) of a
+    module. Used by the per-query fingerprint to pull in exactly the
+    helpers a query function references instead of the whole module.
+    Import statements map each bound alias to the import line, so
+    re-pointing `from x import helper` at a different implementation
+    changes every referencing query's fingerprint (the r7 self-review
+    finding: imports were invisible to the closure). Tuple-unpacking
+    assignment targets are captured too."""
     import ast
     import inspect
     import sys
 
     src = inspect.getsource(sys.modules[mod_name])
     seg: dict[str, str] = {}
+
+    def _bind_target(t, txt):
+        if isinstance(t, ast.Name):
+            seg[t.id] = txt
+        elif isinstance(t, (ast.Tuple, ast.List)):
+            for el in t.elts:
+                _bind_target(el, txt)
+
     for node in ast.parse(src).body:
         txt = ast.get_source_segment(src, node) or ""
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             seg[node.name] = txt
         elif isinstance(node, ast.Assign):
             for t in node.targets:
-                if isinstance(t, ast.Name):
-                    seg[t.id] = txt
+                _bind_target(t, txt)
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
             seg[node.target.id] = txt
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for alias in node.names:
+                bound = alias.asname or alias.name.split(".")[0]
+                # don't let an import shadow a real definition's segment
+                seg.setdefault(bound, txt)
     return seg
 
 
@@ -140,14 +157,18 @@ def query_fingerprints(
     for name, fn in base.items():
         mod = getattr(fn, "__module__", None)
         fn_name = getattr(fn, "__name__", None)
+        # deterministic fallback for non-top-level callables (lambda,
+        # partial, nested def): repr(fn) embeds a memory address and
+        # would re-front the query on every process (r7 self-review)
+        fallback = f"{mod}:{getattr(fn, '__qualname__', fn_name)}"
         try:
             if mod not in seg_cache:
                 seg_cache[mod] = _module_segments(mod)
             seg = seg_cache[mod]
             names = _closure_names(seg, fn_name)
-            body = "\n".join(seg[n] for n in names) if names else repr(fn)
+            body = "\n".join(seg[n] for n in names) if names else fallback
         except Exception:  # pragma: no cover - builtins/partials
-            body = repr(fn)
+            body = fallback
         payload = body + "\n---oracle---\n" + oracles.get(name, "")
         fps[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
     return fps

@@ -134,13 +134,25 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace == 0:
         arr, _ = _decode_pass(raw, height, width, nch, depth, color)
     else:  # Adam7: seven independently-filtered sub-images in one stream
-        arr = np.zeros((height, width, nch), np.uint8)
-        pos = 0
+        # validate the claimed geometry against the ACTUAL decompressed
+        # byte count BEFORE allocating height*width*nch — a corrupt header
+        # claiming 2^32-wide dims over a tiny IDAT must raise ValueError,
+        # not MemoryError (the decoder-totality contract)
+        passes = []
+        total_need = 0
         for x0, y0, dx, dy in ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx if width > x0 else 0
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
+            stride = (pw * nch * depth + 7) // 8
+            total_need += ph * (stride + 1)
+            passes.append((x0, y0, dx, dy, pw, ph))
+        if len(raw) < total_need:
+            raise ValueError("malformed or truncated PNG stream")
+        arr = np.zeros((height, width, nch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
             sub, used = _decode_pass(raw[pos:], ph, pw, nch, depth, color)
             pos += used
             arr[y0:height:dy, x0:width:dx] = sub

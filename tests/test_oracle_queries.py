@@ -345,6 +345,45 @@ def test_fingerprint_closure_scoped_to_referenced_helpers(tmp_path):
         sys.modules.pop("fpmod", None)
 
 
+def test_fingerprint_sees_import_rebinding(tmp_path):
+    """Re-pointing `from x import helper` at a different implementation
+    changes the referencing query's fingerprint (r7 self-review: imports
+    were invisible to the closure, silently narrowing the re-front
+    invariant vs the r6 module-level hash)."""
+    import importlib.util
+    import sys
+
+    src = (
+        "from os.path import join as _ext\n\n"
+        "def query_c(spark, sf):\n    return _ext('a', 'b')\n\n"
+        "def query_d(spark, sf):\n    return 7\n"
+    )
+    p = tmp_path / "fpimp.py"
+    p.write_text(src)
+
+    def load():
+        spec = importlib.util.spec_from_file_location("fpimp", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules["fpimp"] = mod
+        return mod
+
+    try:
+        m1 = load()
+        fps1 = _entry.query_fingerprints(
+            {"qc": m1.query_c, "qd": m1.query_d}, {}
+        )
+        p.write_text(src.replace("from os.path", "from posixpath"))
+        m2 = load()
+        fps2 = _entry.query_fingerprints(
+            {"qc": m2.query_c, "qd": m2.query_d}, {}
+        )
+        assert fps1["qc"] != fps2["qc"]
+        assert fps1["qd"] == fps2["qd"]
+    finally:
+        sys.modules.pop("fpimp", None)
+
+
 def test_interval_overlap_planted(spark, tmp_path_factory):
     """Planted topology: a session spanning a hot hour overlaps it; a
     session entirely inside cold hours is absent; a session TOUCHING a hot

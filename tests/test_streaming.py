@@ -168,11 +168,15 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # emitted-window pin: exactly the two closed windows appear — the
     # base+10h window (20 on-time events; closed when batch 2 advanced the
     # watermark) and the base+15h window (5 events; closed by batch 3) —
-    # and the dropped base+7h straggler materialized NO window. Base epoch
-    # 1_700_000_000s is 22:13:20 UTC, so +10h/+15h windows start at
-    # hour-of-day 8 and 13 (events fall inside one hour each: :13:20-:13:39).
-    emitted = {(r["win_start"].hour, r["event_type"]): r["n_events"] for r in rows}
-    assert emitted == {(8, "click"): 20, (13, "click"): 5}, emitted
+    # and the dropped base+7h straggler materialized NO window. Collected
+    # timestamps render in the HOST's local timezone (fromInternal), so
+    # pin window DELTAS, which are render-timezone-independent, not
+    # hours-of-day.
+    assert {r["event_type"] for r in rows} == {"click"}
+    emitted = sorted((r["win_start"], r["n_events"]) for r in rows)
+    assert len(emitted) == 2, emitted
+    assert emitted[1][0] - emitted[0][0] == __import__("datetime").timedelta(hours=5)
+    assert (emitted[0][1], emitted[1][1]) == (20, 5), emitted
 
 
 def test_checkpoint_restart_exactly_once(spark, tmp_path):

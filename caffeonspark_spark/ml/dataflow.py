@@ -95,13 +95,21 @@ def test_model(
     id_col: str = "id",
 ) -> dict[str, list[float]]:
     """Validation summary: per-blob element-wise mean over all samples
-    (M4 = features + VectorMean agg)."""
+    (M4 = features + VectorMean agg). The inference pass is persisted so
+    the per-blob means read it once — without the pin, every blob re-ran
+    the full model forward over the validation set (r7 self-review)."""
     feat = features(df, model_fn, specs, output_blobs, batch_size, id_col)
-    out: dict[str, list[float]] = {}
-    for b in output_blobs:
-        rows = vector_mean_long(feat, b).orderBy("pos").collect()
-        out[b] = [r["mean_val"] for r in rows]
-    return out
+    if len(output_blobs) > 1:
+        feat = feat.persist()
+    try:
+        out: dict[str, list[float]] = {}
+        for b in output_blobs:
+            rows = vector_mean_long(feat, b).orderBy("pos").collect()
+            out[b] = [r["mean_val"] for r in rows]
+        return out
+    finally:
+        if len(output_blobs) > 1:
+            feat.unpersist()
 
 
 @dataclass
@@ -148,9 +156,13 @@ def train(
     """Data-parallel training orchestration (M1 semantics).
 
     Each epoch wave: every partition assembles batches and feeds the trainer
-    callable; per-partition final states are reduced by ``state_merge`` (the
-    trainer supplies a ``"merge"`` callable in its state dict, or the last
-    state wins — mirroring rank-0 snapshotting). This reproduces the
+    callable; per-partition final states are reduced by the
+    ``merge_states`` parameter (e.g. ``average_states``); without one, the
+    last state wins — mirroring rank-0 snapshotting. Partitions that
+    consumed zero batches are excluded from the reduce: an empty
+    partition's summary is the unchanged prior state and must neither
+    crash parameter averaging nor drag it toward stale weights (r7
+    self-review finding). This reproduces the
     reference's *orchestration*: partition-parallel batch feeding until
     ``max_iter`` batches are consumed globally. Gradient sync is the
     trainer's business (e.g. torch.distributed inside a barrier stage).
@@ -196,7 +208,8 @@ def train(
         epoch_batches = 0
         for r in rows:
             epoch_batches += r["n_batches"]
-            part_states.append(json.loads(r["state_json"]))
+            if r["n_batches"] > 0:
+                part_states.append(json.loads(r["state_json"]))
         if epoch_batches == 0:
             # the reference's insufficient-data error path
             # (CaffeOnSpark.scala:256-289): an epoch that contributes zero
@@ -317,7 +330,7 @@ def train_with_validation(
     if cfg.test_interval <= 0:
         raise ValueError("train_with_validation requires test_interval > 0")
     windows_total = max(n_records // wave_len, 1)
-    validate_partition_math(n_records, max(n_records // wave_len, 1), cfg)
+    validate_partition_math(n_records, windows_total, cfg)
 
     val_slice = val_df.limit(cfg.test_iter * cfg.batch_size)
     state = dict(init_state or {})
@@ -397,13 +410,21 @@ def softmax_model(state: dict, x_col: str = "embedding", y_col: str = "label") -
 def average_states(states: list[dict]) -> dict:
     """Parameter-averaging merge for data-parallel waves (the engine's
     stand-in for the reference's sharded gradient allreduce,
-    ``socket_sync.cpp:119-156``): element-wise mean of W/b, mean loss."""
-    out = dict(states[-1])
-    if "W" in states[0]:
-        out["W"] = np.mean([np.array(s["W"]) for s in states], axis=0).tolist()
-        out["b"] = np.mean([np.array(s["b"]) for s in states], axis=0).tolist()
-    if "loss" in states[0]:
-        out["loss"] = float(np.mean([s["loss"] for s in states]))
+    ``socket_sync.cpp:119-156``): element-wise mean of W/b, mean loss.
+
+    EMPTY partitions emit a state without W/b (``run_partition`` yields
+    one summary row per partition unconditionally), so average only over
+    the states that actually trained — keying the guard off ``states[0]``
+    either crashed with KeyError or silently skipped averaging depending
+    on where the empty partition landed (r7 self-review finding)."""
+    trained = [s for s in states if "W" in s]
+    out = dict(trained[-1] if trained else states[-1])
+    if trained:
+        out["W"] = np.mean([np.array(s["W"]) for s in trained], axis=0).tolist()
+        out["b"] = np.mean([np.array(s["b"]) for s in trained], axis=0).tolist()
+    losses = [s["loss"] for s in states if "loss" in s]
+    if losses:
+        out["loss"] = float(np.mean(losses))
     return out
 
 

@@ -119,7 +119,6 @@ def lsh_table_buckets_udf(dim: int, n_tables: int, bits_per_table: int):
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
         bits = (mat @ planes) > 0  # (N, P)
-        out = []
         per_table = bits.reshape(len(mat), n_tables, bits_per_table)
         codes = per_table @ weights  # (N, n_tables)
         table_tag = (np.arange(n_tables, dtype=np.int64) << 32)
@@ -639,13 +638,12 @@ def pq_topk(
     TakeOrderedAndProject for the top-k. Compose with IVF cells to skip
     most of the corpus entirely."""
     m, kc, sub = codebook.shape
-    q = query.select(vec_col).collect()[0][0]
-    qv = np.asarray(q, dtype=np.float64)
+    qrow = query.select(id_col, vec_col).collect()[0]
+    qid, qv = qrow[0], np.asarray(qrow[1], dtype=np.float64)
     table = np.stack([
         (((qv[j * sub : (j + 1) * sub])[None, :] - codebook[j]) ** 2).sum(-1)
         for j in range(m)
     ])  # (m, k)
-    qid = query.select(id_col).collect()[0][0]
 
     codes = corpus.select(
         F.col(id_col), pq_encode_udf(codebook)(F.col(vec_col)).alias("codes")
@@ -1002,6 +1000,7 @@ def kmeans_fit(
                 F.transform(F.col(vec_col), lambda x: x.cast("double"))
             ).alias("pos", "x"),
         )
+        prev = upd
         upd = (
             assigned.groupBy("centroid_id", "pos")
             .agg(fsum("x").alias("_sx"), F.count(F.lit(1)).alias("n"))
@@ -1011,7 +1010,13 @@ def kmeans_fit(
                 (F.col("_sx") / F.col("n")).alias("c_val"),
                 "n",
             )
+            # persist: the in-loop driver collect below AND the caller's
+            # evaluation of the returned final-iteration frame read this —
+            # without the pin the last round's full agg ran twice
+            .persist()
         )
+        if prev is not None:
+            prev.unpersist()
         by: dict[int, dict[int, float]] = {}
         for r in upd.collect():
             by.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(r["c_val"])

@@ -32,21 +32,15 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (smoke path; production
-    swaps in Kafka).
-
-    ``ts`` comes out as a TIMESTAMP (instant) whose UTC wall-clock equals the
-    batch catalog's TIMESTAMP_NTZ column (``catalog._load_events``; the
-    session timezone is pinned UTC in ``engine.get_spark``, so the cast is
-    value-preserving). The on-disk type is probed from the parquet footer
-    (driver-side metadata only) because forcing a LongType schema onto a
-    µs-NTZ column silently yields micros-as-long — feeding that through a
-    nanos→µs ``div 1000`` put every event in 1970 and froze append-mode
-    watermarks (the round-4 streaming bug). Only when the file genuinely
-    stores nanos-as-long (TIMESTAMP(NANOS) via the legacy conf) do we divide.
-    Watermarks on Spark 4 require TIMESTAMP, not NTZ, hence the cast.
-    """
+def _raw_events_stream(spark: SparkSession, sf_dir: str):
+    """Shared file-source setup for both event-stream readers: probe the
+    on-disk ts type from the parquet footer (driver metadata only — a
+    forced LongType over a µs-NTZ column silently yields micros-as-long,
+    the round-4 frozen-watermark bug), rebuild the schema around it, and
+    open the glob-filtered readStream. Returns (raw, disk_ts); callers
+    apply their TIMESTAMP vs TIMESTAMP_NTZ conversion on top. ONE copy on
+    purpose: a fix to the probe/glob/source setup must reach both
+    variants (r7 self-review finding)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,6 +63,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    return raw, disk_ts
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (smoke path; production
+    swaps in Kafka).
+
+    ``ts`` comes out as a TIMESTAMP (instant) whose UTC wall-clock equals the
+    batch catalog's TIMESTAMP_NTZ column (``catalog._load_events``; the
+    session timezone is pinned UTC in ``engine.get_spark``, so the cast is
+    value-preserving). The on-disk type is probed from the parquet footer
+    (driver-side metadata only) because forcing a LongType schema onto a
+    µs-NTZ column silently yields micros-as-long — feeding that through a
+    nanos→µs ``div 1000`` put every event in 1970 and froze append-mode
+    watermarks (the round-4 streaming bug). Only when the file genuinely
+    stores nanos-as-long (TIMESTAMP(NANOS) via the legacy conf) do we divide.
+    Watermarks on Spark 4 require TIMESTAMP, not NTZ, hence the cast.
+    """
+    raw, disk_ts = _raw_events_stream(spark, sf_dir)
     if isinstance(disk_ts, T.LongType):
         # nanos-as-long → µs floor-truncation → instant, same arithmetic as
         # the batch catalog so stream/batch parity holds bit-for-bit
@@ -153,26 +166,7 @@ def _read_events_ntz_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``catalog._load_events``) so streaming results are bit-identical to
     batch and independent of the session timezone — the foundation of the
     parity rows below."""
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    disk_ts = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .schema["ts"]
-        .dataType
-    )
-    schema = T.StructType(
-        [
-            T.StructField(f.name, disk_ts if f.name == "ts" else f.dataType)
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw, disk_ts = _raw_events_stream(spark, sf_dir)
     if isinstance(disk_ts, T.LongType):
         return raw.withColumn(
             "ts",
@@ -296,8 +290,13 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        # stop even when the stream fails mid-run: a failed-but-registered
+        # query would otherwise stay attached to the session (and its
+        # memory sink leak) for the session's lifetime
+        q.stop()
     return name
 
 

@@ -227,3 +227,45 @@ def test_barrier_gang_run(spark):
     assert sorted(r["rank"] for r in results) == [0, 1, 2, 3]
     assert all(r["n_addresses"] == 4 for r in results)
     assert sum(r["n_rows"] for r in results) == 500
+
+
+def test_average_states_ignores_untrained_partitions():
+    """EMPTY partitions emit a W-less (or stale) state; averaging must
+    neither crash with KeyError nor silently skip when the W-less state
+    happens to be first (r7 self-review finding)."""
+    from caffeonspark_spark.ml.dataflow import average_states
+
+    trained_a = {"W": [[1.0, 3.0]], "b": [1.0], "loss": 2.0}
+    trained_b = {"W": [[3.0, 5.0]], "b": [3.0], "loss": 4.0}
+    untrained = {"epoch": 1}
+    for states in (
+        [untrained, trained_a, trained_b],
+        [trained_a, untrained, trained_b],
+        [trained_a, trained_b, untrained],
+    ):
+        out = average_states(states)
+        assert out["W"] == [[2.0, 4.0]]
+        assert out["b"] == [2.0]
+        assert out["loss"] == 3.0
+    # all-untrained degenerates to last-wins without crashing
+    assert "W" not in average_states([untrained])
+
+
+def test_train_with_empty_partition_averages_correctly(spark, mnist_like):
+    """End-to-end: a repartition wider than the row count leaves empty
+    partitions whose unchanged prior state must not poison the
+    parameter-averaging reduce."""
+    from caffeonspark_spark.ml.dataflow import average_states, softmax_trainer
+
+    n = mnist_like.count()
+    wide = mnist_like.repartition(int(n) + 8)  # guarantees empty partitions
+    cfg = TrainConfig(batch_size=4, max_iter=2)
+    state = train(
+        wide,
+        softmax_trainer(dim=16, n_classes=10, lr=0.5, x_col="data", y_col="label"),
+        SPECS,
+        cfg,
+        merge_states=average_states,
+    )
+    assert "W" in state and "b" in state
+    assert state["iterations"] >= 2

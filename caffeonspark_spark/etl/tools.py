@@ -38,7 +38,18 @@ UNKNOWN_TOKEN = "UNK"
 
 class Vocab:
     """Ranked vocabulary over a text column (A2/O1/O2 pipeline:
-    groupBy-count → sort desc → limit)."""
+    groupBy-count → sort desc → limit).
+
+    Layout quirk preserved FROM THE REFERENCE: the vocab file is
+    ["UNK", top word, ...] and load() maps word → line index, so UNK
+    sits at index 0 (colliding with START_END_ID=0) while UNKNOWN_ID=1
+    is the top-ranked word's index — an OOV token therefore encodes as
+    the most frequent word. The reference intended a +2 shift ("Number 0
+    is not used", ``Vocab.scala:36-38``) but never implemented it, and
+    its encoder hard-codes the same ``UNKNOWN_ID`` fallback
+    (``Conversions.scala:173``); the rebuild reproduces the observable
+    behavior bit-for-bit rather than silently diverging from the
+    reference's artifacts."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -177,7 +188,11 @@ def binary_to_dataframe(
     binary)`` (schema of ``Binary2DataFrame.scala:32-34``).
 
     Label lines: ``<filename> <label> [<id>]`` (``Binary2DataFrame.scala:53-61``);
-    missing id defaults to the filename. Files come in through the
+    missing id defaults to the filename STEM, matching the imagedir
+    source's parser of the same grammar (the reference requires all three
+    fields, ``Binary2DataFrame.scala:55-61``; the default is a rebuild
+    extension and the two ingest paths must agree so ids join across
+    them — r7 self-review finding). Files come in through the
     ``binaryFile`` source (S8) and join the parsed labels on filename.
     """
     labels = (
@@ -188,7 +203,7 @@ def binary_to_dataframe(
             F.element_at("parts", 1).alias("filename"),
             F.element_at("parts", 2).cast("int").alias("label"),
             F.when(F.size("parts") >= 3, F.element_at("parts", 3))
-            .otherwise(F.element_at("parts", 1))
+            .otherwise(F.regexp_replace(F.element_at("parts", 1), r"\.[^.]*$", ""))
             .alias("SampleID"),
         )
     )
@@ -340,9 +355,17 @@ def caption_encode_docs(spark: SparkSession, sf_dir: str, caption_length: int = 
     ).orderBy("doc_id")
 
 
-ORACLE_CAPTION_ENCODE = """
+ORACLE_CAPTION_ENCODE = r"""
     WITH toks AS (
-        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        -- the reference tokenizer (sentence_to_words: word/punct runs,
+        -- trim, drop '' and bare '.'), reproduced in DuckDB so the oracle
+        -- checks the REAL token stream — the old single-space split only
+        -- agreed on punctuation-free fixtures (r7 self-review finding)
+        SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_extract_all(lower(text),
+                                      '([a-z0-9_]+|[^a-z0-9_\s]+)', 1),
+                   t -> trim(t)), t -> t <> '' AND t <> '.') AS ts
         FROM documents
     ),
     vocab AS (

@@ -143,7 +143,12 @@ def lang_id_score(col: Column | str, lang: str = "en") -> Column:
     """Marker-word hit count for ``lang`` — argmax over languages gives the
     predicted language; integer counts keep it oracle-exact."""
     markers = LANG_MARKERS[lang]
-    toks = tokenize(col)
+    # space_tokens, not tokenize: the doc_lang_id query's score_* columns
+    # and its DuckDB oracle both split on single spaces, and prediction
+    # MUST count the same token stream — with \s+ tokenize, a tab- or
+    # double-space-separated text scored one language and predicted
+    # another in the same row (r7 self-review finding)
+    toks = space_tokens(col)
     return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("long")
 
 

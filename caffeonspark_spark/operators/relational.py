@@ -287,12 +287,10 @@ def distinct_projection(spark, sf_dir) -> DataFrame:
 def explode_tokens(spark, sf_dir) -> DataFrame:
     """flatMap explosion (P6, Conversions.scala:40-49): document text →
     one row per token → top token counts. Generator runs inside codegen."""
+    from caffeonspark_spark.functions.text import space_tokens
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit(""))).alias(
-            "token"
-        )
-    )
+    toks = d.select(F.explode(space_tokens(F.col("text"))).alias("token"))
     return (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -494,7 +492,7 @@ def moving_avg_window(spark, sf_dir) -> DataFrame:
     )
     frame_sum = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w)
     frame_n = F.count(F.lit(1)).over(w)
-    return _t(spark, sf_dir, "orders").select(
+    return o.select(
         "o_custkey",
         "o_orderkey",
         (frame_sum.cast("double") / frame_n).alias("moving_avg"),

@@ -89,7 +89,11 @@ class EventGenStreamReader(DataSourceStreamReader):
         lo, hi = start["idx"], end["idx"]
         # after checkpoint restore the engine may replay a range this fresh
         # reader instance hasn't "seen"; fast-forward the internal cursor
-        self._latest = max(self._latest, hi)
+        # past BOTH bounds — tracking only hi left _latest below the
+        # committed start, so post-restart latestOffset() values regressed
+        # below the checkpoint (offset-log monotonicity breach) until the
+        # per-trigger increments caught back up (r7 self-review finding)
+        self._latest = max(self._latest, lo, hi)
         if hi <= lo:
             return [_Range(lo, lo)]
         step = max(1, (hi - lo + self.n_partitions - 1) // self.n_partitions)

@@ -59,7 +59,14 @@ def parse_label_file(path: str) -> list[tuple[str, int, str]]:
             parts = line.split()
             if not parts:
                 continue
-            fname, label = parts[0], int(parts[1])
+            if len(parts) < 2:
+                continue  # tolerate filename-only lines, like the Spark-
+                # side parser of the same grammar (binary_to_dataframe)
+            try:
+                label = int(parts[1])
+            except ValueError:
+                continue
+            fname = parts[0]
             sample_id = parts[2] if len(parts) > 2 else os.path.splitext(fname)[0]
             out.append((fname, label, sample_id))
     return out
@@ -92,7 +99,8 @@ class ImageDirReader(DataSourceReader):
         for f in self._label_filters or []:
             if isinstance(f, EqualTo) and label != f.value:
                 return False
-            if isinstance(f, In) and label not in f.values:
+            # pyspark.sql.datasource.In carries its tuple in `.value`
+            if isinstance(f, In) and label not in f.value:
                 return False
         return True
 
@@ -100,7 +108,10 @@ class ImageDirReader(DataSourceReader):
         items = [t for t in parse_label_file(self.labels_path) if self._keep(t[1])]
         n = max(1, min(self.n_partitions, len(items) or 1))
         chunks = [items[i::n] for i in range(n)]
-        return [_FileChunk(c) for c in chunks if c]
+        # a fully-pruned scan must still return ONE (empty) partition: the
+        # engine substitutes [None] for an empty partition list and calls
+        # read(None), crashing instead of yielding zero rows
+        return [_FileChunk(c) for c in chunks if c] or [_FileChunk([])]
 
     def read(self, partition: _FileChunk) -> Iterator[tuple]:
         for fname, label, sample_id in partition.items:
@@ -132,6 +143,16 @@ def register(spark) -> None:
 
 
 def read_image_dir(spark, path: str, labels: str | None = None, partitions: int = 8):
+    """Image-directory scan as a DataFrame (id, label, data).
+
+    Sharp edge inherited from the Python DataSource planning model: once
+    an action pushes a label filter, the engine re-pickles the
+    post-pushdown source back onto the DataFrame's shared relation, so
+    the pruned state BAKES INTO this DataFrame — a later unfiltered (or
+    differently-filtered-then-unfiltered) action on the SAME DataFrame
+    object replans from the pruned snapshot. Derive each distinct filter
+    set from a fresh ``read_image_dir`` call (it is metadata-cheap);
+    pinned by ``test_imagedir_in_filter_empty_result_and_malformed_lines``."""
     register(spark)
     reader = spark.read.format(FORMAT_NAME).option("path", path).option(
         "partitions", str(partitions)

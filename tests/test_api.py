@@ -53,3 +53,32 @@ def test_features_after_train(spark, source):
     feats = cos.features(source, ["accuracy", "loss"])
     assert feats.columns == ["SampleID", "accuracy", "loss"]
     assert feats.count() == 500
+
+
+def test_lang_id_prediction_consistent_with_scores(spark):
+    """Scores and prediction must count the SAME token stream: a tab/
+    double-space-separated text used to score one language but predict
+    another in the same row (r7 self-review finding)."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.functions.text import lang_id_score, predict_lang
+
+    df = spark.createDataFrame(
+        [("the\tthe\tthe und der ist",), ("le la   les et  oui",)], "text string"
+    )
+    rows = df.select(
+        *[lang_id_score(F.col("text"), lg).alias(lg) for lg in ("en", "de", "fr", "es")],
+        predict_lang(F.col("text")).alias("pred"),
+    ).collect()
+    for r in rows:
+        scores = {lg: r[lg] for lg in ("en", "de", "fr", "es")}
+        if sum(scores.values()) == 0:
+            assert r["pred"] == "und"
+        else:
+            best = max(scores.values())
+            winners = [lg for lg in ("en", "de", "fr", "es") if scores[lg] == best]
+            assert r["pred"] == winners[0], (scores, r["pred"])
+    # single-space semantics: the tab-joined "the\tthe\tthe" is ONE
+    # non-marker token, so German's 3 space-separated markers win — and
+    # crucially the prediction now AGREES with the scores
+    assert rows[0]["en"] == 0 and rows[0]["de"] == 3 and rows[0]["pred"] == "de"

@@ -156,7 +156,8 @@ def test_binary_to_dataframe(spark, tmp_path_factory):
     df = binary_to_dataframe(spark, f"{d}/*.bin", str(d / "labels.txt"))
     rows = {r["SampleID"]: r for r in df.collect()}
     assert rows["s0"]["label"] == 0 and bytes(rows["s0"]["data"]) == b"\x01\x02"
-    assert rows["img1.bin"]["label"] == 1  # id defaults to filename
+    assert rows["img1"]["label"] == 1  # id defaults to the filename STEM
+    # (matches imagedir.parse_label_file so ids join across ingest paths)
 
 
 def test_heavy_hitters_match_exact_counts(spark, sf_smoke):
@@ -215,3 +216,36 @@ def test_redact_pii_planted(spark, tmp_path):
     assert out[5]["was_redacted"] == 0
     assert out[6]["clean_text"] == "sha bf90a1234567890c and id X12345678901"
     assert out[6]["was_redacted"] == 0
+
+
+def test_caption_encode_oracle_parity_on_punctuated_text(spark, tmp_path):
+    """The caption oracle reproduces the REAL reference tokenizer
+    (word/punct runs), so punctuated / multi-space text must still
+    hash-match — the old single-space oracle only agreed on clean
+    fixtures (r7 self-review finding)."""
+    import os
+
+    import duckdb
+
+    from caffeonspark_spark.etl.tools import ORACLE_CAPTION_ENCODE, caption_encode_docs
+
+    rows = [
+        (1, "Hello, world. This is A-B test text!", "en", "s", 37),
+        (2, "the  quick   brown fox. over, under & through", "en", "s", 46),
+        (3, "...", "en", "s", 3),  # tokenizes to nothing (bare periods)
+    ]
+    d = tmp_path / "punct"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, caption_encode_docs(spark, str(d)).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(ORACLE_CAPTION_ENCODE).fetchall()))
+    con.close()
+    assert got == want, (got, want)

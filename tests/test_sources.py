@@ -165,6 +165,37 @@ def test_imagedir_filter_pushdown_prunes_files(spark, tmp_path):
     assert got == ["f_0", "f_2", "f_4"]
 
 
+def test_imagedir_in_filter_empty_result_and_malformed_lines(spark, tmp_path):
+    """r7 self-review regressions: (1) a pushed `label IN (...)` predicate
+    reads pyspark's In.value (the crash was `.values`); (2) a scan where
+    every entry is pruned yields an EMPTY DataFrame, not a read(None)
+    crash; (3) filename-only / non-integer-label lines are skipped like
+    the Spark-side parser of the same grammar."""
+    from caffeonspark_spark.sources.imagedir import read_image_dir
+
+    d = tmp_path / "imgs3"
+    d.mkdir()
+    lines = []
+    for i in range(4):
+        name = f"g_{i}.bin"
+        (d / name).write_bytes(b"y" * (i + 1))
+        lines.append(f"{name} {i}")
+    lines.append("orphan.bin")  # filename-only: must be skipped
+    lines.append("bad.bin notanint")  # non-integer label: must be skipped
+    (d / "labels.txt").write_text("\n".join(lines) + "\n")
+
+    df = read_image_dir(spark, str(d), partitions=2)
+    got = sorted(r["id"] for r in df.where("label in (1, 3)").collect())
+    assert got == ["g_1", "g_3"]
+    assert df.where("label = 999").count() == 0
+    # pushed filters BAKE INTO a DataFrame's relation (the engine
+    # re-pickles the post-pushdown source onto the shared plan node), so
+    # an unfiltered scan needs a fresh read_image_dir — the documented
+    # contract; malformed lines skipped, valid rows intact
+    fresh = read_image_dir(spark, str(d), partitions=2)
+    assert fresh.count() == 4
+
+
 def test_eventgen_stream_source_exactly_once(spark):
     """Custom streaming DataSource: offset-managed micro-batches deliver
     every generated row exactly once, values being a pure function of the

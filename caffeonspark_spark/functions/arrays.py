@@ -90,9 +90,17 @@ def favg(col: Column | str, scale: int = FLOAT_SCALE) -> Column:
 def vector_mean_long(df: DataFrame, array_col: str, group_cols: list[str] | None = None) -> DataFrame:
     """Element-wise mean of a float-array column, long form ``(pos, mean_val)``.
 
-    Semantics of the reference ``VectorMean`` UDAF (``VectorMean.scala:38-62``):
-    element-wise double sums over every row's array, divided by row count.
-    Long form (one row per element index) keeps the result a plain relational
+    Semantics of the reference ``VectorMean`` UDAF (``VectorMean.scala:38-62``)
+    on its input class: element-wise double sums over every row's array,
+    divided by the number of contributing rows. On the reference's input —
+    fixed-length blobs, where every row contributes every position — that
+    row count and this implementation's PER-POSITION count are the same
+    number. On ragged arrays (which the reference UDAF never sees and
+    would mis-sum) the per-position count is the deliberate
+    generalization: each position averages over the rows that actually
+    HAVE it, rather than diluting tail positions by rows too short to
+    contribute (pinned by ``test_vector_mean_ragged_arrays``). Long form
+    (one row per element index) keeps the result a plain relational
     table — trivially comparable to an oracle and unbounded in array length.
 
     Plan shape: posexplode (codegen'd generator) → hash agg keyed by

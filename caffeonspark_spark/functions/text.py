@@ -204,9 +204,11 @@ def doc_fingerprint_portable(col: Column | str) -> Column:
     """Order-sensitive rolling fingerprint with the portable token hash:
     fp = fold (fp*1000003 + token_hash) mod 2^31-1 over the token stream.
     Same polynomial structure as ``doc_fingerprint`` with xxhash64 swapped
-    for cross-engine arithmetic — whitespace-normalization semantics are
-    identical."""
-    th = F.transform(tokenize(col), portable_token_hash)
+    for cross-engine arithmetic. Tokenizes with ``space_tokens`` — the
+    single-space oracle-parity definition every other dedup operator uses;
+    the old \\s+ tokenize diverged from the DuckDB oracle on tabs/
+    newlines/double spaces (r7 self-review finding)."""
+    th = F.transform(space_tokens(col), portable_token_hash)
     return F.aggregate(
         th,
         F.lit(0).cast("long"),
@@ -223,8 +225,10 @@ def doc_fingerprint(col: Column | str) -> Column:
     Detects exact/near-exact (whitespace-normalized) duplicates with a single
     long value per document — the cheap first pass before MinHash at scale.
     (Not oracle-checked: xxhash64 is Spark-specific; covered by unit tests.)
+    Same ``space_tokens`` stream as the portable twin, so the two
+    fingerprint families group documents identically.
     """
-    toks = tokenize(col)
+    toks = space_tokens(col)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),

@@ -165,9 +165,9 @@ def unpersist_cached() -> None:
         _SESSION_REFS.clear()
 
 
-def _tokens(df: DataFrame, text_col: str = "text") -> F.Column:
-    from caffeonspark_spark.functions.text import space_tokens
-
+def _tokens(text_col: str = "text") -> F.Column:
+    """Module-shared tokenizer alias: delegates to the single-space
+    oracle-parity ``space_tokens`` definition."""
     return space_tokens(text_col)
 
 
@@ -295,7 +295,7 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     # shingle explosion dominates this path; rebalance 1-task scans (cap:
     # more partitions than ~16 just pays task/Python-worker startup here)
     df = scale_out(df, min(16, df.sparkSession.sparkContext.defaultParallelism))
-    toks = _tokens(df, text_col)
+    toks = _tokens(text_col)
     sh = F.array_distinct(ngrams(toks, n=n))
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -436,7 +436,7 @@ def remove_dup_passages(
     ``xxhash64(gram)`` (string grams kept here for oracle parity), exactly
     as documented on ``dup_ngram_stats``.
     """
-    toks = _tokens(df, text_col)
+    toks = _tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("ts"))
     pos_grams = base.where(F.size("ts") >= n).select(
         id_col, F.posexplode(ngrams(F.col("ts"), n=n)).alias("gpos0", "gram")
@@ -1031,7 +1031,7 @@ def _simhash_agg(tf: DataFrame, h: F.Column, bits: int, id_col: str) -> DataFram
 
 
 def _tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = df.select(F.col(id_col), F.explode(_tokens(df, text_col)).alias("token"))
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
     return toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
 
 
@@ -1398,11 +1398,17 @@ def connected_components(
     localCheckpointed per round to cut the exponential lineage an iterative
     plan otherwise builds.
     """
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # the edge list is re-joined EVERY round; without the pin each
+        # iteration re-executed the full upstream plan (for neardup
+        # clusters: the banded LSH self-join + top-N sort) once per round
+        .localCheckpoint(eager=False)
     )
     nodes = both.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.v == labels.node)
@@ -1434,7 +1440,17 @@ def connected_components(
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting max_iter while labels were STILL changing means the
+        # returned components are split mid-propagation — silently wrong
+        # groups for any chain longer than max_iter hops; fail loudly so
+        # the caller raises max_iter instead of keeping extra duplicates
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -56,15 +56,28 @@ def fixed_size_partitions(df: DataFrame, part_len: int, order_cols: list[str]) -
     """Physically repartition so each Spark partition holds exactly the rows
     of one ``_part`` group (``FixedSizePartitioner`` semantics).
 
+    Placement is an IDENTITY partitioner over the dense ``_part`` id via
+    ``RDD.partitionBy`` — hash ``repartition(n, _part)`` put multiple
+    groups in one partition under murmur3 collisions and left others
+    empty, silently breaking the exactly-``part_len`` contract the
+    training interleave math depends on (r7 self-review finding). The
+    RDD round-trip is the one place the engine needs a custom
+    partitioner, exactly like the reference's FixedSizePartitioner; the
+    partition count comes from a plain count() (the global row_number
+    ordering pass runs ONCE, in the repartition job, not twice).
+
     Note the global ``row_number`` is a single-ordering pass — at 100 TB,
     prefer ``repartitionByRange`` on a pre-computed dense key when the data
     already carries one; this operator is for training-feed correctness, not
     bulk ETL.
     """
+    n = max(1, -(-df.count() // part_len))
     tagged = with_fixed_size_partition_ids(df, part_len, order_cols)
-    n_parts = tagged.agg(F.max(PART_COL)).first()[0]
-    n = int(n_parts) + 1 if n_parts is not None else 1
-    return tagged.repartition(n, F.col(PART_COL)).sortWithinPartitions(PART_COL, ROW_COL)
+    part_idx = tagged.columns.index(PART_COL)
+    keyed = tagged.rdd.map(lambda r: (r[part_idx], r))
+    placed = keyed.partitionBy(n, lambda k: int(k)).values()
+    out = tagged.sparkSession.createDataFrame(placed, tagged.schema)
+    return out.sortWithinPartitions(PART_COL, ROW_COL)
 
 
 def partition_window(df: DataFrame, window_idx: int, windows_total: int, part_len: int,
@@ -132,11 +145,22 @@ def salted_equi_join(
     The classic fix when one hot key overwhelms a task: the hot key's rows
     spread over ``n_salt`` tasks at the cost of replicating the right side
     ``n_salt``× (use for large⋈medium; AQE skew-join handles large⋈large).
-    Salt is deterministic — ``xxhash64`` of a unique left column — so runs
-    are reproducible.
+    Salt is deterministic: ``xxhash64`` of ``left_unique`` when given,
+    else ``xxhash64`` over ALL left columns — a pure function of row
+    content, so reruns and shuffle-retry recomputations salt identically
+    (``monotonically_increasing_id`` depended on task layout: two runs
+    salted differently and a fetch-failure retry could re-salt rows whose
+    prior shuffle output was already consumed — the classic
+    nondeterministic-expression-upstream-of-shuffle hazard; r7
+    self-review finding). Identical duplicate rows share a salt, which
+    only matters if the hot key's rows are literal full-row duplicates.
     """
-    salt_src = F.col(left_unique) if left_unique else F.monotonically_increasing_id()
-    l_s = left.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    salt_src = (
+        F.xxhash64(F.col(left_unique))
+        if left_unique
+        else F.xxhash64(*[F.col(c) for c in left.columns])
+    )
+    l_s = left.withColumn("_salt", F.pmod(salt_src, F.lit(n_salt)).cast("int"))
     r_s = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
@@ -205,7 +229,9 @@ def hot_key_salted_join(
     Strictly better than full salting at scale: replication cost is paid on
     the handful of hot keys instead of the whole right table. The hot-key
     set is broadcast (bounded: few keys exceed any sane threshold by
-    definition). Result rows == plain ``left.join(right, key)``.
+    definition). Result rows == plain ``left.join(right, key)``. Salt is
+    content-deterministic like ``salted_equi_join`` (retry-safe; see its
+    docstring).
     """
     hot = (
         left.groupBy(key)
@@ -213,14 +239,18 @@ def hot_key_salted_join(
         .where(F.col("_n") > hot_threshold)
         .select(key, F.lit(True).alias("_hot"))
     )
-    salt_src = F.col(left_unique) if left_unique else F.monotonically_increasing_id()
+    salt_src = (
+        F.xxhash64(F.col(left_unique))
+        if left_unique
+        else F.xxhash64(*[F.col(c) for c in left.columns])
+    )
     l_tag = (
         left.join(F.broadcast(hot), key, "left")
         .withColumn(
             "_salt",
             F.when(
                 F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"),
+                F.pmod(salt_src, F.lit(n_salt)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("_hot")

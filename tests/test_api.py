@@ -82,3 +82,16 @@ def test_lang_id_prediction_consistent_with_scores(spark):
     # non-marker token, so German's 3 space-separated markers win — and
     # crucially the prediction now AGREES with the scores
     assert rows[0]["en"] == 0 and rows[0]["de"] == 3 and rows[0]["pred"] == "de"
+
+
+def test_vector_mean_ragged_arrays(spark):
+    """Per-position semantics on ragged input: each position averages the
+    rows that actually have it (the deliberate generalization of the
+    reference's fixed-length VectorMean — documented in arrays.py)."""
+    from caffeonspark_spark.functions.arrays import vector_mean_long
+
+    df = spark.createDataFrame(
+        [([1.0],), ([3.0, 5.0],)], "v array<float>"
+    )
+    out = {r["pos"]: r["mean_val"] for r in vector_mean_long(df, "v").collect()}
+    assert out == {0: 2.0, 1: 5.0}

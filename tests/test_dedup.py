@@ -547,3 +547,56 @@ def test_winnow_overlap_pairs_planted(spark, tmp_path):
              for r in winnow_overlap_pairs(spark, str(d)).collect()}
     assert pairs.get((1, 2), 0) >= 2, pairs
     assert all({a, b} == {1, 2} for a, b in pairs), pairs
+
+
+def test_fingerprint_oracle_parity_on_hostile_whitespace(spark, tmp_path):
+    """The portable fingerprint tokenizes single-space like its oracle:
+    tab/newline/double-space text must still hash-match (the old \\s+
+    tokenize diverged from string_split — r7 self-review finding), and
+    whitespace variants that single-space semantics distinguish stay
+    distinguished on BOTH engines."""
+    import os
+
+    import duckdb
+
+    from caffeonspark_spark.operators.dedup import (
+        ORACLE_DEDUP_FINGERPRINT,
+        dedup_fingerprint_docs,
+    )
+
+    rows = [
+        (1, "alpha\tbeta gamma", "en", "s", 16),
+        (2, "alpha  beta gamma", "en", "s", 17),  # double space == single
+        (3, "alpha beta gamma", "en", "s", 16),
+        (4, "line one\nline two", "en", "s", 17),
+    ]
+    d = tmp_path / "fpws"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, dedup_fingerprint_docs(spark, str(d)).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(ORACLE_DEDUP_FINGERPRINT).fetchall()))
+    con.close()
+    assert got == want, (got, want)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter hops must raise, not silently return
+    split components (r7 self-review finding); with enough iterations the
+    same chain converges to one component."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )  # chain 0-1-2-...-6, diameter 6
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 7

@@ -364,3 +364,28 @@ def test_leakage_safe_split_groups_near_dups(spark, tmp_path):
     assert raw[1] != raw[23]
     # singleton: own group, plain verdict
     assert out[5]["group_id"] == 5
+
+
+def test_fixed_size_partitions_exact_placement(spark):
+    """The physical form's contract: each Spark partition holds EXACTLY
+    one _part group (identity partitioner) — hash repartition colocated
+    colliding groups and left other partitions empty (r7 self-review)."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.operators.partitioning import (
+        PART_COL,
+        fixed_size_partitions,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    out = fixed_size_partitions(df, part_len=10, order_cols=["k"])  # 100 groups
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(PART_COL).alias("n_groups"),
+        )
+        .collect()
+    )
+    assert len(per_part) == 100
+    assert all(r["n"] == 10 and r["n_groups"] == 1 for r in per_part), per_part[:5]

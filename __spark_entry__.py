@@ -388,6 +388,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": D.winnow_overlap_pairs,
         # --- r7: leakage-safe split (near-dup clusters share one split) ---
         "leakage_safe_split": SA.leakage_safe_split,
+        # --- r7: stream-stream interval join driven to completion (the one
+        # streaming operator class the window-parity trio doesn't touch) ---
+        "stream_join_parity": SW.stream_join_parity,
+        # --- r7: ordered funnel (view→click→purchase) + recency-decay score
+        "funnel_conversion": TP.funnel_conversion_query,
+        "decayed_engagement": TP.decayed_engagement_query,
+        # --- r7: corpus-drift monitor: per-source KL vs corpus unigram mix
+        "source_kl_divergence": TX.source_kl_divergence,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -809,6 +817,10 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": D.ORACLE_WINNOW_FINGERPRINTS,
         "winnow_overlap_pairs": D.ORACLE_WINNOW_OVERLAP_PAIRS,
         "leakage_safe_split": SA.ORACLE_LEAKAGE_SAFE_SPLIT,
+        "stream_join_parity": SW.ORACLE_STREAM_JOIN_PARITY,
+        "funnel_conversion": TP.ORACLE_FUNNEL_CONVERSION,
+        "decayed_engagement": TP.ORACLE_DECAYED_ENGAGEMENT,
+        "source_kl_divergence": TX.ORACLE_SOURCE_KL_DIVERGENCE,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -447,3 +447,171 @@ ORACLE_ASOF_FORWARD = """
     FROM events e
     WHERE e.event_type = 'purchase'
 """
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase) per user — the
+    event-sequence report behind conversion dashboards and, in a training
+    pipeline, behind "did this interaction sequence complete" labeling.
+    No reference counterpart (the reference is batch-relational only);
+    LLM-pipeline extension on the events table.
+
+    Semantics: stage k counts only if it happens AT/AFTER the user's first
+    completion of stage k-1 (first view, then first click >= that view,
+    then first purchase >= that click). Per user: each stage's timestamp
+    (NULL once the chain breaks) and the reached depth 0-3.
+
+    Plan shape: THREE conditional aggregations over one shuffle on
+    user_id — stage k is min(ts) FILTERed by type and by the stage-(k-1)
+    column, computed with chained window-free aggs via self-contained
+    conditional re-aggregation: one groupBy produces first_view; events
+    re-join by user_id (broadcastable per-user scalars at any scale since
+    the per-user table is |users| rows) for the next stage. Everything is
+    timestamp min/max — integer-exact in both engines.
+    """
+    e = events.select("user_id", "event_type", "ts")
+    fv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view")
+    )
+    fc = (
+        e.join(fv, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click")
+        )
+    )
+    fp = (
+        e.join(fc, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    return (
+        fv.join(fc, "user_id")
+        .join(fp, "user_id")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.when(F.col("first_purchase").isNotNull(), F.lit(3))
+                .when(F.col("first_click").isNotNull(), F.lit(2))
+                .when(F.col("first_view").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+def funnel_conversion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL_CONVERSION = """
+    WITH fv AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+        FROM events GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'click' AND e.ts >= fv.first_view
+                   THEN e.ts END) AS first_click
+        FROM events e JOIN fv USING (user_id) GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts >= fc.first_click
+                   THEN e.ts END) AS first_purchase
+        FROM events e JOIN fc USING (user_id) GROUP BY e.user_id
+    )
+    SELECT user_id, first_view, first_click, first_purchase,
+           CASE WHEN first_purchase IS NOT NULL THEN 3
+                WHEN first_click IS NOT NULL THEN 2
+                WHEN first_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_depth
+    FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
+"""
+
+
+def decayed_engagement(events: DataFrame, halflife_days: int = 1) -> DataFrame:
+    """Exponential time-decay weighted engagement score per user — the
+    recency-weighted aggregation used for freshness-aware sampling weights
+    (recent interactions matter more) and user-activity ranking. No
+    reference counterpart; LLM-pipeline extension.
+
+    weight = 0.5 ** floor(age_days / halflife_days) with age measured from
+    the corpus max event time. The exponent is kept INTEGER so the weight
+    is an exact power of two (0.5**n is exactly representable; libm pow on
+    both engines returns the exact value for exactly-representable
+    results). Each contribution value*weight is one IEEE multiply,
+    FLOORED onto the 1e-9 grid and summed as exact integer nano-units —
+    floor, not the usual bround grid: two-decimal values times 2^-n
+    terminate exactly on round-grid midpoints, where Spark's bround
+    (exact-binary half-even) and DuckDB's double→decimal cast
+    (shortest-repr rounding) disagree; floor has no tie to disagree on.
+
+    Plan shape: one 1-row max(ts) aggregate broadcast back (crossJoin with
+    a 1-row frame is a BroadcastNestedLoopJoin of one row), then a single
+    hash aggregation on user_id with map-side partials — two scans, one
+    shuffle, no window. At 100 TB the max-ts scalar would come from
+    partition metadata (max stats) for free.
+    """
+    ref = events.agg(F.max("ts").alias("ref_ts"))
+    # epoch seconds of a TIMESTAMP_NTZ via exact integer arithmetic from the
+    # epoch (NTZ→long casts are illegal and unix_timestamp() would drag the
+    # session timezone in); `div` floors like the oracle's epoch_us//1000000
+    epoch_s = (
+        lambda c: F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+            " div 1000000"
+        )
+    )
+    aged = events.crossJoin(F.broadcast(ref)).withColumn(
+        "w",
+        F.pow(
+            F.lit(0.5),
+            F.floor(
+                (epoch_s("ref_ts") - epoch_s("ts"))
+                / F.lit(86400.0 * halflife_days)
+            ).cast("double"),
+        ),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * F.col("w") * F.lit(1e9)))
+            / F.lit(1e9)
+        ).alias("decayed_value"),
+    )
+
+
+def decayed_engagement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decayed_engagement(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_DECAYED_ENGAGEMENT = """
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(
+               value * power(0.5, floor((epoch_us(ref_ts) // 1000000
+                                         - epoch_us(ts) // 1000000)
+                                        / 86400.0))
+               * 1e9) AS BIGINT)) AS BIGINT) / 1e9 AS decayed_value
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+"""

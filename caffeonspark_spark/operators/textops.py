@@ -991,3 +991,70 @@ ORACLE_NGRAM_LM_SCORE = """
     JOIN ctxc x USING (ctx)
     GROUP BY b.doc_id
 """
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift report: KL divergence of each source's token
+    distribution from the whole-corpus distribution,
+    ``KL(P_source ‖ P_corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))`` over
+    the tokens the source actually uses. High KL = the source's unigram
+    mix is far from the corpus — the distribution-shift monitor a
+    training-data pipeline watches when adding a crawl batch. No
+    reference counterpart; LLM-pipeline extension.
+
+    Determinism: every probability is one IEEE division of exact BIGINT
+    counts, the ln chain lands each term on the bround(9) grid and the
+    per-source sum is exact decimal (the ``bm25_rank`` doctrine — libm
+    ``ln`` is equally rounded across engines only term-by-term, never
+    through a float accumulation).
+
+    Plan shape: ONE token explode feeds a (source, token) hash agg; the
+    token totals and source totals are re-aggregations of that (already
+    vocab-sized) table, not of the corpus; final join is
+    vocab-sized × ~sources. At 100 TB the only corpus-scan work is the
+    explode+count — everything downstream is vocabulary-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_toks()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    n_total = t_tot.agg(F.sum("n_t").alias("n_total"))
+    p_s = F.col("n_st") / F.col("n_s")
+    p_c = F.col("n_t") / F.col("n_total")
+    contrib = p_s * F.log(p_s / p_c)
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "token")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.bround(contrib, 9).cast("decimal(30,9)"))
+            .cast("double")
+            .alias("kl_divergence"),
+        )
+    )
+
+
+ORACLE_SOURCE_KL_DIVERGENCE = """
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    st AS (SELECT source, token, COUNT(*) AS n_st FROM tok GROUP BY source, token),
+    s_tot AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    t_tot AS (SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY token),
+    n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM t_tot)
+    SELECT source,
+           COUNT(*) AS n_distinct_tokens,
+           CAST(SUM(CAST(
+               (n_st / n_s) * ln((n_st / n_s) / (n_t / n_total))
+               AS DECIMAL(30,9))) AS DOUBLE) AS kl_divergence
+    FROM st JOIN s_tot USING (source) JOIN t_tot USING (token) CROSS JOIN n
+    GROUP BY source
+"""

@@ -181,14 +181,18 @@ def _read_events_ntz_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARITY_LAST: dict[str, str] = {}
 
 
-def _run_parity(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
-    """Run a complete-mode parity aggregation to the memory sink and
-    return its table. The PREVIOUS invocation's table for the same tag is
-    dropped first — memory-sink tables hold the full result in driver
-    memory, so repeated invocations (bench best-of-N, driver re-runs)
-    must not accumulate one copy per call. Consequence: only the most
-    recent DataFrame per tag stays readable, which matches how the driver
-    consumes a query (collect immediately after calling it)."""
+def _run_parity(
+    spark: SparkSession, agg: DataFrame, tag: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a parity streaming query to the memory sink and return its
+    table (complete mode for aggregations; append for stream-stream
+    joins, whose inner results are emitted on match). The PREVIOUS
+    invocation's table for the same tag is dropped first — memory-sink
+    tables hold the full result in driver memory, so repeated invocations
+    (bench best-of-N, driver re-runs) must not accumulate one copy per
+    call. Consequence: only the most recent DataFrame per tag stays
+    readable, which matches how the driver consumes a query (collect
+    immediately after calling it)."""
     _PARITY_SEQ[0] += 1
     name = f"stream_{tag}_parity_{_PARITY_SEQ[0]}"
     prev = _PARITY_LAST.get(tag)
@@ -197,7 +201,7 @@ def _run_parity(spark: SparkSession, agg: DataFrame, tag: str) -> DataFrame:
             spark.catalog.dropTempView(prev)
         except Exception:  # other session / already gone
             pass
-    run_to_memory(agg, name, output_mode="complete")
+    run_to_memory(agg, name, output_mode=output_mode)
     _PARITY_LAST[tag] = name
     return spark.table(name)
 
@@ -279,6 +283,57 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_parity(spark, agg, "session")
+
+
+def stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join parity row: attribute each purchase to every
+    click by the same user in the preceding 2 hours, run as a REAL
+    Structured Streaming inner join (two file-source streams → interval
+    equi-join → memory sink, driven to completion) and hash-checked
+    against the batch interval self-join SQL. Pins the stream-stream join
+    path itself — the one streaming operator class the window-parity trio
+    does not touch.
+
+    The parity run joins on TIMESTAMP_NTZ event time and carries NO
+    watermark: inner stream-stream joins emit on match (emission never
+    waits on a watermark), so run-to-completion output is the full match
+    set, and NTZ keeps the result timezone-independent for the driver
+    compare (watermarks require TIMESTAMP). The production form is
+    ``stream_stream_interval_join`` — watermarked on both sides with the
+    same interval bound so join state is garbage-collected past the
+    horizon (O(rate × horizon), pytest-pinned in test_streaming.py);
+    unbounded state here is confined to the verification harness."""
+    raw = _read_events_ntz_stream(spark, sf_dir)
+    l = raw.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = raw.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    joined = l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+        "inner",
+    ).select("l_key", "l_event_id", "l_ts", "r_event_id", "r_ts")
+    return _run_parity(spark, joined, "join", output_mode="append")
+
+
+ORACLE_STREAM_JOIN_PARITY = """
+    SELECT l.user_id AS l_key, l.event_id AS l_event_id, l.ts AS l_ts,
+           r.event_id AS r_event_id, r.ts AS r_ts
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 2 HOUR
+     AND r.ts <= l.ts
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+"""
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):

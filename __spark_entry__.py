@@ -396,6 +396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_engagement": TP.decayed_engagement_query,
         # --- r7: corpus-drift monitor: per-source KL vs corpus unigram mix
         "source_kl_divergence": TX.source_kl_divergence,
+        # --- r7: content-defined chunking (FastCDC shape, edit-stable) ---
+        "cdc_chunk_documents": TX.cdc_chunk_documents,
+        # --- r7: PageRank canonical-pick score over the near-dup graph ---
+        "neardup_pagerank": D.neardup_pagerank,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -821,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": TP.ORACLE_FUNNEL_CONVERSION,
         "decayed_engagement": TP.ORACLE_DECAYED_ENGAGEMENT,
         "source_kl_divergence": TX.ORACLE_SOURCE_KL_DIVERGENCE,
+        "cdc_chunk_documents": TX.ORACLE_CDC_CHUNK,
+        "neardup_pagerank": D.ORACLE_NEARDUP_PAGERANK,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -1825,3 +1825,127 @@ ORACLE_WINNOW_OVERLAP_PAIRS = (
     ORDER BY doc_a, doc_b
 """
 )
+
+
+# --- 9. PageRank over the near-dup graph ---------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — the graph
+    centrality score corpus-curation pipelines use to pick the canonical
+    member of a duplicate cluster (the most-connected near-dup is the one
+    every variant derives from) and, at web scale, to quality-weight
+    domains. Returns ``(node, pagerank)``. No reference counterpart
+    (the reference has no graph operators); LLM-pipeline extension.
+
+    The iterative-operator pattern of ``connected_components`` /
+    ``kmeans_fit``: each iteration is one equi-join of the edge list with
+    the rank table plus one hash aggregation; ranks are materialized per
+    round (localCheckpoint) to truncate iterative lineage. The node count
+    is the only driver scalar (same metadata-size class as the k-means
+    centroid collect).
+
+    Cross-engine determinism (the floor-grid doctrine of
+    ``decayed_engagement``): rank/degree divisions are IEEE-exact, each
+    edge contribution is FLOORED onto the 1e-12 grid and summed as exact
+    integer units (powers-of-two rank values otherwise land exactly on
+    round-grid midpoints where bround and DuckDB's decimal cast
+    disagree); the damping update is two IEEE ops in a fixed order. The
+    unrolled-CTE oracle replays the identical arithmetic.
+    """
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    spark = edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "node long, pagerank double")
+    base = float(1.0 - damping) / n
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("rank"))
+    cores = spark.sparkContext.defaultParallelism
+    for _ in range(iters):
+        contrib = (
+            both.join(deg, "u")
+            .join(ranks, both.u == ranks.node)
+            .select(
+                F.col("v"),
+                F.floor(F.col("rank") / F.col("deg") * F.lit(1e12)).alias("cgrid"),
+            )
+        )
+        ranks = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.sum("cgrid") / F.lit(1e12))
+                ).alias("rank")
+            )
+            .coalesce(cores)
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def neardup_pagerank(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Declared query: PageRank over the MinHash-LSH near-duplicate graph
+    (the canonical-pick score per dedup cluster member). Edges are the
+    native xxhash64 banded pairs; the oracle replays the portable pair set
+    (identical on this corpus, as pinned by ``minhash_native_consistency``)
+    through a 3-iteration unrolled-CTE PageRank with the same floor-grid
+    arithmetic."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, top=10**6)
+    return pagerank(pairs).orderBy("node")
+
+
+def _oracle_neardup_pagerank(
+    threshold: float = 0.5, iters: int = 3, damping: float = 0.85
+) -> str:
+    it = """
+    r{k} AS (
+        SELECT e.v AS node,
+               (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * (CAST(SUM(CAST(floor(r.rank / d.deg * 1e12) AS BIGINT))
+                             AS BIGINT) / 1e12) AS rank
+        FROM edges e
+        JOIN deg d ON e.u = d.u
+        JOIN r{p} r ON e.u = r.node
+        GROUP BY e.v
+    )"""
+    chain = ",".join(
+        it.format(k=k, p=k - 1, d=damping) for k in range(1, iters + 1)
+    )
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    {_bands_cte()},
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM est
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM est
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    {chain}
+    SELECT node, rank AS pagerank FROM r{iters} ORDER BY node
+"""
+
+
+ORACLE_NEARDUP_PAGERANK = _oracle_neardup_pagerank()

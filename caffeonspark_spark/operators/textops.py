@@ -1058,3 +1058,132 @@ ORACLE_SOURCE_KL_DIVERGENCE = """
     FROM st JOIN s_tot USING (source) JOIN t_tot USING (token) CROSS JOIN n
     GROUP BY source
 """
+
+
+CDC_WINDOW = 8          # rolling-window width in chars
+CDC_DIVISOR = 64        # boundary when window-hash % divisor == 0 (~64-char chunks)
+CDC_BASE = 31           # polynomial base of the window hash
+_CDC_COEF = [CDC_BASE**j for j in range(CDC_WINDOW)]
+
+
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync shape): split each
+    document at positions where a polynomial hash of the trailing 8-char
+    window is ≡ 0 mod 64, so chunk boundaries depend on CONTENT, not
+    offsets — inserting one character early in a document only re-chunks
+    the window around the edit, which is what makes chunk-level dedup
+    robust to edits (fixed-size ``chunk_documents`` re-chunks everything
+    downstream of an insert). No reference counterpart; LLM-pipeline
+    extension used for sub-document dedup at crawl scale.
+
+    Returns ``(doc_id, chunk_idx, chunk_start, chunk_len, chunk)``.
+
+    Determinism: the window hash is exact BIGINT arithmetic
+    (codes ≤ 127 · Σ31^j ≈ 3.6e12) — no floats anywhere, so the whole
+    operator hash-matches DuckDB. ASCII corpus contract: ``ascii()``
+    returns the first codepoint in both engines.
+
+    Plan shape: per-document array work only (transform/filter higher-order
+    functions — JVM codegen, no UDF), then one posexplode; no shuffle at
+    all until a downstream consumer aggregates. The windowed sum is O(w)
+    per position; at 100 TB with a bigger window, carry the true O(1)
+    rolling update inside a single ``aggregate`` fold instead.
+    Intermediate arrays are bound to named columns (not inlined) so each
+    is evaluated once per row, not once per reference."""
+    w, dv = CDC_WINDOW, CDC_DIVISOR
+    win = " + ".join(
+        # BIGINT accumulation: code(≤127) × 31^7 overflows INT32
+        f"CAST(element_at(cs, i - {j}) AS BIGINT) * {c}"
+        for j, c in enumerate(_CDC_COEF)
+    )
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("int").alias("n")
+    )
+    staged = (
+        base.withColumn("cs", F.expr("transform(split(text, ''), ch -> ascii(ch))"))
+        .withColumn(
+            "bounds",
+            # guard: sequence(w, n) REVERSES when n < w (Spark descends);
+            # DuckDB's range(w, n+1) is empty there, and so is this branch
+            F.when(
+                F.col("n") >= w,
+                F.expr(f"filter(sequence({w}, n), i -> ({win}) % {dv} = 0)"),
+            ).otherwise(F.expr("cast(array() as array<int>)")),
+        )
+        .withColumn("starts", F.expr("concat(array(0), bounds)"))
+        .withColumn("ends", F.expr("concat(bounds, array(n))"))
+        .withColumn(
+            "chunks",
+            # a boundary on the final char yields a zero-length tail: drop it
+            F.expr(
+                "filter(transform(sequence(1, size(starts)),"
+                " k -> struct(element_at(starts, k) AS cstart,"
+                "             element_at(ends, k) - element_at(starts, k) AS clen)),"
+                " s -> s.clen > 0)"
+            ),
+        )
+    )
+    return (
+        staged.select(
+            "doc_id",
+            # OUTER posexplode on purpose: the plain form lets
+            # InferFiltersFromGenerate push a size(chunks)>0 filter below
+            # the staged projects with the WHOLE chunk tree inlined — cs
+            # re-expands at every element_at reference and the pushed
+            # filter turns O(n·w) rows into O(n²·w) (hangs at 3k-char
+            # docs). The outer form is exempt from that rule; the null
+            # row an empty array would emit is dropped right after.
+            F.posexplode_outer("chunks").alias("chunk_idx", "c"),
+            "text",
+        )
+        .where(F.col("c").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("c.cstart").alias("chunk_start"),
+            F.col("c.clen").alias("chunk_len"),
+            F.expr("substring(text, c.cstart + 1, c.clen)").alias("chunk"),
+        )
+    )
+
+
+ORACLE_CDC_CHUNK = f"""
+    WITH base AS (
+        SELECT doc_id, text, CAST(len(text) AS INT) AS n FROM documents
+    ),
+    coded AS (
+        SELECT *, list_transform(range(1, n + 1),
+                                 i -> ascii(substr(text, CAST(i AS INT), 1))) AS cs
+        FROM base
+    ),
+    bounded AS (
+        SELECT *, list_filter(range({CDC_WINDOW}, n + 1),
+                   i -> ({" + ".join(f"CAST(cs[i - {j}] AS BIGINT) * {c}" for j, c in enumerate(_CDC_COEF))})
+                        % {CDC_DIVISOR} = 0) AS bounds
+        FROM coded
+    ),
+    edged AS (
+        SELECT doc_id, text,
+               list_concat([0], bounds) AS starts,
+               list_concat(bounds, [CAST(n AS BIGINT)]) AS ends
+        FROM bounded
+    ),
+    chunked AS (
+        SELECT doc_id, text,
+               list_filter(list_transform(range(1, len(starts) + 1),
+                   k -> {{'cstart': starts[k], 'clen': ends[k] - starts[k]}}),
+                   s -> s.clen > 0) AS chunks
+        FROM edged
+    ),
+    numbered AS (
+        SELECT doc_id, text, chunks, unnest(range(1, len(chunks) + 1)) AS k
+        FROM chunked
+    )
+    SELECT doc_id,
+           CAST(k - 1 AS INT) AS chunk_idx,
+           CAST(chunks[k].cstart AS INT) AS chunk_start,
+           CAST(chunks[k].clen AS INT) AS chunk_len,
+           substr(text, CAST(chunks[k].cstart + 1 AS INT),
+                  CAST(chunks[k].clen AS INT)) AS chunk
+    FROM numbered
+"""

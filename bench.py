@@ -161,6 +161,14 @@ BENCH_QUERIES = {
     "q_winnow_overlap_pairs": D.winnow_overlap_pairs,
     "q_rrf_fusion": TX.rrf_fusion,
     "q_asof_forward": TP.asof_join_forward_query,
+    # r7: stream-stream join parity, funnel/decay analytics, corpus-drift
+    # KL, content-defined chunking, near-dup-graph PageRank
+    "q_stream_parity_join": SW.stream_join_parity,
+    "q_funnel_conversion": TP.funnel_conversion_query,
+    "q_decayed_engagement": TP.decayed_engagement_query,
+    "q_source_kl": TX.source_kl_divergence,
+    "q_cdc_chunk": TX.cdc_chunk_documents,
+    "q_neardup_pagerank": D.neardup_pagerank,
 }
 
 

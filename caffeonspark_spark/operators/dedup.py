@@ -730,26 +730,72 @@ def _bands_cte(carry: str = "") -> str:
     )"""
 
 
-def banded_signatures(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def banded_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", hashed: bool = False
+) -> DataFrame:
     """Explode a ``(id, sig)`` signature table into ``(id, sig, band_idx,
-    band)`` rows — 16 bands of 4 signature slots, band kept as the raw
-    slice so equality joins hash-match DuckDB (`_bands_cte` is the SQL
-    twin). Shared by the self-join and bipartite LSH pair paths."""
+    band)`` rows — 16 bands of 4 signature slots. ``hashed=False`` keeps
+    the band as the raw slice so equality joins hash-match DuckDB
+    (`_bands_cte` is the SQL twin); ``hashed=True`` folds each slice to an
+    8-byte xxhash64 key (the production join key — ~4× narrower shuffle
+    rows, not SQL-reproducible). Shared by the self-join and bipartite
+    LSH pair paths."""
+
+    def _band(i: int) -> F.Column:
+        s = F.slice(
+            F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND
+        )
+        return F.xxhash64(s) if hashed else s
+
     return sigs.select(
         F.col(id_col),
         "sig",
         F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        F.col("sig"),
-                        i * MINHASH_ROWS_PER_BAND + 1,
-                        MINHASH_ROWS_PER_BAND,
-                    )
-                    for i in range(MINHASH_BANDS)
-                ]
-            )
+            F.array(*[_band(i) for i in range(MINHASH_BANDS)])
         ).alias("band_idx", "band"),
+    )
+
+
+def _est_jaccard(sig_a: F.Column, sig_b: F.Column) -> F.Column:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.lit(float(MINHASH_PERMS))
+    )
+
+
+def _banded_candidate_pairs(
+    bands_a: DataFrame,
+    bands_b: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    self_pairs: bool,
+) -> DataFrame:
+    """Candidate near-dup pairs from two banded signature tables: equi-join
+    on ``(band_idx, band)``, estimate Jaccard from the already-joined
+    signature arrays BEFORE the pair-dedup so that shuffle moves 3 scalars
+    per candidate rather than two 64-long arrays, then distinct per pair.
+    ``self_pairs=True`` adds the ``a.id < b.id`` half-triangle predicate
+    (self-join dedup); ``False`` keeps the full bipartite cross product
+    (new batch × kept corpus). The ONE copy of the block the self-join,
+    portable-twin and cross-corpus paths previously each carried."""
+    a, b = bands_a.alias("a"), bands_b.alias("b")
+    cond = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.band") == F.col("b.band")
+    )
+    if self_pairs:
+        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            _est_jaccard(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
+        )
+        .dropDuplicates([out_a, out_b])
     )
 
 
@@ -781,46 +827,8 @@ def minhash_lsh_pairs_df(
     # One row of 64 longs per doc ≈ 0.5 KB — at 100 TB this is the
     # signatures table you'd write out once and join against.
     sigs = _persist_replacing("minhash_sigs", minhash_signatures(docs))
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice(F.col("sig"), i * MINHASH_ROWS_PER_BAND + 1, MINHASH_ROWS_PER_BAND)
-                    )
-                    for i in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            # estimate BEFORE the pair-dedup so its shuffle moves 3 scalars
-            # per candidate, not two 64-long signature arrays
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.lit(float(MINHASH_PERMS))
-            ).alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    bands = banded_signatures(sigs, hashed=True)
+    cand = _banded_candidate_pairs(bands, bands, "doc_id", "id_a", "id_b", True)
     return (
         cand.where(F.col("est_jaccard") >= threshold)
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
@@ -854,29 +862,7 @@ def minhash_lsh_pairs_portable_df(
         minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col),
     )
     bands = banded_signatures(sigs, id_col)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.lit(float(MINHASH_PERMS))
-            ).alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _banded_candidate_pairs(bands, bands, id_col, "id_a", "id_b", True)
     return cand.where(F.col("est_jaccard") >= threshold)
 
 
@@ -1571,40 +1557,14 @@ def dedup_against_corpus_df(
     """
     sig_new = minhash_signatures_portable_df(new_docs, id_col=id_col, text_col=text_col)
     sig_ref = minhash_signatures_portable_df(ref_docs, id_col=id_col, text_col=text_col)
-
-    def _bands(sigs: DataFrame, out_id: str) -> DataFrame:
-        return banded_signatures(sigs, id_col).select(
-            F.col(id_col).alias(out_id),
-            F.col("sig").alias(f"{out_id}_sig"),
-            "band_idx",
-            "band",
-        )
-
-    a = _bands(sig_new, "new_id")
-    b = _bands(sig_ref, "ref_id").withColumnsRenamed(
-        {"band_idx": "r_band_idx", "band": "r_band"}
-    )
-    return (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("r_band_idx")) & (F.col("band") == F.col("r_band")),
-        )
-        .select(
-            "new_id",
-            "ref_id",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("new_id_sig"), F.col("ref_id_sig"), lambda x, y: x == y),
-                        lambda eq: eq,
-                    )
-                ).cast("double")
-                / F.lit(float(MINHASH_PERMS))
-            ).alias("est_jaccard"),
-        )
-        .dropDuplicates(["new_id", "ref_id"])
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    return _banded_candidate_pairs(
+        banded_signatures(sig_new, id_col),
+        banded_signatures(sig_ref, id_col),
+        id_col,
+        "new_id",
+        "ref_id",
+        self_pairs=False,
+    ).where(F.col("est_jaccard") >= threshold)
 
 
 def split_corpus_by_source(docs: DataFrame, boundary: int = 10):

@@ -1,0 +1,162 @@
+"""Semantic pins for the round-7 pipeline additions (funnel, decay, CDC
+chunking, PageRank) — planted-input tests of the PROPERTIES each operator
+sells, complementing the value-level oracle sweep in test_oracle_queries."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+class TestFunnelConversion:
+    def test_order_matters(self, spark):
+        """A click BEFORE the first view must not count as stage 2 — the
+        funnel is ordered, not a per-type existence check."""
+        from caffeonspark_spark.operators.temporal import funnel_conversion
+
+        rows = [
+            # user 1: click at t0, view at t1 -> depth 1 (click precedes view)
+            (1, _ts(0), 1, "click", 1.0),
+            (2, _ts(1), 1, "view", 1.0),
+            # user 2: proper view -> click -> purchase chain -> depth 3
+            (3, _ts(0), 2, "view", 1.0),
+            (4, _ts(1), 2, "click", 1.0),
+            (5, _ts(2), 2, "purchase", 1.0),
+            # user 3: purchase before click (click after view) -> depth 2
+            (6, _ts(0), 3, "view", 1.0),
+            (7, _ts(1), 3, "purchase", 1.0),
+            (8, _ts(2), 3, "click", 1.0),
+            # user 4: no view at all -> depth 0
+            (9, _ts(0), 4, "purchase", 1.0),
+        ]
+        got = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_conversion(_events(spark, rows)).collect()
+        }
+        assert got == {1: 1, 2: 3, 3: 2, 4: 0}
+
+    def test_same_timestamp_counts_as_after(self, spark):
+        """Stage k at the exact timestamp of stage k-1 counts (>=, matching
+        the oracle's ts >= predicate)."""
+        from caffeonspark_spark.operators.temporal import funnel_conversion
+
+        rows = [
+            (1, _ts(5), 1, "view", 1.0),
+            (2, _ts(5), 1, "click", 1.0),
+            (3, _ts(5), 1, "purchase", 1.0),
+        ]
+        [r] = funnel_conversion(_events(spark, rows)).collect()
+        assert r["funnel_depth"] == 3
+
+
+class TestDecayedEngagement:
+    def test_halving_per_day(self, spark):
+        """An event exactly one half-life older contributes half its value."""
+        from caffeonspark_spark.operators.temporal import decayed_engagement
+
+        day = datetime.datetime(2024, 1, 2)
+        rows = [
+            (1, day, 1, "view", 8.0),                            # age 0d -> w=1
+            (2, day - datetime.timedelta(days=1), 1, "view", 8.0),   # 1d -> 0.5
+            (3, day - datetime.timedelta(days=2), 2, "view", 8.0),   # 2d -> 0.25
+        ]
+        got = {
+            r["user_id"]: r["decayed_value"]
+            for r in decayed_engagement(_events(spark, rows)).collect()
+        }
+        assert got[1] == 8.0 + 4.0
+        assert got[2] == 2.0
+
+
+class TestCdcChunking:
+    def _chunks(self, spark, texts):
+        from caffeonspark_spark.operators.textops import cdc_chunk_documents
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        import caffeonspark_spark.operators.textops as TX
+        import caffeonspark_spark.catalog as cat
+
+        # route load_table to the planted frame for this call
+        orig = TX.load_table
+        TX.load_table = lambda s, d, n: df
+        try:
+            return TX.cdc_chunk_documents(spark, "planted").collect()
+        finally:
+            TX.load_table = orig
+
+    def test_reconstruction(self, spark):
+        """Chunks concatenate back to the original text, in order, with
+        consistent (start, len) offsets."""
+        import random
+
+        rng = random.Random(7)
+        text = "".join(rng.choice("abcdefgh ") for _ in range(700))
+        rows = sorted(self._chunks(spark, [text]), key=lambda r: r["chunk_idx"])
+        assert "".join(r["chunk"] for r in rows) == text
+        pos = 0
+        for r in rows:
+            assert r["chunk_start"] == pos
+            assert len(r["chunk"]) == r["chunk_len"] > 0
+            pos += r["chunk_len"]
+
+    def test_edit_stability(self, spark):
+        """The content-defined property: prepending a character shifts
+        early boundaries but the chunk SET re-aligns after the edit —
+        most chunks survive byte-identical (a fixed-size chunker would
+        shift every downstream chunk)."""
+        import random
+
+        rng = random.Random(11)
+        text = "".join(rng.choice("abcdefgh ") for _ in range(900))
+        edited = "X" + text
+        a = {r["chunk"] for r in self._chunks(spark, [text])}
+        b = {r["chunk"] for r in self._chunks(spark, [edited])}
+        # all but the chunk(s) containing the edit point survive
+        assert len(a & b) >= len(a) - 2
+
+    def test_short_doc_single_chunk(self, spark):
+        """Docs shorter than the window emit exactly one whole-text chunk."""
+        rows = self._chunks(spark, ["abc"])
+        assert len(rows) == 1
+        assert rows[0]["chunk"] == "abc" and rows[0]["chunk_start"] == 0
+
+
+class TestPagerank:
+    def _pr(self, spark, pairs):
+        from caffeonspark_spark.operators.dedup import pagerank
+
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {r["node"]: r["pagerank"] for r in pagerank(edges).collect()}
+
+    def test_star_center_ranks_highest(self, spark):
+        """In a star graph the hub out-ranks every leaf — the canonical-pick
+        property the dedup pipeline uses."""
+        got = self._pr(spark, [(0, i) for i in range(1, 6)])
+        assert all(got[0] > got[i] for i in range(1, 6))
+
+    def test_mass_conservation(self, spark):
+        """Undirected graph, no dangling nodes: total rank stays ~1 (the
+        floor grid loses at most 1e-12 per edge per iteration)."""
+        got = self._pr(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_symmetry(self, spark):
+        """Symmetric positions get identical ranks (path graph ends)."""
+        got = self._pr(spark, [(0, 1), (1, 2)])
+        assert got[0] == got[2]
+
+    def test_empty_graph(self, spark):
+        assert self._pr(spark, []) == {}

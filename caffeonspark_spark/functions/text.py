@@ -5,9 +5,10 @@ Reference parity:
   (``tools/Conversions.scala:22-29``): split on word/non-word runs, trim,
   lowercase, drop empty and a trailing ".". Rebuilt with regexp split +
   higher-order ``filter``/``transform`` — all JVM-side.
-* ``tokenize`` — simple whitespace tokenizer (``F.split``), the form used by
-  the oracle-checked word-count/text-analysis queries (both engines can
-  express it identically).
+* ``tokenize`` — generic any-whitespace tokenizer (``F.split`` on \\s+).
+  NOTE: the oracle-checked queries standardize on ``space_tokens`` (single
+  space, DuckDB-identical); every helper that feeds or mirrors a checked
+  query must use that form.
 
 Extensions (mandated LLM-data-pipeline surface; all pure Catalyst
 expressions, no UDF — they run inside whole-stage codegen and scale
@@ -101,7 +102,12 @@ def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokenize(col))
+    # space_tokens, not \s+ tokenize: these quality helpers must count the
+    # SAME token stream as the oracle-checked textops.doc_quality /
+    # quality_filter signals, or a pipeline mixing the two filters on two
+    # different token counts per row (same divergence class as the
+    # lang_id_score r7 finding)
+    return F.size(space_tokens(col))
 
 
 def char_count(col: Column | str) -> Column:
@@ -110,8 +116,9 @@ def char_count(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str) -> Column:
-    """Fraction of tokens that are stopwords — a core quality signal."""
-    toks = tokenize(col)
+    """Fraction of tokens that are stopwords — a core quality signal.
+    ``space_tokens`` stream (see ``token_count``)."""
+    toks = space_tokens(col)
     hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return hits.cast("double") / F.size(toks)
 
@@ -134,7 +141,7 @@ def quality_score_cols(col: Column | str) -> dict[str, Column]:
 
 
 def _mean_token_len(col: Column | str) -> Column:
-    toks = tokenize(col)
+    toks = space_tokens(col)
     total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
     return total.cast("double") / F.size(toks)
 
@@ -176,11 +183,10 @@ _FP_BASE = 1000003
 _FP_MOD = (1 << 31) - 1
 
 
-# portable polynomial constants: acc < 2^31, so acc*BASE stays < 2^51 —
-# no overflow in either engine's 64-bit integer math
-_FP_MOD_P = (1 << 31) - 1
+# per-character base of the portable token hash (token/doc folds share
+# _FP_BASE/_FP_MOD above — ONE constant pair, so the xxhash64 and portable
+# fingerprint families can never silently de-sync)
 _FP_CHAR_BASE = 31
-_FP_TOKEN_BASE = 1000003
 
 
 def portable_token_hash(t: Column) -> Column:
@@ -196,7 +202,7 @@ def portable_token_hash(t: Column) -> Column:
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * F.lit(_FP_CHAR_BASE) + x, F.lit(_FP_MOD_P)),
+        lambda acc, x: F.pmod(acc * F.lit(_FP_CHAR_BASE) + x, F.lit(_FP_MOD)),
     )
 
 
@@ -212,7 +218,7 @@ def doc_fingerprint_portable(col: Column | str) -> Column:
     return F.aggregate(
         th,
         F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * F.lit(_FP_TOKEN_BASE) + x, F.lit(_FP_MOD_P)),
+        lambda acc, x: F.pmod(acc * F.lit(_FP_BASE) + x, F.lit(_FP_MOD)),
     )
 
 

@@ -23,14 +23,16 @@ from pyspark.sql.functions import udtf
 @udtf(returnType="token string, n int")
 class TokenCountsUDTF:
     """Per-document token histogram: one output row per distinct token.
-    Deterministic (tokens sorted)."""
+    Deterministic (tokens sorted). Single-space split — the codebase's
+    ``space_tokens`` contract — so the histogram counts the same token
+    stream as ``ChunkUDTF`` and every oracle-checked text operator."""
 
     def eval(self, text: str):
         from collections import Counter
 
-        for tok, n in sorted(Counter((text or "").lower().split()).items()):
-            if tok:
-                yield tok, n
+        counts = Counter(t for t in (text or "").lower().split(" ") if t)
+        for tok, n in sorted(counts.items()):
+            yield tok, n
 
 
 @udtf(returnType="chunk_idx int, chunk_text string")

@@ -36,7 +36,18 @@ def split_assign(
     split. Map-only, deterministic, and STABLE under corpus growth — a row's
     split never changes when other rows are added/removed (the property
     random shuffles lack, and the reason eval contamination audits want
-    hash splits). Fraction order follows dict insertion order."""
+    hash splits). Fraction order follows dict insertion order; fractions
+    must cover the whole hash range — a sum below 1 would otherwise
+    silently dump the uncovered tail into the last split (train 0.8 /
+    val 0.1 would hand val 20%)."""
+    if not fractions:
+        raise ValueError("fractions must be a non-empty dict")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}); the uncovered "
+            "hash tail would silently inflate the last split"
+        )
     h = sample_hash(F.col(key_col))
     expr = None
     cum = 0.0
@@ -94,8 +105,6 @@ def source_quota_sample(
         .withColumn("_h", h)
         .where(F.col("_h") < frac * F.lit(float(_SAMPLE_MOD)))
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy(source_col).orderBy("_h", key_col)
     return (
         pre.withColumn("_rk", F.row_number().over(w))
@@ -312,7 +321,14 @@ def _oracle_leakage_safe_split() -> str:
     component oracle so the cluster arithmetic has one source of truth."""
     from caffeonspark_spark.operators.dedup import _oracle_neardup_clusters
 
-    base = _oracle_neardup_clusters().rsplit("SELECT node, MIN(lbl)", 1)[0]
+    whole = _oracle_neardup_clusters()
+    marker = "SELECT node, MIN(lbl)"
+    if marker not in whole:  # fail at import, not with invalid spliced SQL
+        raise RuntimeError(
+            "leakage_safe_split oracle splice marker vanished from "
+            "_oracle_neardup_clusters; update the splice together with it"
+        )
+    base = whole.rsplit(marker, 1)[0]
     return (
         base
         + f""",

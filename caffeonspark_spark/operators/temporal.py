@@ -221,6 +221,13 @@ def asof_join(
     Same union-tag + running-window plan as the events specialization: one
     shuffle on the key, no range-join blowup, any scale. Right payload
     columns come back suffixed; unmatched left rows keep NULLs.
+
+    Tie contract: when several right rows share the nearest timestamp for
+    a key, the one with the GREATEST payload tuple wins — a deterministic,
+    partitioning-independent rule (without it ``F.last`` returned
+    whichever equal-ts row the partition sort happened to order last, so
+    payload columns varied run to run). Payloads containing unorderable
+    types (maps) fall back to the undetermined-tie behavior.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -238,16 +245,36 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload],
     )
     both = l_tag.unionByName(r_tag)
+    # deterministic tie-break among equal-ts right rows: order by the
+    # payload tuple so the running last() always lands on the greatest one
+    # (maps aren't orderable — skip the tiebreak for those payloads)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
+    tie = (
+        [F.asc(F.struct(*[F.col(f"_p_{c}") for c in payload]))]
+        if payload
+        and all(_orderable(right.schema[c].dataType) for c in payload)
+        else []
+    )
     if direction == "backward":
         w = (
             Window.partitionBy(on)
-            .orderBy(F.asc("_t"), F.desc("_is_r"))
+            .orderBy(F.asc("_t"), F.desc("_is_r"), *tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(on)
-            .orderBy(F.desc("_t"), F.desc("_is_r"))
+            .orderBy(F.desc("_t"), F.desc("_is_r"), *tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     filled = both.select(
@@ -461,12 +488,13 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     then first purchase >= that click). Per user: each stage's timestamp
     (NULL once the chain breaks) and the reached depth 0-3.
 
-    Plan shape: THREE conditional aggregations over one shuffle on
-    user_id — stage k is min(ts) FILTERed by type and by the stage-(k-1)
-    column, computed with chained window-free aggs via self-contained
-    conditional re-aggregation: one groupBy produces first_view; events
-    re-join by user_id (broadcastable per-user scalars at any scale since
-    the per-user table is |users| rows) for the next stage. Everything is
+    Plan shape: three conditional aggregations, all keyed on user_id —
+    stage k is min(ts) FILTERed by type and by the stage-(k-1) column; the
+    per-user stage table re-joins the events on the same user_id key, so
+    the aggregations and joins share one hash partitioning (Catalyst
+    reuses the exchange; AQE broadcasts the per-user side while it fits,
+    and at |users| beyond broadcast size the co-partitioned sort-merge
+    join is the right plan — no extra shuffle either way). Everything is
     timestamp min/max — integer-exact in both engines.
     """
     e = events.select("user_id", "event_type", "ts")
@@ -574,10 +602,14 @@ def decayed_engagement(events: DataFrame, halflife_days: int = 1) -> DataFrame:
     ref = events.agg(F.max("ts").alias("ref_ts"))
     # epoch seconds of a TIMESTAMP_NTZ via exact integer arithmetic from the
     # epoch (NTZ→long casts are illegal and unix_timestamp() would drag the
-    # session timezone in); `div` floors like the oracle's epoch_us//1000000
+    # session timezone in). (us - pmod(us, 1e6)) div 1e6 is a true FLOOR:
+    # the oracle's epoch_us//1000000 floors, while a bare `div` truncates
+    # toward zero and would disagree on pre-1970 timestamps
     epoch_s = (
         lambda c: F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+            "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" {c}) - pmod(timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c}), 1000000))"
             " div 1000000"
         )
     )

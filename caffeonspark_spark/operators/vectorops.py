@@ -161,7 +161,13 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     max|x|/127, codes = round(x/scale). The 4x storage/bandwidth
     compression step before ANN indexing at scale — all higher-order
     expressions, no UDF. Emits (vec_id, scale, codes, max_err) where
-    max_err is the reconstruction bound actually achieved for the row."""
+    max_err is the reconstruction bound actually achieved for the row.
+
+    Row contract: all-zero (and NULL) embeddings are DROPPED — scale would
+    be 0 and the codes undefined; a downstream join on vec_id therefore
+    excludes them, which is the desired behavior for ANN indexing (a zero
+    vector has no direction to search by). Left-join back against the
+    source table to audit how many rows the filter removed."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
     scale = (absmax / F.lit(127.0)).alias("scale")

@@ -43,6 +43,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to read natively. Read nanos as long and truncate to microseconds —
     exactly what engines with µs timestamps (DuckDB included) do — so ``ts``
     is a normal TimestampType column everywhere downstream.
+
+    SESSION SIDE EFFECT, deliberate: ``nanosAsLong`` is set on the shared
+    session conf and NOT restored. The conf is consulted when the scan
+    *executes*, not when this function returns — restoring it immediately
+    would break every lazily-evaluated plan built here. Consequence: other
+    nanos-timestamped parquet read later in the same session also decodes
+    as bigint instead of raising Spark's native refusal; callers reading
+    their own TIMESTAMP(NANOS) data must handle longs (or unset the conf
+    once every events-derived plan has been executed).
     """
     from pyspark.sql import functions as F
 

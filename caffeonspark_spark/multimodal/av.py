@@ -201,13 +201,15 @@ def audio_frame_energy(
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             ids, feats, rates = [], [], []
-            for _, row in pdf.iterrows():
-                meta = row[audio_col]
+            # zip over the two columns, not iterrows: iterrows boxes every
+            # row into a dtype-object Series, the slowest per-row pandas
+            # path — the decode should be the only per-row Python cost
+            for rid, meta in zip(pdf[id_col], pdf[audio_col]):
                 wave = decoder(bytes(meta["audio"]), int(meta["n_samples"]))
                 need = frame_len * n_frames
                 w = np.resize(wave.astype(np.float64), need).reshape(n_frames, frame_len)
                 rms = np.sqrt((w * w).mean(axis=1)).astype(np.float32)
-                ids.append(row[id_col])
+                ids.append(rid)
                 feats.append(rms)
                 rates.append(int(meta["sample_rate"]))
             yield pd.DataFrame({"id": ids, "energy": feats, "sample_rate": rates})
@@ -232,13 +234,19 @@ def video_sample_frames(
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             ids, idxs, frames, hs, ws = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                meta = row[video_col]
+            for rid, meta in zip(pdf[id_col], pdf[video_col]):
                 nf, h, w = int(meta["n_frames"]), int(meta["height"]), int(meta["width"])
                 clip = decoder(bytes(meta["video"]), nf, h, w)
-                pick = np.linspace(0, max(nf - 1, 0), num=min(k, max(nf, 1)), dtype=np.int64)
+                if clip.shape[0] == 0:
+                    # empty/corrupt clip from a contract-honoring decoder:
+                    # emit no frame rows (the fake decoder pads to 1 frame,
+                    # but a real PyAV/ffmpeg seam may return (0,H,W,C))
+                    continue
+                pick = np.linspace(
+                    0, clip.shape[0] - 1, num=min(k, clip.shape[0]), dtype=np.int64
+                )
                 for fi in pick:
-                    ids.append(row[id_col])
+                    ids.append(rid)
                     idxs.append(int(fi))
                     frames.append(clip[fi].tobytes())
                     hs.append(h)

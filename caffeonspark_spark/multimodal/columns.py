@@ -237,6 +237,11 @@ def _resolve_codec():
                 arr = arr[:, :, None]
             if channels == 3:
                 arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode/OpenCV parity)
+            elif channels == 4:
+                # RGBA -> BGRA: the OpenCV tier (IMREAD_UNCHANGED) and the
+                # numpy PNG tier both emit BGRA; without this swap the same
+                # 4-channel pipeline sees red/blue transposed under Pillow
+                arr = arr[:, :, [2, 1, 0, 3]]
             return np.ascontiguousarray(arr)
 
         return _pil_decode, "pillow"
@@ -363,21 +368,25 @@ def image_sample_to_tensor(
     h = height or spec.height
     w = width or spec.width
     if encoded:
+        real_magic = bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P")
         if decoder is not None:
             hwc = decoder(data, spec.channels)
-        elif CODEC_NAME in ("pillow", "opencv"):
-            hwc = decode_image(data, spec.channels)
-        elif bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P"):
-            # numpy-native tier: a payload claiming a real container must
-            # decode — a truncated/corrupt PPM/BMP in a production batch
-            # fails loudly instead of silently yielding garbage pixels.
-            # Fixture pipelines that synthesize magic-prefixed bytes opt in
-            # to the deterministic fake via spec.fake_fallback.
+        elif CODEC_NAME in ("pillow", "opencv") or real_magic:
+            # A payload claiming a real container must decode — a
+            # truncated/corrupt image in a production batch fails loudly
+            # (ValueError, whatever the codec tier raised) instead of
+            # silently yielding garbage pixels; fixture pipelines that
+            # synthesize magic-prefixed bytes opt in to the deterministic
+            # fake via spec.fake_fallback. Under Pillow/OpenCV the same
+            # rules apply to container types beyond the magic list, and
+            # arbitrary NON-container synthetic bytes fall back to
+            # fake_decode exactly like the numpy tier — one behavior in
+            # every environment, not a crash where a codec is installed.
             try:
                 hwc = decode_image(data, spec.channels)
-            except ValueError:
-                if not spec.fake_fallback:
-                    raise
+            except Exception as e:  # PIL raises OSError, cv2 ValueError
+                if real_magic and not spec.fake_fallback:
+                    raise ValueError(f"corrupt image payload: {e}") from e
                 hwc = fake_decode(data, spec.channels, h or 8, w or 8)
         else:
             hwc = fake_decode(data, spec.channels, h or 8, w or 8)

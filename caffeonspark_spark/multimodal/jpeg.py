@@ -202,7 +202,17 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                h_s, v_s = hv >> 4, hv & 0x0F
+                if not (1 <= h_s <= 4 and 1 <= v_s <= 4):
+                    # T.81 B.2.2: sampling factors are 1-4; a zero factor
+                    # would divide-by-zero later (ZeroDivisionError escapes
+                    # the IndexError/KeyError→ValueError wrapper and the
+                    # fake_fallback path) — classify the stream as
+                    # malformed here instead
+                    raise ValueError(
+                        f"illegal JPEG sampling factor {h_s}x{v_s}"
+                    )
+                comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
             if height == 0 or width == 0:
                 raise ValueError("degenerate JPEG dimensions")
             frame = (height, width, comps)

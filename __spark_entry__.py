@@ -73,105 +73,40 @@ def _ever_green(has_oracle: set[str]) -> set[str]:
 
 
 def _module_segments(mod_name: str) -> dict[str, str]:
-    """Source segment per top-level name (def/class/assign/import) of a
-    module. Used by the per-query fingerprint to pull in exactly the
-    helpers a query function references instead of the whole module.
-    Import statements map each bound alias to the import line, so
-    re-pointing `from x import helper` at a different implementation
-    changes every referencing query's fingerprint (the r7 self-review
-    finding: imports were invisible to the closure). Tuple-unpacking
-    assignment targets are captured too."""
-    import ast
-    import inspect
-    import sys
+    """Source segment per top-level name — thin wrapper over the shared
+    implementation in tools_fingerprints (kept for tests/back-compat)."""
+    from tools_fingerprints import module_segments
 
-    src = inspect.getsource(sys.modules[mod_name])
-    seg: dict[str, str] = {}
-
-    def _bind_target(t, txt):
-        if isinstance(t, ast.Name):
-            seg[t.id] = txt
-        elif isinstance(t, (ast.Tuple, ast.List)):
-            for el in t.elts:
-                _bind_target(el, txt)
-
-    for node in ast.parse(src).body:
-        txt = ast.get_source_segment(src, node) or ""
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            seg[node.name] = txt
-        elif isinstance(node, ast.Assign):
-            for t in node.targets:
-                _bind_target(t, txt)
-        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            seg[node.target.id] = txt
-        elif isinstance(node, (ast.Import, ast.ImportFrom)):
-            for alias in node.names:
-                bound = alias.asname or alias.name.split(".")[0]
-                # don't let an import shadow a real definition's segment
-                seg.setdefault(bound, txt)
-    return seg
+    return module_segments(mod_name)[0]
 
 
 def _closure_names(seg: dict[str, str], root: str) -> list[str]:
-    """Transitive set of same-module top-level names reachable from
-    ``root`` by bare-name reference (ast.Name) inside each segment's
-    source. Sorted for a deterministic fingerprint payload."""
-    import ast
+    """Same-module transitive closure (wrapper; see tools_fingerprints)."""
+    from tools_fingerprints import closure_names
 
-    todo, done = [root], set()
-    while todo:
-        cur = todo.pop()
-        if cur in done or cur not in seg:
-            continue
-        done.add(cur)
-        try:
-            tree = ast.parse(seg[cur])
-        except SyntaxError:  # pragma: no cover - indented segment
-            import textwrap
-
-            tree = ast.parse(textwrap.dedent(seg[cur]))
-        for node in ast.walk(tree):
-            if isinstance(node, ast.Name) and node.id in seg and node.id not in done:
-                todo.append(node.id)
-    return sorted(done)
+    return closure_names(seg, root)
 
 
 def query_fingerprints(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracles: dict[str, str],
 ) -> dict[str, str]:
-    """Content fingerprint PER QUERY: sha256 of the query function's
-    source, plus the sources of every same-module top-level helper /
-    constant it transitively references by name, plus its oracle SQL.
+    """Content fingerprint PER QUERY — sha256 of the query function's
+    source plus every helper it TRANSITIVELY references (same-module by
+    bare name, CROSS-MODULE through in-package from-imports, including
+    imports local to a function body) plus its oracle SQL.
 
-    r6 used module-level fingerprints; one edited helper re-fronted its
-    whole ~40-query family and the re-verification backlog took two
-    rounds to clear (r6 VERDICT item 3). Per-query closures keep the
-    conservative property (an edit to a query, any helper it actually
-    uses, or its oracle re-fronts it) while an edit to an UNRELATED
-    function in the same module no longer re-fronts the family."""
-    import hashlib
+    History: r6 used module-level fingerprints (one helper edit re-fronted
+    its whole ~40-query family); r7 moved to same-module per-query
+    closures (tier 2 stays small) but was blind to helper-body edits in
+    OTHER modules — editing ``functions/arrays.dsum`` re-fronted nothing
+    that imported it. The shared implementation in ``tools_fingerprints``
+    closes that hole and replaces the content-insensitive
+    ``module:qualname`` fallback (which retired lambda/partial queries
+    forever after one green row) with a whole-module-source fallback."""
+    from tools_fingerprints import query_fingerprints as _qf
 
-    seg_cache: dict[str, dict[str, str]] = {}
-    fps: dict[str, str] = {}
-    for name, fn in base.items():
-        mod = getattr(fn, "__module__", None)
-        fn_name = getattr(fn, "__name__", None)
-        # deterministic fallback for non-top-level callables (lambda,
-        # partial, nested def): repr(fn) embeds a memory address and
-        # would re-front the query on every process (r7 self-review)
-        fallback = f"{mod}:{getattr(fn, '__qualname__', fn_name)}"
-        try:
-            if mod not in seg_cache:
-                seg_cache[mod] = _module_segments(mod)
-            seg = seg_cache[mod]
-            names = _closure_names(seg, fn_name)
-            body = "\n".join(seg[n] for n in names) if names else fallback
-        except Exception:  # pragma: no cover - builtins/partials
-            body = fallback
-        payload = body + "\n---oracle---\n" + oracles.get(name, "")
-        fps[name] = hashlib.sha256(payload.encode()).hexdigest()[:16]
-    return fps
+    return _qf(base, oracles)
 
 
 def _driver_checked(
@@ -227,7 +162,14 @@ def _rotate_for_driver_visibility(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _rotate_for_driver_visibility({
+    return _rotate_for_driver_visibility(_base_queries())
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The declared surface in family order, BEFORE rotation — exposed so
+    tools (fingerprint sync) don't pay the rotation's artifact-scan and
+    fingerprint pass twice."""
+    return {
         # Base order groups by family; _rotate_for_driver_visibility moves
         # queries without a green CORRECTNESS_r*.json row to the front.
         # --- r5 additions: remaining TPC-H classic shapes (Q4/Q5/Q12/Q13/
@@ -424,7 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": TP.sessionize_query,
         "rollup_agg": R.rollup_agg,
         "tfidf_topk": TX.tfidf_topk,
-    })
+    }
 
 
 def oracle_sql() -> dict[str, str]:

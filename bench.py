@@ -68,10 +68,20 @@ def _stream_tumbling_bench(spark, sf_dir):
         tumbling_counts,
     )
 
+    prev = getattr(_stream_tumbling_bench, "_last", None)
+    if prev:
+        # memory-sink tables hold the whole result in driver memory; the
+        # best-of-N loop must not accumulate one copy per timed run (the
+        # same rule windows._run_parity enforces for the parity queries)
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
     name = run_to_memory(
         tumbling_counts(read_events_stream(spark, sf_dir)),
         f"bench_tumbling_{next(_STREAM_SEQ)}",
     )
+    _stream_tumbling_bench._last = name
     return spark.table(name)
 
 

@@ -36,6 +36,10 @@ def _canon(v):
         return v
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        # Spark yields bytearray, DuckDB bytes — same payload, different
+        # repr; normalize or every BINARY column false-mismatches
+        return bytes(v)
     return v
 
 
@@ -52,12 +56,26 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, exact: bool = True):
 
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     d_order = [d_cols.index(c) for c in sorted(d_cols)]
-    # sort by repr so rows containing NULLs / mixed types stay orderable
+
+    # sort by repr so rows containing NULLs / mixed types stay orderable;
+    # under exact=False, floats sort on a coarsened grid (8 significant
+    # digits) so tolerance-close values land at the same sort position on
+    # both sides — sorting on the raw repr let near-equal floats order
+    # rows differently per side and misalign the zip pairing
+    def _key(row):
+        if exact:
+            return repr(row)
+        return repr(
+            tuple(
+                f"{v:.8e}" if isinstance(v, float) else v for v in row
+            )
+        )
+
     s_norm = sorted(
-        (tuple(_canon(r[i]) for i in s_order) for r in s_rows), key=repr
+        (tuple(_canon(r[i]) for i in s_order) for r in s_rows), key=_key
     )
     d_norm = sorted(
-        (tuple(_canon(r[i]) for i in d_order) for r in d_rows), key=repr
+        (tuple(_canon(r[i]) for i in d_order) for r in d_rows), key=_key
     )
     mismatches = []
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
@@ -109,6 +127,8 @@ def _pd_cell(v):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return repr(bytes(v))  # bytearray (Spark) vs bytes (DuckDB)
     if isinstance(v, np.ndarray):
         return "[" + ",".join(_pd_cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
@@ -121,12 +141,16 @@ def _pd_cell(v):
     return repr(v)
 
 
-def compare_pandas(spark_df, oracle_sql: str, sf_dir: str):
+def compare_pandas(spark_df, oracle_sql: str, sf_dir: str, s_pdf=None):
     """Dtype-faithful compare mirroring the driver: both sides round-trip
     through pandas (Spark ``.toPandas()``, DuckDB ``.df()``), columns sorted
     by name, rows sorted by stringified values, cells compared as canonical
-    strings so an int64-vs-float64 dtype split (HUGEINT!) fails loudly."""
-    s_pdf = spark_df.toPandas()
+    strings so an int64-vs-float64 dtype split (HUGEINT!) fails loudly.
+    Pass ``s_pdf`` (the already-materialized ``spark_df.toPandas()``) to
+    skip re-executing the Spark plan — the rehearsal loop runs ~150
+    queries and was executing every plan three times."""
+    if s_pdf is None:
+        s_pdf = spark_df.toPandas()
     d_pdf = duckdb_run_pandas(oracle_sql, sf_dir)
 
     if sorted(s_pdf.columns) != sorted(d_pdf.columns):

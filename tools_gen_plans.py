@@ -9,9 +9,14 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import sys
 
-sys.path.insert(0, ".")
+# anchor to the repo root, not the caller's cwd: '.' made the import grab
+# whatever caffeonspark_spark was reachable from elsewhere and wrote
+# PLANS.md into the wrong directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from caffeonspark_spark.engine import Config, get_spark
 from caffeonspark_spark.operators import dedup as D  # noqa: F401
@@ -70,7 +75,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             fn(spark, sf).explain("formatted")
         out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
-    with open("PLANS.md", "w") as f:
+    with open(os.path.join(_HERE, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("PLANS.md regenerated")
 

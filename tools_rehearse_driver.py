@@ -25,6 +25,12 @@ def main() -> int:
     spark = get_spark()
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name used to be silently skipped — "0 queries, 0
+        # problems" read as a green rehearsal for a query that never ran
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     results = {}
     n_err = 0
     for name, fn in qs.items():
@@ -37,21 +43,23 @@ def main() -> int:
             rec["spark_rows"] = len(pdf)
             # the driver's canonicalizer: sort columns by name then rows by
             # every column — crashes on unhashable (list) cells.
-            pdf = pdf[sorted(pdf.columns)]
-            if len(pdf):
-                pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+            spdf = pdf[sorted(pdf.columns)]
+            if len(spdf):
+                spdf.sort_values(by=list(spdf.columns), kind="mergesort")
             if name in oracles:
-                ok, msg = compare(df, oracles[name], sf_dir)
                 # the driver hashes pandas-typed frames — a dtype split
-                # (DuckDB HUGEINT -> float64) passes `compare` but fails
-                # this path, exactly as it fails the driver.
-                ok2, msg2 = compare_pandas(df, oracles[name], sf_dir)
-                rec["hash_match"] = ok and ok2
-                if not ok:
-                    rec["err"] = msg
-                elif not ok2:
-                    rec["err"] = f"pandas-typed only: {msg2}"
-                if not (ok and ok2):
+                # (DuckDB HUGEINT -> float64) is invisible to the
+                # fetchall-based `compare`, so the pandas-typed check is
+                # the verdict; `compare` runs only on failure as a second
+                # lens (and reuses the already-materialized frame so each
+                # Spark plan executes ONCE per rehearsal, not three times)
+                ok2, msg2 = compare_pandas(df, oracles[name], sf_dir, s_pdf=pdf)
+                rec["hash_match"] = ok2
+                if not ok2:
+                    ok, msg = compare(df, oracles[name], sf_dir)
+                    rec["err"] = (
+                        f"pandas-typed only: {msg2}" if ok else msg
+                    )
                     n_err += 1
                     print(f"MISMATCH {name}: {rec['err'][:400]}", flush=True)
             else:

@@ -342,6 +342,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunk_documents": TX.cdc_chunk_documents,
         # --- r7: PageRank canonical-pick score over the near-dup graph ---
         "neardup_pagerank": D.neardup_pagerank,
+        # --- r7: cross-doc duplicate chunks (the CDC chunker's consumer) ---
+        "cdc_dup_chunks": TX.cdc_dup_chunks,
+        # --- r7: custom-stateful-streaming parity (applyInPandasWithState
+        # running per-user stats driven to completion vs batch agg) ---
+        "stream_stateful_parity": SW.stream_stateful_parity,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -769,6 +774,8 @@ def oracle_sql() -> dict[str, str]:
         "source_kl_divergence": TX.ORACLE_SOURCE_KL_DIVERGENCE,
         "cdc_chunk_documents": TX.ORACLE_CDC_CHUNK,
         "neardup_pagerank": D.ORACLE_NEARDUP_PAGERANK,
+        "cdc_dup_chunks": TX.ORACLE_CDC_DUP_CHUNKS,
+        "stream_stateful_parity": SW.ORACLE_STREAM_STATEFUL_PARITY,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

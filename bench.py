@@ -178,7 +178,9 @@ BENCH_QUERIES = {
     "q_decayed_engagement": TP.decayed_engagement_query,
     "q_source_kl": TX.source_kl_divergence,
     "q_cdc_chunk": TX.cdc_chunk_documents,
+    "q_cdc_dup_chunks": TX.cdc_dup_chunks,
     "q_neardup_pagerank": D.neardup_pagerank,
+    "q_stream_parity_stateful": SW.stream_stateful_parity,
 }
 
 

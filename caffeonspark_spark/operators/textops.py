@@ -1187,3 +1187,47 @@ ORACLE_CDC_CHUNK = f"""
                   CAST(chunks[k].clen AS INT)) AS chunk
     FROM numbered
 """
+
+
+def cdc_dup_chunks(
+    spark: SparkSession, sf_dir: str, min_len: int = 16
+) -> DataFrame:
+    """Cross-document duplicate-chunk detection — the consumer the CDC
+    chunker exists for: group content-defined chunks by their text and
+    report spans (≥ ``min_len`` chars, so boundary fragments don't count)
+    that appear in more than one document. Because boundaries are content-
+    defined, a duplicated passage chunks identically in every document
+    containing it regardless of its offset — the edit-robust complement of
+    ``dup_ngram_stats``'s fixed n-gram spans.
+
+    Returns ``(chunk, n_docs, n_occurrences)``, most-shared first.
+
+    Plan shape: the chunker's per-row array work + one explode, then a
+    single hash aggregation on the chunk text. At 100 TB, group on
+    xxhash64(chunk) instead of the text (8-byte shuffle keys; the text
+    rides along only for the survivors) — here the text IS the key so the
+    whole operator hash-matches DuckDB.
+    """
+    chunks = cdc_chunk_documents(spark, sf_dir)
+    return (
+        chunks.where(F.col("chunk_len") >= min_len)
+        .groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk"))
+    )
+
+
+ORACLE_CDC_DUP_CHUNKS = f"""
+    WITH chunks AS ({ORACLE_CDC_CHUNK})
+    SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunks
+    WHERE chunk_len >= 16
+    GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk ASC
+"""

@@ -362,29 +362,74 @@ def stateful_user_stats(events: DataFrame, out_dir_checkpoint: str | None = None
     ``CaffeProcessor.scala:388-411``).
 
     Emits one row per user per micro-batch with the updated totals. State is
-    a single (count, total) pair per user — bounded, watermark-free.
+    a single (count, units) pair per user — bounded, watermark-free.
+
+    Determinism: the running sum is accumulated as INTEGER nano-units
+    (each value floored onto the 1e-9 grid) — a float accumulator's
+    result depended on the row order the state store happened to feed the
+    pandas batches, so reruns weren't bit-identical and no oracle could
+    match it; integer addition is order-independent (the
+    ``decayed_engagement`` floor-grid doctrine applied to streaming
+    state).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, units = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            units += int(
+                np.floor(pdf["value"].to_numpy(dtype="float64") * 1e9)
+                .astype("int64")
+                .sum()
+            )
+        state.update((n, units))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [units / 1e9],
+            }
         )
 
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, units long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stateful_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful-operator parity row: the ``applyInPandasWithState``
+    per-user running stats driven to completion must equal the batch
+    per-user aggregation — pinning the one streaming operator class the
+    window/join parity rows don't touch (arbitrary user state). Update
+    mode emits one row per user per micro-batch; the final row per user
+    (max ``n_events`` — the count is strictly increasing) is the running
+    total at end-of-stream, which the oracle reproduces with the same
+    floor-grid arithmetic."""
+    raw = _read_events_ntz_stream(spark, sf_dir)
+    emitted = _run_parity(
+        spark, stateful_user_stats(raw), "stateful", output_mode="update"
+    )
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+ORACLE_STREAM_STATEFUL_PARITY = """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1e9) AS BIGINT)) AS BIGINT) / 1e9
+               AS total_value
+    FROM events
+    GROUP BY user_id
+"""
 
 
 def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:

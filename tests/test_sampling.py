@@ -30,6 +30,19 @@ def test_split_assign_fractions_and_coverage(spark, sf_oracle):
     assert 0.04 < counts["test"] / total < 0.18
 
 
+def test_split_assign_rejects_partial_fractions(spark, sf_oracle):
+    """Fractions not summing to 1 must raise — the uncovered hash tail
+    would otherwise silently inflate the last split (0.8/0.1 gave 'val'
+    20% instead of the expected 10%)."""
+    import pytest
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(docs, "doc_id", {})
+
+
 def test_split_assign_stable_under_corpus_growth(spark, sf_oracle):
     """A row's split is a pure function of its key: filtering the corpus to
     half must not change any surviving row's assignment."""

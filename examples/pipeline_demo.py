@@ -112,6 +112,24 @@ def main() -> None:
     wpairs = winnow_overlap_pairs(spark, sf_dir).count()
     print(f"winnowing overlap candidates (>=2 shared fingerprints): {wpairs}")
 
+    # 6b2. content-defined chunk audit: CDC boundaries make duplicated
+    # passages chunk identically at ANY offset — report spans shared
+    # across documents (the offset-robust complement of 6b)
+    from caffeonspark_spark.operators.textops import cdc_dup_chunks
+
+    shared = cdc_dup_chunks(spark, sf_dir).count()
+    print(f"cross-doc duplicate CDC chunks (>=16 chars, >=2 docs): {shared}")
+
+    # 6b3. canonical-pick scoring: PageRank over the near-dup graph ranks
+    # the most-connected member of each duplicate cluster (the document
+    # every variant derives from) highest — keep that one
+    from caffeonspark_spark.operators.dedup import neardup_pagerank
+
+    top_canon = neardup_pagerank(spark, sf_dir).orderBy(
+        F.desc("pagerank")
+    ).limit(3).collect()
+    print("top canonical picks:", [(r["node"], round(r["pagerank"], 6)) for r in top_canon])
+
     # 6c. leakage-safe split: near-dup clusters share one split, so eval
     # never scores a document whose twin was trained on
     from caffeonspark_spark.operators.sampling import leakage_safe_split

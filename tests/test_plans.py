@@ -408,3 +408,40 @@ def test_interval_overlap_bucketized_bitequal(spark, sf_smoke):
         map(tuple, TP.interval_overlap_bucketized(spark, sf_smoke).collect())
     )
     assert a and a == b
+
+
+def test_codegen_spans_on_hot_aggregation(spark, sf_smoke):
+    """The '.explain discipline' promise: the flagship grouped aggregation
+    runs inside whole-stage codegen. Codegen ids exist only in the FINAL
+    adaptive plan, so the helper legitimately reports 0 before execution
+    and >=1 after — pinning both the helper's contract and the plan
+    property (the pre-fix helper counted a string formatted explain never
+    prints and always returned 0, making any such assertion vacuous)."""
+    from caffeonspark_spark.plans.inspect import wholestage_codegen_ops
+
+    df = R.pricing_summary(spark, sf_smoke)
+    assert wholestage_codegen_ops(df) == 0  # AQE plan not finalized yet
+    df.collect()
+    assert wholestage_codegen_ops(df) >= 1
+
+
+def test_pushed_filters_survive_complex_entries(spark, sf_smoke):
+    """Balance-aware parsing: an IN filter (nested brackets) must come back
+    as ONE intact entry and must not swallow the filters after it."""
+    from caffeonspark_spark.catalog import load_table
+
+    df = (
+        load_table(spark, sf_smoke, "embeddings")
+        .where(F.col("vec_id").isin(1, 2, 3))
+        .where(F.col("label") > 0)
+        .select("vec_id", "label")
+    )
+    pushed = pushed_filters(df)
+    assert any(p.startswith("In(vec_id") and p.endswith(")") for p in pushed)
+    assert any("GreaterThan(label" in p for p in pushed)
+    # column after an array-typed column is not dropped from the read set
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    [cols] = read_schema_columns(emb)
+    assert cols == {"vec_id", "embedding", "label"}

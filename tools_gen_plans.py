@@ -62,6 +62,21 @@ SHOW = {
     "winnow_fingerprints (shuffle-free nested-array winnowing)": (
         D.winnow_fingerprints_docs
     ),
+    "funnel_conversion (chained conditional aggs, one user_id exchange)": (
+        TP.funnel_conversion_query
+    ),
+    "decayed_engagement (1-row max-ts broadcast, single hash agg)": (
+        TP.decayed_engagement_query
+    ),
+    "source_kl_divergence (one explode, vocab-sized re-aggs)": (
+        TX.source_kl_divergence
+    ),
+    "cdc_chunk_documents (staged array projections, outer generate)": (
+        TX.cdc_chunk_documents
+    ),
+    "cdc_dup_chunks (chunker + one duplicate-group hash agg)": (
+        TX.cdc_dup_chunks
+    ),
 }
 
 

@@ -90,7 +90,9 @@ def test_ann_recall_vs_bruteforce(spark, sf_oracle):
     assert len(approx) > 0
     # multi-table OR-amplification: expect solid recall of the exact top-10
     recall = len(set(approx) & set(exact)) / 10
-    assert recall >= 0.3
+    # measured 0.7 on this seed; random top-10 overlap at N=500 is ~0.2,
+    # so the old 0.3 floor let near-random results pass
+    assert recall >= 0.5
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
@@ -105,7 +107,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
     approx = [r["vec_id"] for r in ann_ivf_topk(emb, q, n_cells=16, nprobe=4, k=10).collect()]
     assert len(approx) > 0
     recall = len(set(approx) & set(exact)) / 10
-    assert recall >= 0.3
+    assert recall >= 0.5  # above the ~0.2 random-overlap baseline
     # probing all cells degenerates to exact search
     full = [r["vec_id"] for r in ann_ivf_topk(emb, q, n_cells=16, nprobe=16, k=10).collect()]
     assert full == exact
@@ -126,7 +128,10 @@ def test_approx_distinct_envelope(spark, sf_oracle):
         )
         .collect()
     }
-    for r in approx_distinct(spark, sf_oracle).collect():
+    approx_rows = approx_distinct(spark, sf_oracle).collect()
+    # group coverage first: an empty/partial result made the loop vacuous
+    assert {r["l_returnflag"] for r in approx_rows} == set(exact)
+    for r in approx_rows:
         eo, ep = exact[r["l_returnflag"]]
         assert abs(r["approx_orders"] - eo) / eo < 0.05
         assert abs(r["approx_parts"] - ep) / ep < 0.05
@@ -264,7 +269,9 @@ def test_neardup_clusters_runs(spark, sf_oracle):
     # every component representative is a member of its own cluster
     comp = {r["node"]: r["component"] for r in rows}
     for node, c in comp.items():
-        assert comp.get(c, c) == c
+        # the representative must ITSELF appear with itself as component —
+        # comp.get(c, c) passed by default when the rep's row was missing
+        assert c in comp and comp[c] == c
         assert c <= node
 
 
@@ -314,7 +321,7 @@ def test_pq_recall_vs_exact_l2(spark, sf_oracle):
     book = train_pq_codebook(emb)
     approx = [r["vec_id"] for r in pq_topk(emb, q, book, k=10).collect()]
     recall = len(set(approx) & set(exact)) / 10
-    assert recall >= 0.3, (recall, approx, exact)
+    assert recall >= 0.5, (recall, approx, exact)
 
 
 def test_decontaminate_planted(spark, tmp_path):

@@ -96,9 +96,13 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke):
 def test_window_suite_single_shuffle(spark, sf_smoke):
     """All five window functions share one window spec → exactly one
     exchange (hash on o_custkey), one Window operator."""
+    import re
+
     df = R.window_functions(spark, sf_smoke)
     assert shuffle_count(df) == 1
-    assert physical_plan(df).count("Window") >= 1
+    # exactly ONE Window node (detail headers; >=1 on the raw string could
+    # never fail when a refactor split the spec into several Window ops)
+    assert len(re.findall(r"\(\d+\) Window", physical_plan(df))) == 1
 
 
 def test_pack_documents_hierarchical_plan(spark, sf_smoke):

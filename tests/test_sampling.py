@@ -71,18 +71,15 @@ def test_source_quota_cap_and_prefilter_exactness(spark, sf_oracle):
     per_source = out.groupBy("source").agg(F.count("*").alias("n")).collect()
     assert all(r["n"] <= k for r in per_source)
 
-    # reference: same prefilter semantics, plain window (no optimization)
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    # reference: UNprefiltered full ranking — the property under test is
+    # that the 8k-margin prefilter does NOT change the k hash-smallest
+    # answer (the old reference transcribed the operator's own prefilter
+    # line-for-line, so a shared-design bug could never fail it)
     h = sample_hash(F.col("doc_id"))
-    frac = F.least(F.lit(1.0), F.lit(float(8 * k)) / F.col("_n"))
-    pre = (
-        docs.join(counts, "source")
-        .withColumn("_h", h)
-        .where(F.col("_h") < frac * F.lit(float(_SAMPLE_MOD)))
-    )
     w = Window.partitionBy("source").orderBy("_h", "doc_id")
     ref = (
-        pre.withColumn("_rk", F.row_number().over(w))
+        docs.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
         .select("doc_id", "source")
     )
@@ -101,9 +98,15 @@ def test_temperature_resample_math(spark, sf_oracle):
     z = sum(math.sqrt(v) for v in n.values())
     for s in n:
         assert math.isclose(w[s], math.sqrt(n[s]) / z, rel_tol=1e-9)
+    n_total = sum(n.values())
     for r in plan:
         assert r["repeat_factor"] >= 1
         assert r["repeat_factor"] == math.ceil(r["target_docs"] / r["n_docs"])
+        # pin target against the WEIGHTS, not the plan's own column — the
+        # ceil identity above holds for any (wrong) target; HALF_UP round
+        # matches Spark/DuckDB round on positives
+        s = r["source"]
+        assert r["target_docs"] == math.floor(math.sqrt(n[s]) / z * n_total + 0.5)
 
 
 def test_resample_epochs_counts(spark, sf_smoke):

@@ -75,11 +75,31 @@ def test_session_windows_run(spark, events_stream):
     assert r["n_events"] >= 1
 
 
-def test_stream_dedup(spark, events_stream):
-    run_to_memory(dedup_stream(events_stream), "dedup_out")
-    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
-    distinct_ids = spark.sql("SELECT count(DISTINCT event_id) AS n FROM dedup_out").collect()[0]["n"]
-    assert n == distinct_ids > 0
+def test_stream_dedup(spark, tmp_path):
+    """PLANTED duplicates: the events fixture has zero duplicate ids, so
+    the old n==distinct(n) check passed for an identity (or over-dropping)
+    dedup — write 100 events duplicated 3x and assert exactly 100 out."""
+    import pyspark.sql.functions as F
+    from caffeonspark_spark.catalog import load_table
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .orderBy("event_id")
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    tripled = base.unionAll(base).unionAll(base)
+    src_dir = str(tmp_path / "dup_events")
+    tripled.coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(tripled.schema)
+        .format("parquet")
+        .load(src_dir)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    run_to_memory(dedup_stream(stream), "dedup_out")
+    out_ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert len(out_ids) == 100  # all three copies collapse, nothing over-dropped
+    assert sorted(out_ids) == sorted(r["event_id"] for r in base.collect())
 
 
 def test_stateful_user_stats(spark, events_stream):
@@ -105,6 +125,9 @@ def test_stateful_user_stats(spark, events_stream):
     last = {}
     for r in rows:
         last[r["user_id"]] = (r["n_events"], r["total_value"])
+    # every user in the batch must have emitted — a key-partitioning bug
+    # that silently loses a user was invisible to the per-emitted-row loop
+    assert set(last) == set(batch)
     for uid, (n, t) in last.items():
         bn, bt = batch[uid]
         assert n == bn

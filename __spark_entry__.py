@@ -347,6 +347,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: custom-stateful-streaming parity (applyInPandasWithState
         # running per-user stats driven to completion vs batch agg) ---
         "stream_stateful_parity": SW.stream_stateful_parity,
+        # --- r7: weekly cohort-retention triangle over events ---
+        "cohort_retention": TP.cohort_retention_query,
+        # --- r7: exact cosine radius (range) search — the threshold sibling
+        # of cosine_topk_bruteforce ---
+        "cosine_range_search": S.cosine_range_query,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -776,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pagerank": D.ORACLE_NEARDUP_PAGERANK,
         "cdc_dup_chunks": TX.ORACLE_CDC_DUP_CHUNKS,
         "stream_stateful_parity": SW.ORACLE_STREAM_STATEFUL_PARITY,
+        "cohort_retention": TP.ORACLE_COHORT_RETENTION,
+        "cosine_range_search": S.ORACLE_COSINE_RANGE,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -1301,3 +1301,72 @@ ORACLE_KMEANS_ASSIGN = """
         FROM dists
     ) WHERE rk = 1
 """
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.25,
+) -> DataFrame:
+    """Exact threshold (range) search: every (query, corpus) pair with
+    cosine similarity >= ``tau`` — the radius-query sibling of
+    ``cosine_topk`` (FAISS ``range_search``): dedup wants "everything
+    closer than τ", not a fixed k.
+
+    ``queries`` is broadcast (range search is only exact-scan-shaped when
+    the query set is small — for corpus×corpus radius search use the
+    banded/bucketed near-dup operators in ``operators/dedup.py`` instead);
+    the corpus never shuffles, the scan is embarrassingly parallel, and
+    rows are dropped by the τ-filter before anything aggregates. Zero-norm
+    vectors yield NULL similarity (``cosine_similarity`` contract) and fail
+    the τ-filter in both engines — no NaN-ordering divergence.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    return (
+        corpus.crossJoin(q)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(tau))
+    )
+
+
+def cosine_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: all corpus vectors within cosine >= 0.25 of the
+    three probe vectors vec_id < 3 (exact, decimal-exact dot products)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_range_search(emb, emb.where(F.col("vec_id") < 3), tau=0.25)
+
+
+ORACLE_COSINE_RANGE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 3),
+    ex AS (SELECT vec_id, unnest(embedding) AS ee,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    parts AS (
+        SELECT q.query_id, ex.vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qe,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_ee,
+               CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qq
+        FROM ex, q
+        WHERE ex.vec_id <> q.query_id
+        GROUP BY q.query_id, ex.vec_id
+    )
+    SELECT query_id, vec_id,
+           dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) AS cos_sim
+    FROM parts
+    WHERE dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) >= 0.25
+"""

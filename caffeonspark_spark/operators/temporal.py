@@ -647,3 +647,66 @@ ORACLE_DECAYED_ENGAGEMENT = """
     FROM events CROSS JOIN ref
     GROUP BY user_id
 """
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users are grouped by the ISO week of
+    their FIRST event (the cohort), and every later event is bucketed by
+    whole weeks elapsed since that first day — the classic activation/
+    retention triangle a training-data telemetry pipeline reports on.
+
+    Reference analogue: the reference only has per-interval accuracy
+    aggregation (``CaffeOnSpark.scala:396-418``); cohorting is part of the
+    mandated LLM-pipeline observability surface.
+
+    Plan shape: one full-data shuffle — the per-user ``min(day)`` is a
+    window aggregate over the user_id partition (no groupBy+join back, no
+    broadcast of a per-user table: at 100 TB the user dimension is itself
+    billions of rows, so anything that materializes "all users" on the
+    driver or as a broadcast is wrong). The final (cohort_week,
+    week_offset) aggregation adds a second exchange, but the COUNT
+    DISTINCT partial-dedups map-side first — and because the input is
+    already user_id-partitioned from the window shuffle, every row for a
+    user sits in one task, so what moves is exactly one row per (cohort,
+    offset, user): the event volume never shuffles twice. Week arithmetic
+    is integer-exact
+    (datediff div 7, always non-negative since first_d is the partition
+    minimum). All calendar
+    math stays in TIMESTAMP_NTZ (``ts`` is NTZ): a DATE→TIMESTAMP cast
+    would re-interpret midnight in the session timezone and break the
+    hostile-TZ plain-session invariant.
+    """
+    w = Window.partitionBy("user_id")
+    ev = events.select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+    ev = ev.withColumn("first_d", F.min("d").over(w))
+    return (
+        ev.select(
+            F.date_trunc("week", F.col("first_d")).alias("cohort_week"),
+            F.expr("datediff(d, first_d) div 7").cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT_RETENTION = """
+    WITH ev AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+    f AS (SELECT user_id, d,
+                 MIN(d) OVER (PARTITION BY user_id) AS first_d
+          FROM ev)
+    SELECT CAST(date_trunc('week', first_d) AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', CAST(first_d AS DATE), CAST(d AS DATE)) // 7
+                AS INT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM f
+    GROUP BY cohort_week, week_offset
+"""

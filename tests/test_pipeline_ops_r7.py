@@ -160,3 +160,74 @@ class TestPagerank:
 
     def test_empty_graph(self, spark):
         assert self._pr(spark, []) == {}
+
+
+class TestCohortRetention:
+    def test_triangle_invariants(self, spark):
+        """Planted two cohorts: offset-0 counts every cohort member (a
+        user's first event is by definition at offset 0), later offsets
+        never exceed the cohort size, and event totals are conserved."""
+        from caffeonspark_spark.operators.temporal import cohort_retention
+
+        def d(day, hour=0):
+            return datetime.datetime(2024, 1, 1 + day, hour)
+
+        rows = [
+            # cohort of Mon 2024-01-01 week: users 1,2 (day 0 = Monday)
+            (1, d(0), 1, "view", 1.0),
+            (2, d(0, 5), 2, "view", 1.0),
+            (3, d(8), 1, "view", 1.0),   # user 1 returns in week 1
+            (4, d(16), 1, "view", 1.0),  # and week 2
+            # cohort of the next week: user 3 (first event day 7)
+            (5, d(7), 3, "view", 1.0),
+            (6, d(7, 9), 3, "view", 1.0),  # same week -> offset 0
+        ]
+        out = cohort_retention(_events(spark, rows)).collect()
+        by = {(r["cohort_week"].date(), r["week_offset"]): r for r in out}
+        w0 = datetime.date(2024, 1, 1)
+        w1 = datetime.date(2024, 1, 8)
+        assert by[(w0, 0)]["n_users"] == 2
+        assert by[(w0, 1)]["n_users"] == 1
+        assert by[(w0, 2)]["n_users"] == 1
+        assert by[(w1, 0)]["n_users"] == 1
+        assert (w1, 1) not in by
+        # conservation + triangle shape
+        assert sum(r["n_events"] for r in out) == len(rows)
+        for (cw, off), r in by.items():
+            assert r["n_users"] <= by[(cw, 0)]["n_users"]
+            assert off >= 0
+
+
+class TestCosineRangeSearch:
+    def test_matches_topk_above_threshold(self, spark, sf_smoke):
+        """Range search at tau must return exactly the brute-force top-k
+        pairs whose similarity clears tau (k = corpus size)."""
+        from caffeonspark_spark.operators.similarity import (
+            cosine_range_search,
+            cosine_topk,
+        )
+        from caffeonspark_spark.catalog import load_table
+
+        emb = load_table(spark, sf_smoke, "embeddings")
+        n = emb.count()
+        tau = 0.25
+        rng = cosine_range_search(
+            emb, emb.where(F.col("vec_id") == 0), tau=tau
+        ).collect()
+        top = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=n).collect()
+        expected = {r["vec_id"]: r["cos_sim"] for r in top if r["cos_sim"] is not None and r["cos_sim"] >= tau}
+        got = {r["vec_id"]: r["cos_sim"] for r in rng}
+        assert got == expected
+        assert all(v >= tau for v in got.values())
+
+    def test_zero_vector_excluded(self, spark):
+        """A zero-norm corpus vector has NULL similarity and must fall out
+        of the radius set, not crash or rank."""
+        from caffeonspark_spark.operators.similarity import cosine_range_search
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])],
+            "vec_id long, embedding array<float>",
+        )
+        out = cosine_range_search(df, df.where(F.col("vec_id") == 0), tau=0.1).collect()
+        assert {r["vec_id"] for r in out} == {2}

@@ -352,6 +352,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: exact cosine radius (range) search — the threshold sibling
         # of cosine_topk_bruteforce ---
         "cosine_range_search": S.cosine_range_query,
+        # --- r7: d×d Gram (second-moment) matrix — PCA/whitening prep ---
+        "embedding_gram": V.embedding_gram,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -783,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_stateful_parity": SW.ORACLE_STREAM_STATEFUL_PARITY,
         "cohort_retention": TP.ORACLE_COHORT_RETENTION,
         "cosine_range_search": S.ORACLE_COSINE_RANGE,
+        "embedding_gram": V.ORACLE_EMBEDDING_GRAM,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -181,9 +181,10 @@ BENCH_QUERIES = {
     "q_cdc_dup_chunks": TX.cdc_dup_chunks,
     "q_neardup_pagerank": D.neardup_pagerank,
     "q_stream_parity_stateful": SW.stream_stateful_parity,
-    # r7: cohort-retention triangle + exact cosine radius search
+    # r7: cohort-retention triangle + exact cosine radius search + Gram
     "q_cohort_retention": TP.cohort_retention_query,
     "q_cosine_range": S.cosine_range_query,
+    "q_embedding_gram": V.embedding_gram,
 }
 
 

@@ -1320,21 +1320,39 @@ def cosine_range_search(
     banded/bucketed near-dup operators in ``operators/dedup.py`` instead);
     the corpus never shuffles, the scan is embarrassingly parallel, and
     rows are dropped by the τ-filter before anything aggregates. Zero-norm
-    vectors yield NULL similarity (``cosine_similarity`` contract) and fail
-    the τ-filter in both engines — no NaN-ordering divergence.
+    vectors yield NULL similarity (the ``cosine_similarity`` contract,
+    reproduced here) and fail the τ-filter in both engines — no
+    NaN-ordering divergence.
+
+    Norms are STAGED per side before the join (each corpus row's ‖x‖ is
+    computed once, not once per query pair) — same arithmetic as
+    ``cosine_similarity`` (decimal-exact folds, IEEE divide), 3× fewer
+    decimal folds per pair. Inlining the whole cosine tree re-evaluates
+    the corpus-side norm fold per reference (the HOF-staging lesson).
     """
+    from caffeonspark_spark.functions.arrays import dot_product, l2_norm
+
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            l2_norm(F.col(vec_col)).alias("_q_norm"),
         )
     )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_c_norm")
+    )
+    denom = F.col("_c_norm") * F.col("_q_norm")
     return (
-        corpus.crossJoin(q)
+        c.crossJoin(q)
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), F.col("query_vec")).alias("cos_sim"),
+            F.when(
+                denom != 0,
+                dot_product(F.col(vec_col), F.col("query_vec")) / denom,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(tau))
     )

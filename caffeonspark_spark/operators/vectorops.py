@@ -208,3 +208,96 @@ def quantize_embeddings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("codes").alias("n_codes"),
         "max_err",
     )
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding corpus: G[i,j] =
+    Σ_rows x_i·x_j — the d×d feature second-moment table that PCA,
+    whitening, and embedding-drift monitoring start from (the reference
+    stops at element-wise means, ``VectorMean.scala:38-62``; a training-
+    data pipeline needs second moments too).
+
+    Exact/declared form: two chained posexplode generators (i, then j>=i)
+    followed by ONE hash aggregation keyed (i, j) with map-side partials —
+    d²/2 groups, so the shuffle is d²-sized (metadata) regardless of row
+    count. Per-row products are bround(9)-gridded and decimal-accumulated
+    (the ``dot_product`` discipline), so the sum is order-independent and
+    oracle-exact. The d× row amplification between the generators is the
+    price of exactness-by-SQL; the production path for 100 TB is
+    ``gram_matrix_arrow`` below (per-partition X^T X float partials — one
+    pass, no amplification) when bit-reproducibility is not required.
+    """
+    from caffeonspark_spark.engine import scale_out
+
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    b = a.select("i", "xi", F.posexplode("embedding").alias("j", "xj")).where(
+        F.col("j") >= F.col("i")
+    )
+    from caffeonspark_spark.functions.arrays import fsum
+
+    return (
+        b.groupBy("i", "j")
+        .agg(
+            fsum(F.col("xi").cast("double") * F.col("xj").cast("double"), 9).alias(
+                "gram"
+            )
+        )
+        .select(F.col("i").cast("int"), F.col("j").cast("int"), "gram")
+    )
+
+
+ORACLE_EMBEDDING_GRAM = """
+    WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+    SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+           CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,9))) AS DOUBLE) AS gram
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+"""
+
+
+def gram_matrix_arrow(df: DataFrame, vec_col: str = "embedding"):
+    """Production Gram path: one `mapInArrow` pass emitting a d² float64
+    partial X^T X per Arrow batch, summed on the driver — the RowMatrix
+    computeGramian shape. Data moved: n_batches × d² doubles (metadata);
+    the corpus is scanned once with zero row amplification and zero
+    shuffle. Float accumulation is batch-order-dependent (NOT
+    bit-reproducible across retries — use ``embedding_gram`` when replays
+    must hash-match); error vs the exact form is ~1e-12 relative (pinned
+    by ``test_gram_arrow_matches_exact``). Returns a d×d numpy array.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(batches):
+        for batch in batches:
+            col = batch.column(0)
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            widths = np.diff(offs)
+            if len(widths) == 0 or flat.size == 0:
+                continue
+            d = int(widths.max())
+            # ragged guard: only fixed-width rows enter the matmul
+            keep = widths == d
+            starts = offs[:-1][keep]
+            X = flat[(starts[:, None] + np.arange(d)).ravel()].reshape(-1, d)
+            G = X.T @ X
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([G.ravel().tolist()], type=pa.list_(pa.float64()))],
+                names=["g"],
+            )
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<float>").alias(vec_col))
+        .where(F.col(vec_col).isNotNull())
+        .mapInArrow(partials, "g array<double>")
+        .collect()
+    )
+    if not rows:
+        return None
+    mats = [np.asarray(r["g"], dtype=np.float64) for r in rows]
+    d = int(round(len(mats[0]) ** 0.5))
+    return np.sum(mats, axis=0).reshape(d, d)

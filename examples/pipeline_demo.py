@@ -168,6 +168,15 @@ def main() -> None:
     print("top-5 neighbours of vec 0:",
           [(r["vec_id"], round(r["cos_sim"], 4)) for r in top])
 
+    # 9b. radius search: everything within cosine >= 0.25 of the probe —
+    # the threshold sibling of top-k (what a dedup pass actually asks)
+    from caffeonspark_spark.operators.similarity import cosine_range_search
+
+    radius = cosine_range_search(
+        emb, emb.where(F.col("vec_id") == 0), tau=0.25
+    ).count()
+    print(f"corpus vectors within cosine 0.25 of vec 0: {radius}")
+
     # 10. hybrid retrieval: fuse the dense ranking with BM25 by
     # reciprocal rank (no score normalization needed)
     from caffeonspark_spark.operators.textops import rrf_fusion
@@ -189,6 +198,16 @@ def main() -> None:
     print(f"packing: {pe['n_packs']} packs, "
           f"{pe['mean_tokens_per_pack']:.1f} tokens/pack, "
           f"overflow {pe['overflow_frac']:.2%}")
+
+    # 11b. engagement observability: the weekly cohort-retention triangle
+    from caffeonspark_spark.operators.temporal import cohort_retention
+
+    cohorts = cohort_retention(engine.table("events")).orderBy(
+        "cohort_week", "week_offset"
+    ).collect()
+    for r in cohorts[:4]:
+        print(f"cohort {r['cohort_week']:%Y-%m-%d} +{r['week_offset']}w: "
+              f"{r['n_users']} users, {r['n_events']} events")
 
     # 12. streaming the same pipeline: the hourly window agg driven through
     # a real Structured Streaming source equals the batch rollup exactly

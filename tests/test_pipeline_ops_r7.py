@@ -231,3 +231,36 @@ class TestCosineRangeSearch:
         )
         out = cosine_range_search(df, df.where(F.col("vec_id") == 0), tau=0.1).collect()
         assert {r["vec_id"] for r in out} == {2}
+
+
+class TestEmbeddingGram:
+    def test_gram_arrow_matches_exact(self, spark, sf_smoke):
+        """The production Arrow partial-Gram path must agree with the
+        exact decimal-grid query to float tolerance (they differ only in
+        accumulation order and the bround(9) grid)."""
+        import numpy as np
+
+        from caffeonspark_spark.catalog import load_table
+        from caffeonspark_spark.operators.vectorops import (
+            embedding_gram,
+            gram_matrix_arrow,
+        )
+
+        exact = embedding_gram(spark, sf_smoke).collect()
+        G = gram_matrix_arrow(load_table(spark, sf_smoke, "embeddings"))
+        assert G is not None and G.shape[0] == G.shape[1]
+        # symmetric by construction
+        assert np.allclose(G, G.T)
+        for r in exact:
+            assert abs(G[r["i"], r["j"]] - r["gram"]) <= 1e-6 * max(1.0, abs(r["gram"]))
+
+    def test_gram_diag_is_norm_squared(self, spark):
+        """Diagonal entries are the column-wise sums of squares."""
+        from caffeonspark_spark.operators.vectorops import gram_matrix_arrow
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, None)],
+            "vec_id long, embedding array<float>",
+        )
+        G = gram_matrix_arrow(df)
+        assert G[0][0] == 10.0 and G[1][1] == 20.0 and G[0][1] == 14.0

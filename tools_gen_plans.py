@@ -77,6 +77,12 @@ SHOW = {
     "cdc_dup_chunks (chunker + one duplicate-group hash agg)": (
         TX.cdc_dup_chunks
     ),
+    "cohort_retention (user_id window min, partial-deduped distinct)": (
+        TP.cohort_retention_query
+    ),
+    "cosine_range_search (broadcast probe BNLJ, tau filter, no shuffle)": (
+        S.cosine_range_query
+    ),
 }
 
 

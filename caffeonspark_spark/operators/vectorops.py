@@ -258,6 +258,31 @@ ORACLE_EMBEDDING_GRAM = """
 """
 
 
+def _gram_batch_partial(col):
+    """X^T X of one Arrow list-array batch (or None for an empty batch).
+
+    ``offsets`` are ABSOLUTE indices into the untrimmed child values
+    buffer, while ``flatten()`` re-bases to the logical slice — a
+    zero-copy sliced batch therefore needs the offsets rebased to
+    ``offsets - offsets[0]`` before indexing the flattened values
+    (pinned by ``test_gram_partial_on_sliced_batch``). Ragged guard:
+    only max-width rows enter the matmul.
+    """
+    import numpy as np
+
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    widths = np.diff(offs)
+    if len(widths) == 0 or flat.size == 0:
+        return None
+    d = int(widths.max())
+    keep = widths == d
+    starts = offs[:-1][keep]
+    X = flat[(starts[:, None] + np.arange(d)).ravel()].reshape(-1, d)
+    return X.T @ X
+
+
 def gram_matrix_arrow(df: DataFrame, vec_col: str = "embedding"):
     """Production Gram path: one `mapInArrow` pass emitting a d² float64
     partial X^T X per Arrow batch, summed on the driver — the RowMatrix
@@ -273,18 +298,9 @@ def gram_matrix_arrow(df: DataFrame, vec_col: str = "embedding"):
 
     def partials(batches):
         for batch in batches:
-            col = batch.column(0)
-            flat = np.asarray(col.flatten(), dtype=np.float64)
-            offs = np.asarray(col.offsets, dtype=np.int64)
-            widths = np.diff(offs)
-            if len(widths) == 0 or flat.size == 0:
+            G = _gram_batch_partial(batch.column(0))
+            if G is None:
                 continue
-            d = int(widths.max())
-            # ragged guard: only fixed-width rows enter the matmul
-            keep = widths == d
-            starts = offs[:-1][keep]
-            X = flat[(starts[:, None] + np.arange(d)).ravel()].reshape(-1, d)
-            G = X.T @ X
             yield pa.RecordBatch.from_arrays(
                 [pa.array([G.ravel().tolist()], type=pa.list_(pa.float64()))],
                 names=["g"],

@@ -264,3 +264,18 @@ class TestEmbeddingGram:
         )
         G = gram_matrix_arrow(df)
         assert G[0][0] == 10.0 and G[1][1] == 20.0 and G[0][1] == 14.0
+
+    def test_gram_partial_on_sliced_batch(self):
+        """A zero-copy sliced Arrow batch has offsets that do NOT start at
+        0 while flatten() re-bases — the partial must index correctly."""
+        import numpy as np
+        import pyarrow as pa
+
+        from caffeonspark_spark.operators.vectorops import _gram_batch_partial
+
+        arr = pa.array(
+            [[9.0, 9.0], [1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32())
+        )
+        G = _gram_batch_partial(arr.slice(1, 2))
+        X = np.array([[1.0, 2.0], [3.0, 4.0]])
+        assert np.allclose(G, X.T @ X)

@@ -355,7 +355,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return name
 
 
-def stateful_user_stats(events: DataFrame, out_dir_checkpoint: str | None = None) -> DataFrame:
+def stateful_user_stats(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count +
     running value sum via ``applyInPandasWithState`` (the rebuild's analogue
     of the reference's per-executor accumulating state,

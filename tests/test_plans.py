@@ -449,3 +449,38 @@ def test_pushed_filters_survive_complex_entries(spark, sf_smoke):
     )
     [cols] = read_schema_columns(emb)
     assert cols == {"vec_id", "embedding", "label"}
+
+
+def test_cosine_range_search_plan(spark, sf_smoke):
+    """Radius search must be a broadcast nested-loop over the corpus scan
+    (the only legal shape for a tiny probe set) with NO shuffle and NO
+    cartesian product, and the corpus scan must read only the two needed
+    columns."""
+    df = S.cosine_range_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert shuffle_count(df) == 0, plan
+    assert {"vec_id", "embedding"} in read_schema_columns(df)
+
+
+def test_cohort_retention_plan(spark, sf_smoke):
+    """One full-data exchange (the user_id window) + one partial-agg
+    exchange; the scan reads only ts and user_id."""
+    from caffeonspark_spark.operators import temporal as TP
+
+    df = TP.cohort_retention_query(spark, sf_smoke)
+    assert shuffle_count(df) <= 2, physical_plan(df)
+    assert has_partial_aggregation(df)
+    assert read_schema_columns(df) == [{"ts", "user_id"}]
+
+
+def test_embedding_gram_plan(spark, sf_smoke):
+    """The Gram aggregation must run with map-side partials so the
+    (i,j)-keyed exchange is d²-sized, and only the embedding column is
+    scanned."""
+    from caffeonspark_spark.operators import vectorops as V
+
+    df = V.embedding_gram(spark, sf_smoke)
+    assert has_partial_aggregation(df)
+    assert {"embedding"} in read_schema_columns(df)

@@ -286,3 +286,99 @@ def test_jpeg_decoder_total_on_mutated_streams(offset, junk, _rnd):
         decode_baseline_jpeg(mutated)
     except ValueError:
         pass
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user
+            st.integers(min_value=0, max_value=70),     # day offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cohort_retention_matches_python_reference(spark, rows):
+    """Random event sets: the triangle must equal a hand-rolled pandas
+    cohort computation (first-day per user, ISO-Monday week truncation,
+    floor-div-7 offsets, distinct-user counts)."""
+    import datetime as dt
+
+    from caffeonspark_spark.operators.temporal import cohort_retention
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    ev = [
+        (i, base + dt.timedelta(days=day, hours=i % 24), user, "view", 1.0)
+        for i, (user, day) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): (r["n_users"], r["n_events"])
+        for r in cohort_retention(df).collect()
+    }
+    # python reference
+    first = {}
+    for _, (user, day) in enumerate(rows):
+        first[user] = min(first.get(user, day), day)
+    expect: dict = {}
+    for user, day in rows:
+        f = first[user]
+        cohort = base.date() + dt.timedelta(days=f - (f % 7))  # Monday trunc
+        off = (day - f) // 7
+        users, events = expect.get((cohort, off), (set(), 0))
+        users = users | {user}
+        expect[(cohort, off)] = (users, events + 1)
+    assert got == {k: (len(u), n) for k, (u, n) in expect.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.floats(min_value=-0.5, max_value=0.9, allow_nan=False),
+)
+def test_cosine_range_matches_numpy_filter(spark, vecs, tau):
+    """Random corpora: range search must equal the numpy all-pairs cosine
+    filtered at tau (first vector as the probe), zero-norm rows excluded.
+    Inputs are quantized to the 2-decimal grid: the engine's dot products
+    bround at 9 decimals by contract, so sub-grid magnitudes (1e-7 × 1e-7)
+    are DESIGNED to collapse to zero-norm — that contract is pinned by the
+    unit tests, not this property."""
+    from caffeonspark_spark.operators.similarity import cosine_range_search
+
+    vecs = [[round(x, 2) for x in v] for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"] for r in cosine_range_search(
+            df, df.where(F.col("vec_id") == 0), tau=tau
+        ).collect()
+    }
+    q = np.asarray(vecs[0], dtype=np.float64)
+    expect = set()
+    for i, v in enumerate(vecs[1:], start=1):
+        x = np.asarray(v, dtype=np.float64)
+        denom = float(np.linalg.norm(q) * np.linalg.norm(x))
+        if denom == 0:
+            continue
+        cos = float(np.dot(q, x)) / denom
+        # skip knife-edge cases within the decimal-grid rounding of the
+        # engine's bround(9) products — the property is set equality away
+        # from the boundary, exactness at the boundary is the oracle's job
+        if abs(cos - tau) < 1e-6:
+            got.discard(i)
+            continue
+        if cos >= tau:
+            expect.add(i)
+    assert got == expect

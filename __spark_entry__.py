@@ -354,6 +354,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_range_search": S.cosine_range_query,
         # --- r7: d×d Gram (second-moment) matrix — PCA/whitening prep ---
         "embedding_gram": V.embedding_gram,
+        # --- r7: blocked Levenshtein near-dup pairs (record-linkage class;
+        # catches char-level noise the token families under-score) ---
+        "edit_distance_dup_pairs": D.edit_distance_dup_pairs_docs,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -786,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": TP.ORACLE_COHORT_RETENTION,
         "cosine_range_search": S.ORACLE_COSINE_RANGE,
         "embedding_gram": V.ORACLE_EMBEDDING_GRAM,
+        "edit_distance_dup_pairs": D.ORACLE_EDIT_DISTANCE_DUP_PAIRS,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -185,6 +185,7 @@ BENCH_QUERIES = {
     "q_cohort_retention": TP.cohort_retention_query,
     "q_cosine_range": S.cosine_range_query,
     "q_embedding_gram": V.embedding_gram,
+    "q_edit_distance_pairs": D.edit_distance_dup_pairs_docs,
 }
 
 

@@ -607,3 +607,40 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(edges, max_iter=2).collect()
     out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert set(out.values()) == {0} and len(out) == 7
+
+
+def test_edit_distance_pairs_catch_char_typos(spark):
+    """A one-char typo inside a word breaks token identity (Jaccard on
+    word shingles scores it low) but is edit distance 1 — the pair MUST
+    surface; an unrelated doc must not. Edits at the START of the prefix
+    are caught via the tail block (two-pass blocking)."""
+    from caffeonspark_spark.operators.dedup import edit_distance_dup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brawn fox jumps over the lazy dog again and again"),
+        (3, "Xhe quick brown fox jumps over the lazy dog again and again"),
+        (4, "completely different content with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in edit_distance_dup_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 1      # interior typo
+    assert got[(1, 3)] == 1      # head-edit pair found via tail block
+    assert got[(2, 3)] == 2
+    assert not any(4 in pair for pair in got)
+
+
+def test_edit_distance_hot_block_cap(spark):
+    """Blocks above max_block are dropped whole — a boilerplate prefix
+    must not generate quadratic candidates."""
+    from caffeonspark_spark.operators.dedup import edit_distance_dup_pairs
+
+    rows = [(i, f"same boilerplate prefix here unique tail {i:06d}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc shares both blocks; cap below group size -> no pairs at all
+    assert edit_distance_dup_pairs(df, max_block=10).count() == 0
+    # without the cap the near-identical prefixes pair up
+    assert edit_distance_dup_pairs(df, max_block=100).count() > 0

@@ -357,6 +357,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: blocked Levenshtein near-dup pairs (record-linkage class;
         # catches char-level noise the token families under-score) ---
         "edit_distance_dup_pairs": D.edit_distance_dup_pairs_docs,
+        # --- r8: hourly gap-filled rollup with LOCF carry-forward (the
+        # hypertable time_bucket_gapfill/locf consumer of the rollup family)
+        "gapfill_hourly": TP.gapfill_hourly,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -790,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_range_search": S.ORACLE_COSINE_RANGE,
         "embedding_gram": V.ORACLE_EMBEDDING_GRAM,
         "edit_distance_dup_pairs": D.ORACLE_EDIT_DISTANCE_DUP_PAIRS,
+        "gapfill_hourly": TP.ORACLE_GAPFILL_HOURLY,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -710,3 +710,77 @@ ORACLE_COHORT_RETENTION = """
     FROM f
     GROUP BY cohort_week, week_offset
 """
+
+
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup with GAP FILLING and LOCF interpolation — the
+    hypertable ``time_bucket_gapfill`` / ``locf`` class the reference's
+    rollup family feeds (continuous-aggregate consumers expect a dense
+    hour grid, not only observed buckets).
+
+    Shape: the event volume shuffles ONCE into the (event_type, hour) hash
+    agg (map-side partials collapse everything early); the hour grid, the
+    left join against it and the carry-forward window all run over the
+    ROLLUP — calendar-span × type sized, independent of event volume — so
+    gap filling is metadata-priced at 100 TB. The LOCF window partitions by
+    event_type; its input is hours-per-type (≈9k rows/type/year), so the
+    coarse key is not a skew risk.
+
+    Emits the observed ``sum_value`` (NULL in gaps) AND the carried-forward
+    ``filled_value`` so consumers choose their interpolation.
+    """
+    from caffeonspark_spark.functions.arrays import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value"
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+ORACLE_GAPFILL_HOURLY = """
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+              FROM hourly GROUP BY event_type)
+    )
+    SELECT g.event_type, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           h.sum_value AS sum_value,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+"""

@@ -360,6 +360,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8: hourly gap-filled rollup with LOCF carry-forward (the
         # hypertable time_bucket_gapfill/locf consumer of the rollup family)
         "gapfill_hourly": TP.gapfill_hourly,
+        # --- r9: KMV cross-source distinct-overlap estimation (portable
+        # sketch arithmetic — an APPROXIMATE operator with an exact oracle)
+        "kmv_source_overlap": SA.kmv_source_overlap,
+        # --- r9: per-group top-k (WindowGroupLimit map-side partial limit)
+        "topk_per_group": R.topk_per_group,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -794,6 +799,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": V.ORACLE_EMBEDDING_GRAM,
         "edit_distance_dup_pairs": D.ORACLE_EDIT_DISTANCE_DUP_PAIRS,
         "gapfill_hourly": TP.ORACLE_GAPFILL_HOURLY,
+        "kmv_source_overlap": SA.ORACLE_KMV_SOURCE_OVERLAP,
+        "topk_per_group": R.ORACLE_TOPK_PER_GROUP,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

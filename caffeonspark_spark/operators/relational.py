@@ -229,6 +229,43 @@ def topk_orderby_limit(spark, sf_dir) -> DataFrame:
     )
 
 
+def topk_per_group(spark, sf_dir, k: int = 3) -> DataFrame:
+    """Top-k rows PER GROUP (largest documents per source) — the grouped
+    variant of O2's global top-k take (``CaffeOnSpark.scala`` features
+    ``take``; per-group top-k is what a corpus report actually wants:
+    "show me the 3 biggest docs of every source").
+
+    Scale contract (plan-pinned): this is NOT a full sort of every group.
+    The rank-≤-k filter over the row_number window triggers Spark's
+    InferWindowGroupLimit, which inserts a PARTIAL WindowGroupLimit below
+    the exchange — each map task locally keeps only its k best rows per
+    group, so the source-keyed shuffle moves ≤ k × groups rows per task
+    instead of the corpus, exactly like the global top-k's
+    TakeOrderedAndProject but per group. Ties break on doc_id so both
+    engines produce one deterministic row set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= k)
+        .select("source", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+    SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+    WHERE rk <= 3
+"""
+
+
 def row_numbering(spark, sf_dir) -> DataFrame:
     """row_number per partition key (O3: zipWithIndex / FixedSizePartitioner
     ordinal assignment) — first line of each order by ship date."""

@@ -355,3 +355,196 @@ def _oracle_leakage_safe_split() -> str:
 
 
 ORACLE_LEAKAGE_SAFE_SPLIT = _oracle_leakage_safe_split()
+
+
+# --- r9: KMV (k-minimum-values) cross-source distinct-overlap estimation ---
+
+_KMV_K = 256
+
+
+def kmv_source_overlap(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Cross-source corpus overlap via KMV (k-minimum-values) sketches —
+    the "how much does source A duplicate source B" question a corpus-
+    mixing pipeline must answer BEFORE committing to mixture weights, at a
+    cost that never materializes the cross product of two 100 TB sources.
+
+    A KMV sketch keeps the k smallest DISTINCT hash values of a set; the
+    k-th smallest value estimates the distinct count ((k-1)·M / h_(k)),
+    and set operations compose: the k smallest of sketch(A) ∪ sketch(B)
+    are exactly the KMV sketch of A ∪ B, and any union-sketch member that
+    appears in BOTH per-source sketches is provably in A ∩ B (it is among
+    the k smallest of the union, hence among the k smallest of each side
+    it belongs to). Jaccard ≈ |union-sketch ∩ A-sketch ∩ B-sketch| / k and
+    overlap ≈ Jaccard · |A ∪ B| follow (Beyer et al., "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD'07;
+    std error ≈ 1/√k ≈ 6% at k=256).
+
+    Unlike HLL-based approx_count_distinct — whose register layout is
+    engine-private and can never hash-match an oracle — the hash here is
+    the repo's portable polynomial fingerprint (same arithmetic in plain
+    DuckDB SQL), and every estimate is deterministic integer/IEEE math, so
+    this APPROXIMATE operator is value-checked exactly like an exact one.
+
+    Scale shape: one distinct shuffle over (source, hash) 12-byte keys;
+    the per-source k-smallest is a rank-≤-k window — Spark's
+    InferWindowGroupLimit turns it into a map-side partial top-k, so the
+    source-keyed exchange moves ≤ k rows per source per task, never the
+    corpus (plan-pinned). Everything downstream (pairing, union-sketch
+    merge, membership joins) runs over sketch-sized data: k × n_sources
+    rows. The only non-equi join is sources × sources (n_sources² pairs of
+    metadata rows). Output: one row per unordered source pair with
+    estimated per-source distinct counts, union size, Jaccard, and
+    overlap.
+
+    Reference analogue: none — the reference stops at per-source scans
+    (``DataSource.scala`` source selection); overlap estimation is part of
+    the mandated LLM-pipeline composition surface, beside
+    ``source_quota_sample`` and ``source_kl_divergence``.
+    """
+    return kmv_overlap_docs(load_table(spark, sf_dir, "documents"), k)
+
+
+def kmv_overlap_docs(docs: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """DataFrame core of :func:`kmv_source_overlap` (see its docstring)."""
+    from caffeonspark_spark.functions.text import _FP_MOD, doc_fingerprint_portable
+
+    h = (
+        docs.select("source", doc_fingerprint_portable(F.col("text")).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        h.select("source", "hv", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+        .select("source", "hv")
+    )
+    scale = float((k - 1) * _FP_MOD)
+    per = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"), F.max("hv").alias("kth")
+    )
+    est = per.select(
+        "source",
+        F.when(F.col("m") < k, F.col("m").cast("double"))
+        .otherwise(F.lit(scale) / F.col("kth").cast("double"))
+        .alias("est_distinct"),
+    )
+    pa = est.select(
+        F.col("source").alias("source_a"), F.col("est_distinct").alias("est_a")
+    )
+    pb = est.select(
+        F.col("source").alias("source_b"), F.col("est_distinct").alias("est_b")
+    )
+    pairs = pa.join(pb, F.col("source_a") < F.col("source_b"))
+    ska = sk.select(F.col("source").alias("source_a"), "hv")
+    skb = sk.select(F.col("source").alias("source_b"), "hv")
+    keys = ["source_a", "source_b"]
+    merged = (
+        pairs.select(*keys).join(ska, "source_a").select(*keys, "hv")
+        .union(pairs.select(*keys).join(skb, "source_b").select(*keys, "hv"))
+        .distinct()
+    )
+    wp = Window.partitionBy(*keys).orderBy("hv")
+    mk = (
+        merged.select(*keys, "hv", F.row_number().over(wp).alias("rn"))
+        .where(F.col("rn") <= k)
+        .select(*keys, "hv")
+    )
+    in_both = mk.join(ska, ["source_a", "hv"], "semi").join(
+        skb, ["source_b", "hv"], "semi"
+    )
+    mu_stats = mk.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("mu"), F.max("hv").alias("kth_u")
+    )
+    inter = in_both.groupBy(*keys).agg(F.count(F.lit(1)).alias("inter_k"))
+    return (
+        mu_stats.join(inter, keys, "left")
+        .join(pairs, keys)
+        .select(
+            *keys,
+            "est_a",
+            "est_b",
+            F.when(F.col("mu") < k, F.col("mu").cast("double"))
+            .otherwise(F.lit(scale) / F.col("kth_u").cast("double"))
+            .alias("est_union"),
+            (
+                F.coalesce(F.col("inter_k"), F.lit(0)).cast("double")
+                / F.col("mu").cast("double")
+            ).alias("jaccard_k"),
+        )
+        .withColumn("est_overlap", F.col("jaccard_k") * F.col("est_union"))
+    )
+
+
+def _oracle_kmv_source_overlap(k: int = _KMV_K) -> str:
+    from caffeonspark_spark.functions.text import _FP_MOD
+    from caffeonspark_spark.operators.dedup import _portable_fps_cte
+
+    scale = float((k - 1) * _FP_MOD)
+    return f"""
+    WITH {_portable_fps_cte(carry="source")},
+    h AS (SELECT DISTINCT source, fp AS hv FROM fps),
+    sk AS (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM h)
+        WHERE rn <= {k}
+    ),
+    per AS (SELECT source, COUNT(*) AS m, MAX(hv) AS kth FROM sk GROUP BY source),
+    est AS (
+        SELECT source,
+               CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                    ELSE {scale!r} / CAST(kth AS DOUBLE) END AS est_distinct
+        FROM per
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.est_distinct AS est_a, b.est_distinct AS est_b
+        FROM est a JOIN est b ON a.source < b.source
+    ),
+    merged AS (
+        SELECT DISTINCT p.source_a, p.source_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION
+        SELECT DISTINCT p.source_a, p.source_b, s.hv
+        FROM pairs p JOIN sk s ON s.source = p.source_b
+    ),
+    mk AS (
+        SELECT source_a, source_b, hv FROM (
+            SELECT source_a, source_b, hv,
+                   ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                      ORDER BY hv) AS rn
+            FROM merged)
+        WHERE rn <= {k}
+    ),
+    mu_stats AS (
+        SELECT source_a, source_b, COUNT(*) AS mu, MAX(hv) AS kth_u
+        FROM mk GROUP BY source_a, source_b
+    ),
+    inter AS (
+        SELECT m.source_a, m.source_b, COUNT(*) AS inter_k
+        FROM mk m
+        WHERE EXISTS (SELECT 1 FROM sk a
+                      WHERE a.source = m.source_a AND a.hv = m.hv)
+          AND EXISTS (SELECT 1 FROM sk b
+                      WHERE b.source = m.source_b AND b.hv = m.hv)
+        GROUP BY m.source_a, m.source_b
+    )
+    SELECT u.source_a, u.source_b, p.est_a, p.est_b,
+           CASE WHEN u.mu < {k} THEN CAST(u.mu AS DOUBLE)
+                ELSE {scale!r} / CAST(u.kth_u AS DOUBLE) END AS est_union,
+           CAST(COALESCE(i.inter_k, 0) AS DOUBLE) / CAST(u.mu AS DOUBLE)
+               AS jaccard_k,
+           (CAST(COALESCE(i.inter_k, 0) AS DOUBLE) / CAST(u.mu AS DOUBLE))
+               * (CASE WHEN u.mu < {k} THEN CAST(u.mu AS DOUBLE)
+                       ELSE {scale!r} / CAST(u.kth_u AS DOUBLE) END)
+               AS est_overlap
+    FROM mu_stats u
+    LEFT JOIN inter i USING (source_a, source_b)
+    JOIN pairs p USING (source_a, source_b)
+"""
+
+
+ORACLE_KMV_SOURCE_OVERLAP = _oracle_kmv_source_overlap()

@@ -718,20 +718,37 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup family feeds (continuous-aggregate consumers expect a dense
     hour grid, not only observed buckets).
 
-    Shape: the event volume shuffles ONCE into the (event_type, hour) hash
-    agg (map-side partials collapse everything early); the hour grid, the
-    left join against it and the carry-forward window all run over the
-    ROLLUP — calendar-span × type sized, independent of event volume — so
-    gap filling is metadata-priced at 100 TB. The LOCF window partitions by
+    Shape: the event volume is scanned ONCE and shuffles ONCE, into the
+    (event_type, hour) hash agg (map-side partials collapse everything
+    early). Gap rows are then derived FROM the rollup itself — each
+    observed bucket looks back at its predecessor (``lag`` over the
+    event_type/hour window) and emits the missing hours between them via
+    ``sequence`` + ``explode`` — so there is no separate grid branch, no
+    second events subtree for AQE to fail to reuse, and no grid⋈rollup
+    join at all. Everything after the agg runs over the ROLLUP —
+    calendar-span × type sized, independent of event volume — so gap
+    filling is metadata-priced at 100 TB. The LOCF window partitions by
     event_type; its input is hours-per-type (≈9k rows/type/year), so the
-    coarse key is not a skew risk.
+    coarse key is not a skew risk. (The first form of this operator built
+    a min/max grid and left-joined the rollup back; the two branches'
+    column-pruned subtrees differed, so the events scan+shuffle ran twice
+    — the round-8 ADVICE finding this rewrite closes.)
 
     Emits the observed ``sum_value`` (NULL in gaps) AND the carried-forward
-    ``filled_value`` so consumers choose their interpolation.
+    ``filled_value``. LOCF carries the last NON-NULL observed sum: a gap
+    hour gets its predecessor's carry, and an observed bucket whose values
+    are all NULL (``n_events`` > 0, ``sum_value`` NULL) is ALSO carried
+    across — the carry is keyed on sum_value nullity, not on emptiness, so
+    consumers see one uninterrupted last-known-value series.
     """
+    return gapfill_hourly_events(load_table(spark, sf_dir, "events"))
+
+
+def gapfill_hourly_events(ev: DataFrame) -> DataFrame:
+    """DataFrame core of :func:`gapfill_hourly` (see its docstring for the
+    single-scan / rollup-sized-gapfill design rationale)."""
     from caffeonspark_spark.functions.arrays import dsum
 
-    ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value"
@@ -739,27 +756,54 @@ def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
     )
-    grid = (
-        hourly.groupBy("event_type")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return grid.join(hourly, ["event_type", "hour"], "left").select(
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    one_h = F.expr("INTERVAL 1 HOUR")
+    h = hourly.select(
         "event_type",
         "hour",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "n_events",
         "sum_value",
-        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.lag("hour").over(w_ord).alias("prev_hour"),
+        # LOCF value AT this bucket (last non-null sum up to and incl. here)
+        F.last("sum_value", ignorenulls=True)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("filled_value"),
+        # LOCF value BEFORE this bucket — what the gap hours preceding this
+        # bucket carry (the predecessor's filled_value, without a nested
+        # window-over-window)
+        F.last("sum_value", ignorenulls=True)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_filled"),
+    )
+    gap_hours = F.when(
+        F.col("prev_hour").isNotNull() & (F.col("hour") > F.col("prev_hour") + one_h),
+        F.sequence(F.col("prev_hour") + one_h, F.col("hour") - one_h, one_h),
+    ).otherwise(F.array().cast("array<timestamp_ntz>"))
+    entries = F.concat(
+        F.transform(
+            gap_hours,
+            lambda g: F.struct(
+                g.alias("hour"),
+                F.lit(0).cast("bigint").alias("n_events"),
+                F.lit(None).cast("double").alias("sum_value"),
+                F.col("prev_filled").alias("filled_value"),
+            ),
+        ),
+        F.array(
+            F.struct(
+                F.col("hour"),
+                F.col("n_events"),
+                F.col("sum_value"),
+                F.col("filled_value"),
+            )
+        ),
+    )
+    return h.select("event_type", F.explode(entries).alias("e")).select(
+        "event_type",
+        F.col("e.hour").alias("hour"),
+        F.col("e.n_events").alias("n_events"),
+        F.col("e.sum_value").alias("sum_value"),
+        F.col("e.filled_value").alias("filled_value"),
     )
 
 

@@ -279,3 +279,121 @@ class TestEmbeddingGram:
         G = _gram_batch_partial(arr.slice(1, 2))
         X = np.array([[1.0, 2.0], [3.0, 4.0]])
         assert np.allclose(G, X.T @ X)
+
+
+class TestGapfillHourly:
+    """Semantic pins for the hourly gapfill + LOCF operator (round-8
+    landing completed round 9): planted gaps, the all-NULL-bucket carry
+    contract, and span edges."""
+
+    def _run(self, spark, rows):
+        from caffeonspark_spark.operators.temporal import gapfill_hourly_events
+
+        out = gapfill_hourly_events(_events(spark, rows)).collect()
+        return {(r["event_type"], r["hour"].hour): r for r in out}, out
+
+    def test_planted_multi_hour_gap(self, spark):
+        """Observed hours 0 and 4: hours 1-3 materialize with n_events=0,
+        NULL sum_value, and the hour-0 value carried forward; hour 4 shows
+        its own value."""
+
+        def h(hour):
+            return datetime.datetime(2024, 1, 1, hour)
+
+        rows = [
+            (1, h(0), 1, "view", 10.0),
+            (2, h(0), 2, "view", 5.0),
+            (3, h(4), 1, "view", 7.0),
+        ]
+        by, out = self._run(spark, rows)
+        assert len(out) == 5  # dense grid hours 0..4
+        assert by[("view", 0)]["n_events"] == 2
+        assert by[("view", 0)]["sum_value"] == 15.0
+        for g in (1, 2, 3):
+            r = by[("view", g)]
+            assert r["n_events"] == 0
+            assert r["sum_value"] is None
+            assert r["filled_value"] == 15.0  # LOCF from hour 0
+        assert by[("view", 4)]["sum_value"] == 7.0
+        assert by[("view", 4)]["filled_value"] == 7.0
+
+    def test_locf_carries_across_all_null_observed_bucket(self, spark):
+        """An observed bucket whose values are all NULL (n_events>0,
+        sum_value NULL) keeps the PREVIOUS carry in filled_value — the
+        documented contract: the carry is keyed on sum_value nullity, not
+        on bucket emptiness."""
+
+        def h(hour):
+            return datetime.datetime(2024, 1, 1, hour)
+
+        rows = [
+            (1, h(0), 1, "view", 3.0),
+            (2, h(1), 1, "view", None),  # observed, all-NULL values
+            (3, h(2), 1, "view", 4.0),
+        ]
+        by, out = self._run(spark, rows)
+        assert by[("view", 1)]["n_events"] == 1
+        assert by[("view", 1)]["sum_value"] is None
+        assert by[("view", 1)]["filled_value"] == 3.0  # carried across
+        assert by[("view", 2)]["filled_value"] == 4.0
+
+    def test_single_hour_span(self, spark):
+        """One observed hour per type -> exactly one output row per type,
+        no gap rows, filled == observed."""
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 9), 1, "view", 2.0),
+            (2, datetime.datetime(2024, 3, 5, 17), 2, "click", 8.0),
+        ]
+        by, out = self._run(spark, rows)
+        assert len(out) == 2
+        assert by[("view", 9)]["filled_value"] == 2.0
+        assert by[("click", 17)]["filled_value"] == 8.0
+
+    def test_multi_gap_locf_updates_between_gaps(self, spark):
+        """Two separate gaps: each gap carries the most recent preceding
+        observation, not the first one (LOCF re-anchors at every non-null
+        bucket)."""
+
+        def h(hour):
+            return datetime.datetime(2024, 1, 1, hour)
+
+        rows = [
+            (1, h(0), 1, "view", 1.0),
+            (2, h(2), 1, "view", 9.0),
+            (3, h(5), 1, "view", 4.0),
+        ]
+        by, out = self._run(spark, rows)
+        assert len(out) == 6
+        assert by[("view", 1)]["filled_value"] == 1.0
+        assert by[("view", 3)]["filled_value"] == 9.0
+        assert by[("view", 4)]["filled_value"] == 9.0
+        assert by[("view", 5)]["filled_value"] == 4.0
+
+    def test_leading_null_bucket_has_null_fill(self, spark):
+        """A NULL-sum bucket with no prior observation keeps filled_value
+        NULL — LOCF never invents a value."""
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 0), 1, "view", None),
+            (2, datetime.datetime(2024, 1, 1, 1), 1, "view", 5.0),
+        ]
+        by, out = self._run(spark, rows)
+        assert by[("view", 0)]["filled_value"] is None
+        assert by[("view", 1)]["filled_value"] == 5.0
+
+    def test_types_fill_independently(self, spark):
+        """The grid and the carry are per event_type: a gap in one type
+        never borrows another type's hours or values."""
+
+        def h(hour):
+            return datetime.datetime(2024, 1, 1, hour)
+
+        rows = [
+            (1, h(0), 1, "view", 1.0),
+            (2, h(3), 1, "view", 2.0),
+            (3, h(1), 2, "click", 100.0),
+        ]
+        by, out = self._run(spark, rows)
+        views = [r for r in out if r["event_type"] == "view"]
+        clicks = [r for r in out if r["event_type"] == "click"]
+        assert len(views) == 4 and len(clicks) == 1
+        assert all(r["filled_value"] != 100.0 for r in views)

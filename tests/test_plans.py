@@ -484,3 +484,81 @@ def test_embedding_gram_plan(spark, sf_smoke):
     df = V.embedding_gram(spark, sf_smoke)
     assert has_partial_aggregation(df)
     assert {"embedding"} in read_schema_columns(df)
+
+
+def test_gapfill_hourly_single_scan_single_event_shuffle(spark, sf_smoke):
+    """The 100 TB invariant the round-8 ADVICE found broken in the first
+    (grid-join) form: the event volume must be SCANNED once and SHUFFLED
+    once — into the (event_type, hour) hash agg with map-side partials —
+    and every gap-filling step after it (lag, LOCF windows, sequence
+    explode) must run over the rollup. No second events subtree, no
+    grid⋈rollup join."""
+    from caffeonspark_spark.operators import temporal as TP
+
+    df = TP.gapfill_hourly(spark, sf_smoke)
+    plan = physical_plan(df)
+    # exactly one scan of the events table (formatted plans print each node
+    # twice — tree + detail; count the "(n) Node" detail lines)
+    assert plan.count(") Scan parquet") == 1, plan
+    assert has_partial_aggregation(df)
+    # agg exchange (event-volume) + window exchange (rollup-sized): 2 total
+    assert shuffle_count(df) <= 2, plan
+    # gapfill is derived from the rollup — there is no join at all
+    assert "Join" not in plan, plan
+    assert ") Generate" in plan and "explode" in plan, plan
+    assert read_schema_columns(df) == [{"ts", "event_type", "value"}]
+
+
+def test_edit_distance_pairs_blocked_plan(spark, sf_smoke):
+    """The blocking contract that bounds the quadratic at 100 TB: the
+    hot-block drop is a BROADCAST left-anti (the hot list is tiny by
+    construction), the candidate join is a pure equi-join on the 8-char
+    block key, and nothing degenerates into a cartesian product."""
+    from caffeonspark_spark.operators import dedup as D
+
+    df = D.edit_distance_dup_pairs_docs(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # hot-block drop: broadcast anti-join against the over-cap block list
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan, plan
+    # candidate generation: a HASH equi-join keyed on blk (broadcast at
+    # smoke scale, shuffled-hash/SMJ at 100 TB — never a range/theta join)
+    assert "blk" in plan, plan
+    assert "HashJoin Inner" in plan or "SortMergeJoin" in plan, plan
+    # the banded (threshold) levenshtein, not the full DP
+    assert "levenshtein" in plan, plan
+
+
+def test_topk_per_group_map_side_limit(spark, sf_smoke):
+    """Per-group top-k must NOT full-sort every group: the rank filter
+    triggers InferWindowGroupLimit and a PARTIAL WindowGroupLimit runs
+    below the exchange (map tasks keep ≤k rows per group), the per-group
+    analogue of TakeOrderedAndProject."""
+    from caffeonspark_spark.operators import relational as R
+
+    df = R.topk_per_group(spark, sf_smoke)
+    plan = physical_plan(df)
+    # Partial (below exchange) + Final (above) — two detail nodes
+    assert plan.count(") WindowGroupLimit") == 2, plan
+    assert shuffle_count(df) == 1, plan
+    assert read_schema_columns(df) == [{"source", "doc_id", "n_chars"}]
+
+
+def test_kmv_overlap_sketch_plan(spark, sf_smoke):
+    """The KMV sketch build is itself a per-group top-k: the corpus-sized
+    side must cross its exchange already limited (partial WindowGroupLimit
+    ahead of the source-keyed shuffle), the pair enumeration is the only
+    nested-loop (sources × sources metadata rows), and nothing degenerates
+    into a cartesian product."""
+    from caffeonspark_spark.operators import sampling as SA
+
+    df = SA.kmv_source_overlap(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the corpus-side sketch window + the pair-merged union window both
+    # carry group limits, each partial+final
+    assert plan.count(") WindowGroupLimit") >= 4, plan
+    # only the text+source columns are ever read
+    for scan in read_schema_columns(df):
+        assert scan <= {"source", "text"}, scan

@@ -405,3 +405,78 @@ def test_fixed_size_partitions_exact_placement(spark):
     )
     assert len(per_part) == 100
     assert all(r["n"] == 10 and r["n_groups"] == 1 for r in per_part), per_part[:5]
+
+
+class TestKmvOverlap:
+    """KMV sketch estimator semantics beyond the oracle hash: exact-regime
+    equality, estimator-regime accuracy on planted overlap, symmetry."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_exact_regime_below_k(self, spark):
+        """With fewer than k distinct texts per source the sketch IS the
+        set: distinct counts, union, Jaccard, and overlap are exact."""
+        from caffeonspark_spark.operators.sampling import kmv_overlap_docs
+
+        rows = (
+            [(i, f"alpha text number {i}", "a") for i in range(40)]
+            + [(100 + i, f"alpha text number {i}", "b") for i in range(10)]  # 10 shared
+            + [(200 + i, f"beta text number {i}", "b") for i in range(30)]  # 30 own
+        )
+        [r] = kmv_overlap_docs(self._docs(spark, rows), k=256).collect()
+        assert (r["source_a"], r["source_b"]) == ("a", "b")
+        assert r["est_a"] == 40.0 and r["est_b"] == 40.0
+        assert r["est_union"] == 70.0
+        assert abs(r["jaccard_k"] - 10 / 70) < 1e-12
+        assert abs(r["est_overlap"] - 10.0) < 1e-9
+
+    def test_estimator_regime_accuracy(self, spark):
+        """Planted 800/800 distinct with 400 shared, k=64 (estimator
+        regime): every estimate within 4/sqrt(k) = 50% relative error —
+        a deliberately loose envelope (KMV std err ~ 1/sqrt(k) = 12.5%)
+        that still catches a broken estimator (off by orders) while never
+        flaking on the deterministic hash layout."""
+        from caffeonspark_spark.operators.sampling import kmv_overlap_docs
+
+        shared = [f"shared document body {i} padding words" for i in range(400)]
+        only_a = [f"alpha only document {i} filler" for i in range(400)]
+        only_b = [f"beta only document {i} filler" for i in range(400)]
+        rows = (
+            [(i, t, "a") for i, t in enumerate(shared + only_a)]
+            + [(10_000 + i, t, "b") for i, t in enumerate(shared + only_b)]
+        )
+        [r] = kmv_overlap_docs(self._docs(spark, rows), k=64).collect()
+        for got, true in (
+            (r["est_a"], 800),
+            (r["est_b"], 800),
+            (r["est_union"], 1200),
+            (r["est_overlap"], 400),
+        ):
+            assert abs(got - true) / true < 0.5, (got, true)
+        assert abs(r["jaccard_k"] - 400 / 1200) < 0.2
+
+    def test_disjoint_sources_zero_overlap(self, spark):
+        """No shared text -> jaccard and overlap are exactly 0 (the
+        membership intersection is empty regardless of estimator noise)."""
+        from caffeonspark_spark.operators.sampling import kmv_overlap_docs
+
+        rows = [(i, f"left {i}", "a") for i in range(200)] + [
+            (1000 + i, f"right {i}", "b") for i in range(200)
+        ]
+        [r] = kmv_overlap_docs(self._docs(spark, rows), k=32).collect()
+        assert r["jaccard_k"] == 0.0 and r["est_overlap"] == 0.0
+
+    def test_pair_order_canonical(self, spark):
+        """Pairs appear once, source_a < source_b, for every pair."""
+        from caffeonspark_spark.operators.sampling import kmv_overlap_docs
+
+        rows = [
+            (i, f"t {i % 7}", src)
+            for src in ("s1", "s2", "s3")
+            for i in range(20)
+        ]
+        out = kmv_overlap_docs(self._docs(spark, rows), k=16).collect()
+        pairs = {(r["source_a"], r["source_b"]) for r in out}
+        assert pairs == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+        assert all(a < b for a, b in pairs)

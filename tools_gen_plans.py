@@ -83,6 +83,18 @@ SHOW = {
     "cosine_range_search (broadcast probe BNLJ, tau filter, no shuffle)": (
         S.cosine_range_query
     ),
+    "gapfill_hourly (single event scan; gaps derived from the rollup)": (
+        TP.gapfill_hourly
+    ),
+    "edit_distance_dup_pairs (8-char blocking, broadcast hot-block anti)": (
+        D.edit_distance_dup_pairs_docs
+    ),
+    "kmv_source_overlap (WindowGroupLimit sketch build, sketch-sized rest)": (
+        SA.kmv_source_overlap
+    ),
+    "topk_per_group (partial WindowGroupLimit below the exchange)": (
+        R.topk_per_group
+    ),
 }
 
 

@@ -8,8 +8,10 @@ fixture class must decode end-to-end here too. This is the third tier of
 implemented straight from the public JPEG specification (ITU-T T.81
 baseline process) — sequential DCT, Huffman entropy coding, 8-bit
 precision, grayscale or YCbCr with arbitrary sampling factors, restart
-markers. Progressive (SOF2) and arithmetic coding raise with an install
-hint, same as the other unsupported containers.
+markers, and multi-scan streams (r9: one non-interleaved scan per
+component, T.81 A.2.2). Progressive (SOF2), arithmetic coding, and
+partially-interleaved scans raise with an install hint, same as the
+other unsupported containers.
 
 Throughput note: this tier exists for correctness in codec-free
 environments, not speed — the per-bit Huffman loop is Python. Production
@@ -147,6 +149,8 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (height, width, components)
     restart_interval = 0
+    planes: list[np.ndarray] | None = None
+    decoded_ids: set[int] = set()
     pos = 2
     n = len(data)
     while pos < n:
@@ -227,48 +231,74 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns < len(frame[2]):
-                # spec-legal multi-scan baseline (one scan per component):
-                # this single-scan decoder would KeyError mid-stream on the
-                # absent components — classify it with the other
-                # unsupported-stream classes instead
+            ncomp = len(frame[2])
+            if 1 < ns < ncomp:
+                # interleaved PARTIAL scans (2 of 3 components in one MCU
+                # stream) are spec-legal but unseen in practice; classify
+                # with the other unsupported-stream classes. Fully
+                # interleaved (ns == ncomp) and non-interleaved multi-scan
+                # (ns == 1, one scan per component) both decode below.
                 raise ValueError(
-                    "multi-scan baseline JPEG not supported by the "
-                    "numpy-native codec; install Pillow or opencv-python "
-                    "for this stream"
+                    "partially-interleaved baseline JPEG scan not supported "
+                    "by the numpy-native codec; install Pillow or "
+                    "opencv-python for this stream"
                 )
             scan_sel = {}
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
-            return _decode_scan(
+            frame_ids = {comp["id"] for comp in frame[2]}
+            if not set(scan_sel) <= frame_ids:
+                raise ValueError("JPEG scan references unknown component")
+            if planes is None:
+                height, width, comps = frame
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                planes = [
+                    np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
+                    for c in comps
+                ]
+            pos = _decode_scan_data(
                 data,
                 pos + seglen,
                 frame,
                 scan_sel,
+                planes,
                 qtables,
                 huff_dc,
                 huff_ac,
                 restart_interval,
             )
+            decoded_ids |= set(scan_sel)
+            continue  # pos already points at the next marker
         # APPn / COM / others: skip
         pos += seglen
-    raise ValueError("JPEG stream ended before SOS")
+    if planes is None:
+        raise ValueError("JPEG stream ended before SOS")
+    missing = {c["id"] for c in frame[2]} - decoded_ids
+    if missing:
+        raise ValueError(
+            f"JPEG stream ended with undecoded components {sorted(missing)}"
+        )
+    return _assemble_image(frame, planes)
 
 
-def _decode_scan(
-    data, pos, frame, scan_sel, qtables, huff_dc, huff_ac, restart_interval
-) -> np.ndarray:
+def _decode_scan_data(
+    data, pos, frame, scan_sel, planes, qtables, huff_dc, huff_ac, restart_interval
+) -> int:
+    """Decode ONE entropy-coded scan into ``planes`` and return the byte
+    position of the next marker. ``scan_sel`` holds either every frame
+    component (interleaved MCU order) or exactly one (non-interleaved: the
+    component's own block raster, T.81 A.2.2 — the per-scan layout a
+    multi-scan baseline stream uses)."""
     height, width, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
-        for c in comps
-    ]
     preds = [0] * len(comps)
     reader = _BitReader(data, pos)
     zz = ZIGZAG
@@ -299,25 +329,68 @@ def _decode_scan(
         block = coef.reshape(8, 8) * qtables[comp["tq"]]
         return m.T @ block @ m
 
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.align()
-                if (
-                    reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    reader.pos += 2
-                preds[:] = [0] * len(comps)
-            for ci, comp in enumerate(comps):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        blk = read_block(ci)
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_index += 1
+    def restart(mcu_index):
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            reader.align()
+            if (
+                reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            preds[:] = [0] * len(comps)
+
+    if len(scan_sel) == 1:
+        # non-interleaved: the scan's MCU is a single 8x8 block, traversed
+        # in raster order over the COMPONENT's own block grid (NOT the
+        # MCU-padded frame grid); restart intervals count these blocks
+        ci = next(
+            i for i, c in enumerate(comps) if c["id"] in scan_sel
+        )
+        comp = comps[ci]
+        comp_w = -(-width * comp["h"] // hmax)  # ceil(width * h / hmax)
+        comp_h = -(-height * comp["v"] // vmax)
+        bx_n = -(-comp_w // 8)
+        by_n = -(-comp_h // 8)
+        blk_index = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                restart(blk_index)
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = read_block(ci)
+                blk_index += 1
+    else:
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(mcu_index)
+                for ci, comp in enumerate(comps):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = read_block(ci)
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+                mcu_index += 1
+
+    # hand the marker stream back: skip any trailing fill bits / stuffed
+    # bytes / restart markers to the next real marker boundary
+    p = reader.pos
+    n = len(data)
+    while p < n - 1:
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[p + 1] <= 0xD7:  # trailing RST: skip
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG stream ended inside scan data")
+
+
+def _assemble_image(frame, planes) -> np.ndarray:
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
 
     # level shift, upsample to full resolution, crop
     full = []

@@ -118,12 +118,16 @@ def _nn_resample(p: np.ndarray, oh: int, ow: int) -> np.ndarray:
 
 
 def encode_baseline_jpeg(
-    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None
+    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
+    multiscan: bool = False,
 ) -> bytes:
     """HWC uint8 (1 or 3 channels, RGB) → baseline JPEG bytes.
     ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling);
     ``samp=[(hy,vy),(hc,vc),(hc,vc)]`` overrides with arbitrary sampling
-    factors (chroma nearest-resampled), e.g. the non-divisible 3:2."""
+    factors (chroma nearest-resampled), e.g. the non-divisible 3:2.
+    ``multiscan=True`` emits one NON-INTERLEAVED scan per component (the
+    spec-legal multi-scan baseline layout, T.81 A.2.2: each scan's MCU is
+    one block, raster order over the component's own block grid)."""
     h, w = img.shape[:2]
     channels = img.shape[2] if img.ndim == 3 else 1
     q = np.full((8, 8), float(quant))
@@ -181,6 +185,24 @@ def encode_baseline_jpeg(
     dht = bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
     dht += bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMBOLS)
     out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    if multiscan and len(planes) > 1:
+        # one non-interleaved scan per component, block raster over the
+        # component's own grid (ceil(comp_w/8) x ceil(comp_h/8))
+        for ci, (sh, sv) in enumerate(samp):
+            sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
+            out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+            comp_w = -(-w * sh // hmax)
+            comp_h = -(-h * sv // vmax)
+            writer = _BitWriter()
+            pred = 0
+            for by in range(-(-comp_h // 8)):
+                for bx in range(-(-comp_w // 8)):
+                    block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    pred = _encode_block(writer, block, q, pred)
+            out += writer.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     # SOS
     sos = bytes([len(planes)])
     for ci in range(len(planes)):

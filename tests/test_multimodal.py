@@ -209,11 +209,33 @@ def test_jpeg_nondivisible_sampling_factors():
     assert err.mean() < 6.0 and err.max() < 48, (err.mean(), err.max())
 
 
-def test_jpeg_multiscan_sos_rejected_with_install_hint():
-    """A spec-valid MULTI-SCAN baseline stream (one scan per component) is
-    outside this single-scan decoder: it must raise the same install-hint
-    ValueError as other unsupported stream classes, not KeyError mid-scan
-    (the r6 ADVICE finding)."""
+def test_jpeg_multiscan_baseline_decodes_identically():
+    """A spec-valid MULTI-SCAN baseline stream (one non-interleaved scan
+    per component, T.81 A.2.2) decodes BIT-IDENTICALLY to the interleaved
+    single-scan encoding of the same image — including subsampled and
+    non-divisible sampling layouts (r9: the last spec-legal baseline class
+    the numpy tier used to reject with an install hint)."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    rng = np.random.default_rng(11)
+    for shape, kw in [
+        ((16, 16, 3), {}),
+        ((23, 17, 3), {"subsample": True}),  # 4:2:0, non-multiple-of-16 dims
+        ((20, 28, 3), {"samp": [(3, 2), (1, 1), (1, 1)]}),  # non-divisible
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        single = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
+        multi = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, quant=4, multiscan=True, **kw)
+        )
+        np.testing.assert_array_equal(single, multi)
+
+
+def test_jpeg_partial_interleave_rejected_with_install_hint():
+    """A partially-interleaved scan (2 of 3 components in one MCU stream)
+    stays outside the numpy tier: install-hint ValueError, never a
+    KeyError mid-scan."""
     from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
     from tests.jpeg_fixture import encode_baseline_jpeg
 
@@ -222,10 +244,27 @@ def test_jpeg_multiscan_sos_rejected_with_install_hint():
     i = bytes(data).find(b"\xff\xda")
     assert i > 0
     seglen = int.from_bytes(data[i + 2 : i + 4], "big")
-    # rewrite the 3-component SOS header as a 1-component scan
+    # rewrite the 3-component SOS header as a 2-component scan
+    two_comp = b"\x00\x0a\x02\x01\x00\x02\x00\x00\x3f\x00"
+    patched = bytes(data[: i + 2]) + two_comp + bytes(data[i + 2 + seglen :])
+    with pytest.raises(ValueError, match="install Pillow"):
+        decode_baseline_jpeg(patched)
+
+
+def test_jpeg_missing_component_scan_is_value_error():
+    """A stream whose SOS lies (claims one component, then hits EOI with
+    the other two never scanned) is malformed, not silently gray: the
+    decoder reports the undecoded components as a ValueError."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    img = np.full((16, 16, 3), 90, np.uint8)
+    data = bytearray(encode_baseline_jpeg(img, quant=4))
+    i = bytes(data).find(b"\xff\xda")
+    seglen = int.from_bytes(data[i + 2 : i + 4], "big")
     one_comp = b"\x00\x08\x01\x01\x00\x00\x3f\x00"
     patched = bytes(data[: i + 2]) + one_comp + bytes(data[i + 2 + seglen :])
-    with pytest.raises(ValueError, match="install Pillow"):
+    with pytest.raises(ValueError):
         decode_baseline_jpeg(patched)
 
 

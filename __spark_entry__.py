@@ -363,6 +363,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r9: KMV cross-source distinct-overlap estimation (portable
         # sketch arithmetic — an APPROXIMATE operator with an exact oracle)
         "kmv_source_overlap": SA.kmv_source_overlap,
+        # production xxhash64 twin (rows-only) + its oracle-backed
+        # consistency check, the minhash native/portable pattern
+        "kmv_source_overlap_native": SA.kmv_source_overlap_native,
+        "kmv_native_consistency": SA.kmv_native_consistency,
         # --- r9: per-group top-k (WindowGroupLimit map-side partial limit)
         "topk_per_group": R.topk_per_group,
         # --- r6: forward as-of join (attribution mirror of the backward form)
@@ -800,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_dup_pairs": D.ORACLE_EDIT_DISTANCE_DUP_PAIRS,
         "gapfill_hourly": TP.ORACLE_GAPFILL_HOURLY,
         "kmv_source_overlap": SA.ORACLE_KMV_SOURCE_OVERLAP,
+        "kmv_native_consistency": SA.ORACLE_KMV_NATIVE_CONSISTENCY,
         "topk_per_group": R.ORACLE_TOPK_PER_GROUP,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

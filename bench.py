@@ -190,6 +190,8 @@ BENCH_QUERIES = {
     "q_gapfill_hourly": TP.gapfill_hourly,
     # r9: KMV cross-source overlap (portable sketch, WindowGroupLimit build)
     "q_kmv_overlap": SA.kmv_source_overlap,
+    # r9: the xxhash64 production form (one JVM hash call per row)
+    "q_kmv_overlap_native": SA.kmv_source_overlap_native,
     # r9: per-group top-k (map-side partial WindowGroupLimit)
     "q_topk_per_group": R.topk_per_group,
 }

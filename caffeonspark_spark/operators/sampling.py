@@ -406,21 +406,50 @@ def kmv_source_overlap(
     return kmv_overlap_docs(load_table(spark, sf_dir, "documents"), k)
 
 
+#: modulus of the native hash domain: xxhash64 folded into [0, 2^61-1)
+#: (pmod keeps it non-negative; 61 bits keep (k-1)*mod inside double range
+#: with relative error < 2^-53, irrelevant at the sketch's 1/sqrt(k) noise)
+_KMV_NATIVE_MOD = (1 << 61) - 1
+
+
 def kmv_overlap_docs(docs: DataFrame, k: int = _KMV_K) -> DataFrame:
     """DataFrame core of :func:`kmv_source_overlap` (see its docstring)."""
     from caffeonspark_spark.functions.text import _FP_MOD, doc_fingerprint_portable
 
-    h = (
-        docs.select("source", doc_fingerprint_portable(F.col("text")).alias("hv"))
-        .distinct()
+    h = docs.select(
+        "source", doc_fingerprint_portable(F.col("text")).alias("hv")
     )
+    return _kmv_overlap_from_hashes(h, k, _FP_MOD)
+
+
+def kmv_overlap_native_docs(docs: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """PRODUCTION form of :func:`kmv_overlap_docs`: the per-document hash is
+    one ``xxhash64`` call (JVM, O(1) per row) instead of the oracle-portable
+    per-character polynomial fold (O(text) lambda work) — the same
+    portable/native split as the MinHash family. Hash-native, so no SQL
+    oracle by design; verified by ``kmv_native_consistency`` (estimates
+    within tolerance of the oracle-checked portable sketch) and the shared
+    pipeline code path."""
+    h = docs.select(
+        "source",
+        F.pmod(F.xxhash64(F.col("text")), F.lit(_KMV_NATIVE_MOD)).alias("hv"),
+    )
+    return _kmv_overlap_from_hashes(h, k, _KMV_NATIVE_MOD)
+
+
+def _kmv_overlap_from_hashes(h: DataFrame, k: int, modulus: int) -> DataFrame:
+    """Shared KMV pipeline over a (source, hv) hash relation — sketch
+    build, per-source estimates, pairwise union-sketch merge, membership
+    intersection (one implementation for the portable and native hash
+    families)."""
+    h = h.distinct()
     w = Window.partitionBy("source").orderBy("hv")
     sk = (
         h.select("source", "hv", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= k)
         .select("source", "hv")
     )
-    scale = float((k - 1) * _FP_MOD)
+    scale = float((k - 1) * modulus)
     per = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("m"), F.max("hv").alias("kth")
     )
@@ -548,3 +577,87 @@ def _oracle_kmv_source_overlap(k: int = _KMV_K) -> str:
 
 
 ORACLE_KMV_SOURCE_OVERLAP = _oracle_kmv_source_overlap()
+
+
+def kmv_source_overlap_native(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K
+) -> DataFrame:
+    """Declared PRODUCTION query: xxhash64 KMV overlap (rows-only — the
+    hash is Spark-native; accuracy pinned by ``kmv_native_consistency``)."""
+    return kmv_overlap_native_docs(load_table(spark, sf_dir, "documents"), k)
+
+
+def kmv_native_consistency(
+    spark: SparkSession, sf_dir: str, k: int = _KMV_K, tol: float = 0.35
+) -> DataFrame:
+    """Consistency twin for the PRODUCTION xxhash64 KMV overlap (hash-
+    native, so no SQL oracle possible by design): run it beside the
+    oracle-checked portable sketch and emit the portable pair count plus
+    booleans asserting every pair's native union and overlap estimates sit
+    within ``tol`` of the portable ones (tolerance = two independent-hash
+    KMV draws at k=256: each side ~1/√k ≈ 6% std error on the union, and
+    the overlap inherits union-scaled noise through the Jaccard ratio, so
+    35% absolute-of-union is a >5σ envelope that still catches a broken
+    estimator, a wrong modulus, or a lost membership join). The oracle
+    recomputes the portable side and emits TRUE, so either side regressing
+    flips the hash — the minhash_native_consistency pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    keys = ["source_a", "source_b"]
+    por = kmv_overlap_docs(docs, k).select(
+        *keys,
+        F.col("est_union").alias("p_union"),
+        F.col("est_overlap").alias("p_overlap"),
+    )
+    nat = kmv_overlap_native_docs(docs, k).select(
+        *keys,
+        F.col("est_union").alias("n_union"),
+        F.col("est_overlap").alias("n_overlap"),
+    )
+    both = por.join(nat, keys, "full_outer")
+    bad_union = F.when(
+        F.col("p_union").isNull()
+        | F.col("n_union").isNull()
+        | (F.abs(F.col("n_union") - F.col("p_union")) > tol * F.col("p_union")),
+        1,
+    ).otherwise(0)
+    bad_overlap = F.when(
+        F.col("p_overlap").isNull()
+        | F.col("n_overlap").isNull()
+        | (
+            F.abs(F.col("n_overlap") - F.col("p_overlap"))
+            > tol * F.col("p_union")
+        ),
+        1,
+    ).otherwise(0)
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.coalesce(F.sum(bad_union), F.lit(0)) == 0).alias("union_consistent"),
+        (F.coalesce(F.sum(bad_overlap), F.lit(0)) == 0).alias(
+            "overlap_consistent"
+        ),
+    )
+
+
+def _oracle_kmv_native_consistency(k: int = _KMV_K) -> str:
+    """Portable-side pair count + TRUE booleans (native side is Spark-only
+    by design; a regression on either side flips a boolean)."""
+    whole = _oracle_kmv_source_overlap(k)
+    marker = "SELECT u.source_a"
+    if marker not in whole:  # fail at import, not with invalid spliced SQL
+        raise RuntimeError(
+            "kmv_native_consistency oracle splice marker vanished from "
+            "_oracle_kmv_source_overlap; update the splice together with it"
+        )
+    base = whole.rsplit(marker, 1)[0]
+    return (
+        base
+        + """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           TRUE AS union_consistent,
+           TRUE AS overlap_consistent
+    FROM mu_stats u
+    JOIN pairs p USING (source_a, source_b)
+"""
+    )
+
+
+ORACLE_KMV_NATIVE_CONSISTENCY = _oracle_kmv_native_consistency()

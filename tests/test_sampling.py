@@ -480,3 +480,32 @@ class TestKmvOverlap:
         pairs = {(r["source_a"], r["source_b"]) for r in out}
         assert pairs == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
         assert all(a < b for a, b in pairs)
+
+    def test_native_estimator_accuracy_and_consistency(self, spark):
+        """The xxhash64 production sketch estimates the same planted truth
+        within the same envelope as the portable one, and the two agree
+        within the consistency twin's tolerance."""
+        from caffeonspark_spark.operators.sampling import (
+            kmv_overlap_docs,
+            kmv_overlap_native_docs,
+        )
+
+        shared = [f"shared document body {i} padding words" for i in range(400)]
+        only_a = [f"alpha only document {i} filler" for i in range(400)]
+        only_b = [f"beta only document {i} filler" for i in range(400)]
+        rows = (
+            [(i, t, "a") for i, t in enumerate(shared + only_a)]
+            + [(10_000 + i, t, "b") for i, t in enumerate(shared + only_b)]
+        )
+        docs = self._docs(spark, rows)
+        [n] = kmv_overlap_native_docs(docs, k=64).collect()
+        for got, true in (
+            (n["est_a"], 800),
+            (n["est_b"], 800),
+            (n["est_union"], 1200),
+            (n["est_overlap"], 400),
+        ):
+            assert abs(got - true) / true < 0.5, (got, true)
+        [p] = kmv_overlap_docs(docs, k=64).collect()
+        assert abs(n["est_union"] - p["est_union"]) <= 0.35 * p["est_union"]
+        assert abs(n["est_overlap"] - p["est_overlap"]) <= 0.35 * p["est_union"]

@@ -276,10 +276,12 @@ def decode_image(data: bytes, channels: int) -> np.ndarray:
     matching the reference's OpenCV ``Mat.decode``, ``Mat.java:58-63``).
 
     Uses Pillow or OpenCV when importable (``CODEC_NAME`` says which);
-    otherwise the pure-NumPy header-only codec handles PPM/PGM/BMP, so a
-    REAL decode path is exercised end-to-end even in this container
-    (JPEG/PNG payloads then raise with an install hint). Callers (batch
-    assembly) stay codec-agnostic either way.
+    otherwise the pure-NumPy codec handles PPM/PGM/BMP headers plus
+    from-spec JPEG (baseline, multi-scan, partially-interleaved, and
+    progressive Huffman — ``jpeg.py``) and full PNG (``png.py``), so the
+    real decode paths run end-to-end even in this container; only the
+    remaining classes (arithmetic/12-bit/lossless JPEG) raise with an
+    install hint. Callers (batch assembly) stay codec-agnostic either way.
     """
     return _CODEC_FN(data, channels)
 

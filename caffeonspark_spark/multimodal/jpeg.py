@@ -1,17 +1,19 @@
-"""Pure-Python/NumPy baseline JPEG (SOF0/SOF1) decoder.
+"""Pure-Python/NumPy JPEG (SOF0/SOF1 baseline + SOF2 progressive) decoder.
 
 Closes the reference-parity gap for the codec-less container: the
 reference decodes JPEG via OpenCV (``Mat.java:58-63``, used by
 ``ImageDataSource.scala:126-143``), so its own ``data/images/*.jpg``
 fixture class must decode end-to-end here too. This is the third tier of
 ``_resolve_codec`` (Pillow → OpenCV → numpy-native): correctness-first,
-implemented straight from the public JPEG specification (ITU-T T.81
-baseline process) — sequential DCT, Huffman entropy coding, 8-bit
-precision, grayscale or YCbCr with arbitrary sampling factors, restart
-markers, and multi-scan streams (r9: one non-interleaved scan per
-component, T.81 A.2.2). Progressive (SOF2), arithmetic coding, and
-partially-interleaved scans raise with an install hint, same as the
-other unsupported containers.
+implemented straight from the public JPEG specification (ITU-T T.81) —
+sequential DCT, Huffman entropy coding, 8-bit precision, grayscale or
+YCbCr with arbitrary sampling factors, restart markers, multi-scan
+baseline streams (one non-interleaved or partially-interleaved scan per
+component group, T.81 A.2), and progressive DCT (SOF2, T.81 G: spectral
+selection + successive approximation with DC/AC refinement scans and
+EOB-run coding). Arithmetic coding, lossless, hierarchical, and 12-bit
+streams raise with an install hint, same as the other unsupported
+containers.
 
 Throughput note: this tier exists for correctness in codec-free
 environments, not speed — the per-bit Huffman loop is Python. Production
@@ -131,10 +133,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes → HWC uint8 (1 channel for grayscale,
-    3 channels RGB for YCbCr color). Raises ValueError on non-baseline
-    streams (progressive, 12-bit, arithmetic) or malformed/truncated
-    data."""
+    """Decode JPEG bytes → HWC uint8 (1 channel for grayscale, 3 channels
+    RGB for YCbCr color). Handles baseline/extended sequential (SOF0/SOF1)
+    and progressive (SOF2) Huffman streams; raises ValueError on the
+    remaining classes (12-bit, arithmetic, lossless, hierarchical) or
+    malformed/truncated data. The name predates progressive support and is
+    kept for the stable three-tier codec API."""
     try:
         return _decode_baseline_jpeg(data)
     except (IndexError, KeyError) as e:
@@ -149,7 +153,13 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (height, width, components)
     restart_interval = 0
+    progressive = False
     planes: list[np.ndarray] | None = None
+    #: progressive only: per-component dequantization-pending DCT
+    #: coefficients in ZIGZAG-index order, shaped (blocks_y, blocks_x, 64)
+    #: over the MCU-padded grid; successive scans accumulate bits here and
+    #: the IDCT runs once at EOI
+    coefs: list[np.ndarray] | None = None
     decoded_ids: set[int] = set()
     pos = 2
     n = len(data)
@@ -197,7 +207,8 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + total]
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(counts, symbols)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             height = int.from_bytes(seg[1:3], "big")
@@ -220,10 +231,11 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if height == 0 or width == 0:
                 raise ValueError("degenerate JPEG dimensions")
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG supported by the numpy-native "
-                "codec; install Pillow or opencv-python for this stream"
+                "only baseline/extended-sequential and progressive Huffman "
+                "JPEG supported by the numpy-native codec; install Pillow or "
+                "opencv-python for this stream"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
@@ -231,69 +243,82 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            ncomp = len(frame[2])
-            if 1 < ns < ncomp:
-                # interleaved PARTIAL scans (2 of 3 components in one MCU
-                # stream) are spec-legal but unseen in practice; classify
-                # with the other unsupported-stream classes. Fully
-                # interleaved (ns == ncomp) and non-interleaved multi-scan
-                # (ns == 1, one scan per component) both decode below.
-                raise ValueError(
-                    "partially-interleaved baseline JPEG scan not supported "
-                    "by the numpy-native codec; install Pillow or "
-                    "opencv-python for this stream"
-                )
             scan_sel = {}
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 td_ta = seg[2 + 2 * c]
                 scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+            # progression parameters (baseline fixes them at 0/63/0 and the
+            # sequential scan decoder ignores them)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             frame_ids = {comp["id"] for comp in frame[2]}
             if not set(scan_sel) <= frame_ids:
                 raise ValueError("JPEG scan references unknown component")
-            if planes is None:
-                height, width, comps = frame
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcus_x = -(-width // (8 * hmax))
-                mcus_y = -(-height // (8 * vmax))
-                planes = [
-                    np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64)
-                    for c in comps
-                ]
-            pos = _decode_scan_data(
-                data,
-                pos + seglen,
-                frame,
-                scan_sel,
-                planes,
-                qtables,
-                huff_dc,
-                huff_ac,
-                restart_interval,
-            )
+            height, width, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            if progressive:
+                if coefs is None:
+                    coefs = [
+                        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+                        for c in comps
+                    ]
+                pos = _decode_scan_progressive(
+                    data, pos + seglen, frame, scan_sel, coefs,
+                    huff_dc, huff_ac, restart_interval, ss, se, ah, al,
+                )
+            else:
+                if planes is None:
+                    planes = [
+                        np.zeros(
+                            (mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), np.float64
+                        )
+                        for c in comps
+                    ]
+                pos = _decode_scan_data(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan_sel,
+                    planes,
+                    qtables,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
             decoded_ids |= set(scan_sel)
             continue  # pos already points at the next marker
         # APPn / COM / others: skip
         pos += seglen
-    if planes is None:
+    if planes is None and coefs is None:
         raise ValueError("JPEG stream ended before SOS")
     missing = {c["id"] for c in frame[2]} - decoded_ids
     if missing:
         raise ValueError(
             f"JPEG stream ended with undecoded components {sorted(missing)}"
         )
+    if coefs is not None:
+        # progressive: all scans accumulated — dequantize + IDCT once
+        planes = [
+            _idct_plane(coefs[ci], qtables[comp["tq"]])
+            for ci, comp in enumerate(frame[2])
+        ]
     return _assemble_image(frame, planes)
 
 
 def _decode_scan_data(
     data, pos, frame, scan_sel, planes, qtables, huff_dc, huff_ac, restart_interval
 ) -> int:
-    """Decode ONE entropy-coded scan into ``planes`` and return the byte
-    position of the next marker. ``scan_sel`` holds either every frame
-    component (interleaved MCU order) or exactly one (non-interleaved: the
-    component's own block raster, T.81 A.2.2 — the per-scan layout a
-    multi-scan baseline stream uses)."""
+    """Decode ONE entropy-coded sequential scan into ``planes`` and return
+    the byte position of the next marker. ``scan_sel`` holds either several
+    frame components (interleaved MCU order over the FRAME MCU grid — a
+    subset of the frame's components is the spec-legal partially-interleaved
+    layout, T.81 A.2.3) or exactly one (non-interleaved: the component's own
+    block raster, T.81 A.2.2 — the per-scan layout a multi-scan baseline
+    stream uses)."""
     height, width, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -358,11 +383,16 @@ def _decode_scan_data(
                 planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = read_block(ci)
                 blk_index += 1
     else:
+        # interleaved over the frame MCU grid; a partial scan (a strict
+        # subset of the frame's components) contributes only its own
+        # components' blocks to each MCU (T.81 A.2.3)
+        scan_cis = [i for i, c in enumerate(comps) if c["id"] in scan_sel]
         mcu_index = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 restart(mcu_index)
-                for ci, comp in enumerate(comps):
+                for ci in scan_cis:
+                    comp = comps[ci]
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
                             blk = read_block(ci)
@@ -371,9 +401,12 @@ def _decode_scan_data(
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
                 mcu_index += 1
 
-    # hand the marker stream back: skip any trailing fill bits / stuffed
-    # bytes / restart markers to the next real marker boundary
-    p = reader.pos
+    return _skip_to_next_marker(data, reader.pos)
+
+
+def _skip_to_next_marker(data: bytes, p: int) -> int:
+    """Hand the marker stream back after a scan: skip trailing fill bits /
+    stuffed bytes / restart markers to the next real marker boundary."""
     n = len(data)
     while p < n - 1:
         if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
@@ -383,6 +416,183 @@ def _decode_scan_data(
             return p
         p += 1
     raise ValueError("JPEG stream ended inside scan data")
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan_sel, coefs, huff_dc, huff_ac, restart_interval,
+    ss, se, ah, al,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    coefficient accumulators and return the byte position of the next
+    marker. DC scans (Ss == 0) may be interleaved over the frame MCU grid
+    or single-component; AC scans are always single-component over the
+    component's own block grid. First scans (Ah == 0) establish the
+    coefficient bits above ``al``; refinement scans (Ah > 0) append the
+    next lower bit via the G.1.2.3 correction-bit protocol, with the
+    EOB-run shared across blocks and reset at restart markers."""
+    height, width, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    if ss == 0 and se != 0:
+        raise ValueError("progressive JPEG DC scan with nonzero Se")
+    if ss > 0 and len(scan_sel) != 1:
+        raise ValueError("progressive JPEG AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("progressive JPEG spectral band out of range")
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    p1, m1 = 1 << al, -1 << al  # +1 / -1 in the bit position being coded
+
+    def dc_first(ci, blk):
+        td = scan_sel[comps[ci]["id"]][0]
+        t = reader.decode(huff_dc[td])
+        preds[ci] += _extend(reader.receive(t), t)
+        blk[0] = preds[ci] << al
+
+    def dc_refine(ci, blk):
+        # one raw bit per block: the next lower magnitude bit of DC
+        if reader.bit():
+            blk[0] |= p1
+
+    def ac_first(ci, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        tab = huff_ac[scan_sel[comps[ci]["id"]][1]]
+        k = ss
+        while k <= se:
+            rs = reader.decode(tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (1<<r)+bits end-of-band blocks, this one
+                # included — store the REMAINING count
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine(ci, blk):
+        tab = huff_ac[scan_sel[comps[ci]["id"]][1]]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(tab)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError(
+                            "invalid newly-nonzero size in JPEG AC refinement"
+                        )
+                    newval = p1 if reader.bit() else m1
+                elif r != 15:
+                    # EOBn: the tail loop below corrects the rest of this
+                    # block, then the run covers the NEXT eobrun-1 blocks
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.receive(r)
+                    break
+                # advance over r still-zero coefficients (16 for ZRL),
+                # emitting a correction bit for every previously-nonzero
+                # coefficient passed over
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement run past band end")
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # inside an end-of-band run, previously-nonzero coefficients
+            # still receive their correction bits
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def restart(unit_index):
+        if restart_interval and unit_index and unit_index % restart_interval == 0:
+            reader.align()
+            if (
+                reader.data[reader.pos] == 0xFF
+                and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            preds[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if ss == 0 and len(scan_sel) > 1:
+        # interleaved DC scan over the frame MCU grid (pad blocks included)
+        scan_cis = [i for i, c in enumerate(comps) if c["id"] in scan_sel]
+        unit = dc_first if ah == 0 else dc_refine
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(mcu_index)
+                for ci in scan_cis:
+                    comp = comps[ci]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            unit(
+                                ci,
+                                coefs[ci][my * comp["v"] + by, mx * comp["h"] + bx],
+                            )
+                mcu_index += 1
+    else:
+        # single-component scan: raster over the component's OWN block grid
+        ci = next(i for i, c in enumerate(comps) if c["id"] in scan_sel)
+        comp = comps[ci]
+        comp_w = -(-width * comp["h"] // hmax)
+        comp_h = -(-height * comp["v"] // vmax)
+        bx_n = -(-comp_w // 8)
+        by_n = -(-comp_h // 8)
+        if ss == 0:
+            unit = dc_first if ah == 0 else dc_refine
+        else:
+            unit = ac_first if ah == 0 else ac_refine
+        blk_index = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                restart(blk_index)
+                unit(ci, coefs[ci][by, bx])
+                blk_index += 1
+
+    return _skip_to_next_marker(data, reader.pos)
+
+
+def _idct_plane(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Dequantize a (blocks_y, blocks_x, 64) zigzag-index-order coefficient
+    grid against natural-order quant table ``q`` and inverse-DCT every
+    block in one vectorized einsum → (blocks_y*8, blocks_x*8) float plane
+    (pre-level-shift, same contract as the sequential path's planes)."""
+    by, bx, _ = coef.shape
+    natural = np.zeros((by, bx, 64), np.float64)
+    natural[:, :, ZIGZAG] = coef
+    natural *= q.reshape(64).astype(np.float64)
+    blocks = natural.reshape(by, bx, 8, 8)
+    m = _IDCT_M
+    spatial = np.einsum("ui,yxuv,vj->yxij", m, blocks, m)
+    return spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
 def _assemble_image(frame, planes) -> np.ndarray:

@@ -1,11 +1,23 @@
-"""Minimal baseline JPEG ENCODER — test fixture only.
+"""Minimal JPEG ENCODER — test fixture only.
 
-Produces spec-valid baseline sequential JPEG streams (ITU-T T.81) so the
-decoder tier (``multimodal/jpeg.py``) can be exercised end-to-end in this
-codec-less container. Deliberately simple: one mild quantization table,
-fixed-length canonical Huffman tables (12 DC symbols at 4 bits; 162 AC
-symbols at 9 bits — valid canonical tables, just not entropy-optimal),
-4:4:4 or 4:2:0 sampling, no restart markers unless asked.
+Produces spec-valid JPEG streams (ITU-T T.81) so the decoder tier
+(``multimodal/jpeg.py``) can be exercised end-to-end in this codec-less
+container. Deliberately simple: one mild quantization table, fixed-length
+canonical Huffman tables (12 DC symbols at 4 bits; 176 AC symbols at 9
+bits — valid canonical tables, just not entropy-optimal), 4:4:4 or 4:2:0
+sampling, no restart markers unless asked.
+
+Three stream layouts:
+
+- ``encode_baseline_jpeg(...)`` — sequential SOF0, one fully-interleaved
+  scan; ``multiscan=True`` for one non-interleaved scan per component
+  (T.81 A.2.2); ``scan_groups=[(0, 1), (2,)]`` for arbitrary grouping
+  including the spec-legal PARTIALLY-interleaved layout (T.81 A.2.3).
+- ``encode_progressive_jpeg(...)`` — progressive SOF2 with the
+  libjpeg-style default scan script: spectral selection + successive
+  approximation, DC/AC first and refinement scans, EOB-run coding
+  (T.81 G.1.2) — the same quantized coefficients as the baseline stream,
+  so both must decode to identical pixels.
 """
 
 from __future__ import annotations
@@ -18,7 +30,9 @@ _M = _idct_matrix()  # orthonormal DCT-II basis; forward = M @ x @ M.T
 
 DC_SYMBOLS = list(range(12))
 DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # all 12 categories at length 4
-AC_SYMBOLS = [0x00, 0xF0] + [
+# AC: EOBn (r<<4|0 for r=0..14, progressive end-of-band runs; r=0 is the
+# baseline EOB), ZRL (0xF0), and every (run, size) pair size 1-10
+AC_SYMBOLS = [r << 4 for r in range(15)] + [0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 AC_COUNTS = [0] * 8 + [len(AC_SYMBOLS)] + [0] * 7  # all at length 9
@@ -68,42 +82,6 @@ def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
 
 
-def _encode_block(writer: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
-    coef = _M @ (block - 128.0) @ _M.T
-    qc = np.rint(coef / q).astype(np.int64)
-    zz = qc.reshape(64)[ZIGZAG]
-    dc = int(zz[0])
-    diff = dc - pred
-    t = _category(diff)
-    ln, code = DC_CODES[t]
-    writer.put(code, ln)
-    if t:
-        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-    run = 0
-    last_nz = 0
-    for k in range(1, 64):
-        if zz[k]:
-            last_nz = k
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run >= 16:
-            ln, code = AC_CODES[0xF0]
-            writer.put(code, ln)
-            run -= 16
-        s = _category(v)
-        ln, code = AC_CODES[(run << 4) | s]
-        writer.put(code, ln)
-        writer.put(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz < 63:
-        ln, code = AC_CODES[0x00]  # EOB
-        writer.put(code, ln)
-    return dc
-
-
 def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     h, w = plane.shape
     ph = (-h) % mult_y
@@ -117,17 +95,11 @@ def _nn_resample(p: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return p[np.ix_(rows, cols)]
 
 
-def encode_baseline_jpeg(
-    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
-    multiscan: bool = False,
-) -> bytes:
-    """HWC uint8 (1 or 3 channels, RGB) → baseline JPEG bytes.
-    ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling);
-    ``samp=[(hy,vy),(hc,vc),(hc,vc)]`` overrides with arbitrary sampling
-    factors (chroma nearest-resampled), e.g. the non-divisible 3:2.
-    ``multiscan=True`` emits one NON-INTERLEAVED scan per component (the
-    spec-legal multi-scan baseline layout, T.81 A.2.2: each scan's MCU is
-    one block, raster order over the component's own block grid)."""
+def _prepare(img: np.ndarray, quant: int, subsample: bool, samp):
+    """Shared pixel→plane setup: color convert, resample chroma, pad each
+    plane to its MCU grid, quantize every block. Returns
+    (h, w, samp, q, blocks) with ``blocks[ci]`` the (by, bx, 64) int64
+    quantized coefficients in ZIGZAG-index order over the padded grid."""
     h, w = img.shape[:2]
     channels = img.shape[2] if img.ndim == 3 else 1
     q = np.full((8, 8), float(quant))
@@ -166,61 +138,282 @@ def encode_baseline_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    padded = [
-        _pad_to(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
-        for p, (sh, sv) in zip(planes, samp)
-    ]
+    blocks = []
+    for p, (sh, sv) in zip(planes, samp):
+        padded = _pad_to(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
+        by_n, bx_n = padded.shape[0] // 8, padded.shape[1] // 8
+        b4 = padded.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ua,yxab,vb->yxuv", _M, b4, _M)
+        qc = np.rint(coef / q).astype(np.int64).reshape(by_n, bx_n, 64)
+        blocks.append(qc[:, :, ZIGZAG])  # natural → zigzag-index order
+    return h, w, samp, q, blocks
 
+
+def _headers(h, w, samp, q, sof_marker: bytes) -> bytearray:
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT (table 0, 8-bit)
     zzq = q.reshape(64)[ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zzq.tobytes()
-    # SOF0
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof += bytes([len(planes)])
+    sof += bytes([len(samp)])
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, 0])
-    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
-    # DHT: DC table 0 + AC table 0
+    out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     dht = bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)
     dht += bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMBOLS)
     out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
-    if multiscan and len(planes) > 1:
-        # one non-interleaved scan per component, block raster over the
-        # component's own grid (ceil(comp_w/8) x ceil(comp_h/8))
-        for ci, (sh, sv) in enumerate(samp):
-            sos = bytes([1, ci + 1, 0x00, 0, 63, 0])
-            out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
-            comp_w = -(-w * sh // hmax)
-            comp_h = -(-h * sv // vmax)
-            writer = _BitWriter()
-            pred = 0
-            for by in range(-(-comp_h // 8)):
-                for bx in range(-(-comp_w // 8)):
-                    block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                    pred = _encode_block(writer, block, q, pred)
-            out += writer.flush()
-        out += b"\xff\xd9"  # EOI
-        return bytes(out)
+    return out
 
-    # SOS
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+
+def _block_order(group, h, w, samp):
+    """Block visit order for one scan: interleaved MCU raster over the
+    frame MCU grid when the group has >1 component, else the single
+    component's own (unpadded) block grid raster — mirrors the decoder."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    order = []
+    if len(group) == 1:
+        ci = group[0]
+        sh, sv = samp[ci]
+        comp_w = -(-w * sh // hmax)
+        comp_h = -(-h * sv // vmax)
+        for by in range(-(-comp_h // 8)):
+            for bx in range(-(-comp_w // 8)):
+                order.append((ci, by, bx))
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in group:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            order.append((ci, my * sv + by, mx * sh + bx))
+    return order
+
+
+def _sos_header(group, ss, se, ah, al) -> bytes:
+    sos = bytes([len(group)])
+    for ci in group:
         sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
 
-    writer = _BitWriter()
-    preds = [0] * len(planes)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        preds[ci] = _encode_block(writer, block, q, preds[ci])
-    out += writer.flush()
+
+def _emit_dc_diff(writer, diff: int) -> None:
+    t = _category(diff)
+    ln, code = DC_CODES[t]
+    writer.put(code, ln)
+    if t:
+        writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def encode_baseline_jpeg(
+    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
+    multiscan: bool = False, scan_groups=None,
+) -> bytes:
+    """HWC uint8 (1 or 3 channels, RGB) → baseline JPEG bytes.
+    ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling);
+    ``samp=[(hy,vy),(hc,vc),(hc,vc)]`` overrides with arbitrary sampling
+    factors (chroma nearest-resampled), e.g. the non-divisible 3:2.
+    ``multiscan=True`` emits one NON-INTERLEAVED scan per component;
+    ``scan_groups`` emits one scan per component-index tuple — a group of
+    several-but-not-all components is the partially-interleaved layout."""
+    h, w, samp, q, blocks = _prepare(img, quant, subsample, samp)
+    ncomp = len(samp)
+    if scan_groups is None:
+        scan_groups = (
+            [(ci,) for ci in range(ncomp)] if multiscan and ncomp > 1
+            else [tuple(range(ncomp))]
+        )
+    out = _headers(h, w, samp, q, b"\xff\xc0")
+    for group in scan_groups:
+        out += _sos_header(group, 0, 63, 0, 0)
+        writer = _BitWriter()
+        preds = dict.fromkeys(group, 0)
+        for ci, by, bx in _block_order(group, h, w, samp):
+            zz = blocks[ci][by, bx]
+            dc = int(zz[0])
+            _emit_dc_diff(writer, dc - preds[ci])
+            preds[ci] = dc
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = int(nz[-1]) + 1 if len(nz) else 0
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = AC_CODES[0xF0]
+                    writer.put(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = AC_CODES[(run << 4) | s]
+                writer.put(code, ln)
+                writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                ln, code = AC_CODES[0x00]  # EOB
+                writer.put(code, ln)
+        out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+#: libjpeg-style default progressive scan script entries:
+#: (component-index group, Ss, Se, Ah, Al)
+_PROGRESSIVE_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first, all components, Al=1
+    ((0,), 1, 5, 0, 2),       # Y low AC first
+    ((1,), 1, 63, 0, 1),      # Cb AC first
+    ((2,), 1, 63, 0, 1),      # Cr AC first
+    ((0,), 6, 63, 0, 2),      # Y high AC first
+    ((0,), 1, 63, 2, 1),      # Y AC refine 2→1
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refine
+    ((1,), 1, 63, 1, 0),      # Cb AC refine
+    ((2,), 1, 63, 1, 0),      # Cr AC refine
+    ((0,), 1, 63, 1, 0),      # Y AC refine 1→0
+]
+_PROGRESSIVE_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _AcState:
+    """EOB-run + buffered correction bits, shared across blocks of one
+    progressive AC scan (jcphuff-style)."""
+
+    def __init__(self, writer):
+        self.writer = writer
+        self.eobrun = 0
+        self.bebits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            ln, code = AC_CODES[nbits << 4]
+            self.writer.put(code, ln)
+            if nbits:
+                self.writer.put(self.eobrun, nbits)  # low nbits of the run
+            self.eobrun = 0
+        for b in self.bebits:
+            self.writer.put(b, 1)
+        self.bebits = []
+
+
+def _emit_ac_first_block(state, zz, ss, se, al) -> None:
+    writer = state.writer
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)  # point transform
+        if t == 0:
+            r += 1
+            continue
+        state.flush_eobrun()
+        while r > 15:
+            ln, code = AC_CODES[0xF0]
+            writer.put(code, ln)
+            r -= 16
+        s = _category(t)
+        ln, code = AC_CODES[(r << 4) | s]
+        writer.put(code, ln)
+        writer.put(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def _emit_ac_refine_block(state, zz, ss, se, al) -> None:
+    writer = state.writer
+    absvals = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_rel = -1  # position (relative to ss) of the last newly-nonzero coef
+    for i, t in enumerate(absvals):
+        if t == 1:
+            eob_rel = i
+    r = 0
+    br: list[int] = []  # correction bits owed to the pending run
+    for i, t in enumerate(absvals):
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs only when they cannot fold into the EOB run
+        while r > 15 and i <= eob_rel:
+            state.flush_eobrun()
+            ln, code = AC_CODES[0xF0]
+            writer.put(code, ln)
+            r -= 16
+            for b in br:
+                writer.put(b, 1)
+            br = []
+        if t > 1:
+            # previously nonzero: just the next magnitude bit
+            br.append(t & 1)
+            continue
+        # newly nonzero (magnitude exactly 1 at this precision)
+        state.flush_eobrun()
+        ln, code = AC_CODES[(r << 4) | 1]
+        writer.put(code, ln)
+        writer.put(1 if int(zz[ss + i]) >= 0 else 0, 1)  # sign bit
+        for b in br:
+            writer.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state.eobrun += 1
+        state.bebits.extend(br)
+        if state.eobrun == 0x7FFF or len(state.bebits) > 900:
+            state.flush_eobrun()
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
+    scans=None,
+) -> bytes:
+    """HWC uint8 → progressive (SOF2) JPEG bytes carrying the exact same
+    quantized coefficients as ``encode_baseline_jpeg`` with the same
+    arguments, via successive approximation + spectral selection.
+    ``scans`` overrides the default script with (group, Ss, Se, Ah, Al)
+    tuples; every coefficient bit must reach Al=0 for a full-fidelity
+    stream."""
+    h, w, samp, q, blocks = _prepare(img, quant, subsample, samp)
+    if scans is None:
+        scans = (
+            _PROGRESSIVE_SCRIPT_GRAY if len(samp) == 1
+            else _PROGRESSIVE_SCRIPT_COLOR
+        )
+    out = _headers(h, w, samp, q, b"\xff\xc2")
+    for group, ss, se, ah, al in scans:
+        out += _sos_header(group, ss, se, ah, al)
+        writer = _BitWriter()
+        order = _block_order(group, h, w, samp)
+        if ss == 0 and ah == 0:  # DC first
+            preds = dict.fromkeys(group, 0)
+            for ci, by, bx in order:
+                dc = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
+                _emit_dc_diff(writer, dc - preds[ci])
+                preds[ci] = dc
+        elif ss == 0:  # DC refine: one raw bit per block
+            for ci, by, bx in order:
+                writer.put((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first
+            state = _AcState(writer)
+            for ci, by, bx in order:
+                _emit_ac_first_block(state, blocks[ci][by, bx], ss, se, al)
+            state.flush_eobrun()
+        else:  # AC refine
+            state = _AcState(writer)
+            for ci, by, bx in order:
+                _emit_ac_refine_block(state, blocks[ci][by, bx], ss, se, al)
+            state.flush_eobrun()
+        out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -232,10 +232,35 @@ def test_jpeg_multiscan_baseline_decodes_identically():
         np.testing.assert_array_equal(single, multi)
 
 
-def test_jpeg_partial_interleave_rejected_with_install_hint():
-    """A partially-interleaved scan (2 of 3 components in one MCU stream)
-    stays outside the numpy tier: install-hint ValueError, never a
-    KeyError mid-scan."""
+def test_jpeg_partial_interleave_decodes_identically():
+    """A spec-valid PARTIALLY-interleaved baseline stream (T.81 A.2.3: a
+    strict subset of the frame's components interleaved in one scan, the
+    rest in later scans) decodes BIT-IDENTICALLY to the fully-interleaved
+    single-scan encoding of the same image — including subsampled layouts
+    where the partial MCU carries 4 Y blocks + 1 chroma block (r9: the
+    last spec-legal baseline class the numpy tier used to reject)."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    rng = np.random.default_rng(13)
+    for shape, kw, groups in [
+        ((16, 16, 3), {}, [(0, 1), (2,)]),
+        ((23, 17, 3), {"subsample": True}, [(0, 1), (2,)]),
+        ((20, 12, 3), {"subsample": True}, [(1, 2), (0,)]),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        single = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
+        partial = decode_baseline_jpeg(
+            encode_baseline_jpeg(img, quant=4, scan_groups=groups, **kw)
+        )
+        np.testing.assert_array_equal(single, partial)
+
+
+def test_jpeg_inconsistent_partial_scan_header_is_value_error():
+    """A 3-component MCU stream whose SOS header LIES (claims 2
+    components) is malformed — the mismatched entropy layout must surface
+    as ValueError (bad Huffman code / run overflow / undecoded component),
+    never a silent mis-decode into valid-looking pixels or a KeyError."""
     from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
     from tests.jpeg_fixture import encode_baseline_jpeg
 
@@ -247,8 +272,79 @@ def test_jpeg_partial_interleave_rejected_with_install_hint():
     # rewrite the 3-component SOS header as a 2-component scan
     two_comp = b"\x00\x0a\x02\x01\x00\x02\x00\x00\x3f\x00"
     patched = bytes(data[: i + 2]) + two_comp + bytes(data[i + 2 + seglen :])
-    with pytest.raises(ValueError, match="install Pillow"):
+    with pytest.raises(ValueError):
         decode_baseline_jpeg(patched)
+
+
+def test_jpeg_progressive_decodes_identically():
+    """A progressive (SOF2) stream carries the exact same quantized
+    coefficients as the baseline encoding of the same image, delivered
+    via spectral selection + successive approximation — so the decoded
+    pixels must be BIT-IDENTICAL to the baseline decode, across 4:4:4,
+    4:2:0, non-divisible sampling, and grayscale (r9: closes OpenCV
+    ``imdecode`` parity for every Huffman JPEG class)."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(17)
+    for shape, kw in [
+        ((16, 16, 3), {}),
+        ((23, 17, 3), {"subsample": True}),  # 4:2:0, non-multiple-of-16 dims
+        ((20, 28, 3), {"samp": [(3, 2), (1, 1), (1, 1)]}),  # non-divisible
+        ((21, 19, 1), {}),  # grayscale script
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
+        prog = decode_baseline_jpeg(encode_progressive_jpeg(img, quant=4, **kw))
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_jpeg_progressive_custom_script_eobruns_and_truncation():
+    """Progressive edge paths: a custom scan script with a 3-way spectral
+    split and a 3-deep successive-approximation chain (Al=2 → 0) over
+    content mixing flat regions (multi-block EOB runs with nbits > 0) and
+    sparse noise (ZRL + correction bits inside refinement scans) still
+    decodes bit-identically to baseline; a stream truncated mid-scan
+    raises ValueError rather than returning partial pixels."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(23)
+    # top half flat (EOB-run blocks), bottom half speckle (long zero runs
+    # broken by isolated high-frequency coefficients)
+    img = np.full((32, 48, 3), 128, np.uint8)
+    speckle = rng.integers(0, 256, size=(16, 48, 3), dtype=np.uint8)
+    mask = rng.random((16, 48, 1)) < 0.08
+    img[16:] = np.where(mask, speckle, img[16:])
+
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 2),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0,), 1, 10, 0, 2),
+        ((0,), 11, 40, 0, 2),
+        ((0,), 41, 63, 0, 2),
+        ((1,), 1, 63, 0, 2),
+        ((2,), 1, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((1,), 1, 63, 2, 1),
+        ((2,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+    ]
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4))
+    enc = encode_progressive_jpeg(img, quant=4, scans=scans)
+    np.testing.assert_array_equal(base, decode_baseline_jpeg(enc))
+
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(enc[: len(enc) // 2])
+    # truncation that keeps whole scans but drops later ones: the missing
+    # refinement/AC scans mean undecoded data, but every component HAS
+    # been scanned — the decoder returns the coarser approximation only
+    # when the stream still carries its EOI; without EOI it's malformed
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(enc[:-30])
 
 
 def test_jpeg_missing_component_scan_is_value_error():

@@ -77,6 +77,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def rst(self, n: int) -> None:
+        """Pad-flush to a byte boundary and emit RSTn (raw marker bytes,
+        never byte-stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -208,9 +216,13 @@ def _emit_dc_diff(writer, diff: int) -> None:
         writer.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
+def _dri_segment(restart_interval: int) -> bytes:
+    return b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+
+
 def encode_baseline_jpeg(
     img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
-    multiscan: bool = False, scan_groups=None,
+    multiscan: bool = False, scan_groups=None, restart_interval: int = 0,
 ) -> bytes:
     """HWC uint8 (1 or 3 channels, RGB) → baseline JPEG bytes.
     ``subsample=True`` emits 4:2:0 chroma (Y at 2x2 sampling);
@@ -218,7 +230,9 @@ def encode_baseline_jpeg(
     factors (chroma nearest-resampled), e.g. the non-divisible 3:2.
     ``multiscan=True`` emits one NON-INTERLEAVED scan per component;
     ``scan_groups`` emits one scan per component-index tuple — a group of
-    several-but-not-all components is the partially-interleaved layout."""
+    several-but-not-all components is the partially-interleaved layout.
+    ``restart_interval`` > 0 emits DRI + RSTn every that-many MCUs (DC
+    predictors reset per spec; a non-interleaved scan's MCU is 1 block)."""
     h, w, samp, q, blocks = _prepare(img, quant, subsample, samp)
     ncomp = len(samp)
     if scan_groups is None:
@@ -227,11 +241,26 @@ def encode_baseline_jpeg(
             else [tuple(range(ncomp))]
         )
     out = _headers(h, w, samp, q, b"\xff\xc0")
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     for group in scan_groups:
         out += _sos_header(group, 0, 63, 0, 0)
         writer = _BitWriter()
         preds = dict.fromkeys(group, 0)
-        for ci, by, bx in _block_order(group, h, w, samp):
+        mcu_blocks = (
+            1 if len(group) == 1
+            else sum(samp[ci][0] * samp[ci][1] for ci in group)
+        )
+        rst_n = 0
+        for i, (ci, by, bx) in enumerate(_block_order(group, h, w, samp)):
+            if (
+                restart_interval
+                and i
+                and i % (restart_interval * mcu_blocks) == 0
+            ):
+                writer.rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = dict.fromkeys(group, 0)
             zz = blocks[ci][by, bx]
             dc = int(zz[0])
             _emit_dc_diff(writer, dc - preds[ci])
@@ -376,14 +405,15 @@ def _emit_ac_refine_block(state, zz, ss, se, al) -> None:
 
 def encode_progressive_jpeg(
     img: np.ndarray, quant: int = 4, subsample: bool = False, samp=None,
-    scans=None,
+    scans=None, restart_interval: int = 0,
 ) -> bytes:
     """HWC uint8 → progressive (SOF2) JPEG bytes carrying the exact same
     quantized coefficients as ``encode_baseline_jpeg`` with the same
     arguments, via successive approximation + spectral selection.
     ``scans`` overrides the default script with (group, Ss, Se, Ah, Al)
     tuples; every coefficient bit must reach Al=0 for a full-fidelity
-    stream."""
+    stream. ``restart_interval`` > 0 emits DRI + RSTn every that-many
+    MCUs in every scan (DC predictors AND the EOB-run reset per spec)."""
     h, w, samp, q, blocks = _prepare(img, quant, subsample, samp)
     if scans is None:
         scans = (
@@ -391,29 +421,43 @@ def encode_progressive_jpeg(
             else _PROGRESSIVE_SCRIPT_COLOR
         )
     out = _headers(h, w, samp, q, b"\xff\xc2")
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     for group, ss, se, ah, al in scans:
         out += _sos_header(group, ss, se, ah, al)
         writer = _BitWriter()
         order = _block_order(group, h, w, samp)
-        if ss == 0 and ah == 0:  # DC first
-            preds = dict.fromkeys(group, 0)
-            for ci, by, bx in order:
-                dc = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
+        mcu_blocks = (
+            1 if len(group) == 1
+            else sum(samp[ci][0] * samp[ci][1] for ci in group)
+        )
+        rst_n = 0
+        preds = dict.fromkeys(group, 0)
+        state = _AcState(writer)
+
+        def at_restart(i):
+            # between MCUs: flush any pending EOB-run + buffered correction
+            # bits, pad to a byte boundary, emit RSTn, reset predictors
+            return restart_interval and i and i % (restart_interval * mcu_blocks) == 0
+
+        for i, (ci, by, bx) in enumerate(order):
+            if at_restart(i):
+                state.flush_eobrun()
+                writer.rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = dict.fromkeys(group, 0)
+            zz = blocks[ci][by, bx]
+            if ss == 0 and ah == 0:  # DC first
+                dc = int(zz[0]) >> al  # arithmetic shift
                 _emit_dc_diff(writer, dc - preds[ci])
                 preds[ci] = dc
-        elif ss == 0:  # DC refine: one raw bit per block
-            for ci, by, bx in order:
-                writer.put((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
-        elif ah == 0:  # AC first
-            state = _AcState(writer)
-            for ci, by, bx in order:
-                _emit_ac_first_block(state, blocks[ci][by, bx], ss, se, al)
-            state.flush_eobrun()
-        else:  # AC refine
-            state = _AcState(writer)
-            for ci, by, bx in order:
-                _emit_ac_refine_block(state, blocks[ci][by, bx], ss, se, al)
-            state.flush_eobrun()
+            elif ss == 0:  # DC refine: one raw bit per block
+                writer.put((int(zz[0]) >> al) & 1, 1)
+            elif ah == 0:  # AC first
+                _emit_ac_first_block(state, zz, ss, se, al)
+            else:  # AC refine
+                _emit_ac_refine_block(state, zz, ss, se, al)
+        state.flush_eobrun()
         out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

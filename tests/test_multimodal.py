@@ -347,6 +347,33 @@ def test_jpeg_progressive_custom_script_eobruns_and_truncation():
         decode_baseline_jpeg(enc[:-30])
 
 
+def test_jpeg_restart_markers_all_scan_layouts():
+    """DRI/RSTn streams decode bit-identically to their no-restart twins
+    in EVERY scan layout: baseline fully-interleaved (restart counts
+    MCUs), baseline non-interleaved multi-scan (restart counts blocks),
+    and progressive (DC predictors AND the AC EOB-run must reset at each
+    marker — a decoder that forgets the EOB-run reset desyncs the whole
+    remaining scan). Previously the decoder's restart paths had no
+    fixture coverage at all."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(29)
+    for shape, kw in [((37, 29, 3), {}), ((24, 40, 3), {"subsample": True})]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        plain = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
+        for enc in (
+            encode_baseline_jpeg(img, quant=4, restart_interval=3, **kw),
+            encode_baseline_jpeg(
+                img, quant=4, multiscan=True, restart_interval=2, **kw
+            ),
+            encode_progressive_jpeg(img, quant=4, restart_interval=3, **kw),
+            encode_progressive_jpeg(img, quant=4, restart_interval=1, **kw),
+        ):
+            assert b"\xff\xdd" in enc  # DRI present
+            np.testing.assert_array_equal(plain, decode_baseline_jpeg(enc))
+
+
 def test_jpeg_missing_component_scan_is_value_error():
     """A stream whose SOS lies (claims one component, then hits EOI with
     the other two never scanned) is malformed, not silently gray: the

@@ -288,6 +288,87 @@ def test_jpeg_decoder_total_on_mutated_streams(offset, junk, _rnd):
         pass
 
 
+@given(
+    st.integers(min_value=2, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_total_on_mutated_progressive_streams(offset, junk):
+    """Totality contract for the progressive (SOF2) path too: a mutated
+    multi-scan successive-approximation stream either decodes or raises
+    ValueError — never IndexError/KeyError from the scan state machine."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_progressive_jpeg
+
+    rng = np.random.default_rng(31)
+    base = encode_progressive_jpeg(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), quant=4
+    )
+    pos = 2 + (offset % (len(base) - 2))
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_baseline_jpeg(mutated)
+    except ValueError:
+        pass
+
+
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),           # image seed
+    st.integers(min_value=8, max_value=33),                  # height
+    st.integers(min_value=8, max_value=33),                  # width
+    st.sampled_from(["gray", "444", "420"]),
+    st.integers(min_value=0, max_value=2),                   # DC approx depth
+    st.lists(st.integers(2, 62), max_size=3, unique=True),   # luma band cuts
+    st.integers(min_value=0, max_value=2),                   # luma AC depth
+    st.integers(min_value=0, max_value=1),                   # chroma AC depth
+    st.sampled_from([0, 0, 2, 5]),                           # restart interval
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_progressive_random_scripts_bit_identical(
+    seed, h, w, mode, dc_al, cuts, y_al, c_al, rst
+):
+    """ANY spec-legal progressive scan script — random spectral splits,
+    random successive-approximation depths per component, optional
+    restart markers — must decode to EXACTLY the pixels of the baseline
+    encoding (the coefficient sets are identical by construction), not
+    just the library default script the example-based test uses."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(seed)
+    if mode == "gray":
+        img = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+        kw, ncomp = {}, 1
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kw, ncomp = {"subsample": mode == "420"}, 3
+
+    all_comps = tuple(range(ncomp))
+    edges = [1] + sorted(cuts) + [64]
+    scans = [(all_comps, 0, 0, 0, dc_al)]           # DC first (interleaved)
+    for a, b in zip(edges, edges[1:]):              # luma spectral segments
+        scans.append(((0,), a, b - 1, 0, y_al))
+    for ci in range(1, ncomp):                      # chroma full-band firsts
+        scans.append(((ci,), 1, 63, 0, c_al))
+    for al in range(y_al, 0, -1):                   # luma AC refinements
+        scans.append(((0,), 1, 63, al, al - 1))
+    for ci in range(1, ncomp):                      # chroma AC refinements
+        for al in range(c_al, 0, -1):
+            scans.append(((ci,), 1, 63, al, al - 1))
+    for al in range(dc_al, 0, -1):                  # DC refinements
+        scans.append((all_comps, 0, 0, al, al - 1))
+
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, quant=4, scans=scans, restart_interval=rst, **kw)
+    )
+    np.testing.assert_array_equal(base, prog)
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(

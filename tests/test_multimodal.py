@@ -337,6 +337,23 @@ def test_jpeg_progressive_custom_script_eobruns_and_truncation():
     enc = encode_progressive_jpeg(img, quant=4, scans=scans)
     np.testing.assert_array_equal(base, decode_baseline_jpeg(enc))
 
+    # per-component (non-interleaved) DC scans — the other spec-legal DC
+    # layout, over a subsampled frame whose pad blocks the per-component
+    # grid never visits
+    split_dc = (
+        [((ci,), 0, 0, 0, 1) for ci in range(3)]
+        + [((ci,), 1, 63, 0, 1) for ci in range(3)]
+        + [((ci,), 1, 63, 1, 0) for ci in range(3)]
+        + [((ci,), 0, 0, 1, 0) for ci in range(3)]
+    )
+    base420 = decode_baseline_jpeg(
+        encode_baseline_jpeg(img, quant=4, subsample=True)
+    )
+    prog420 = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, quant=4, scans=split_dc, subsample=True)
+    )
+    np.testing.assert_array_equal(base420, prog420)
+
     with pytest.raises(ValueError):
         decode_baseline_jpeg(enc[: len(enc) // 2])
     # truncation that keeps whole scans but drops later ones: the missing

@@ -324,10 +324,11 @@ def test_jpeg_decoder_total_on_mutated_progressive_streams(offset, junk):
     st.integers(min_value=0, max_value=2),                   # luma AC depth
     st.integers(min_value=0, max_value=1),                   # chroma AC depth
     st.sampled_from([0, 0, 2, 5]),                           # restart interval
+    st.booleans(),                                           # DC per-component
 )
 @settings(max_examples=12, deadline=None)
 def test_jpeg_progressive_random_scripts_bit_identical(
-    seed, h, w, mode, dc_al, cuts, y_al, c_al, rst
+    seed, h, w, mode, dc_al, cuts, y_al, c_al, rst, dc_split
 ):
     """ANY spec-legal progressive scan script — random spectral splits,
     random successive-approximation depths per component, optional
@@ -348,8 +349,15 @@ def test_jpeg_progressive_random_scripts_bit_identical(
         kw, ncomp = {"subsample": mode == "420"}, 3
 
     all_comps = tuple(range(ncomp))
+    # DC scans either interleave all components in one scan or run one
+    # NON-interleaved scan per component (both spec-legal layouts)
+    dc_groups = (
+        [(ci,) for ci in range(ncomp)] if dc_split and ncomp > 1
+        else [all_comps]
+    )
     edges = [1] + sorted(cuts) + [64]
-    scans = [(all_comps, 0, 0, 0, dc_al)]           # DC first (interleaved)
+    scans = [(g, 0, 0, 0, dc_al) for g in dc_groups]  # DC first
+
     for a, b in zip(edges, edges[1:]):              # luma spectral segments
         scans.append(((0,), a, b - 1, 0, y_al))
     for ci in range(1, ncomp):                      # chroma full-band firsts
@@ -360,7 +368,7 @@ def test_jpeg_progressive_random_scripts_bit_identical(
         for al in range(c_al, 0, -1):
             scans.append(((ci,), 1, 63, al, al - 1))
     for al in range(dc_al, 0, -1):                  # DC refinements
-        scans.append((all_comps, 0, 0, al, al - 1))
+        scans.extend((g, 0, 0, al, al - 1) for g in dc_groups)
 
     base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
     prog = decode_baseline_jpeg(

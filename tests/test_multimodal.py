@@ -364,6 +364,35 @@ def test_jpeg_progressive_custom_script_eobruns_and_truncation():
         decode_baseline_jpeg(enc[:-30])
 
 
+def test_jpeg_progressive_partial_fidelity_stream():
+    """A progressive stream whose successive approximation legally STOPS
+    above Al=0 (first scans at Al=1, no refinement scans, EOI present)
+    renders the coarse approximation — T.81 allows any progression depth.
+    The decode must equal the baseline decode of the bit-truncated
+    coefficients, never raise, and never silently zero whole bands."""
+    from caffeonspark_spark.multimodal.jpeg import decode_baseline_jpeg
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+    ]
+    coarse = decode_baseline_jpeg(encode_progressive_jpeg(img, quant=4, scans=scans))
+    full = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4))
+    assert coarse.shape == full.shape
+    delta = np.abs(coarse.astype(int) - full.astype(int))
+    # every coefficient is off by at most one bit-1 quant step: close to
+    # the full decode (mean within a few grey levels), not garbage...
+    assert 0 < delta.mean() < 20, delta.mean()
+    # ...and not just the DC approximation either: texture must survive
+    # (per-row variance of the coarse decode tracks the full decode)
+    assert np.std(coarse.astype(float)) > 0.5 * np.std(full.astype(float))
+
+
 def test_jpeg_restart_markers_all_scan_layouts():
     """DRI/RSTn streams decode bit-identically to their no-restart twins
     in EVERY scan layout: baseline fully-interleaved (restart counts

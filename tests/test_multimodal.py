@@ -529,6 +529,38 @@ def test_real_jpeg_through_batch_assembly(spark):
     assert flat.std() > 1.0
 
 
+def test_progressive_jpeg_through_batch_assembly(spark):
+    """Progressive (SOF2) payloads through the full distributed path —
+    encoded-image column → mapInArrow decode → resize → NCHW batch —
+    must produce a batch BIT-EQUAL to the same images' baseline-JPEG
+    payloads (identical quantized coefficients), proving the codec tier
+    upgrade is invisible to the Spark-side plumbing."""
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    rng = np.random.default_rng(43)
+    imgs = [
+        rng.integers(0, 256, (24, 20, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, out_height=12, out_width=12
+    )
+
+    def batch_of(encoder, **kw):
+        rows = [
+            (f"img{i}", bytearray(encoder(im, quant=4, **kw)))
+            for i, im in enumerate(imgs)
+        ]
+        df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+        out = assemble_batches(df, [spec], batch_size=4).collect()
+        assert out[0]["data_shape"] == [4, 3, 12, 12]
+        return np.asarray(out[0]["data"], dtype=np.float32)
+
+    base = batch_of(encode_baseline_jpeg, subsample=True)
+    prog = batch_of(encode_progressive_jpeg, subsample=True)
+    assert base.std() > 1.0  # real pixels
+    np.testing.assert_array_equal(base, prog)
+
+
 def test_png_roundtrip_all_filters_and_color_types():
     """From-spec PNG tier: every scanline filter (0-4) and every 8-bit
     color type round-trips bit-exact through the fixture encoder →

@@ -441,6 +441,10 @@ def _decode_scan_progressive(
         raise ValueError("progressive JPEG AC scan must be single-component")
     if se > 63 or ss > se:
         raise ValueError("progressive JPEG spectral band out of range")
+    if ah > 13 or al > 13:
+        # T.81 G.1.1.1.2: successive-approximation parameters are 0-13;
+        # also keeps every shifted coefficient inside the int32 store
+        raise ValueError("JPEG successive-approximation parameter out of range")
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
     state = {"eobrun": 0}
@@ -450,6 +454,11 @@ def _decode_scan_progressive(
         td = scan_sel[comps[ci]["id"]][0]
         t = reader.decode(huff_dc[td])
         preds[ci] += _extend(reader.receive(t), t)
+        if not -16384 <= preds[ci] <= 16384:
+            # 8-bit-precision quantized DC magnitude is ≤ 1024 (T.81
+            # F.1.1.5.1); a predictor walked far past that is a corrupt
+            # stream — classify it before the int32 store overflows
+            raise ValueError("JPEG DC coefficient out of range")
         blk[0] = preds[ci] << al
 
     def dc_refine(ci, blk):

@@ -23,9 +23,19 @@ default-config rehearsal:
   local[32]/32-partition test session. Every oracle must hash-match with
   the same values DuckDB computes single-threaded.
 
+* ``twice`` — repeat-invocation idempotency. Every query callable is
+  invoked TWICE in the same session (the first result fully materialized
+  and discarded, the second compared against the oracle) — the external
+  driver iterates queries inside one session, so any callable that
+  mutates session state non-idempotently (temp-view collisions, the
+  append-only persist memo in ``operators/dedup.py`` returning a stale
+  plan, a cached DataFrame capturing the wrong sf_dir) breaks its second
+  call even though every run-once sweep stays green.
+
 Usage:
     TZ=Pacific/Kiritimati python tools_invariance_sweep.py tz    [sf_dir]
     python tools_invariance_sweep.py parts [sf_dir]
+    python tools_invariance_sweep.py twice [sf_dir]
 
 Exit code is tools_rehearse_driver.main()'s: non-zero on any mismatch.
 Per-query rows land in /tmp/rehearsal.json as usual.
@@ -40,12 +50,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("tz", "parts"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("tz", "parts", "twice"):
         print(__doc__)
         return 2
     mode = sys.argv[1]
 
-    if mode == "tz":
+    if mode == "twice":
+        import __spark_entry__ as entry
+
+        real_queries = entry.queries
+
+        def twice_queries():
+            def wrap(fn):
+                def run(spark, sf_dir):
+                    fn(spark, sf_dir).count()  # 1st invocation executes fully
+                    return fn(spark, sf_dir)  # 2nd is what the sweep compares
+                return run
+
+            return {name: wrap(fn) for name, fn in real_queries().items()}
+
+        entry.queries = twice_queries
+    elif mode == "tz":
         if os.environ.get("TZ", "") in ("", "UTC", "Etc/UTC"):
             print("tz mode expects a hostile TZ env, e.g. TZ=Pacific/Kiritimati")
             return 2

@@ -70,11 +70,12 @@ def video_struct_col(video: Column, n_frames: Column, height: Column, width: Col
 def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     """Decode audio bytes → float32 mono waveform in [-1, 1].
 
-    RIFF/WAVE PCM (8/16-bit) decodes for REAL with no codec library —
-    chunk walk + NumPy frombuffer; multi-channel payloads mix down to mono
-    by channel mean. Compressed formats (mp3/ogg/flac) raise — wire
-    torchaudio/soundfile/ffmpeg there in production; callers are
-    codec-agnostic either way.
+    RIFF/WAVE decodes for REAL with no codec library — chunk walk + NumPy
+    frombuffer: integer PCM at 8/16/24/32 bits, IEEE float32/float64, and
+    WAVE_FORMAT_EXTENSIBLE wrappers around either; multi-channel payloads
+    mix down to mono by channel mean. Compressed formats (mp3/ogg/flac)
+    raise — wire torchaudio/soundfile/ffmpeg there in production; callers
+    are codec-agnostic either way.
     """
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _wav_pcm_decode(bytes(data), expect_rate=sample_rate)
@@ -107,8 +108,23 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
-        raise ValueError("codec-free WAV path supports 8/16-bit PCM only")
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes of
+        # the 16-byte subformat GUID (1 = PCM, 3 = IEEE float); the
+        # container bits stay in fmt[14:16]
+        if len(fmt) < 40:
+            raise ValueError("malformed WAV: truncated extensible fmt chunk")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if (
+        n_channels < 1
+        or (audio_format == 1 and bits not in (8, 16, 24, 32))
+        or (audio_format == 3 and bits not in (32, 64))
+        or audio_format not in (1, 3)
+    ):
+        raise ValueError(
+            "codec-free WAV path supports 8/16/24/32-bit PCM and "
+            "float32/float64 only"
+        )
     if len(raw) % ((bits // 8) * n_channels):
         raise ValueError("malformed WAV: truncated PCM data chunk")
     header_rate = int.from_bytes(fmt[4:8], "little")
@@ -116,8 +132,18 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         raise ValueError(
             f"WAV sample rate {header_rate} != expected {expect_rate}"
         )
-    if bits == 16:
+    if audio_format == 3:
+        dt = "<f4" if bits == 32 else "<f8"
+        wave = np.clip(np.frombuffer(raw, dtype=dt).astype(np.float32), -1.0, 1.0)
+    elif bits == 16:
         wave = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >= (1 << 23)) * (1 << 24)  # sign-extend 24 → 32 bits
+        wave = v.astype(np.float32) / float(1 << 23)
+    elif bits == 32:
+        wave = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
     else:
         wave = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     if n_channels > 1:
@@ -148,6 +174,65 @@ def encode_wav_pcm16(wave: np.ndarray, sample_rate: int, n_channels: int = 1) ->
         + (sample_rate * block_align).to_bytes(4, "little")
         + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
     )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_wav(
+    wave: np.ndarray,
+    sample_rate: int,
+    n_channels: int = 1,
+    bits: int = 16,
+    float_fmt: bool = False,
+    extensible: bool = False,
+) -> bytes:
+    """float32 [-1, 1] → RIFF/WAVE bytes in any layout the codec-free
+    decoder accepts: integer PCM at 8/16/24/32 bits, IEEE float32/float64
+    (``float_fmt=True``), optionally wrapped in a WAVE_FORMAT_EXTENSIBLE
+    fmt chunk with the matching subformat GUID — the test/fixture twin of
+    ``_wav_pcm_decode``'s full format matrix."""
+    w = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    if float_fmt:
+        if bits not in (32, 64):
+            raise ValueError("float WAV is 32- or 64-bit")
+        raw = w.astype("<f4" if bits == 32 else "<f8").tobytes()
+        base_format = 3
+    elif bits == 8:
+        # decoder maps v → (v-128)/128, so encode at scale 128 (clipped)
+        raw = (
+            np.clip(np.round(w * 128.0) + 128.0, 0, 255).astype(np.uint8).tobytes()
+        )
+        base_format = 1
+    elif bits in (16, 32):
+        scale = float((1 << (bits - 1)) - 1)
+        raw = np.round(w * scale).astype("<i2" if bits == 16 else "<i4").tobytes()
+        base_format = 1
+    elif bits == 24:
+        v = np.round(w * float((1 << 23) - 1)).astype(np.int32)
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.empty((len(v), 3), np.uint8)
+        b[:, 0], b[:, 1], b[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+        raw = b.tobytes()
+        base_format = 1
+    else:
+        raise ValueError("integer PCM WAV is 8/16/24/32-bit")
+    block_align = (bits // 8) * n_channels
+    fmt_tag = 0xFFFE if extensible else base_format
+    fmt = (
+        fmt_tag.to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    if extensible:
+        # KSDATAFORMAT_SUBTYPE_{PCM,IEEE_FLOAT}: {000000xx-0000-0010-8000-
+        # 00AA00389B71} serialized GUID-style (LE dword/word/word + raw tail)
+        guid = base_format.to_bytes(2, "little") + bytes.fromhex(
+            "000000001000800000aa00389b71"
+        )
+        fmt += (22).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        fmt += (0).to_bytes(4, "little") + guid
     body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     body += b"data" + len(raw).to_bytes(4, "little") + raw
     return b"RIFF" + len(body).to_bytes(4, "little") + body

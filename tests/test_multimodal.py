@@ -783,6 +783,47 @@ def test_wav_pcm_roundtrip():
         decode_audio(b"ID3\x04rest-of-an-mp3", 16000)
 
 
+def test_wav_full_format_matrix_roundtrip():
+    """The codec-free WAV path covers the real-world format matrix: 8/16/
+    24/32-bit integer PCM, IEEE float32/float64, and WAVE_FORMAT_EXTENSIBLE
+    wrappers — each round-trips the waveform within its own quantization
+    error; an extensible wrapper with an unknown subformat raises."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.av import decode_audio, encode_wav
+
+    t = np.arange(600, dtype=np.float32) / 16000.0
+    wave = (0.7 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    cases = [
+        dict(bits=8, atol=1.0 / 120),
+        dict(bits=16, atol=1e-4),
+        dict(bits=24, atol=1e-6),
+        dict(bits=32, atol=1e-7),
+        dict(bits=32, float_fmt=True, atol=1e-7),
+        dict(bits=64, float_fmt=True, atol=1e-7),
+        dict(bits=24, extensible=True, atol=1e-6),
+        dict(bits=32, float_fmt=True, extensible=True, atol=1e-7),
+    ]
+    for c in cases:
+        atol = c.pop("atol")
+        got = decode_audio(encode_wav(wave, 16000, **c), 16000)
+        assert got.dtype == np.float32 and got.shape == wave.shape, c
+        np.testing.assert_allclose(got, wave, atol=atol, err_msg=str(c))
+
+    # stereo 24-bit mixes down to mono (L/R cancel → silence)
+    stereo = np.empty(2 * len(wave), dtype=np.float32)
+    stereo[0::2], stereo[1::2] = wave, -wave
+    got2 = decode_audio(encode_wav(stereo, 16000, n_channels=2, bits=24), 16000)
+    np.testing.assert_allclose(got2, 0.0, atol=1e-6)
+
+    # extensible wrapper with an unknown subformat GUID → ValueError
+    data = bytearray(encode_wav(wave, 16000, bits=16, extensible=True))
+    i = bytes(data).find(b"fmt ")
+    data[i + 8 + 24] = 0x55  # subformat code 0x0055 (MP3) — not PCM/float
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(data), 16000)
+
+
 def test_wav_through_frame_energy(spark):
     """End-to-end REAL audio through the Arrow-batched frame-energy
     operator: a loud-then-silent WAV yields high then ~zero frame energy."""

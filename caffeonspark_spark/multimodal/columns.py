@@ -117,9 +117,10 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 
 def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
     """Pure-NumPy decoder for codec-free image containers: PPM (P6), PGM
-    (P5), uncompressed 24-bit BI_RGB BMP, baseline JPEG (SOF0/SOF1 via
-    the from-spec decoder in ``multimodal/jpeg.py``), and 8-bit
-    non-interlaced PNG (``multimodal/png.py``; zlib is stdlib). No external codec
+    (P5), uncompressed 8-bit-palette/24/32-bit BI_RGB BMP, Huffman JPEG
+    (baseline through progressive via the from-spec decoder in
+    ``multimodal/jpeg.py``), and PNG (``multimodal/png.py``; zlib is
+    stdlib). No external codec
     library needed, so REAL bytes — including the reference's own
     ``data/images/*.jpg`` fixture class (``ImageDataSource.scala:126-143``)
     — decode end-to-end even in environments without Pillow/OpenCV (this
@@ -173,19 +174,42 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         if c_in == 3:
             arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
     elif data[:2] == b"BM":
-        # BITMAPINFOHEADER, uncompressed 24-bit, rows padded to 4 bytes
+        # BITMAPINFOHEADER, uncompressed (BI_RGB), rows padded to 4 bytes:
+        # 24-bit BGR, 32-bit BGRA (alpha dropped, OpenCV behavior), or
+        # 8-bit palette (BGRA quad entries after the header)
         off = int.from_bytes(data[10:14], "little")
+        hdr_size = int.from_bytes(data[14:18], "little")
         w = int.from_bytes(data[18:22], "little", signed=True)
         h = int.from_bytes(data[22:26], "little", signed=True)
         bpp = int.from_bytes(data[28:30], "little")
         comp = int.from_bytes(data[30:34], "little")
-        if bpp != 24 or comp != 0:
-            raise ValueError("numpy-native codec supports 24-bit BI_RGB BMP only")
+        if comp != 0 or bpp not in (8, 24, 32):
+            raise ValueError(
+                "numpy-native codec supports uncompressed 8/24/32-bit "
+                "BI_RGB BMP only"
+            )
         if w <= 0 or h == 0:
             raise ValueError("degenerate BMP dimensions")
-        stride = (w * 3 + 3) & ~3
+        stride = (w * (bpp // 8) + 3) & ~3
+        # bounds-check BEFORE frombuffer: mutated 4-byte dims otherwise
+        # overflow numpy's C ssize_t count (OverflowError, breaking the
+        # decode-or-ValueError totality contract)
+        if off < 54 or off + abs(h) * stride > len(data):
+            raise ValueError("malformed BMP: pixel data overruns buffer")
         rows = np.frombuffer(data, dtype=np.uint8, count=abs(h) * stride, offset=off)
-        arr = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        rows = rows.reshape(abs(h), stride)
+        if bpp == 8:
+            n_colors = int.from_bytes(data[46:50], "little") or 256
+            if n_colors > 256 or 14 + hdr_size + n_colors * 4 > len(data):
+                raise ValueError("malformed BMP: palette overruns buffer")
+            pal = np.zeros((256, 3), np.uint8)  # any index stays in range
+            pal[:n_colors] = np.frombuffer(
+                data, np.uint8, n_colors * 4, 14 + hdr_size
+            ).reshape(-1, 4)[:, :3]
+            arr = pal[rows[:, :w]]  # palette entries are already BGR
+        else:
+            c_in = bpp // 8
+            arr = rows[:, : w * c_in].reshape(abs(h), w, c_in)[:, :, :3]
         if h > 0:
             arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
     else:

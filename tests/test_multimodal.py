@@ -483,6 +483,72 @@ def test_bmp_decode_numpy_codec():
     np.testing.assert_array_equal(decode_image(bytes(header + rows), 3), top_down)
 
 
+def _bmp_bytes(pixels_td, bpp, h_sign=1, palette=None):
+    """Hand-build an uncompressed BI_RGB BMP: pixels_td is the top-down
+    BGR (or palette-index) array; h_sign=-1 emits the top-down layout."""
+    h, w = pixels_td.shape[:2]
+    cb = bpp // 8
+    stride = (w * cb + 3) & ~3
+    pal_bytes = b""
+    if palette is not None:
+        for bgr in palette:
+            pal_bytes += bytes(bgr) + b"\x00"
+    rows = bytearray()
+    order = range(h) if h_sign < 0 else range(h - 1, -1, -1)
+    for y in order:
+        rows += pixels_td[y].tobytes() + b"\x00" * (stride - w * cb)
+    off = 54 + len(pal_bytes)
+    header = (
+        b"BM" + (off + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + (h * h_sign).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + b"\x00" * 8
+        + (len(palette) if palette is not None else 0).to_bytes(4, "little")
+        + b"\x00" * 4
+    )
+    return bytes(header + pal_bytes + rows)
+
+
+def test_bmp_32bit_and_palette_variants():
+    """The other uncompressed BI_RGB layouts real files ship: 32-bit BGRA
+    (alpha dropped, OpenCV behavior), 8-bit palette (BGRA quad table),
+    and the top-down (negative height) orientation — all decode to the
+    same top-down BGR pixels as the 24-bit layout; out-of-palette indices
+    stay in range (zero-padded table) rather than crashing."""
+    from caffeonspark_spark.multimodal.columns import decode_image
+
+    rng = np.random.default_rng(53)
+    td = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)  # top-down BGR
+    base = decode_image(_bmp_bytes(td, 24), 3)
+    np.testing.assert_array_equal(base, td)
+
+    bgra = np.concatenate([td, np.full((5, 3, 1), 0xAA, np.uint8)], axis=2)
+    np.testing.assert_array_equal(decode_image(_bmp_bytes(bgra, 32), 3), td)
+    np.testing.assert_array_equal(
+        decode_image(_bmp_bytes(bgra, 32, h_sign=-1), 3), td
+    )
+
+    pal = [(10, 20, 30), (200, 150, 100), (0, 255, 0)]
+    idx = rng.integers(0, 3, (6, 5), dtype=np.uint8)
+    expect = np.array(pal, np.uint8)[idx]
+    got = decode_image(_bmp_bytes(idx, 8, palette=pal), 3)
+    np.testing.assert_array_equal(got, expect)
+
+    # an index past the declared palette maps to the zero-padded entry
+    idx_bad = idx.copy()
+    idx_bad[0, 0] = 7
+    got_bad = decode_image(_bmp_bytes(idx_bad, 8, palette=pal), 3)
+    np.testing.assert_array_equal(got_bad[0, 0], np.zeros(3, np.uint8))
+
+    # 16-bit / compressed stay outside the numpy tier
+    with pytest.raises(ValueError):
+        decode_image(_bmp_bytes(td, 16), 3)
+
+
 def test_real_ppm_through_batch_assembly(spark):
     """End-to-end REAL decode through the Spark encoded-image batch path
     with no codec library: PPM payloads → magic-sniffed numpy decode →

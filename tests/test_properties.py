@@ -293,6 +293,35 @@ def test_jpeg_decoder_total_on_mutated_streams(offset, junk, _rnd):
     st.binary(min_size=1, max_size=24),
 )
 @settings(max_examples=60, deadline=None)
+def test_bmp_decoder_total_on_mutated_streams(offset, junk):
+    """Totality for the BMP variants (24/32-bit, 8-bit palette): mutated
+    headers — including the 4-byte width/height fields that used to
+    overflow numpy's frombuffer count — decode or raise ValueError."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.columns import decode_image
+    from tests.test_multimodal import _bmp_bytes
+
+    rng = np.random.default_rng(59)
+    td = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 3, (6, 5), dtype=np.uint8)
+    for base in (
+        _bmp_bytes(td, 24),
+        _bmp_bytes(idx, 8, palette=[(1, 2, 3), (4, 5, 6), (7, 8, 9)]),
+    ):
+        pos = 2 + (offset % (len(base) - 2))
+        mutated = base[:pos] + junk + base[pos + len(junk):]
+        try:
+            decode_image(mutated, 3)
+        except ValueError:
+            pass
+
+
+@given(
+    st.integers(min_value=2, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+)
+@settings(max_examples=60, deadline=None)
 def test_jpeg_decoder_total_on_mutated_progressive_streams(offset, junk):
     """Totality contract for the progressive (SOF2) path too: a mutated
     multi-scan successive-approximation stream either decodes or raises

@@ -169,6 +169,11 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         if w <= 0 or h <= 0:
             raise ValueError("degenerate netpbm dimensions")
         c_in = 3 if data[:2] == b"P6" else 1
+        # bounds-check BEFORE frombuffer: an absurd text dimension would
+        # otherwise overflow numpy's C ssize_t count (OverflowError,
+        # breaking the decode-or-ValueError totality contract)
+        if i + h * w * c_in > len(data):
+            raise ValueError("malformed netpbm: pixel data overruns buffer")
         arr = np.frombuffer(data, dtype=np.uint8, count=h * w * c_in, offset=i)
         arr = arr.reshape(h, w, c_in)
         if c_in == 3:

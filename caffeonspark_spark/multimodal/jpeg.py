@@ -230,6 +230,12 @@ def _decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
             if height == 0 or width == 0:
                 raise ValueError("degenerate JPEG dimensions")
+            if height * width > 1 << 30:
+                # OpenCV's CV_IO_MAX_IMAGE_PIXELS decode-bomb cap: refuse
+                # before the per-component plane allocation (which Linux
+                # overcommit would grant lazily and the scan loop would
+                # then OOM page by page)
+                raise ValueError("JPEG dimensions exceed the 2^30-pixel cap")
             frame = (height, width, comps)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

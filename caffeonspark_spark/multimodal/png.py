@@ -116,6 +116,10 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if width == 0 or height == 0:
         raise ValueError("degenerate PNG dimensions")
+    if width * height > 1 << 30:
+        # OpenCV's CV_IO_MAX_IMAGE_PIXELS decode-bomb cap: refuse before
+        # any output-sized allocation
+        raise ValueError("PNG dimensions exceed the 2^30-pixel cap")
     if comp != 0 or filt != 0 or color not in _CHANNELS:
         raise ValueError("malformed PNG header")
     if depth not in (1, 2, 4, 8, 16) or (depth == 16 and color == 3) or (

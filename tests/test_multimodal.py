@@ -920,6 +920,45 @@ def test_wav_through_frame_energy(spark):
     assert energy[2] < 1e-6 and energy[3] < 1e-6
 
 
+def test_wav_format_matrix_through_frame_energy(spark):
+    """Every codec-free WAV layout through the distributed frame-energy
+    operator in one DataFrame: 24-bit PCM, 32-bit float, and extensible-
+    wrapped rows must produce frame energies equal (within quantization)
+    to the 16-bit row's — the seam decoder dispatches per payload, so a
+    mixed-format corpus is one mapInPandas pass, not per-format jobs."""
+    from caffeonspark_spark.multimodal.av import (
+        audio_frame_energy,
+        audio_struct_col,
+        encode_wav,
+        wav_frame_decoder,
+    )
+
+    n = 1024
+    t = np.arange(n, dtype=np.float32) / 16000.0
+    wave = (0.8 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    rows = [
+        (0, bytearray(encode_wav(wave, 16000, bits=16)), 16000, n),
+        (1, bytearray(encode_wav(wave, 16000, bits=24)), 16000, n),
+        (2, bytearray(encode_wav(wave, 16000, bits=32, float_fmt=True)), 16000, n),
+        (3, bytearray(encode_wav(wave, 16000, bits=24, extensible=True)), 16000, n),
+    ]
+    base = spark.createDataFrame(
+        rows, "id long, audio binary, sr int, ns int"
+    ).select(
+        "id",
+        audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
+    )
+    out = {
+        r["id"]: np.array(r["energy"], np.float64)
+        for r in audio_frame_energy(
+            base, frame_len=256, n_frames=4, decoder=wav_frame_decoder
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(out[i], out[0], atol=1e-4)
+
+
 def test_degenerate_magic_payload_falls_back_to_fake_when_opted_in(spark):
     """With spec.fake_fallback=True (the fixture escape hatch), a payload
     with PPM magic but degenerate (0x0) dims falls back to fake_decode

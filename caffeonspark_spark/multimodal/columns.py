@@ -76,7 +76,7 @@ class ColumnSpec:
     crop: tuple[int, int] | None = None  # (h, w) center crop
     mirror: bool = False
     #: fixture/test escape hatch ONLY: when True, a payload that carries a
-    #: real container magic (P6/P5/BM, baseline-JPEG SOI \xff\xd8, or PNG \x89P)
+    #: real container magic (P6/P5/BM, JPEG SOI \xff\xd8, or PNG \x89P)
     #: but fails to decode falls back to ``fake_decode`` instead of
     #: raising. Default False so a truncated or corrupt image in a
     #: production batch fails loudly rather than yielding deterministic
@@ -219,7 +219,7 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
             arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
     else:
         raise ValueError(
-            "numpy-native codec handles PPM/PGM/BMP/baseline-JPEG/PNG only; "
+            "numpy-native codec handles PPM/PGM/BMP/JPEG/PNG only; "
             "install Pillow or opencv-python for other containers"
         )
     if channels == 1 and arr.shape[2] == 3:

@@ -115,6 +115,54 @@ def image_struct_col(image: Column, height: Column, width: Column) -> Column:
 
 # --- NumPy transforms (run inside Arrow batch workers) --------------------
 
+def _bmp_rle8_indices(data: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """Decode a BI_RLE8 pixel stream into an (h, w) palette-index plane in
+    STORAGE row order (caller flips bottom-up). Escape codes per the
+    public BMP spec: (0,0) end-of-line, (0,1) end-of-bitmap, (0,2) delta
+    skip, (0,n>2) absolute run padded to a word; pixels never written
+    (deltas, early EOF) stay index 0 — the conventional zero fill. Runs
+    that would overrun the row or the grid are malformed (ValueError)."""
+    n = len(data)
+    # decode-bomb cap: an encoded pair expands to at most 255 pixels, so a
+    # stream physically cannot express more than 255*(bytes/2) pixels — a
+    # header declaring more forces a huge zero-filled allocation carrying
+    # no information; refuse it like the 2^30-pixel JPEG/PNG caps
+    if w * h > max(0, n - off) * 128:
+        raise ValueError("malformed BMP: RLE8 dimensions exceed stream expansion")
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = off
+    while True:
+        if i + 2 > n:
+            raise ValueError("malformed BMP: RLE8 stream ends without EOF")
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a > 0:  # encoded run: a copies of index b
+            if y >= h or x + a > w:
+                raise ValueError("malformed BMP: RLE8 run overruns row")
+            out[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            y += 1
+            x = 0
+        elif b == 1:  # end of bitmap
+            return out
+        elif b == 2:  # delta: skip right/up in storage order
+            if i + 2 > n:
+                raise ValueError("malformed BMP: truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("malformed BMP: RLE8 delta leaves bitmap")
+        else:  # absolute run: b literal indices, padded to a word
+            if y >= h or x + b > w or i + b > n:
+                raise ValueError("malformed BMP: RLE8 absolute run overruns")
+            out[y, x : x + b] = np.frombuffer(data, np.uint8, b, i)
+            x += b
+            i += b + (b & 1)
+
+
 def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
     """Pure-NumPy decoder for codec-free image containers: PPM (P6), PGM
     (P5), uncompressed 8-bit-palette/24/32-bit BI_RGB BMP, Huffman JPEG
@@ -188,21 +236,13 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         h = int.from_bytes(data[22:26], "little", signed=True)
         bpp = int.from_bytes(data[28:30], "little")
         comp = int.from_bytes(data[30:34], "little")
-        if comp != 0 or bpp not in (8, 24, 32):
+        if (comp, bpp) not in ((0, 8), (0, 24), (0, 32), (1, 8)):
             raise ValueError(
-                "numpy-native codec supports uncompressed 8/24/32-bit "
-                "BI_RGB BMP only"
+                "numpy-native codec supports uncompressed 8/24/32-bit and "
+                "RLE8 BI_RGB BMP only"
             )
-        if w <= 0 or h == 0:
+        if w <= 0 or h == 0 or w * abs(h) > 1 << 30:
             raise ValueError("degenerate BMP dimensions")
-        stride = (w * (bpp // 8) + 3) & ~3
-        # bounds-check BEFORE frombuffer: mutated 4-byte dims otherwise
-        # overflow numpy's C ssize_t count (OverflowError, breaking the
-        # decode-or-ValueError totality contract)
-        if off < 54 or off + abs(h) * stride > len(data):
-            raise ValueError("malformed BMP: pixel data overruns buffer")
-        rows = np.frombuffer(data, dtype=np.uint8, count=abs(h) * stride, offset=off)
-        rows = rows.reshape(abs(h), stride)
         if bpp == 8:
             n_colors = int.from_bytes(data[46:50], "little") or 256
             if n_colors > 256 or 14 + hdr_size + n_colors * 4 > len(data):
@@ -211,10 +251,24 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
             pal[:n_colors] = np.frombuffer(
                 data, np.uint8, n_colors * 4, 14 + hdr_size
             ).reshape(-1, 4)[:, :3]
-            arr = pal[rows[:, :w]]  # palette entries are already BGR
+        if comp == 1:  # BI_RLE8: encoded runs / absolute blocks / EOL / delta
+            idx = _bmp_rle8_indices(data, off, w, abs(h))
+            arr = pal[idx]
         else:
-            c_in = bpp // 8
-            arr = rows[:, : w * c_in].reshape(abs(h), w, c_in)[:, :, :3]
+            stride = (w * (bpp // 8) + 3) & ~3
+            # bounds-check BEFORE frombuffer: mutated 4-byte dims otherwise
+            # overflow numpy's C ssize_t count (OverflowError, breaking the
+            # decode-or-ValueError totality contract)
+            if off < 54 or off + abs(h) * stride > len(data):
+                raise ValueError("malformed BMP: pixel data overruns buffer")
+            rows = np.frombuffer(
+                data, dtype=np.uint8, count=abs(h) * stride, offset=off
+            ).reshape(abs(h), stride)
+            if bpp == 8:
+                arr = pal[rows[:, :w]]  # palette entries are already BGR
+            else:
+                c_in = bpp // 8
+                arr = rows[:, : w * c_in].reshape(abs(h), w, c_in)[:, :, :3]
         if h > 0:
             arr = arr[::-1]  # bottom-up storage -> top-down; already BGR
     else:

@@ -483,9 +483,11 @@ def test_bmp_decode_numpy_codec():
     np.testing.assert_array_equal(decode_image(bytes(header + rows), 3), top_down)
 
 
-def _bmp_bytes(pixels_td, bpp, h_sign=1, palette=None):
-    """Hand-build an uncompressed BI_RGB BMP: pixels_td is the top-down
-    BGR (or palette-index) array; h_sign=-1 emits the top-down layout."""
+def _bmp_bytes(pixels_td, bpp, h_sign=1, palette=None, rle_stream=None):
+    """Hand-build a BI_RGB BMP: pixels_td is the top-down BGR (or
+    palette-index) array; h_sign=-1 emits the top-down layout. Passing
+    ``rle_stream`` emits it verbatim as a BI_RLE8 pixel payload (comp=1)
+    instead of uncompressed rows."""
     h, w = pixels_td.shape[:2]
     cb = bpp // 8
     stride = (w * cb + 3) & ~3
@@ -493,10 +495,15 @@ def _bmp_bytes(pixels_td, bpp, h_sign=1, palette=None):
     if palette is not None:
         for bgr in palette:
             pal_bytes += bytes(bgr) + b"\x00"
-    rows = bytearray()
-    order = range(h) if h_sign < 0 else range(h - 1, -1, -1)
-    for y in order:
-        rows += pixels_td[y].tobytes() + b"\x00" * (stride - w * cb)
+    if rle_stream is not None:
+        rows = bytearray(rle_stream)
+        comp = 1
+    else:
+        rows = bytearray()
+        order = range(h) if h_sign < 0 else range(h - 1, -1, -1)
+        for y in order:
+            rows += pixels_td[y].tobytes() + b"\x00" * (stride - w * cb)
+        comp = 0
     off = 54 + len(pal_bytes)
     header = (
         b"BM" + (off + len(rows)).to_bytes(4, "little") + b"\x00" * 4
@@ -505,12 +512,30 @@ def _bmp_bytes(pixels_td, bpp, h_sign=1, palette=None):
         + w.to_bytes(4, "little")
         + (h * h_sign).to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
-        + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+        + comp.to_bytes(4, "little") + len(rows).to_bytes(4, "little")
         + b"\x00" * 8
         + (len(palette) if palette is not None else 0).to_bytes(4, "little")
         + b"\x00" * 4
     )
     return bytes(header + pal_bytes + rows)
+
+
+def _rle8_stream(idx_td):
+    """Run-length encode a top-down index image as a BI_RLE8 stream in
+    bottom-up storage order (encoded runs + EOL per row, final EOF)."""
+    out = bytearray()
+    for y in range(idx_td.shape[0] - 1, -1, -1):
+        row = idx_td[y]
+        x = 0
+        while x < len(row):
+            run = 1
+            while x + run < len(row) and row[x + run] == row[x] and run < 255:
+                run += 1
+            out += bytes([run, int(row[x])])
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # EOF
+    return bytes(out)
 
 
 def test_bmp_32bit_and_palette_variants():
@@ -544,9 +569,56 @@ def test_bmp_32bit_and_palette_variants():
     got_bad = decode_image(_bmp_bytes(idx_bad, 8, palette=pal), 3)
     np.testing.assert_array_equal(got_bad[0, 0], np.zeros(3, np.uint8))
 
-    # 16-bit / compressed stay outside the numpy tier
+    # 16-bit stays outside the numpy tier
     with pytest.raises(ValueError):
         decode_image(_bmp_bytes(td, 16), 3)
+
+
+def test_bmp_rle8_decodes_like_uncompressed():
+    """BI_RLE8 (the compressed 8-bit layout real palette BMPs ship):
+    run-length streams decode to the same pixels as the uncompressed
+    palette layout; absolute runs, deltas (zero-fill of skipped pixels),
+    and early-EOF zero fill all follow the spec; a stream with no EOF
+    marker is malformed."""
+    from caffeonspark_spark.multimodal.columns import decode_image
+
+    rng = np.random.default_rng(61)
+    pal = [(10, 20, 30), (200, 150, 100), (0, 255, 0), (5, 5, 5)]
+    # runs-heavy content so the encoder emits multi-pixel runs
+    idx = np.repeat(rng.integers(0, 4, (7, 3), dtype=np.uint8), 3, axis=1)[:, :8]
+    plain = decode_image(_bmp_bytes(idx, 8, palette=pal), 3)
+    rle = decode_image(
+        _bmp_bytes(idx, 8, palette=pal, rle_stream=_rle8_stream(idx)), 3
+    )
+    np.testing.assert_array_equal(rle, plain)
+
+    # hand-built stream: absolute run, delta skip (zero fill), early EOF
+    # grid 2 rows x 6 cols, bottom-up: storage row 0 = bottom image row
+    stream = (
+        b"\x00\x04" + bytes([1, 2, 3, 1])   # absolute run of 4 indices
+        + b"\x02\x02"                        # encoded: 2 pixels of index 2
+        + b"\x00\x00"                        # EOL
+        + b"\x03\x01"                        # top row: 3 pixels of index 1
+        + b"\x00\x02\x02\x00"                # delta: skip 2 right (stay 0)
+        + b"\x01\x03"                        # 1 pixel of index 3
+        + b"\x00\x01"                        # EOF
+    )
+    got = decode_image(
+        _bmp_bytes(np.zeros((2, 6), np.uint8), 8, palette=pal, rle_stream=stream), 3
+    )
+    palette = np.array(pal + [(0, 0, 0)] * 252, np.uint8)
+    bottom = palette[[1, 2, 3, 1, 2, 2]]
+    top = palette[[1, 1, 1, 0, 0, 3]]  # delta-skipped pixels stay index 0
+    np.testing.assert_array_equal(got[1], bottom)
+    np.testing.assert_array_equal(got[0], top)
+
+    with pytest.raises(ValueError):  # no EOF marker → malformed
+        decode_image(
+            _bmp_bytes(
+                np.zeros((2, 6), np.uint8), 8, palette=pal, rle_stream=b"\x02\x01"
+            ),
+            3,
+        )
 
 
 def test_real_ppm_through_batch_assembly(spark):

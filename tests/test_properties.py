@@ -302,12 +302,16 @@ def test_bmp_decoder_total_on_mutated_streams(offset, junk):
     from caffeonspark_spark.multimodal.columns import decode_image
     from tests.test_multimodal import _bmp_bytes
 
+    from tests.test_multimodal import _rle8_stream
+
     rng = np.random.default_rng(59)
     td = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
     idx = rng.integers(0, 3, (6, 5), dtype=np.uint8)
+    pal = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
     for base in (
         _bmp_bytes(td, 24),
-        _bmp_bytes(idx, 8, palette=[(1, 2, 3), (4, 5, 6), (7, 8, 9)]),
+        _bmp_bytes(idx, 8, palette=pal),
+        _bmp_bytes(idx, 8, palette=pal, rle_stream=_rle8_stream(idx)),
     ):
         pos = 2 + (offset % (len(base) - 2))
         mutated = base[:pos] + junk + base[pos + len(junk):]

@@ -369,6 +369,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_native_consistency": SA.kmv_native_consistency,
         # --- r9: per-group top-k (WindowGroupLimit map-side partial limit)
         "topk_per_group": R.topk_per_group,
+        # --- r10: contrastive-triplet mining (hardest positive + hard
+        # negative per broadcast anchor; rank-1 WindowGroupLimit)
+        "hard_negatives": S.hard_negative_mining_query,
+        # --- r10: next-event-prediction sequence examples (per-user lag
+        # window; the behavioral-LM dataset-construction step)
+        "event_sequences": TP.event_sequence_examples_query,
+        # --- r10: trailing-window z-score anomaly tripwire (decimal-exact
+        # frame sums -> IEEE tail, so the float comparison oracles exactly)
+        "zscore_anomaly": TP.rolling_zscore_query,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -806,6 +815,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_source_overlap": SA.ORACLE_KMV_SOURCE_OVERLAP,
         "kmv_native_consistency": SA.ORACLE_KMV_NATIVE_CONSISTENCY,
         "topk_per_group": R.ORACLE_TOPK_PER_GROUP,
+        "hard_negatives": S.ORACLE_HARD_NEGATIVES,
+        "event_sequences": TP.ORACLE_EVENT_SEQUENCE,
+        "zscore_anomaly": TP.ORACLE_ROLLING_ZSCORE,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -194,6 +194,12 @@ BENCH_QUERIES = {
     "q_kmv_overlap_native": SA.kmv_source_overlap_native,
     # r9: per-group top-k (map-side partial WindowGroupLimit)
     "q_topk_per_group": R.topk_per_group,
+    # r10: contrastive-triplet mining (broadcast anchors, rank-1 limit)
+    "q_hard_negatives": S.hard_negative_mining_query,
+    # r10: next-event sequence examples (one user_id shuffle, lag window)
+    "q_event_sequences": TP.event_sequence_examples_query,
+    # r10: trailing z-score anomalies (single fused Window)
+    "q_zscore_anomaly": TP.rolling_zscore_query,
 }
 
 

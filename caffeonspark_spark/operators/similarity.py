@@ -1388,3 +1388,123 @@ ORACLE_COSINE_RANGE = """
     FROM parts
     WHERE dot_qe / (sqrt(dot_ee) * sqrt(dot_qq)) >= 0.25
 """
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Triplet mining for contrastive training data: for every anchor, the
+    corpus row most similar to it with a DIFFERENT label (the hard negative)
+    and the most similar row with the SAME label (the hardest positive).
+
+    This is the dataset-construction step behind triplet/InfoNCE losses —
+    the reference's feature pipeline (``CaffeOnSpark.scala`` ``features``)
+    emits embeddings; a contrastive consumer needs (anchor, positive,
+    negative) triplets mined from them.
+
+    Scale contract: ``anchors`` is broadcast (a labeled probe set is
+    metadata-sized); the corpus is scanned ONCE, never shuffled at corpus
+    size. The rank-1 filter over the (anchor, same-label) window triggers
+    InferWindowGroupLimit — each map task locally keeps 1 row per (anchor,
+    class), so the window exchange moves ≤ 2 × |anchors| rows per task, the
+    per-group analogue of TakeOrderedAndProject. The final pivot groups
+    ≤ 2 × |anchors| rows. Cosine is the decimal-exact ``cosine_similarity``
+    expression — all JVM, no Python.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col(vec_col).alias("anchor_vec"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cand = (
+        corpus.select(id_col, label_col, vec_col)
+        .crossJoin(a)
+        .where(F.col(id_col) != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(id_col),
+            (F.col(label_col) == F.col("anchor_label")).alias("_same"),
+            cosine_similarity(F.col(vec_col), F.col("anchor_vec")).alias("sim"),
+        )
+        .where(F.col("sim").isNotNull())
+    )
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    best = cand.select(
+        "*", F.row_number().over(w).alias("_rk")
+    ).where(F.col("_rk") == 1)
+    # at most ONE non-null struct per class per anchor survives the rank-1
+    # filter, so max() is a deterministic pivot, not a tie-break
+    return (
+        best.groupBy("anchor_id", "anchor_label")
+        .agg(
+            F.max(F.when(F.col("_same"), F.struct(F.col(id_col), F.col("sim")))).alias("_p"),
+            F.max(F.when(~F.col("_same"), F.struct(F.col(id_col), F.col("sim")))).alias("_n"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col(f"_p.{id_col}").alias("positive_id"),
+            F.col("_p.sim").alias("pos_sim"),
+            F.col(f"_n.{id_col}").alias("negative_id"),
+            F.col("_n.sim").alias("neg_sim"),
+        )
+    )
+
+
+def hard_negative_mining_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: triplets for the 8 lowest-id embeddings as anchors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, emb.where(F.col("vec_id") < 8))
+
+
+ORACLE_HARD_NEGATIVES = """
+    WITH ex AS (SELECT vec_id, label, unnest(embedding) AS ee,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                 unnest(embedding) AS ae,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 8),
+    parts AS (
+        SELECT a.anchor_id, a.anchor_label, ex.vec_id, ex.label,
+               CAST(SUM(CAST(CAST(ex.ee AS DOUBLE) * CAST(a.ae AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_qe,
+               CAST(SUM(CAST(CAST(ex.ee AS DOUBLE) * CAST(ex.ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_ee,
+               CAST(SUM(CAST(CAST(a.ae AS DOUBLE) * CAST(a.ae AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dot_aa
+        FROM ex JOIN a USING (i)
+        WHERE ex.vec_id <> a.anchor_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    sims AS (
+        SELECT anchor_id, anchor_label, vec_id, label,
+               CASE WHEN sqrt(dot_ee) * sqrt(dot_aa) <> 0
+                    THEN dot_qe / (sqrt(dot_ee) * sqrt(dot_aa)) END AS sim
+        FROM parts
+    ),
+    rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id, (label = anchor_label)
+                   ORDER BY sim DESC, vec_id) AS r
+        FROM sims WHERE sim IS NOT NULL
+    )
+    SELECT anchor_id, anchor_label,
+           MAX(CASE WHEN label = anchor_label THEN vec_id END) AS positive_id,
+           MAX(CASE WHEN label = anchor_label THEN sim END) AS pos_sim,
+           MAX(CASE WHEN label <> anchor_label THEN vec_id END) AS negative_id,
+           MAX(CASE WHEN label <> anchor_label THEN sim END) AS neg_sim
+    FROM rk WHERE r = 1
+    GROUP BY anchor_id, anchor_label
+"""

@@ -828,3 +828,132 @@ ORACLE_GAPFILL_HOURLY = """
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
     FROM grid g LEFT JOIN hourly h USING (event_type, hour)
 """
+
+
+def event_sequence_examples(
+    events: DataFrame, context_len: int = 3
+) -> DataFrame:
+    """Next-event-prediction training examples from per-user event streams:
+    for every event with ≥ ``context_len`` predecessors, emit the previous
+    ``context_len`` event types (oldest-first, '|'-joined) as the context
+    and the current type as the target — the sequence-dataset construction
+    step a behavioral LM / recommender trains on.
+
+    The context is emitted as ONE delimited string, not an array: the
+    training consumer tokenizes it anyway, and a scalar column keeps the
+    result a plain relational table (driver-canonicalizable, exactly
+    oracle-comparable — the batch_assembly list-cell lesson).
+
+    Scale contract: ONE shuffle (user_id), one window sort; lag() is O(1)
+    per row with no frame accumulation, so the whole op is linear in events
+    and parallel across users. Ties at identical ts break on event_id so
+    both engines emit one deterministic sequence per user.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lags = [
+        F.lag("event_type", i).over(w) for i in range(context_len, 0, -1)
+    ]
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.concat_ws("|", *lags).alias("context"),
+            F.col("event_type").alias("target"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .where(F.col("_rn") > context_len)
+        .drop("_rn")
+    )
+
+
+def event_sequence_examples_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: 3-gram next-event examples over the events table."""
+    return event_sequence_examples(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_EVENT_SEQUENCE = """
+    SELECT user_id, event_id, ts,
+           c3 || '|' || c2 || '|' || c1 AS context,
+           event_type AS target
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               LAG(event_type, 3) OVER w AS c3,
+               LAG(event_type, 2) OVER w AS c2,
+               LAG(event_type, 1) OVER w AS c1,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE rn > 3
+"""
+
+
+def rolling_zscore_anomaly(
+    events: DataFrame, n: int = 24, threshold: float = 2.0
+) -> DataFrame:
+    """Trailing-window anomaly detection: per event type (ordered by ts),
+    flag events whose value deviates from the trailing-``n``-event mean by
+    more than ``threshold`` sample standard deviations — the data-quality
+    tripwire a streaming ingest pipeline runs before training data lands.
+
+    Determinism: the two frame sums (Σv, Σv²) accumulate in DECIMAL — exact
+    integer arithmetic, identical in any engine and any order — and only
+    then convert to double for the variance/sqrt/ratio, a fixed IEEE
+    expression tree both engines evaluate identically. Nothing here depends
+    on float summation order, so the anomaly SET (a float comparison!)
+    oracle-checks exactly.
+
+    Scale contract: ONE shuffle (event_type — a handful of coarse keys, but
+    the windows are per-type linear scans, so a hot type costs one task's
+    linear pass, not a quadratic; for truly skewed type cardinality,
+    pre-partition by (event_type, calendar bucket) upstream). Both windows
+    share one partitioning + ordering, so Catalyst plans a single
+    Exchange + Sort (plan-pinned).
+    """
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(-(n - 1), 0)
+    vdec = F.col("value").cast("decimal(18,6)")
+    nn = float(n)
+    framed = events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.sum(vdec).over(wf).cast("double").alias("_s1"),
+        F.sum(vdec * vdec).over(wf).cast("double").alias("_s2"),
+        F.row_number().over(w).alias("_rn"),
+    ).where(F.col("_rn") >= n)
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.lit(nn)) / F.lit(nn - 1.0)
+    z = (F.col("value") - F.col("_s1") / F.lit(nn)) / F.sqrt(var)
+    return (
+        framed.where(var > 0)
+        .select("event_id", "ts", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > threshold)
+    )
+
+
+def rolling_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: |z| > 2 anomalies over a trailing 24-event window."""
+    return rolling_zscore_anomaly(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_ROLLING_ZSCORE = """
+    WITH f AS (
+        SELECT event_id, ts, event_type, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) OVER wf AS DOUBLE) AS s2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WINDOW wf AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, ts, event_type, value,
+           (value - s1 / 24.0) / sqrt((s2 - s1 * s1 / 24.0) / 23.0) AS zscore
+    FROM f
+    WHERE rn >= 24
+      AND (s2 - s1 * s1 / 24.0) / 23.0 > 0
+      AND abs((value - s1 / 24.0) / sqrt((s2 - s1 * s1 / 24.0) / 23.0)) > 2.0
+"""

@@ -562,3 +562,52 @@ def test_kmv_overlap_sketch_plan(spark, sf_smoke):
     # only the text+source columns are ever read
     for scan in read_schema_columns(df):
         assert scan <= {"source", "text"}, scan
+
+
+def test_hard_negatives_broadcast_rank_plan(spark, sf_smoke):
+    """The triplet-mining scale contract: anchors go BROADCAST (the corpus
+    never shuffles at corpus size), the rank-1 filter runs as a partial
+    WindowGroupLimit below the exchange (map tasks keep 1 row per
+    anchor×class), and only (vec_id, label, embedding) is ever read."""
+    from caffeonspark_spark.operators.similarity import hard_negative_mining_query
+
+    df = hard_negative_mining_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert ") BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial (below the exchange) + final — two detail nodes
+    assert plan.count(") WindowGroupLimit") == 2, plan
+    # window exchange (≤2 rows per anchor per task) + pivot agg: 2 total,
+    # neither corpus-sized
+    assert shuffle_count(df) == 2, plan
+    for scan in read_schema_columns(df):
+        assert scan == {"vec_id", "label", "embedding"}, plan
+
+
+def test_event_sequences_single_shuffle_pruned(spark, sf_smoke):
+    """Sequence-example generation is ONE user_id shuffle + one window sort;
+    lag() needs no frame accumulation, and the scan must prune value/props
+    (the widest events columns) away."""
+    from caffeonspark_spark.operators.temporal import event_sequence_examples_query
+
+    df = event_sequence_examples_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert plan.count(") Window") == 1, plan
+    assert plan.count(") Scan parquet") == 1, plan
+    assert read_schema_columns(df) == [{"user_id", "event_id", "ts", "event_type"}]
+
+
+def test_zscore_single_fused_window(spark, sf_smoke):
+    """Both trailing frame sums AND the row_number share one partitioning +
+    ordering, so Catalyst must fuse them into a SINGLE Window over a single
+    Exchange+Sort — a refactor that splits the frames (second sort, second
+    shuffle of the event volume) is the regression this pins."""
+    from caffeonspark_spark.operators.temporal import rolling_zscore_query
+
+    df = rolling_zscore_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert shuffle_count(df) == 1, plan
+    assert plan.count(") Window") == 1, plan
+    assert plan.count(") Sort") == 1, plan
+    assert read_schema_columns(df) == [{"event_id", "ts", "event_type", "value"}]

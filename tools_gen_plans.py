@@ -95,6 +95,15 @@ SHOW = {
     "topk_per_group (partial WindowGroupLimit below the exchange)": (
         R.topk_per_group
     ),
+    "hard_negatives (broadcast anchors, rank-1 WindowGroupLimit)": (
+        S.hard_negative_mining_query
+    ),
+    "event_sequences (one user_id shuffle, lag window, pruned scan)": (
+        TP.event_sequence_examples_query
+    ),
+    "zscore_anomaly (one exchange, single fused Window for both frames)": (
+        TP.rolling_zscore_query
+    ),
 }
 
 

@@ -378,6 +378,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10: trailing-window z-score anomaly tripwire (decimal-exact
         # frame sums -> IEEE tail, so the float comparison oracles exactly)
         "zscore_anomaly": TP.rolling_zscore_query,
+        # --- r10: cluster-balanced prototype selection (map-only kmeans
+        # assign + per-cluster WindowGroupLimit; the sampling complement of
+        # SemDeDup's assignment)
+        "cluster_prototypes": S.cluster_prototypes_query,
         # --- r6: forward as-of join (attribution mirror of the backward form)
         "asof_join_forward": TP.asof_join_forward_query,
         # --- r6: hybrid retrieval fusion (dense cosine + sparse BM25, RRF)
@@ -818,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": S.ORACLE_HARD_NEGATIVES,
         "event_sequences": TP.ORACLE_EVENT_SEQUENCE,
         "zscore_anomaly": TP.ORACLE_ROLLING_ZSCORE,
+        "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

@@ -200,6 +200,8 @@ BENCH_QUERIES = {
     "q_event_sequences": TP.event_sequence_examples_query,
     # r10: trailing z-score anomalies (single fused Window)
     "q_zscore_anomaly": TP.rolling_zscore_query,
+    # r10: cluster-balanced prototype selection (map-only assign + limit)
+    "q_cluster_prototypes": S.cluster_prototypes_query,
 }
 
 

@@ -1412,30 +1412,42 @@ def hard_negative_mining(
     InferWindowGroupLimit — each map task locally keeps 1 row per (anchor,
     class), so the window exchange moves ≤ 2 × |anchors| rows per task, the
     per-group analogue of TakeOrderedAndProject. The final pivot groups
-    ≤ 2 × |anchors| rows. Cosine is the decimal-exact ``cosine_similarity``
-    expression — all JVM, no Python.
+    ≤ 2 × |anchors| rows. Cosine is the decimal-exact arithmetic of
+    ``cosine_similarity`` with norms STAGED per side before the join (each
+    corpus row's ‖x‖ folds once, not once per anchor — the HOF-staging
+    lesson from ``cosine_range_search``; measured 10.0 → 2.1 s at sf0.1
+    together with the scalar zero-norm filter below) — all JVM, no Python.
     """
+    from caffeonspark_spark.functions.arrays import dot_product, l2_norm
+
     a = F.broadcast(
         anchors.select(
             F.col(id_col).alias("anchor_id"),
             F.col(label_col).alias("anchor_label"),
             F.col(vec_col).alias("anchor_vec"),
+            l2_norm(F.col(vec_col)).alias("_a_norm"),
         )
     )
     from pyspark.sql.window import Window
 
+    denom = F.col("_c_norm") * F.col("_a_norm")
+    # zero-norm rows are dropped on the STAGED norms (sim would be NULL per
+    # the cosine_similarity contract) — filtering the scalar, not
+    # sim IS NOT NULL, keeps the pushed-down predicate from re-evaluating
+    # the dot-product fold a second time per row
     cand = (
-        corpus.select(id_col, label_col, vec_col)
+        corpus.select(
+            id_col, label_col, vec_col, l2_norm(F.col(vec_col)).alias("_c_norm")
+        )
         .crossJoin(a)
-        .where(F.col(id_col) != F.col("anchor_id"))
+        .where((F.col(id_col) != F.col("anchor_id")) & (denom != 0))
         .select(
             "anchor_id",
             "anchor_label",
             F.col(id_col),
             (F.col(label_col) == F.col("anchor_label")).alias("_same"),
-            cosine_similarity(F.col(vec_col), F.col("anchor_vec")).alias("sim"),
+            (dot_product(F.col(vec_col), F.col("anchor_vec")) / denom).alias("sim"),
         )
-        .where(F.col("sim").isNotNull())
     )
     w = Window.partitionBy("anchor_id", "_same").orderBy(
         F.desc("sim"), F.asc(id_col)
@@ -1507,4 +1519,79 @@ ORACLE_HARD_NEGATIVES = """
            MAX(CASE WHEN label <> anchor_label THEN sim END) AS neg_sim
     FROM rk WHERE r = 1
     GROUP BY anchor_id, anchor_label
+"""
+
+
+def cluster_prototypes(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balanced prototype selection: assign every vector to its
+    nearest centroid, then keep the ``per_cluster`` MOST CENTRAL vectors of
+    each cluster — the curation step that builds a mode-balanced,
+    prototypical subset of an embedding corpus (equal representation per
+    cluster regardless of how skewed the raw distribution is; the sampling
+    complement of SemDeDup, which uses the same assignment to DROP
+    redundancy).
+
+    Scale contract: assignment is ``kmeans_assign``'s map-only
+    literal-centroid argmin (no join, no shuffle — centroids are driver
+    metadata), and the rank filter is the per-group-top-k shape: a partial
+    WindowGroupLimit keeps ≤ per_cluster rows per cluster per map task, so
+    the single shuffle moves k × per_cluster rows per task, never the
+    corpus. Ties (equal dist2) break on vec_id, so the selected set is
+    deterministic in any engine.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = kmeans_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("centroid_id").orderBy(F.asc("dist2"), F.asc(id_col))
+    return (
+        assigned.select(
+            "centroid_id", id_col, "dist2", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= per_cluster)
+        .select("centroid_id", id_col, "dist2", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def cluster_prototypes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the 20 most central embeddings of each of the k=8
+    deterministic clusters (centroids = the vectors with vec_id < 8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_prototypes(emb, emb.where(F.col("vec_id") < 8))
+
+
+ORACLE_CLUSTER_PROTOTYPES = """
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS c
+        FROM embeddings WHERE vec_id < 8
+    ),
+    dists AS (
+        SELECT e.vec_id, centroid_id,
+               list_reduce(
+                   [CAST(0 AS DOUBLE)] ||
+                   list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c[i] AS DOUBLE))),
+                   (a, x) -> a + x) AS dist2
+        FROM embeddings e CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id, dist2 FROM (
+            SELECT vec_id, centroid_id, dist2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, centroid_id) AS rk
+            FROM dists
+        ) WHERE rk = 1
+    )
+    SELECT centroid_id, vec_id, dist2, CAST(rk AS INT) AS rk FROM (
+        SELECT centroid_id, vec_id, dist2,
+               row_number() OVER (PARTITION BY centroid_id
+                                  ORDER BY dist2, vec_id) AS rk
+        FROM assigned
+    ) WHERE rk <= 20
 """

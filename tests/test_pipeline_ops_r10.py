@@ -155,3 +155,35 @@ class TestRollingZscore:
             (6, _ts(6), 1, "sparse", 1e6)
         ]
         assert rolling_zscore_anomaly(_events(spark, rows)).count() == 0
+
+
+class TestClusterPrototypes:
+    def test_balanced_and_most_central(self, spark):
+        """The output is balanced per cluster (per_cluster rows even from a
+        skewed cluster) and keeps the MOST CENTRAL vectors; dist2 ties break
+        on vec_id."""
+        from caffeonspark_spark.operators.similarity import cluster_prototypes
+
+        rows = [
+            (0, [0.0, 0.0], 0),  # centroid A
+            (1, [10.0, 10.0], 0),  # centroid B
+            # cluster A: 4 members at increasing distance (incl. a tie pair)
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),  # tie with 2 -> 2 then 3
+            (4, [2.0, 0.0], 0),
+            (5, [3.0, 0.0], 0),
+            # cluster B: 1 member
+            (6, [10.0, 11.0], 0),
+        ]
+        emb = _emb(spark, rows)
+        out = cluster_prototypes(
+            emb, emb.where(F.col("vec_id") < 2), per_cluster=3
+        ).collect()
+        a = sorted(r["vec_id"] for r in out if r["centroid_id"] == 0)
+        b = sorted(r["vec_id"] for r in out if r["centroid_id"] == 1)
+        # centroid row 0 itself is dist 0 and legitimately most central;
+        # the tie pair (2,3) fills the remaining slots, 4/5 are cut
+        assert a == [0, 2, 3]
+        assert b == [1, 6]
+        rk = {r["vec_id"]: r["rk"] for r in out}
+        assert rk[2] == 2 and rk[3] == 3  # tie broke on vec_id

@@ -611,3 +611,19 @@ def test_zscore_single_fused_window(spark, sf_smoke):
     assert plan.count(") Window") == 1, plan
     assert plan.count(") Sort") == 1, plan
     assert read_schema_columns(df) == [{"event_id", "ts", "event_type", "value"}]
+
+
+def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
+    """Cluster-balanced prototype selection must be: ONE corpus scan, a
+    map-only literal-centroid assignment (no join anywhere), and the
+    per-cluster rank filter as a partial WindowGroupLimit below the single
+    exchange — the corpus never shuffles at corpus size."""
+    from caffeonspark_spark.operators.similarity import cluster_prototypes_query
+
+    df = cluster_prototypes_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert plan.count(") Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count(") WindowGroupLimit") == 2, plan
+    assert shuffle_count(df) == 1, plan
+    assert read_schema_columns(df) == [{"vec_id", "embedding"}]

@@ -1,0 +1,141 @@
+"""Property tests for the round-10 operators: each checked against an
+independent NumPy/pure-Python reference over randomized inputs, the same
+discipline as test_properties.py (Spark plan vs hand-rolled oracle, not
+Spark vs itself)."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_COORD = st.integers(min_value=-4, max_value=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.lists(_COORD, min_size=3, max_size=3), st.integers(0, 2)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_hard_negatives_match_numpy(spark, pts):
+    """The mined (positive, negative) per anchor equals a brute-force NumPy
+    argmax over cosine similarity with the same self-exclusion, label split,
+    and (sim desc, id asc) tie-break."""
+    from caffeonspark_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (i, [float(x) for x in vec], int(lbl)) for i, (vec, lbl) in enumerate(pts)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["anchor_id"]: r
+        for r in hard_negative_mining(emb, emb.where(F.col("vec_id") == 0)).collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return None
+        return float(np.dot(a, b) / (na * nb))
+
+    a_vec = np.array(rows[0][1])
+    a_lbl = rows[0][2]
+    if np.linalg.norm(a_vec) == 0:
+        # zero-norm anchor: every sim is NULL, no row survives
+        assert out == {}
+        return
+    best = {True: None, False: None}  # same-label -> ((-sim, id), id, sim)
+    for i, vec, lbl in rows[1:]:
+        s = cos(a_vec, np.array(vec))
+        if s is None:
+            continue
+        key = ((-s), i)
+        same = lbl == a_lbl
+        if best[same] is None or key < best[same][0]:
+            best[same] = (key, i, s)
+    if best[True] is None and best[False] is None:
+        assert out == {}
+        return
+    r = out[0]
+    for same, (pid_col, sim_col) in {
+        True: ("positive_id", "pos_sim"),
+        False: ("negative_id", "neg_sim"),
+    }.items():
+        if best[same] is None:
+            assert r[pid_col] is None and r[sim_col] is None
+        else:
+            assert r[pid_col] == best[same][1]
+            assert abs(r[sim_col] - best[same][2]) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False), min_size=24, max_size=60
+    ),
+    st.integers(min_value=2, max_value=30),
+)
+def test_zscore_matches_numpy(spark, values, n_small):
+    """The anomaly SET and z values match a NumPy trailing-window reference
+    (same n, same sample-variance formula, same threshold)."""
+    from caffeonspark_spark.operators.temporal import rolling_zscore_anomaly
+
+    rows = [
+        (i + 1, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), 1, "m", float(round(v, 3)))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = {r["event_id"]: r["zscore"] for r in rolling_zscore_anomaly(df, n=24).collect()}
+
+    vals = np.array([r[4] for r in rows])
+    expect = {}
+    for i in range(23, len(vals)):
+        frame = vals[i - 23 : i + 1]
+        var = frame.var(ddof=1)
+        if var <= 0:
+            continue
+        z = (vals[i] - frame.mean()) / np.sqrt(var)
+        if abs(z) > 2.0:
+            expect[i + 1] = z
+    assert set(out) == set(expect)
+    for k, z in expect.items():
+        assert abs(out[k] - z) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=4),
+)
+def test_event_sequences_match_python(spark, types, ctx_len):
+    """Emitted (context, target) pairs equal a pure-Python sliding window
+    over the ts-ordered per-user stream, for any context length."""
+    from caffeonspark_spark.operators.temporal import event_sequence_examples
+
+    names = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i + 1, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), 7, names[t], 1.0)
+        for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = sorted(
+        (r["event_id"], r["context"], r["target"])
+        for r in event_sequence_examples(df, context_len=ctx_len).collect()
+    )
+    seq = [names[t] for t in types]
+    expect = sorted(
+        (i + 1, "|".join(seq[i - ctx_len : i]), seq[i])
+        for i in range(ctx_len, len(seq))
+    )
+    assert out == expect

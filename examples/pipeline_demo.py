@@ -177,6 +177,29 @@ def main() -> None:
     ).count()
     print(f"corpus vectors within cosine 0.25 of vec 0: {radius}")
 
+    # 9c. embedding-space curation (r10): a mode-balanced prototype subset
+    # and contrastive triplets mined from the same embeddings
+    from caffeonspark_spark.operators.similarity import (
+        cluster_prototypes,
+        hard_negative_mining,
+    )
+
+    protos = cluster_prototypes(
+        emb, emb.where(F.col("vec_id") < 8), per_cluster=3
+    )
+    print(f"cluster-balanced prototypes: {protos.count()} rows "
+          "(3 most-central per cluster)")
+    trip = hard_negative_mining(emb, emb.where(F.col("vec_id") < 3)).collect()
+    print("mined triplets:",
+          [(r["anchor_id"], r["positive_id"], r["negative_id"]) for r in trip])
+
+    # 9d. ingest data-quality tripwire (r10): trailing-window z-score
+    # anomalies on the event stream feeding the pipeline
+    from caffeonspark_spark.operators.temporal import rolling_zscore_anomaly
+
+    anomalies = rolling_zscore_anomaly(engine.table("events")).count()
+    print(f"trailing-window |z|>2 anomalies in events: {anomalies}")
+
     # 10. hybrid retrieval: fuse the dense ranking with BM25 by
     # reciprocal rank (no score normalization needed)
     from caffeonspark_spark.operators.textops import rrf_fusion

@@ -48,6 +48,36 @@ VIDEO_STRUCT_SCHEMA = T.StructType(
 )
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry decode tables for ITU-T G.711 μ-law and A-law companding
+    (the telephony WAV formats, WAVE_FORMAT_MULAW=7 / ALAW=6), built from
+    the spec expansion formulas (the classic CCITT reference arithmetic:
+    μ-law BIAS 0x84 with complemented code words; A-law 0x55 toggle with
+    the seg-0/1 special cases). int16 linear levels."""
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def audio_struct_col(audio: Column, sample_rate: Column, n_samples: Column) -> Column:
     return F.struct(
         audio.alias("audio"),
@@ -71,11 +101,12 @@ def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     """Decode audio bytes → float32 mono waveform in [-1, 1].
 
     RIFF/WAVE decodes for REAL with no codec library — chunk walk + NumPy
-    frombuffer: integer PCM at 8/16/24/32 bits, IEEE float32/float64, and
-    WAVE_FORMAT_EXTENSIBLE wrappers around either; multi-channel payloads
-    mix down to mono by channel mean. Compressed formats (mp3/ogg/flac)
-    raise — wire torchaudio/soundfile/ffmpeg there in production; callers
-    are codec-agnostic either way.
+    frombuffer: integer PCM at 8/16/24/32 bits, IEEE float32/float64,
+    G.711 μ-law/A-law telephony companding (8-bit, spec lookup tables),
+    and WAVE_FORMAT_EXTENSIBLE wrappers around any of them; multi-channel
+    payloads mix down to mono by channel mean. Compressed formats
+    (mp3/ogg/flac) raise — wire torchaudio/soundfile/ffmpeg there in
+    production; callers are codec-agnostic either way.
     """
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _wav_pcm_decode(bytes(data), expect_rate=sample_rate)
@@ -119,11 +150,12 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         n_channels < 1
         or (audio_format == 1 and bits not in (8, 16, 24, 32))
         or (audio_format == 3 and bits not in (32, 64))
-        or audio_format not in (1, 3)
+        or (audio_format in (6, 7) and bits != 8)
+        or audio_format not in (1, 3, 6, 7)
     ):
         raise ValueError(
-            "codec-free WAV path supports 8/16/24/32-bit PCM and "
-            "float32/float64 only"
+            "codec-free WAV path supports 8/16/24/32-bit PCM, "
+            "float32/float64, and 8-bit G.711 A-law/mu-law only"
         )
     if len(raw) % ((bits // 8) * n_channels):
         raise ValueError("malformed WAV: truncated PCM data chunk")
@@ -132,7 +164,12 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         raise ValueError(
             f"WAV sample rate {header_rate} != expected {expect_rate}"
         )
-    if audio_format == 3:
+    if audio_format in (6, 7):
+        table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
+        wave = (
+            table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float32) / 32768.0
+        )
+    elif audio_format == 3:
         dt = "<f4" if bits == 32 else "<f8"
         wave = np.clip(np.frombuffer(raw, dtype=dt).astype(np.float32), -1.0, 1.0)
     elif bits == 16:
@@ -186,14 +223,32 @@ def encode_wav(
     bits: int = 16,
     float_fmt: bool = False,
     extensible: bool = False,
+    g711: str | None = None,
 ) -> bytes:
     """float32 [-1, 1] → RIFF/WAVE bytes in any layout the codec-free
     decoder accepts: integer PCM at 8/16/24/32 bits, IEEE float32/float64
-    (``float_fmt=True``), optionally wrapped in a WAVE_FORMAT_EXTENSIBLE
+    (``float_fmt=True``), G.711 telephony companding (``g711='ulaw'`` or
+    ``'alaw'``, 8-bit), optionally wrapped in a WAVE_FORMAT_EXTENSIBLE
     fmt chunk with the matching subformat GUID — the test/fixture twin of
-    ``_wav_pcm_decode``'s full format matrix."""
+    ``_wav_pcm_decode``'s full format matrix. The G.711 encoder quantizes
+    each sample to the nearest decode-table level (optimal companding, so
+    decode∘encode is the nearest-level projection by construction)."""
     w = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
-    if float_fmt:
+    if g711 is not None:
+        if g711 not in ("ulaw", "alaw"):
+            raise ValueError("g711 must be 'ulaw' or 'alaw'")
+        bits = 8
+        table = _ULAW_TABLE if g711 == "ulaw" else _ALAW_TABLE
+        order = np.argsort(table, kind="stable")
+        levels = table[order].astype(np.float64)
+        target = w * 32768.0
+        idx = np.searchsorted(levels, target)
+        idx = np.clip(idx, 1, len(levels) - 1)
+        lo, hi = levels[idx - 1], levels[idx]
+        pick = np.where(np.abs(target - lo) <= np.abs(target - hi), idx - 1, idx)
+        raw = order[pick].astype(np.uint8).tobytes()
+        base_format = 7 if g711 == "ulaw" else 6
+    elif float_fmt:
         if bits not in (32, 64):
             raise ValueError("float WAV is 32- or 64-bit")
         raw = w.astype("<f4" if bits == 32 else "<f8").tobytes()

@@ -1134,3 +1134,71 @@ def test_png_subbyte_depths_roundtrip():
     bad[good.find(b"IHDR") + 4 + 8] = 4
     with pytest.raises(ValueError, match="install Pillow"):
         decode_png(bytes(bad))
+
+
+def test_wav_g711_telephony_formats():
+    """G.711 μ-law/A-law (WAVE_FORMAT_MULAW/ALAW) decode from spec lookup
+    tables: cross-checked against the stdlib audioop expansion, hand-pinned
+    ITU vectors, round-trip within companding error, and the extensible
+    wrapper resolves the subformat."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.av import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_audio,
+        encode_wav,
+    )
+
+    # hand-pinned spec vectors (CCITT reference arithmetic):
+    # μ-law 0xFF -> 0 (positive silence), 0x7F -> 0 (negative zero),
+    # 0x00 -> -32124 (largest negative), 0x80 -> +32124
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    # A-law 0x55 -> -8 (smallest negative), 0xD5 -> +8,
+    # 0x2A -> -32256 (largest negative), 0xAA -> +32256
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+
+    # independent reference: the stdlib companding expansion (deprecated
+    # but present on this interpreter) must agree on every code word
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        every = bytes(range(256))
+        ref_u = np.frombuffer(audioop.ulaw2lin(every, 2), dtype="<i2")
+        ref_a = np.frombuffer(audioop.alaw2lin(every, 2), dtype="<i2")
+        np.testing.assert_array_equal(_ULAW_TABLE, ref_u)
+        np.testing.assert_array_equal(_ALAW_TABLE, ref_a)
+
+    # round-trip: companding is ~13/14-bit log-spaced — the error bound is
+    # proportional to amplitude; at |x| <= 0.7 the worst step is ~1/32 of
+    # the amplitude near full scale, far tighter near zero
+    t = np.arange(600, dtype=np.float32) / 8000.0
+    wave = (0.7 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    for kind in ("ulaw", "alaw"):
+        got = decode_audio(encode_wav(wave, 8000, g711=kind), 8000)
+        assert got.dtype == np.float32 and got.shape == wave.shape
+        err = np.abs(got - wave)
+        tol = 1.0 / 256 + np.abs(wave) / 16  # step grows with segment
+        assert (err <= tol).all(), (kind, float(err.max()))
+
+    # extensible wrapper around μ-law resolves the subformat code
+    data = bytearray(encode_wav(wave, 8000, g711="ulaw", extensible=True))
+    got2 = decode_audio(bytes(data), 8000)
+    np.testing.assert_array_equal(
+        got2, decode_audio(encode_wav(wave, 8000, g711="ulaw"), 8000)
+    )
+
+    # G.711 with a non-8-bit container is spec-illegal -> ValueError
+    bad = bytearray(encode_wav(wave, 8000, g711="alaw"))
+    i = bytes(bad).find(b"fmt ")
+    bad[i + 8 + 14 : i + 8 + 16] = (16).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(bad), 8000)

@@ -77,6 +77,88 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM = 0x0011) quantizer tables — the
+# published reference tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", the same arithmetic the stdlib's DVI
+# expansion uses, cross-checked in tests)
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_decode_nibbles(
+    nibbles: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Expand IMA ADPCM 4-bit codes → int16, VECTORIZED ACROSS BLOCKS:
+    ``nibbles`` is (n_blocks, n_codes) and each block decodes its own
+    (predictor, index) header state. The per-sample recurrence is
+    sequential by definition, but blocks are independent, so the loop is
+    over the ~505-sample block axis with NumPy work per step over all
+    blocks at once — the same independence a 100 TB decode exploits by
+    splitting on block boundaries."""
+    n_blocks, n_codes = nibbles.shape
+    pred = pred0.astype(np.int32).copy()
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    out = np.empty((n_blocks, n_codes), dtype=np.int16)
+    for t in range(n_codes):
+        code = nibbles[:, t].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = (
+            (step >> 3)
+            + np.where(code & 4, step, 0)
+            + np.where(code & 2, step >> 1, 0)
+            + np.where(code & 1, step >> 2, 0)
+        )
+        pred = np.clip(
+            np.where(code & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        idx = np.clip(idx + _IMA_INDEX[code], 0, 88)
+        out[:, t] = pred.astype(np.int16)
+    return out
+
+
+def _ima_adpcm_decode(raw: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """WAV IMA ADPCM data chunk → float32 mono in [-1, 1]. Block layout per
+    the format spec: one 4-byte header per channel (int16 predictor = the
+    block's first sample, uint8 step index, reserved), then the 4-bit
+    codes in 4-byte per-channel groups (low nibble first); multi-channel
+    payloads mix down to mono by channel mean."""
+    min_align = 4 * n_channels
+    if block_align < min_align + 4 or block_align % 4:
+        raise ValueError("malformed WAV: bad IMA ADPCM block align")
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0 or len(raw) % block_align:
+        raise ValueError("malformed WAV: truncated IMA ADPCM data chunk")
+    blocks = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, block_align)
+    chans = []
+    for c in range(n_channels):
+        hdr = blocks[:, 4 * c : 4 * c + 4]
+        pred0 = hdr[:, 0:2].copy().view("<i2")[:, 0]
+        idx0 = hdr[:, 2]
+        body = blocks[:, min_align:].reshape(n_blocks, -1, 4)
+        mine = body[:, c::n_channels, :].reshape(n_blocks, -1)
+        nibbles = np.empty((n_blocks, mine.shape[1] * 2), dtype=np.uint8)
+        nibbles[:, 0::2] = mine & 0x0F
+        nibbles[:, 1::2] = mine >> 4
+        decoded = _ima_decode_nibbles(nibbles, pred0, idx0)
+        # the header predictor IS the block's first sample
+        full = np.concatenate(
+            [pred0.reshape(-1, 1).astype(np.int16), decoded], axis=1
+        )
+        chans.append(full.reshape(-1).astype(np.float32) / 32768.0)
+    wave = np.mean(np.stack(chans, axis=0), axis=0) if n_channels > 1 else chans[0]
+    return wave.astype(np.float32)
+
 
 def audio_struct_col(audio: Column, sample_rate: Column, n_samples: Column) -> Column:
     return F.struct(
@@ -103,10 +185,11 @@ def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     RIFF/WAVE decodes for REAL with no codec library — chunk walk + NumPy
     frombuffer: integer PCM at 8/16/24/32 bits, IEEE float32/float64,
     G.711 μ-law/A-law telephony companding (8-bit, spec lookup tables),
-    and WAVE_FORMAT_EXTENSIBLE wrappers around any of them; multi-channel
-    payloads mix down to mono by channel mean. Compressed formats
-    (mp3/ogg/flac) raise — wire torchaudio/soundfile/ffmpeg there in
-    production; callers are codec-agnostic either way.
+    4-bit IMA ADPCM (block-vectorized expansion, fact-chunk truncation),
+    and WAVE_FORMAT_EXTENSIBLE wrappers; multi-channel payloads mix down
+    to mono by channel mean. Non-RIFF compressed formats (mp3/ogg/flac)
+    raise — wire torchaudio/soundfile/ffmpeg there in production; callers
+    are codec-agnostic either way.
     """
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _wav_pcm_decode(bytes(data), expect_rate=sample_rate)
@@ -122,7 +205,7 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
     rate — a mismatch raises rather than silently mis-timing downstream
     frame features."""
     pos, n = 12, len(data)
-    fmt = raw = None
+    fmt = raw = fact = None
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -133,6 +216,8 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
             fmt = body
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and size >= 4:
+            fact = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or len(fmt) < 16 or raw is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
@@ -151,19 +236,27 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         or (audio_format == 1 and bits not in (8, 16, 24, 32))
         or (audio_format == 3 and bits not in (32, 64))
         or (audio_format in (6, 7) and bits != 8)
-        or audio_format not in (1, 3, 6, 7)
+        or (audio_format == 0x11 and bits != 4)
+        or audio_format not in (1, 3, 6, 7, 0x11)
     ):
         raise ValueError(
             "codec-free WAV path supports 8/16/24/32-bit PCM, "
-            "float32/float64, and 8-bit G.711 A-law/mu-law only"
+            "float32/float64, 8-bit G.711 A-law/mu-law, and 4-bit "
+            "IMA ADPCM only"
         )
-    if len(raw) % ((bits // 8) * n_channels):
-        raise ValueError("malformed WAV: truncated PCM data chunk")
     header_rate = int.from_bytes(fmt[4:8], "little")
     if expect_rate and header_rate != expect_rate:
         raise ValueError(
             f"WAV sample rate {header_rate} != expected {expect_rate}"
         )
+    if audio_format == 0x11:
+        block_align = int.from_bytes(fmt[12:14], "little")
+        wave = _ima_adpcm_decode(raw, n_channels, block_align)
+        if fact is not None:
+            wave = wave[:fact]
+        return wave.astype(np.float32)
+    if len(raw) % ((bits // 8) * n_channels):
+        raise ValueError("malformed WAV: truncated PCM data chunk")
     if audio_format in (6, 7):
         table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
         wave = (
@@ -289,6 +382,71 @@ def encode_wav(
         fmt += (22).to_bytes(2, "little") + bits.to_bytes(2, "little")
         fmt += (0).to_bytes(4, "little") + guid
     body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_wav_ima_adpcm(
+    wave: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """float32 [-1, 1] → mono IMA ADPCM WAV bytes (format 0x0011): the
+    standard successive-approximation quantizer against the same
+    step/index tables the decoder expands with; the step index carries
+    across blocks, each block header restates the exact first sample. The
+    input is padded to whole blocks and a ``fact`` chunk records the true
+    sample count (the decoder truncates to it). Fixture twin of
+    ``_ima_adpcm_decode``."""
+    w = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    samples = np.round(w * 32767.0).astype(np.int32)
+    spb = (block_align - 4) * 2 + 1  # samples per block (mono)
+    n_true = len(samples)
+    pad = (-len(samples)) % spb
+    if pad:
+        samples = np.concatenate([samples, np.zeros(pad, dtype=np.int32)])
+    idx = 0
+    blocks = []
+    for b0 in range(0, len(samples), spb):
+        block = samples[b0 : b0 + spb]
+        pred = int(block[0])
+        out = bytearray(
+            int(pred & 0xFFFF).to_bytes(2, "little") + bytes([idx, 0])
+        )
+        nibbles = []
+        for s in block[1:]:
+            step = int(_IMA_STEPS[idx])
+            diff = int(s) - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            # decode-update with the SAME kernel so encoder state tracks
+            # the decoder exactly
+            vpdiff = (step >> 3) + (step if code & 4 else 0)
+            vpdiff += (step >> 1) if code & 2 else 0
+            vpdiff += (step >> 2) if code & 1 else 0
+            pred = max(-32768, min(32767, pred - vpdiff if code & 8 else pred + vpdiff))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[code])))
+            nibbles.append(code)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        blocks.append(bytes(out))
+    raw = b"".join(blocks)
+    spb_bytes = spb.to_bytes(2, "little")
+    fmt = (
+        (0x11).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb_bytes  # cbSize=2, wSamplesPerBlock
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"fact" + (4).to_bytes(4, "little") + n_true.to_bytes(4, "little")
     body += b"data" + len(raw).to_bytes(4, "little") + raw
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 

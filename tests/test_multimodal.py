@@ -1202,3 +1202,99 @@ def test_wav_g711_telephony_formats():
     bad[i + 8 + 14 : i + 8 + 16] = (16).to_bytes(2, "little")
     with _pytest.raises(ValueError):
         decode_audio(bytes(bad), 8000)
+
+
+def test_wav_ima_adpcm_decode():
+    """IMA ADPCM (WAVE_FORMAT_IMA_ADPCM): the nibble-expansion kernel
+    matches the stdlib DVI expansion code-for-code, block-leading samples
+    are EXACT (the header restates them), steady-state round-trip error is
+    step-bounded after the onset slew, the fact chunk truncates padding,
+    and stereo blocks mix down to the mean of their channels."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.av import (
+        _ima_decode_nibbles,
+        decode_audio,
+        encode_wav_ima_adpcm,
+    )
+
+    # kernel cross-check vs stdlib audioop (Intel/DVI ADPCM — the same
+    # reference arithmetic): every state path via random codes
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        rng = np.random.default_rng(11)
+        nibs = rng.integers(0, 16, size=400).astype(np.uint8)
+        packed = bytes(
+            (int(nibs[i]) << 4) | int(nibs[i + 1]) for i in range(0, 400, 2)
+        )
+        ref = np.frombuffer(audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype="<i2")
+        mine = _ima_decode_nibbles(
+            nibs.reshape(1, -1), np.array([0]), np.array([0])
+        )[0]
+        np.testing.assert_array_equal(mine, ref)
+
+    t = np.arange(3000, dtype=np.float32) / 8000.0
+    wave = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    payload = encode_wav_ima_adpcm(wave, 8000, block_align=256)
+    got = decode_audio(payload, 8000)
+    assert got.dtype == np.float32 and got.shape == wave.shape
+    err = np.abs(got - wave)
+    # onset slew while the step index adapts from 0; steady state is tight
+    assert err[64:].max() < 0.02 and np.sqrt((err**2).mean()) < 0.03
+    # block-leading samples are exact int16 restatements
+    spb = (256 - 4) * 2 + 1
+    heads = np.arange(0, len(wave), spb)
+    np.testing.assert_allclose(got[heads], np.round(wave[heads] * 32767) / 32768.0,
+                               atol=1.0 / 32768)
+
+    # fact chunk truncates the final block's padding
+    assert decode_audio(encode_wav_ima_adpcm(wave[:700], 8000), 8000).shape == (700,)
+
+    # stereo: weave two mono streams into 2-channel blocks (hdrA+hdrB then
+    # alternating 4-byte groups) — decode equals the channel mean
+    a, b = wave[:spb], (0.3 * wave[:spb]).astype(np.float32)
+    mono_a, mono_b = (
+        encode_wav_ima_adpcm(x, 8000, block_align=256) for x in (a, b)
+    )
+    def data_chunk(buf):
+        i = buf.find(b"data")
+        size = int.from_bytes(buf[i + 4 : i + 8], "little")
+        return buf[i + 8 : i + 8 + size]
+    blk_a, blk_b = data_chunk(mono_a), data_chunk(mono_b)
+    assert len(blk_a) == len(blk_b) == 256
+    groups_a, groups_b = blk_a[4:], blk_b[4:]
+    woven = bytearray(blk_a[:4] + blk_b[:4])
+    for g in range(0, len(groups_a), 4):
+        woven += groups_a[g : g + 4] + groups_b[g : g + 4]
+    stereo_align = 512
+    fmt = (
+        (0x11).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + stereo_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(woven).to_bytes(4, "little") + bytes(woven)
+    stereo = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got_s = decode_audio(stereo, 8000)
+    ga = decode_audio(mono_a, 8000)
+    gb = decode_audio(mono_b, 8000)
+    np.testing.assert_allclose(got_s, (ga + gb) / 2.0, atol=1e-7)
+
+    # spec-illegal container bits and bad block align raise
+    badbits = bytearray(payload)
+    i = bytes(badbits).find(b"fmt ")
+    badbits[i + 8 + 14 : i + 8 + 16] = (8).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(badbits), 8000)
+    badalign = bytearray(payload)
+    badalign[i + 8 + 12 : i + 8 + 14] = (6).to_bytes(2, "little")
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(badalign), 8000)

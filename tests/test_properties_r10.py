@@ -139,3 +139,38 @@ def test_event_sequences_match_python(spark, types, ctx_len):
         for i in range(ctx_len, len(seq))
     )
     assert out == expect
+
+
+@given(
+    st.integers(min_value=4, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+    st.sampled_from(["pcm16", "float32", "ulaw", "alaw", "adpcm"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_decoder_total_on_mutated_streams(offset, junk, fmt):
+    """Totality for the whole codec-free WAV matrix (PCM, float, G.711,
+    IMA ADPCM): any byte mutation after the RIFF magic either decodes or
+    raises ValueError — never an unbounded loop, overflow, or foreign
+    exception (the PNG/JPEG/BMP decode-tier contract applied to audio)."""
+    from caffeonspark_spark.multimodal.av import (
+        decode_audio,
+        encode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(600, dtype=np.float32) / 8000.0
+    wave = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    if fmt == "adpcm":
+        base = encode_wav_ima_adpcm(wave, 8000)
+    elif fmt in ("ulaw", "alaw"):
+        base = encode_wav(wave, 8000, g711=fmt)
+    elif fmt == "float32":
+        base = encode_wav(wave, 8000, bits=32, float_fmt=True)
+    else:
+        base = encode_wav(wave, 8000, bits=16)
+    pos = 4 + (offset % (len(base) - 4))
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_audio(mutated, 0)
+    except (ValueError, NotImplementedError):
+        pass

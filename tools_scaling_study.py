@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Measured scaling study: time headline operators at 1x/2x/4x/8x the sf0.1
+data and record the scaling exponent — evidence for SCALE.md's linearity
+claims instead of prose.
+
+Scaled inputs are built from the driver-generated sf0.1 tables (never
+synthesized from scratch): each copy i remaps its primary ids into a
+disjoint range and DETERMINISTICALLY WORD-SHUFFLES document text with a
+copy-specific hash order. The shuffle keeps every per-document statistic
+(length, token multiset, quality score) identical while making copies NOT
+near-duplicates of each other — naive duplication would give every doc k
+identical twins, inflating banded-LSH candidate pairs ~k^2 per group and
+misrepresenting how a real k-times-larger corpus behaves (duplicate
+DENSITY stays constant in real growth). Events keep their timestamps
+(denser traffic over the same calendar span — exactly the gapfill claim
+under test: the rollup side must stay calendar-sized while the event side
+grows k-fold); embeddings remap vec_id so the fixed probe/centroid sets
+(vec_id < 8) stay singular.
+
+Usage: python tools_scaling_study.py [k ...]      (default 1 2 4 8)
+Writes one JSON line per (query, k) and a summary with t(k_max)/t(1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from caffeonspark_spark.engine import Config, get_spark  # noqa: E402
+from caffeonspark_spark.catalog import load_table  # noqa: E402
+from caffeonspark_spark.operators import dedup as D  # noqa: E402
+from caffeonspark_spark.operators import relational as R  # noqa: E402
+from caffeonspark_spark.operators import sampling as SA  # noqa: E402
+from caffeonspark_spark.operators import similarity as S  # noqa: E402
+from caffeonspark_spark.operators import temporal as TP  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scaling_study"
+
+QUERIES = {
+    "clean_corpus": D.clean_corpus,
+    "minhash_lsh_pairs": D.minhash_lsh_pairs,
+    "dedup_exact": D.dedup_exact_docs,
+    "gapfill_hourly": TP.gapfill_hourly,
+    "zscore_anomaly": TP.rolling_zscore_query,
+    "event_sequences": TP.event_sequence_examples_query,
+    "hard_negatives": S.hard_negative_mining_query,
+    "cluster_prototypes": S.cluster_prototypes_query,
+    "topk_per_group": R.topk_per_group,
+    "kmv_source_overlap": SA.kmv_source_overlap,
+}
+
+
+def _build(spark, k: int) -> str:
+    out = f"{WORK}/k{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, BASE, "documents")
+    ev = load_table(spark, BASE, "events")
+    emb = load_table(spark, BASE, "embeddings")
+    d_parts, e_parts, m_parts = [], [], []
+    for i in range(k):
+        off = F.lit(i)
+        if i == 0:
+            d_parts.append(docs)
+        else:
+            toks = F.split(F.col("text"), " ")
+            shuffled = F.transform(
+                F.array_sort(
+                    F.transform(
+                        toks,
+                        lambda x: F.struct(
+                            F.xxhash64(x, off, F.col("doc_id")).alias("h"),
+                            x.alias("w"),
+                        ),
+                    )
+                ),
+                lambda s: s["w"],
+            )
+            d_parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                    F.concat_ws(" ", shuffled).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+            )
+        e_parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 100_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        m_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 100_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionAll(b), d_parts).coalesce(max(4, 2 * k)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    reduce(lambda a, b: a.unionAll(b), e_parts).coalesce(max(4, 2 * k)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
+    reduce(lambda a, b: a.unionAll(b), m_parts).coalesce(max(4, 2 * k)).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = get_spark(
+        Config(master="local[32]", shuffle_partitions=32, app_name="scaling")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for k in ks:
+        sf_dir = _build(spark, k)
+        for name, fn in QUERIES.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][k] = round(best, 3)
+            print(json.dumps({"query": name, "k": k, "sec": results[name][k]}))
+    kmax, kmin = max(ks), min(ks)
+    summary = {
+        q: {
+            "t1": r[kmin],
+            f"t{kmax}": r[kmax],
+            "ratio": round(r[kmax] / r[kmin], 2) if r[kmin] > 0 else None,
+        }
+        for q, r in results.items()
+    }
+    print(json.dumps({"summary": summary, "linear_ideal": kmax / kmin}))
+
+
+if __name__ == "__main__":
+    main()

@@ -167,8 +167,9 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
     """Pure-NumPy decoder for codec-free image containers: PPM (P6), PGM
     (P5), uncompressed 8-bit-palette/24/32-bit BI_RGB BMP, Huffman JPEG
     (baseline through progressive via the from-spec decoder in
-    ``multimodal/jpeg.py``), and PNG (``multimodal/png.py``; zlib is
-    stdlib). No external codec
+    ``multimodal/jpeg.py``), PNG (``multimodal/png.py``; zlib is
+    stdlib), and baseline strip TIFF (``multimodal/tiff.py``:
+    none/PackBits/LZW, both byte orders). No external codec
     library needed, so REAL bytes — including the reference's own
     ``data/images/*.jpg`` fixture class (``ImageDataSource.scala:126-143``)
     — decode end-to-end even in environments without Pillow/OpenCV (this
@@ -193,6 +194,12 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
                 arr = arr[:, :, [2, 1, 0, 3]]  # RGBA -> BGRA (IMREAD_UNCHANGED)
             else:
                 arr = arr[:, :, :3]  # drop alpha (IMREAD_COLOR)
+        if arr.shape[2] == 3:
+            arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
+    elif data[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from caffeonspark_spark.multimodal.tiff import decode_tiff
+
+        arr = decode_tiff(data)
         if arr.shape[2] == 3:
             arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
     elif data[:2] in (b"P6", b"P5"):
@@ -361,7 +368,9 @@ def decode_image(data: bytes, channels: int) -> np.ndarray:
     Uses Pillow or OpenCV when importable (``CODEC_NAME`` says which);
     otherwise the pure-NumPy codec handles PPM/PGM/BMP headers plus
     from-spec JPEG (baseline, multi-scan, partially-interleaved, and
-    progressive Huffman — ``jpeg.py``) and full PNG (``png.py``), so the
+    progressive Huffman — ``jpeg.py``), full PNG (``png.py``), and
+    baseline strip TIFF (``tiff.py``: none/PackBits/LZW, gray/RGB/
+    palette/bilevel, both byte orders), so the
     real decode paths run end-to-end even in this container; only the
     remaining classes (arithmetic/12-bit/lossless JPEG) raise with an
     install hint. Callers (batch assembly) stay codec-agnostic either way.
@@ -453,7 +462,9 @@ def image_sample_to_tensor(
     h = height or spec.height
     w = width or spec.width
     if encoded:
-        real_magic = bytes(data[:2]) in (b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P")
+        real_magic = bytes(data[:2]) in (
+            b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P", b"II", b"MM",
+        )
         if decoder is not None:
             hwc = decoder(data, spec.channels)
         elif CODEC_NAME in ("pillow", "opencv") or real_magic:

@@ -1298,3 +1298,104 @@ def test_wav_ima_adpcm_decode():
     badalign[i + 8 + 12 : i + 8 + 14] = (6).to_bytes(2, "little")
     with _pytest.raises(ValueError):
         decode_audio(bytes(badalign), 8000)
+
+
+def test_tiff_decode_matrix():
+    """Baseline TIFF through the numpy tier: gray/RGB/palette/bilevel ×
+    none/PackBits/LZW × II/MM byte orders, multi-strip, LZW Predictor 2,
+    WhiteIsZero inversion — each round-trips exactly, and 3-channel output
+    comes back BGR per the Mat.decode contract."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.columns import decode_image
+    from caffeonspark_spark.multimodal.tiff import decode_tiff
+    from tests.tiff_fixture import encode_tiff
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (7, 11, 1), dtype=np.uint8)
+    for be in (False, True):
+        for comp in (1, 32773, 5):
+            got = decode_image(
+                encode_tiff(rgb, compression=comp, big_endian=be, rows_per_strip=4), 3
+            )
+            np.testing.assert_array_equal(got, rgb[:, :, ::-1])  # BGR
+            got = decode_image(encode_tiff(gray, compression=comp, big_endian=be), 1)
+            np.testing.assert_array_equal(got, gray)
+    # LZW horizontal-differencing predictor
+    got = decode_tiff(encode_tiff(rgb, compression=5, predictor=2, rows_per_strip=5))
+    np.testing.assert_array_equal(got, rgb)
+    # WhiteIsZero gray inverts back
+    np.testing.assert_array_equal(decode_tiff(encode_tiff(gray, photometric=0)), gray)
+    # palette resolves through ColorMap (RGB)
+    idx = rng.integers(0, 4, (6, 5, 1), dtype=np.uint8)
+    pal = [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    got = decode_tiff(encode_tiff(idx, palette=pal, compression=32773))
+    np.testing.assert_array_equal(got, np.array(pal, np.uint8)[idx[:, :, 0]])
+    # 1-bit bilevel, both polarities
+    bits = rng.integers(0, 2, (9, 17, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(bits, bilevel=True))[:, :, 0], bits[:, :, 0] * 255
+    )
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(bits, bilevel=True, photometric=0))[:, :, 0],
+        255 - bits[:, :, 0] * 255,
+    )
+    # LZW width growth + mid-stream Clear restarts (large random strip)
+    big = rng.integers(0, 256, (300, 200, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_tiff(encode_tiff(big, compression=5)), big)
+    # unsupported classes raise the install hint (tiled layout)
+    data = bytearray(encode_tiff(gray))
+    # append a TileWidth tag is intrusive; instead flip compression to
+    # deflate (8) — spec-legal TIFF, outside the from-spec tier
+    i = data.find((259).to_bytes(2, "little"))
+    data[i + 8 : i + 10] = (8).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="install Pillow"):
+        decode_tiff(bytes(data))
+
+
+def test_tiff_lzw_spec_vector():
+    """Decoder vs a HAND-DERIVED spec code sequence (independent of the
+    fixture encoder): input [7,7,7,8] encodes as
+    [Clear, 7, 258, 8, EOI] at 9 bits — the 258 is the K-omega case (a
+    code referencing the entry created by the immediately preceding code)."""
+    from caffeonspark_spark.multimodal.tiff import _lzw
+    from tests.tiff_fixture import pack_codes
+
+    stream = pack_codes([(256, 9), (7, 9), (258, 9), (8, 9), (257, 9)])
+    assert _lzw(stream, 4) == bytes([7, 7, 7, 8])
+    # and the same sequence WITHOUT the leading Clear is equally legal
+    stream2 = pack_codes([(7, 9), (258, 9), (8, 9), (257, 9)])
+    assert _lzw(stream2, 4) == bytes([7, 7, 7, 8])
+
+
+
+def test_tiff_through_batch_assembly(spark):
+    """TIFF payloads through the full distributed path — encoded-image
+    column → mapInArrow decode → resize → NCHW batch — must produce a
+    batch BIT-EQUAL to (a) the same images as LZW-compressed TIFF and
+    (b) the same pixels as PPM payloads through the established netpbm
+    path: cross-container parity proves the new tier is invisible to the
+    Spark-side plumbing."""
+    from caffeonspark_spark.multimodal.columns import encode_ppm
+    from tests.tiff_fixture import encode_tiff
+
+    rng = np.random.default_rng(47)
+    imgs = [rng.integers(0, 256, (24, 20, 3), dtype=np.uint8) for _ in range(4)]
+    spec = ColumnSpec(
+        "data", "encoded_image", channels=3, out_height=12, out_width=12
+    )
+
+    def batch_of(payloads):
+        rows = [(f"img{i}", bytearray(p)) for i, p in enumerate(payloads)]
+        df = spark.createDataFrame(rows, "id string, data binary").coalesce(1)
+        out = assemble_batches(df, [spec], batch_size=4).collect()
+        assert out[0]["data_shape"] == [4, 3, 12, 12]
+        return np.asarray(out[0]["data"], dtype=np.float32)
+
+    raw = batch_of([encode_tiff(im) for im in imgs])
+    lzw = batch_of([encode_tiff(im, compression=5, predictor=2) for im in imgs])
+    ppm = batch_of([encode_ppm(im[:, :, ::-1]) for im in imgs])  # BGR input
+    assert raw.std() > 1.0  # real pixels
+    np.testing.assert_array_equal(raw, lzw)
+    np.testing.assert_array_equal(raw, ppm)

@@ -174,3 +174,27 @@ def test_wav_decoder_total_on_mutated_streams(offset, junk, fmt):
         decode_audio(mutated, 0)
     except (ValueError, NotImplementedError):
         pass
+
+
+@given(
+    st.integers(min_value=4, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+    st.sampled_from([1, 5, 32773]),
+)
+@settings(max_examples=100, deadline=None)
+def test_tiff_decoder_total_on_mutated_streams(offset, junk, comp):
+    """Totality for the TIFF tier: mutations after the byte-order magic
+    either decode or raise ValueError — IFD walks, strip tables, PackBits
+    runs, and LZW code streams are all bounds-checked."""
+    from caffeonspark_spark.multimodal.tiff import decode_tiff
+    from tests.tiff_fixture import encode_tiff
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    base = encode_tiff(img, compression=comp, rows_per_strip=2)
+    pos = 4 + (offset % (len(base) - 4))
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        decode_tiff(mutated)
+    except ValueError:
+        pass

@@ -202,10 +202,15 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
         arr = decode_tiff(data)
         if arr.shape[2] == 3:
             arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
-    elif data[:2] in (b"P6", b"P5"):
-        # netpbm: magic, whitespace/comment-separated width/height/maxval
+    elif data[:1] == b"P" and data[1:2] in b"123456":
+        # netpbm, ALL six classic variants (OpenCV's pnm reader accepts
+        # plain/ASCII P1/P2/P3 alongside raw P4/P5/P6): magic, then
+        # whitespace/comment-separated width/height (+maxval except
+        # bitmaps), then the raster
+        kind = data[1:2]
+        n_fields = 2 if kind in (b"1", b"4") else 3
         fields, i, n = [], 2, len(data)
-        while len(fields) < 3:
+        while len(fields) < n_fields:
             while i < n and data[i : i + 1].isspace():
                 i += 1
             if data[i : i + 1] == b"#":
@@ -215,23 +220,64 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
             j = i
             while j < n and not data[j : j + 1].isspace():
                 j += 1
+            if i == j:
+                raise ValueError("malformed netpbm: truncated header")
             fields.append(int(data[i:j]))
             i = j
-        i += 1  # single whitespace after maxval
-        w, h, maxval = fields
-        if maxval != 255:
+        w, h = fields[0], fields[1]
+        maxval = fields[2] if n_fields == 3 else 1
+        if n_fields == 3 and maxval != 255:
             raise ValueError("numpy-native codec supports 8-bit netpbm only")
-        if w <= 0 or h <= 0:
+        if w <= 0 or h <= 0 or w * h > (1 << 30):
             raise ValueError("degenerate netpbm dimensions")
-        c_in = 3 if data[:2] == b"P6" else 1
-        # bounds-check BEFORE frombuffer: an absurd text dimension would
-        # otherwise overflow numpy's C ssize_t count (OverflowError,
-        # breaking the decode-or-ValueError totality contract)
-        if i + h * w * c_in > len(data):
-            raise ValueError("malformed netpbm: pixel data overruns buffer")
-        arr = np.frombuffer(data, dtype=np.uint8, count=h * w * c_in, offset=i)
-        arr = arr.reshape(h, w, c_in)
-        if c_in == 3:
+        if kind in (b"1", b"2", b"3"):
+            # plain/ASCII raster: strip comments, then parse tokens
+            raster = b"\n".join(
+                line.split(b"#", 1)[0] for line in data[i:].split(b"\n")
+            )
+            c_in = 3 if kind == b"3" else 1
+            need = h * w * c_in
+            if kind == b"1":
+                digits = b"".join(raster.split())
+                if len(digits) < need:
+                    raise ValueError("malformed netpbm: plain raster too short")
+                vals = np.frombuffer(digits, np.uint8, need) - ord("0")
+                if ((vals != 0) & (vals != 1)).any():
+                    raise ValueError("malformed netpbm: non-bit in plain bitmap")
+                arr = ((1 - vals) * 255).astype(np.uint8)  # 1 = black
+            else:
+                toks = raster.split()
+                if len(toks) < need:
+                    raise ValueError("malformed netpbm: plain raster too short")
+                try:
+                    vals = np.array([int(t) for t in toks[:need]], dtype=np.int64)
+                except ValueError as e:
+                    raise ValueError(f"malformed netpbm: {e}") from None
+                if ((vals < 0) | (vals > maxval)).any():
+                    raise ValueError("malformed netpbm: sample exceeds maxval")
+                arr = vals.astype(np.uint8)
+            arr = arr.reshape(h, w, c_in)
+        elif kind == b"4":
+            i += 1  # single whitespace after height
+            row_bytes = (w + 7) // 8
+            if i + h * row_bytes > len(data):
+                raise ValueError("malformed netpbm: pixel data overruns buffer")
+            packed = np.frombuffer(data, np.uint8, h * row_bytes, i).reshape(
+                h, row_bytes
+            )
+            bits = np.unpackbits(packed, axis=1)[:, :w]
+            arr = ((1 - bits) * 255).astype(np.uint8).reshape(h, w, 1)  # 1=black
+        else:
+            i += 1  # single whitespace after maxval
+            c_in = 3 if kind == b"6" else 1
+            # bounds-check BEFORE frombuffer: an absurd text dimension would
+            # otherwise overflow numpy's C ssize_t count (OverflowError,
+            # breaking the decode-or-ValueError totality contract)
+            if i + h * w * c_in > len(data):
+                raise ValueError("malformed netpbm: pixel data overruns buffer")
+            arr = np.frombuffer(data, dtype=np.uint8, count=h * w * c_in, offset=i)
+            arr = arr.reshape(h, w, c_in)
+        if arr.shape[2] == 3:
             arr = arr[:, :, ::-1]  # RGB -> BGR (Mat.decode parity)
     elif data[:2] == b"BM":
         # BITMAPINFOHEADER, uncompressed (BI_RGB), rows padded to 4 bytes:
@@ -463,7 +509,8 @@ def image_sample_to_tensor(
     w = width or spec.width
     if encoded:
         real_magic = bytes(data[:2]) in (
-            b"P6", b"P5", b"BM", b"\xff\xd8", b"\x89P", b"II", b"MM",
+            b"P1", b"P2", b"P3", b"P4", b"P5", b"P6",
+            b"BM", b"\xff\xd8", b"\x89P", b"II", b"MM",
         )
         if decoder is not None:
             hwc = decoder(data, spec.channels)

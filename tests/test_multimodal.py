@@ -1399,3 +1399,40 @@ def test_tiff_through_batch_assembly(spark):
     assert raw.std() > 1.0  # real pixels
     np.testing.assert_array_equal(raw, lzw)
     np.testing.assert_array_equal(raw, ppm)
+
+
+def test_netpbm_plain_variants():
+    """The plain/ASCII netpbm family (P1/P2/P3) and raw bitmap (P4) decode
+    to the same pixels as their raw siblings: comments anywhere in the
+    header, adjacent P1 digits, PBM's 1-is-black polarity, byte-aligned P4
+    rows, and over-maxval samples rejected."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.columns import _numpy_decode
+
+    rng = np.random.default_rng(29)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    p2 = (
+        b"P2\n# comment\n7 5\n255\n"
+        + b" ".join(str(v).encode() for v in gray.flatten())
+    )
+    np.testing.assert_array_equal(_numpy_decode(p2, 1)[:, :, 0], gray)
+    p3 = b"P3 6 4 255\n" + b" ".join(str(v).encode() for v in rgb.flatten())
+    np.testing.assert_array_equal(_numpy_decode(p3, 3), rgb[:, :, ::-1])  # BGR
+    bits = rng.integers(0, 2, (3, 9), dtype=np.uint8)
+    p1 = b"P1\n9 3\n" + b"".join(str(v).encode() for v in bits.flatten())
+    np.testing.assert_array_equal(_numpy_decode(p1, 1)[:, :, 0], (1 - bits) * 255)
+    p4 = b"P4\n9 3\n" + np.packbits(bits, axis=1).tobytes()
+    np.testing.assert_array_equal(_numpy_decode(p4, 1)[:, :, 0], (1 - bits) * 255)
+    # equivalence: the same gray image as P2 (plain) and P5 (raw)
+    p5 = b"P5\n7 5\n255\n" + gray.tobytes()
+    np.testing.assert_array_equal(_numpy_decode(p2, 1), _numpy_decode(p5, 1))
+    for bad in (
+        b"P2 2 1 255\n300 1",  # sample > maxval
+        b"P1 4 1\n01",  # raster too short
+        b"P2 2 1 255\n1 x",  # non-numeric token
+        b"P4 9 9\n\x00",  # packed rows overrun
+    ):
+        with _pytest.raises(ValueError):
+            _numpy_decode(bad, 1)

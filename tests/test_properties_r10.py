@@ -198,3 +198,37 @@ def test_tiff_decoder_total_on_mutated_streams(offset, junk, comp):
         decode_tiff(mutated)
     except ValueError:
         pass
+
+
+@given(
+    st.integers(min_value=2, max_value=10_000),
+    st.binary(min_size=1, max_size=24),
+    st.sampled_from([b"1", b"2", b"3", b"4"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_netpbm_plain_decoder_total_on_mutated_streams(offset, junk, kind):
+    """Totality for the plain/ASCII netpbm variants and P4: mutated
+    headers/rasters decode or raise ValueError (int() parses of arbitrary
+    token bytes are wrapped, bit counts bounds-checked)."""
+    from caffeonspark_spark.multimodal.columns import _numpy_decode
+
+    rng = np.random.default_rng(13)
+    if kind == b"1":
+        bits = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+        base = b"P1\n11 4\n" + b"".join(str(v).encode() for v in bits.flatten())
+    elif kind == b"4":
+        bits = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+        base = b"P4\n11 4\n" + np.packbits(bits, axis=1).tobytes()
+    else:
+        c = 3 if kind == b"3" else 1
+        px = rng.integers(0, 256, 4 * 5 * c, dtype=np.uint8)
+        base = (
+            b"P" + kind + b" 5 4 255\n"
+            + b" ".join(str(v).encode() for v in px)
+        )
+    pos = 2 + (offset % (len(base) - 2))
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    try:
+        _numpy_decode(mutated, 1)
+    except ValueError:
+        pass

@@ -184,18 +184,20 @@ def decode_tiff(data: bytes) -> np.ndarray:
         or photo not in (0, 1, 2, 3)
         or len(bits) != spp
         or not (
-            (spp == 1 and bits[0] in (1, 8)) or (spp == 3 and bits == [8, 8, 8])
+            (spp == 1 and bits[0] in (1, 8, 16))
+            or (spp == 3 and bits in ([8, 8, 8], [16, 16, 16]))
         )
         or (photo == 2) != (spp == 3)
         or (photo == 3 and (spp != 1 or bits[0] != 8))
-        or (bits[0] == 1 and comp == 5 and predictor == 2)
+        or (bits[0] != 8 and predictor == 2)
         or predictor not in (1, 2)
         or 322 in tags  # TileWidth: tiled layout
     ):
         raise ValueError(
             "codec-free TIFF path supports chunky baseline strips only "
-            "(8-bit gray/RGB/palette, 1-bit bilevel; none/PackBits/LZW) — "
-            "install Pillow or opencv-python for other TIFF classes"
+            "(8/16-bit gray/RGB, 8-bit palette, 1-bit bilevel; "
+            "none/PackBits/LZW) — install Pillow or opencv-python for "
+            "other TIFF classes"
         )
     row_bytes = (w * spp * bits[0] + 7) // 8
     rps = min(rps, h)
@@ -221,6 +223,18 @@ def decode_tiff(data: bytes) -> np.ndarray:
             ).astype(np.uint8).reshape(n_rows, row_bytes)
         rows.append(strip)
     img = np.concatenate(rows, axis=0)
+    if bits[0] == 16:
+        # high byte kept — the same 16→8 downscale as the PNG tier
+        # (OpenCV's convention for 8-bit consumers); samples follow the
+        # file's byte order
+        wide = (
+            img.reshape(h, w * spp, 2).astype(np.uint16)
+        )
+        hi = wide[:, :, 0] if bo == ">" else wide[:, :, 1]
+        arr = hi.astype(np.uint8).reshape(h, w, spp)
+        if photo == 0:
+            arr = 255 - arr
+        return np.ascontiguousarray(arr)
     if bits[0] == 1:
         pix = np.unpackbits(img, axis=1)[:, :w]
         arr = (pix * 255).astype(np.uint8)

@@ -1436,3 +1436,28 @@ def test_netpbm_plain_variants():
     ):
         with _pytest.raises(ValueError):
             _numpy_decode(bad, 1)
+
+
+def test_tiff_16bit_high_byte():
+    """16-bit TIFF gray/RGB keeps the high byte (the PNG tier's 16→8
+    convention), in both byte orders and under PackBits/LZW; 16-bit with
+    Predictor 2 is outside the tier and raises the install hint."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.tiff import decode_tiff
+    from tests.tiff_fixture import encode_tiff
+
+    rng = np.random.default_rng(37)
+    g16 = rng.integers(0, 65536, (6, 5, 1), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (4, 7, 3), dtype=np.uint16)
+    for be in (False, True):
+        for comp in (1, 32773, 5):
+            got = decode_tiff(encode_tiff(g16, compression=comp, big_endian=be))
+            np.testing.assert_array_equal(got, (g16 >> 8).astype(np.uint8))
+            got = decode_tiff(encode_tiff(rgb16, compression=comp, big_endian=be))
+            np.testing.assert_array_equal(got, (rgb16 >> 8).astype(np.uint8))
+    # WhiteIsZero at 16 bits inverts on the full-scale grid
+    got = decode_tiff(encode_tiff(g16, photometric=0))
+    np.testing.assert_array_equal(got, ((65535 - (65535 - g16)) >> 8).astype(np.uint8))
+    with _pytest.raises(ValueError, match="install Pillow"):
+        decode_tiff(encode_tiff(g16, compression=5, predictor=2))

@@ -96,11 +96,13 @@ def encode_tiff(
     bilevel: bool = False,
 ) -> bytes:
     """HWC uint8 (1 or 3 channels; palette images pass indices + palette;
-    bilevel expects 0/1 indices) → baseline strip TIFF bytes."""
+    bilevel expects 0/1 indices; a uint16 array writes a 16-bit file in
+    the chosen byte order) → baseline strip TIFF bytes."""
     bo = ">" if big_endian else "<"
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 or img.shape[2] == 1 else img.shape[2]
     flat = img.reshape(h, w, spp)
+    wide = img.dtype == np.uint16
     if palette is not None:
         photo = 3
         bits = [8]
@@ -109,12 +111,12 @@ def encode_tiff(
         bits = [1]
     elif spp == 3:
         photo = 2
-        bits = [8, 8, 8]
+        bits = [16] * 3 if wide else [8, 8, 8]
     else:
         photo = 1 if photometric is None else photometric
-        bits = [8]
+        bits = [16] if wide else [8]
         if photo == 0:
-            flat = 255 - flat
+            flat = (65535 if wide else 255) - flat
     rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):
@@ -125,6 +127,8 @@ def encode_tiff(
             d = rows.astype(np.int16)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             raw = (d & 0xFF).astype(np.uint8).tobytes()
+        elif wide:
+            raw = rows.astype(f"{bo}u2").tobytes()
         else:
             raw = rows.tobytes()
         if compression == 32773:

@@ -515,6 +515,83 @@ def audio_frame_energy(
     return df.mapInPandas(run, "id long, energy array<float>, sample_rate int")
 
 
+def _mel_filterbank(
+    n_mels: int, n_fft: int, sample_rate: float, fmin: float = 0.0
+) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, 2595·log10(1+f/700)) —
+    (n_mels, n_fft//2 + 1), rows normalized to unit peak. Pure NumPy,
+    deterministic: plan-literal math, no library."""
+    fmax = sample_rate / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    bins = np.fft.rfftfreq(n_fft, d=1.0 / sample_rate)
+    fb = np.zeros((n_mels, len(bins)), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins - lo) / max(ctr - lo, 1e-12)
+        down = (hi - bins) / max(hi - ctr, 1e-12)
+        tri = np.clip(np.minimum(up, down), 0.0, 1.0)
+        peak = tri.max()
+        if peak <= 0:
+            raise ValueError(
+                "degenerate mel filterbank: a band covers no FFT bin "
+                "(raise frame_len or lower n_mels)"
+            )
+        fb[m] = tri / peak  # discrete peak normalized to exactly 1
+    return fb
+
+
+def audio_logmel_frames(
+    df: DataFrame,
+    audio_col: str = "audio_meta",
+    id_col: str = "id",
+    frame_len: int = 256,
+    hop: int = 128,
+    n_frames: int = 16,
+    n_mels: int = 8,
+    decoder=fake_decode_audio,
+) -> DataFrame:
+    """Per-clip log-mel spectrogram features — the fbank front end speech
+    models actually train on, as a distributed column operator: decode →
+    Hann-windowed overlapping frames → |rfft|² power → mel filterbank →
+    log. One output row per clip with a FLATTENED (n_frames × n_mels)
+    ``array<float>`` (scalar-array output keeps the row driver- and
+    oracle-canonicalizable, like ``event_sequences``' scalar context).
+
+    Scale posture: identical to ``audio_frame_energy`` — one linear
+    ``mapInPandas`` pass, no shuffle, payload bytes stay in Arrow; the
+    FFT work is NumPy-vectorized across all frames of a clip at once.
+    The mel filterbank depends only on (n_mels, frame_len, sample_rate)
+    and is cached per batch, not rebuilt per row.
+    """
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        window = np.hanning(frame_len).astype(np.float64)
+        fbs: dict[int, np.ndarray] = {}
+        for pdf in pdfs:
+            ids, feats, rates = [], [], []
+            for rid, meta in zip(pdf[id_col], pdf[audio_col]):
+                wave = decoder(bytes(meta["audio"]), int(meta["n_samples"]))
+                rate = int(meta["sample_rate"])
+                need = hop * (n_frames - 1) + frame_len
+                w = np.resize(wave.astype(np.float64), need)
+                idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+                frames = w[idx] * window[None, :]
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                if rate not in fbs:
+                    fbs[rate] = _mel_filterbank(n_mels, frame_len, float(rate))
+                logmel = np.log(power @ fbs[rate].T + 1e-10)
+                ids.append(rid)
+                feats.append(logmel.reshape(-1).astype(np.float32))
+                rates.append(rate)
+            yield pd.DataFrame(
+                {"id": ids, "logmel": feats, "sample_rate": rates}
+            )
+
+    return df.mapInPandas(run, "id long, logmel array<float>, sample_rate int")
+
+
 def video_sample_frames(
     df: DataFrame,
     video_col: str = "video_meta",

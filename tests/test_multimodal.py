@@ -1461,3 +1461,56 @@ def test_tiff_16bit_high_byte():
     np.testing.assert_array_equal(got, ((65535 - (65535 - g16)) >> 8).astype(np.uint8))
     with _pytest.raises(ValueError, match="install Pillow"):
         decode_tiff(encode_tiff(g16, compression=5, predictor=2))
+
+
+def test_audio_logmel_frames(spark):
+    """Log-mel front end through the distributed path: a pure tone's
+    energy concentrates in the mel band containing its frequency, silence
+    hits the log floor, and the filterbank itself satisfies the textbook
+    invariants (unit peaks, triangular overlap covering the band)."""
+    from caffeonspark_spark.multimodal.av import (
+        _mel_filterbank,
+        audio_logmel_frames,
+        audio_struct_col,
+        encode_wav_pcm16,
+        wav_frame_decoder,
+    )
+
+    fb = _mel_filterbank(8, 256, 8000.0)
+    assert fb.shape == (8, 129)
+    np.testing.assert_allclose(fb.max(axis=1), 1.0)  # unit peaks
+    assert (fb.sum(axis=0)[3:-3] > 0).all()  # triangles tile the band
+
+    sr, n = 8000, 2048
+    t = np.arange(n, dtype=np.float64) / sr
+    tone = (0.8 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)  # 1 kHz
+    silence = np.zeros(n, dtype=np.float32)
+    rows = [
+        (0, bytearray(encode_wav_pcm16(tone, sr)), sr, n),
+        (1, bytearray(encode_wav_pcm16(silence, sr)), sr, n),
+    ]
+    base = spark.createDataFrame(
+        rows, "id long, audio binary, sr int, ns int"
+    ).select(
+        "id",
+        audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
+    )
+    out = {
+        r["id"]: np.array(r["logmel"], np.float32).reshape(16, 8)
+        for r in audio_logmel_frames(base, decoder=wav_frame_decoder).collect()
+    }
+    assert set(out) == {0, 1}
+    # the 1 kHz tone's hottest mel band must contain 1 kHz
+    mean_tone = out[0].mean(axis=0)
+    hot = int(np.argmax(mean_tone))
+    fb_bins = np.fft.rfftfreq(256, d=1.0 / sr)
+    band_freqs = fb_bins[fb[hot] > 0]
+    assert band_freqs.min() <= 1000.0 <= band_freqs.max()
+    # silence floors at log(1e-10)
+    np.testing.assert_allclose(out[1], np.log(1e-10), atol=1e-5)
+    # determinism: a second run is bit-identical
+    out2 = {
+        r["id"]: np.array(r["logmel"], np.float32)
+        for r in audio_logmel_frames(base, decoder=wav_frame_decoder).collect()
+    }
+    np.testing.assert_array_equal(out[0].reshape(-1), out2[0])

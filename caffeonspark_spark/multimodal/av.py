@@ -127,6 +127,95 @@ def _ima_decode_nibbles(
     return out
 
 
+# MS ADPCM (WAVE_FORMAT_ADPCM = 0x0002) reference tables: the 7 standard
+# predictor coefficient pairs and the delta adaptation row, per the
+# Microsoft multimedia standards update (the same constants every
+# mainstream decoder ships)
+_MS_COEFS = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+     (392, -232)],
+    dtype=np.int64,
+)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
+     230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def _ms_decode_nibbles(
+    nibbles: np.ndarray,
+    pred_idx: np.ndarray,
+    delta0: np.ndarray,
+    s1: np.ndarray,
+    s2: np.ndarray,
+) -> np.ndarray:
+    """Expand MS ADPCM 4-bit codes → int16, vectorized across blocks (the
+    ``_ima_decode_nibbles`` independence argument verbatim): each block
+    carries (predictor index, initial delta, the block's first two
+    samples) in its header. Codes are SIGNED nibbles; the adaptation row
+    indexes by the unsigned code; delta floors at 16."""
+    n_blocks, n_codes = nibbles.shape
+    c1 = _MS_COEFS[pred_idx, 0]
+    c2 = _MS_COEFS[pred_idx, 1]
+    delta = delta0.astype(np.int64).copy()
+    samp1 = s1.astype(np.int64).copy()
+    samp2 = s2.astype(np.int64).copy()
+    out = np.empty((n_blocks, n_codes), dtype=np.int16)
+    for t in range(n_codes):
+        code = nibbles[:, t].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = (samp1 * c1 + samp2 * c2) >> 8  # arithmetic shift = floor
+        sample = np.clip(pred + signed * delta, -32768, 32767)
+        out[:, t] = sample.astype(np.int16)
+        samp2, samp1 = samp1, sample
+        delta = np.maximum(16, (_MS_ADAPT[code] * delta) >> 8)
+    return out
+
+
+def _ms_adpcm_decode(raw: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """WAV MS ADPCM data chunk → float32 mono in [-1, 1]. Block layout per
+    the format spec: per-channel headers interleaved field-by-field
+    (uint8 predictor ×ch, int16 idelta ×ch, int16 sample1 ×ch, int16
+    sample2 ×ch), then 4-bit codes high-nibble-first, alternating
+    channels nibble-by-nibble for stereo. The header samples are the
+    block's first two output samples, sample2 FIRST."""
+    hdr = 7 * n_channels
+    if block_align < hdr + 1:
+        raise ValueError("malformed WAV: bad MS ADPCM block align")
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0 or len(raw) % block_align:
+        raise ValueError("malformed WAV: truncated MS ADPCM data chunk")
+    blocks = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, block_align)
+    pred_idx = blocks[:, 0:n_channels]
+    if (pred_idx >= len(_MS_COEFS)).any():
+        raise ValueError("malformed WAV: MS ADPCM predictor out of range")
+    i16 = blocks[:, n_channels : hdr].copy().view("<i2").reshape(
+        n_blocks, 3, n_channels
+    )
+    body = blocks[:, hdr:]
+    nibs = np.empty((n_blocks, body.shape[1] * 2), dtype=np.uint8)
+    nibs[:, 0::2] = body >> 4  # high nibble first
+    nibs[:, 1::2] = body & 0x0F
+    chans = []
+    for c in range(n_channels):
+        mine = nibs[:, c::n_channels]
+        decoded = _ms_decode_nibbles(
+            mine,
+            pred_idx[:, c].astype(np.int64),
+            i16[:, 0, c],
+            i16[:, 1, c],
+            i16[:, 2, c],
+        )
+        full = np.concatenate(
+            [i16[:, 2, c].reshape(-1, 1), i16[:, 1, c].reshape(-1, 1), decoded],
+            axis=1,
+        ).astype(np.int16)
+        chans.append(full.reshape(-1).astype(np.float32) / 32768.0)
+    wave = np.mean(np.stack(chans, axis=0), axis=0) if n_channels > 1 else chans[0]
+    return wave.astype(np.float32)
+
+
 def _ima_adpcm_decode(raw: bytes, n_channels: int, block_align: int) -> np.ndarray:
     """WAV IMA ADPCM data chunk → float32 mono in [-1, 1]. Block layout per
     the format spec: one 4-byte header per channel (int16 predictor = the
@@ -236,22 +325,23 @@ def _wav_pcm_decode(data: bytes, expect_rate: int = 0) -> np.ndarray:
         or (audio_format == 1 and bits not in (8, 16, 24, 32))
         or (audio_format == 3 and bits not in (32, 64))
         or (audio_format in (6, 7) and bits != 8)
-        or (audio_format == 0x11 and bits != 4)
-        or audio_format not in (1, 3, 6, 7, 0x11)
+        or (audio_format in (2, 0x11) and bits != 4)
+        or audio_format not in (1, 2, 3, 6, 7, 0x11)
     ):
         raise ValueError(
             "codec-free WAV path supports 8/16/24/32-bit PCM, "
             "float32/float64, 8-bit G.711 A-law/mu-law, and 4-bit "
-            "IMA ADPCM only"
+            "MS/IMA ADPCM only"
         )
     header_rate = int.from_bytes(fmt[4:8], "little")
     if expect_rate and header_rate != expect_rate:
         raise ValueError(
             f"WAV sample rate {header_rate} != expected {expect_rate}"
         )
-    if audio_format == 0x11:
+    if audio_format in (2, 0x11):
         block_align = int.from_bytes(fmt[12:14], "little")
-        wave = _ima_adpcm_decode(raw, n_channels, block_align)
+        dec = _ms_adpcm_decode if audio_format == 2 else _ima_adpcm_decode
+        wave = dec(raw, n_channels, block_align)
         if fact is not None:
             wave = wave[:fact]
         return wave.astype(np.float32)
@@ -444,6 +534,79 @@ def encode_wav_ima_adpcm(
         + (sample_rate * block_align // spb).to_bytes(4, "little")
         + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
         + (2).to_bytes(2, "little") + spb_bytes  # cbSize=2, wSamplesPerBlock
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"fact" + (4).to_bytes(4, "little") + n_true.to_bytes(4, "little")
+    body += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_wav_ms_adpcm(
+    wave: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """float32 [-1, 1] → mono MS ADPCM WAV bytes (format 0x0002): per
+    block, pick the standard predictor with the smallest error over the
+    block (the spec's suggested selection), seed idelta from the early
+    residuals, quantize each sample's residual to a signed nibble, and
+    track state with the decoder's own update rule. Fixture twin of
+    ``_ms_adpcm_decode``; the fmt chunk carries the standard 7-coefficient
+    table and wSamplesPerBlock, plus a fact chunk for truncation."""
+    w = np.clip(np.asarray(wave, dtype=np.float64), -1.0, 1.0)
+    samples = np.round(w * 32767.0).astype(np.int64)
+    spb = (block_align - 7) * 2 + 2  # samples per block (mono)
+    n_true = len(samples)
+    pad = (-len(samples)) % spb
+    if pad:
+        samples = np.concatenate([samples, np.zeros(pad, dtype=np.int64)])
+    blocks = []
+    for b0 in range(0, len(samples), spb):
+        block = samples[b0 : b0 + spb]
+        s2, s1 = int(block[0]), int(block[1])
+        # predictor choice: smallest sum |residual| over the block
+        best, best_err = 0, None
+        for p, (c1, c2) in enumerate(_MS_COEFS):
+            a, b = s1, s2
+            err = 0
+            for s in block[2:]:
+                pred = (a * int(c1) + b * int(c2)) >> 8
+                err += abs(int(s) - pred)
+                b, a = a, int(s)
+            if best_err is None or err < best_err:
+                best, best_err = p, err
+        c1, c2 = (int(x) for x in _MS_COEFS[best])
+        resid = [
+            abs(int(block[i]) - (((int(block[i - 1]) * c1 + int(block[i - 2]) * c2)) >> 8))
+            for i in range(2, min(len(block), 10))
+        ]
+        delta = max(16, (max(resid) if resid else 16) // 7)
+        out = bytearray([best])
+        out += int(delta & 0xFFFF).to_bytes(2, "little")
+        out += int(s1 & 0xFFFF).to_bytes(2, "little")
+        out += int(s2 & 0xFFFF).to_bytes(2, "little")
+        nibbles = []
+        for s in block[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            n = int(np.clip(round((int(s) - pred) / delta), -8, 7))
+            nibbles.append(n & 0x0F)
+            sample = int(np.clip(pred + n * delta, -32768, 32767))
+            s2, s1 = s1, sample
+            delta = max(16, (int(_MS_ADAPT[n & 0x0F]) * delta) >> 8)
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            out.append((hi << 4) | lo)
+        blocks.append(bytes(out))
+    raw = b"".join(blocks)
+    extra = (
+        spb.to_bytes(2, "little") + (7).to_bytes(2, "little")
+        + b"".join(
+            int(c & 0xFFFF).to_bytes(2, "little") for pair in _MS_COEFS for c in pair
+        )
+    )
+    fmt = (
+        (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + len(extra).to_bytes(2, "little") + extra
     )
     body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     body += b"fact" + (4).to_bytes(4, "little") + n_true.to_bytes(4, "little")

@@ -1514,3 +1514,80 @@ def test_audio_logmel_frames(spark):
         for r in audio_logmel_frames(base, decoder=wav_frame_decoder).collect()
     }
     np.testing.assert_array_equal(out[0].reshape(-1), out2[0])
+
+
+def test_wav_ms_adpcm_decode():
+    """MS ADPCM (WAVE_FORMAT_ADPCM): hand-derived spec vector (predictor 0,
+    the two header samples emitted sample2-first, signed nibbles against
+    the adapting delta), tight round-trip via the 2-tap predictor, exact
+    block-leading samples, fact-chunk truncation, stereo mixdown, and
+    out-of-range predictor indices rejected."""
+    import pytest as _pytest
+
+    from caffeonspark_spark.multimodal.av import (
+        _ms_decode_nibbles,
+        decode_audio,
+        encode_wav_ms_adpcm,
+    )
+
+    # hand vector: pred 0 (c1=256,c2=0 -> pred = s1), delta 16, s1=100,
+    # s2=50; code +3 -> 100+48=148, code -2 (0xE) -> 148-32=116
+    got = _ms_decode_nibbles(
+        np.array([[3, 14]], dtype=np.uint8),
+        np.array([0]),
+        np.array([16]),
+        np.array([100]),
+        np.array([50]),
+    )
+    np.testing.assert_array_equal(got[0], [148, 116])
+
+    t = np.arange(3000, dtype=np.float32) / 8000.0
+    wave = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    payload = encode_wav_ms_adpcm(wave, 8000, block_align=256)
+    dec = decode_audio(payload, 8000)
+    assert dec.dtype == np.float32 and dec.shape == wave.shape
+    assert np.abs(dec - wave).max() < 0.01  # 2-tap predictor tracks a sine
+    spb = (256 - 7) * 2 + 2
+    heads = np.arange(0, len(wave), spb)
+    np.testing.assert_allclose(
+        dec[heads], np.round(wave[heads] * 32767) / 32768.0, atol=1.0 / 32768
+    )
+    assert decode_audio(encode_wav_ms_adpcm(wave[:700], 8000), 8000).shape == (700,)
+
+    # stereo: weave two mono blocks (interleaved header fields, alternating
+    # nibbles) -> decode equals the channel mean
+    a, b = wave[:spb], (0.25 * wave[:spb]).astype(np.float32)
+    mono = [encode_wav_ms_adpcm(x, 8000, block_align=256) for x in (a, b)]
+    def data_chunk(buf):
+        i = buf.find(b"data")
+        return buf[i + 8 : i + 8 + int.from_bytes(buf[i + 4 : i + 8], "little")]
+    blk = [data_chunk(m) for m in mono]
+    woven = bytearray()
+    woven += bytes([blk[0][0], blk[1][0]])                    # predictors
+    for f in range(3):                                        # idelta,s1,s2
+        woven += blk[0][1 + 2 * f : 3 + 2 * f] + blk[1][1 + 2 * f : 3 + 2 * f]
+    na, nb = blk[0][7:], blk[1][7:]
+    for x, y in zip(na, nb):                                  # nibble pairs
+        woven += bytes([(x & 0xF0) | (y >> 4), ((x & 0x0F) << 4) | (y & 0x0F)])
+    stereo_align = 14 + 2 * len(na)
+    from caffeonspark_spark.multimodal.av import _MS_COEFS
+    extra = spb.to_bytes(2, "little") + (7).to_bytes(2, "little") + b"".join(
+        int(c & 0xFFFF).to_bytes(2, "little") for pair in _MS_COEFS for c in pair
+    )
+    fmt = ((2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + stereo_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+           + len(extra).to_bytes(2, "little") + extra)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(woven).to_bytes(4, "little") + bytes(woven)
+    stereo = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got_s = decode_audio(stereo, 8000)
+    ga, gb = decode_audio(mono[0], 8000), decode_audio(mono[1], 8000)
+    np.testing.assert_allclose(got_s, (ga + gb) / 2.0, atol=1e-7)
+
+    # predictor index >= 7 is malformed
+    bad = bytearray(payload)
+    i = bytes(bad).find(b"data")
+    bad[i + 8] = 9
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(bad), 8000)

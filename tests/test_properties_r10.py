@@ -144,7 +144,7 @@ def test_event_sequences_match_python(spark, types, ctx_len):
 @given(
     st.integers(min_value=4, max_value=10_000),
     st.binary(min_size=1, max_size=24),
-    st.sampled_from(["pcm16", "float32", "ulaw", "alaw", "adpcm"]),
+    st.sampled_from(["pcm16", "float32", "ulaw", "alaw", "adpcm", "ms_adpcm"]),
 )
 @settings(max_examples=100, deadline=None)
 def test_wav_decoder_total_on_mutated_streams(offset, junk, fmt):
@@ -162,6 +162,10 @@ def test_wav_decoder_total_on_mutated_streams(offset, junk, fmt):
     wave = (0.6 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
     if fmt == "adpcm":
         base = encode_wav_ima_adpcm(wave, 8000)
+    elif fmt == "ms_adpcm":
+        from caffeonspark_spark.multimodal.av import encode_wav_ms_adpcm
+
+        base = encode_wav_ms_adpcm(wave, 8000)
     elif fmt in ("ulaw", "alaw"):
         base = encode_wav(wave, 8000, g711=fmt)
     elif fmt == "float32":

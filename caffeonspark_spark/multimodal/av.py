@@ -3,9 +3,10 @@
 The north-star extension alongside images (SURVEY.md §1.4): treat
 audio/video payloads as ``binary`` columns wrapped in typed structs, with
 decode / feature-extract / frame-sample as Arrow-batched operators over
-``mapInPandas``. RIFF/WAVE PCM audio decodes for REAL with no codec
-library (``_wav_pcm_decode``: chunk walk + NumPy); compressed audio and
-all video remain behind ``NotImplementedError`` with a deterministic fake,
+``mapInPandas``. RIFF/WAVE audio decodes for REAL with no codec library
+(``_wav_pcm_decode``: chunk walk + NumPy — PCM, float, G.711, IMA/MS
+ADPCM); non-RIFF compressed audio and all compressed video remain behind
+``NotImplementedError`` with a deterministic fake,
 and production swaps the decoder callable (ffmpeg/torchaudio/PyAV),
 exactly like ``columns.decode_image``'s codec tiers. The Spark-side
 plumbing (struct schemas, UDF signatures, batch iteration, output shapes)
@@ -274,11 +275,11 @@ def decode_audio(data: bytes, sample_rate: int) -> np.ndarray:
     RIFF/WAVE decodes for REAL with no codec library — chunk walk + NumPy
     frombuffer: integer PCM at 8/16/24/32 bits, IEEE float32/float64,
     G.711 μ-law/A-law telephony companding (8-bit, spec lookup tables),
-    4-bit IMA ADPCM (block-vectorized expansion, fact-chunk truncation),
-    and WAVE_FORMAT_EXTENSIBLE wrappers; multi-channel payloads mix down
-    to mono by channel mean. Non-RIFF compressed formats (mp3/ogg/flac)
-    raise — wire torchaudio/soundfile/ffmpeg there in production; callers
-    are codec-agnostic either way.
+    4-bit IMA and MS ADPCM (block-vectorized expansions, fact-chunk
+    truncation), and WAVE_FORMAT_EXTENSIBLE wrappers; multi-channel
+    payloads mix down to mono by channel mean. Non-RIFF compressed
+    formats (mp3/ogg/flac) raise — wire torchaudio/soundfile/ffmpeg there
+    in production; callers are codec-agnostic either way.
     """
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return _wav_pcm_decode(bytes(data), expect_rate=sample_rate)

@@ -739,7 +739,12 @@ def audio_logmel_frames(
                 wave = decoder(bytes(meta["audio"]), int(meta["n_samples"]))
                 rate = int(meta["sample_rate"])
                 need = hop * (n_frames - 1) + frame_len
-                w = np.resize(wave.astype(np.float64), need)
+                # short clips are ZERO-padded (conventional speech front-end
+                # behavior: trailing frames are silence, not recycled audio);
+                # long clips analyze their first `need` samples
+                w = wave.astype(np.float64)[:need]
+                if w.size < need:
+                    w = np.pad(w, (0, need - w.size))
                 idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
                 frames = w[idx] * window[None, :]
                 power = np.abs(np.fft.rfft(frames, axis=1)) ** 2

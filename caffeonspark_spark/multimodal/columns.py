@@ -250,8 +250,11 @@ def _numpy_decode(data: bytes, channels: int) -> np.ndarray:
                 if len(toks) < need:
                     raise ValueError("malformed netpbm: plain raster too short")
                 try:
+                    # OverflowError guard: a 19+-digit token overflows the
+                    # int64 conversion, which must surface as the contract's
+                    # ValueError, not escape (same class as the header guard)
                     vals = np.array([int(t) for t in toks[:need]], dtype=np.int64)
-                except ValueError as e:
+                except (ValueError, OverflowError) as e:
                     raise ValueError(f"malformed netpbm: {e}") from None
                 if ((vals < 0) | (vals > maxval)).any():
                     raise ValueError("malformed netpbm: sample exceeds maxval")

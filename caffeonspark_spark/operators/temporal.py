@@ -904,6 +904,14 @@ def rolling_zscore_anomaly(
     on float summation order, so the anomaly SET (a float comparison!)
     oracle-checks exactly.
 
+    Supported value range: |value| < 10^12. The exact arithmetic squares a
+    decimal(18,6) — the widest precision whose product (2·18+1 = 37 digits)
+    still fits Spark's 38-digit decimal without scale truncation — so
+    values at or beyond 1e12 overflow the cast to NULL and their frames are
+    silently excluded. Metrics wider than that should be pre-scaled (e.g.
+    log-transformed) before this tripwire, which is standard practice for
+    magnitude-unbounded counters anyway.
+
     Scale contract: ONE shuffle (event_type — a handful of coarse keys, but
     the windows are per-type linear scans, so a hot type costs one task's
     linear pass, not a quadratic; for truly skewed type cardinality,

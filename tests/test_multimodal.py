@@ -1433,6 +1433,8 @@ def test_netpbm_plain_variants():
         b"P1 4 1\n01",  # raster too short
         b"P2 2 1 255\n1 x",  # non-numeric token
         b"P4 9 9\n\x00",  # packed rows overrun
+        b"P2 2 1 255\n99999999999999999999 1",  # 20-digit token: int64 overflow
+        b"P3 1 1 255\n-99999999999999999999 0 0",  # negative overflow variant
     ):
         with _pytest.raises(ValueError):
             _numpy_decode(bad, 1)
@@ -1514,6 +1516,19 @@ def test_audio_logmel_frames(spark):
         for r in audio_logmel_frames(base, decoder=wav_frame_decoder).collect()
     }
     np.testing.assert_array_equal(out[0].reshape(-1), out2[0])
+    # short clips ZERO-pad (not tile): a 256-sample tone's frames past the
+    # audio end are silence at the log floor, not recycled tone
+    short = spark.createDataFrame(
+        [(2, bytearray(encode_wav_pcm16(tone[:256], sr)), sr, 256)],
+        "id long, audio binary, sr int, ns int",
+    ).select(
+        "id",
+        audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
+    )
+    row = audio_logmel_frames(short, decoder=wav_frame_decoder).collect()[0]
+    sm = np.array(row["logmel"], np.float32).reshape(16, 8)
+    np.testing.assert_allclose(sm[2:], np.log(1e-10), atol=1e-5)
+    assert sm[0].max() > np.log(1e-10) + 1.0  # the real frame has energy
 
 
 def test_wav_ms_adpcm_decode():

@@ -378,6 +378,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r10: trailing-window z-score anomaly tripwire (decimal-exact
         # frame sums -> IEEE tail, so the float comparison oracles exactly)
         "zscore_anomaly": TP.rolling_zscore_query,
+        # --- r11: its calendar-bucketized SCALE twin — (event_type, day)
+        # window partitioning with a metadata-driven 23-row boundary carry;
+        # BIT-EQUAL to the coarse form, same oracle
+        "zscore_anomaly_bucketized": TP.rolling_zscore_bucketized_query,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -822,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": S.ORACLE_HARD_NEGATIVES,
         "event_sequences": TP.ORACLE_EVENT_SEQUENCE,
         "zscore_anomaly": TP.ORACLE_ROLLING_ZSCORE,
+        "zscore_anomaly_bucketized": TP.ORACLE_ROLLING_ZSCORE,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -965,3 +965,168 @@ ORACLE_ROLLING_ZSCORE = """
       AND (s2 - s1 * s1 / 24.0) / 23.0 > 0
       AND abs((value - s1 / 24.0) / sqrt((s2 - s1 * s1 / 24.0) / 23.0)) > 2.0
 """
+
+
+def rolling_zscore_anomaly_bucketized(
+    events: DataFrame, n: int = 24, threshold: float = 2.0, bucket: str = "day"
+) -> DataFrame:
+    """The SCALE twin of ``rolling_zscore_anomaly``: BIT-EQUAL results
+    (same oracle), but the trailing window partitions by
+    ``(event_type, calendar bucket)`` instead of ``event_type`` alone —
+    the ``interval_overlap`` → ``interval_overlap_bucketized`` precedent
+    applied to the board's one single-task-per-key plan (a handful of
+    event types means the coarse form sorts one type's entire history in
+    one task at 100 TB; here a hot type splits across its calendar).
+
+    Bit-equality construction: each bucket's window also needs the type's
+    last ``n-1`` GLOBAL predecessors of its first row, which may span
+    several earlier buckets when buckets are sparse. A metadata-sized
+    per-bucket count table (|types| × |buckets| rows) is range-joined to
+    itself to find, for every destination bucket, the minimal set of
+    earlier source buckets whose rows can fall inside a frame — src
+    qualifies iff fewer than ``n-1`` rows lie strictly between it and the
+    destination (``src.cum > dst.cum_before - (n-1)``). Each source
+    bucket contributes at most its trailing ``n-1`` rows (a per-bucket
+    window, never a per-type one). Carried rows sort into their global
+    (ts, event_id) position inside the destination partition, so the
+    rows-based frame picks EXACTLY the same ``n`` rows as the coarse
+    form; over-carried rows fall outside the frame harmlessly, and the
+    coarse form's ``row_number >= n`` filter becomes ``count over frame
+    == n`` (a frame fills iff all n-1 true predecessors exist and were
+    carried). The decimal frame sums are order-independent exact
+    integers and the z expression is the same fixed IEEE tree, so the
+    emitted set hashes identically to the coarse form and the oracle.
+
+    Scale contract: ONE main event scan feeding two event-sized shuffles
+    (the per-bucket tail-rank window and the final frame window, both
+    keyed ``(event_type, bucket)`` — fine-grained, no single-task key),
+    one column-pruned metadata agg (persisted, so its horizon self-join
+    computes it once), and two broadcast joins of that metadata; carry
+    volume is ≤ (n-1) rows per qualifying (src, dst) bucket pair. The 8×
+    scaling study records the ratio vs the coarse form (SCALE.md)."""
+    k = n - 1
+    ev = events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_trunc(bucket, F.col("ts")).alias("_bkt"),
+    )
+
+    # metadata-sized per-bucket counts + running total per type: the ONLY
+    # per-type-ordered window in the plan runs over |types| × |buckets|
+    # rows, not events
+    wc = Window.partitionBy("event_type").orderBy("_bkt")
+    counts = (
+        ev.groupBy("event_type", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select("event_type", "_bkt", "_cnt", F.sum("_cnt").over(wc).alias("_cum"))
+        # persisted so the dst/src self-join computes the (column-pruned)
+        # counts scan ONCE — tiny (|types| × |buckets| rows), the
+        # relational.py supplier-revenue precedent; released by the
+        # session-level cache clear
+        .persist()
+    )
+    # a dst bucket's first row (global rank _before + 1) frames back to
+    # rank _before + 1 - k; src bucket rows end at rank _scum, so src
+    # contributes iff _scum > _before - k (and precedes dst)
+    dst = counts.select(
+        "event_type",
+        F.col("_bkt").alias("_dst"),
+        (F.col("_cum") - F.col("_cnt")).alias("_before"),
+    )
+    src = counts.select(
+        F.col("event_type").alias("_stype"),
+        F.col("_bkt").alias("_src"),
+        F.col("_cum").alias("_scum"),
+    )
+    horizon = (
+        dst.join(
+            F.broadcast(src),
+            (F.col("event_type") == F.col("_stype"))
+            & (F.col("_src") < F.col("_dst"))
+            & (F.col("_scum") > F.col("_before") - F.lit(k)),
+        )
+        .select("event_type", F.col("_src").alias("_bkt"), "_dst")
+    )
+
+    # src bucket -> list of destination buckets needing its tail (tiny)
+    dstmap = horizon.groupBy("event_type", "_bkt").agg(
+        F.collect_list("_dst").alias("_dsts")
+    )
+
+    # single main pass: rank each row within its bucket from the END
+    # (per-BUCKET window — fine-grained), then explode every row into its
+    # own bucket (carry=0) plus, for the trailing k rows, one carried copy
+    # per destination bucket from the broadcast map. Carried copies sort
+    # strictly before own rows in the destination (their ts truncates to
+    # an earlier bucket), landing in their global (ts, event_id) position,
+    # so the rows frame sees exactly the same n rows as the coarse form.
+    wrev = Window.partitionBy("event_type", "_bkt").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    copies = F.when(
+        F.col("_rev") <= k, F.coalesce(F.col("_dsts"), F.array())
+    ).otherwise(F.array())
+    allrows = (
+        ev.withColumn("_rev", F.row_number().over(wrev))
+        .join(F.broadcast(dstmap), ["event_type", "_bkt"], "left")
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("_bkt").alias("b"), F.lit(0).alias("c")
+                        )
+                    ),
+                    F.transform(
+                        copies,
+                        lambda d: F.struct(d.alias("b"), F.lit(1).alias("c")),
+                    ),
+                )
+            ).alias("_x"),
+        )
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            F.col("_x.b").alias("_bkt"),
+            F.col("_x.c").alias("_carry"),
+        )
+    )
+    w = Window.partitionBy("event_type", "_bkt").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wf = w.rowsBetween(-k, 0)
+    vdec = F.col("value").cast("decimal(18,6)")
+    nn = float(n)
+    framed = allrows.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        "_carry",
+        F.sum(vdec).over(wf).cast("double").alias("_s1"),
+        F.sum(vdec * vdec).over(wf).cast("double").alias("_s2"),
+        F.count(F.lit(1)).over(wf).alias("_cnt"),
+    ).where((F.col("_carry") == 0) & (F.col("_cnt") == n))
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.lit(nn)) / F.lit(nn - 1.0)
+    z = (F.col("value") - F.col("_s1") / F.lit(nn)) / F.sqrt(var)
+    return (
+        framed.where(var > 0)
+        .select("event_id", "ts", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > threshold)
+    )
+
+
+def rolling_zscore_bucketized_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared query: the calendar-bucketized scale twin — same oracle as
+    ``zscore_anomaly`` (bit-equal contract)."""
+    return rolling_zscore_anomaly_bucketized(load_table(spark, sf_dir, "events"))

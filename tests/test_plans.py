@@ -613,6 +613,32 @@ def test_zscore_single_fused_window(spark, sf_smoke):
     assert read_schema_columns(df) == [{"event_id", "ts", "event_type", "value"}]
 
 
+def test_zscore_bucketized_fine_keyed_windows(spark, sf_smoke):
+    """The scale twin's whole point: NO event-sized window may partition by
+    event_type alone (the coarse form's single-task-per-key bottleneck).
+    Both event-volume windows — the per-bucket tail rank and the frame
+    sums — must key on (event_type, bucket); the only per-type-only
+    window runs over the metadata-sized per-bucket counts, which are
+    persisted (InMemoryRelation) so the horizon self-join computes them
+    once; the carry joins broadcast — a SortMergeJoin anywhere means the
+    metadata stopped being treated as metadata."""
+    import re
+
+    from caffeonspark_spark.operators.temporal import (
+        rolling_zscore_bucketized_query,
+    )
+
+    df = rolling_zscore_bucketized_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    event_sized = [s for s in specs if "ts#" in s]
+    assert event_sized, plan
+    assert all("_bkt" in s for s in event_sized), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+
+
 def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
     """Cluster-balanced prototype selection must be: ONE corpus scan, a
     map-only literal-centroid assignment (no join anywhere), and the

@@ -104,6 +104,9 @@ SHOW = {
     "zscore_anomaly (one exchange, single fused Window for both frames)": (
         TP.rolling_zscore_query
     ),
+    "zscore_anomaly_bucketized (fine-keyed windows + broadcast carry map)": (
+        TP.rolling_zscore_bucketized_query
+    ),
     "cluster_prototypes (map-only assign, per-cluster WindowGroupLimit)": (
         S.cluster_prototypes_query
     ),

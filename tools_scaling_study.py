@@ -50,6 +50,7 @@ QUERIES = {
     "dedup_exact": D.dedup_exact_docs,
     "gapfill_hourly": TP.gapfill_hourly,
     "zscore_anomaly": TP.rolling_zscore_query,
+    "zscore_bucketized": TP.rolling_zscore_bucketized_query,
     "event_sequences": TP.event_sequence_examples_query,
     "hard_negatives": S.hard_negative_mining_query,
     "cluster_prototypes": S.cluster_prototypes_query,

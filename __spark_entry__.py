@@ -27,6 +27,7 @@ from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
 from caffeonspark_spark.ml import dataflow as ML
+from caffeonspark_spark.multimodal import imagehash as IH
 from caffeonspark_spark.streaming import windows as SW
 
 # decimal accumulator renderings shared by the oracle strings
@@ -382,6 +383,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window partitioning with a metadata-driven 23-row boundary carry;
         # BIT-EQUAL to the coarse form, same oracle
         "zscore_anomaly_bucketized": TP.rolling_zscore_bucketized_query,
+        # --- r11: perceptual image dedup (dHash + 4x16-bit LSH bands +
+        # Hamming filter). Portable twin: text-derived pixel matrices, every
+        # relational stage oracle-exact
+        "image_dhash_pairs": IH.image_dhash_pairs_portable,
+        # production path end-to-end (PGM render -> from-spec decode ->
+        # area-resize -> dHash -> bands): rows-only by design (DuckDB can't
+        # decode image bytes); bit-equality pinned by the consistency twin
+        "image_dhash_pairs_native": IH.image_dhash_pairs_native,
+        "image_dhash_native_consistency": IH.image_dhash_native_consistency,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -827,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
         "event_sequences": TP.ORACLE_EVENT_SEQUENCE,
         "zscore_anomaly": TP.ORACLE_ROLLING_ZSCORE,
         "zscore_anomaly_bucketized": TP.ORACLE_ROLLING_ZSCORE,
+        "image_dhash_pairs": IH.ORACLE_IMAGE_DHASH_PAIRS,
+        "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

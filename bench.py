@@ -30,6 +30,7 @@ from caffeonspark_spark.operators import vectorops as V  # noqa: E402
 from caffeonspark_spark import catalog as C  # noqa: E402
 from caffeonspark_spark.streaming import windows as SW  # noqa: E402
 from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
+from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 
 
 def _train_epoch_bench(spark, sf_dir):
@@ -202,6 +203,10 @@ BENCH_QUERIES = {
     "q_zscore_anomaly": TP.rolling_zscore_query,
     # r11: its calendar-bucketized scale twin (fine-keyed windows + carry)
     "q_zscore_bucketized": TP.rolling_zscore_bucketized_query,
+    # r11: perceptual image dedup — portable banding/Hamming plumbing, and
+    # the production decode path (PGM render -> from-spec decode -> dHash)
+    "q_image_dhash": IH.image_dhash_pairs_portable,
+    "q_image_dhash_native": IH.image_dhash_pairs_native,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

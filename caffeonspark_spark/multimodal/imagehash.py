@@ -1,0 +1,415 @@
+"""Perceptual image hashing + near-duplicate pairs — the IMAGE-modality
+member of the dedup family.
+
+The reference engine is built around image tuples
+(``ImageDataSource.scala:27-29``: (id, encoded bytes, height, width, ...))
+but ships no image dedup; the text side here has MinHash/SimHash/winnowing.
+This module closes the modality gap with the standard perceptual-hash
+construction real pipelines use (dHash gradient hash, pHash DCT hash):
+
+  decode → gray → area-resize → 64 hash bits → 4×16-bit LSH bands →
+  band-bucket equi-join candidates → exact Hamming filter.
+
+Banding gives the pigeonhole recall guarantee (two hashes within Hamming
+distance 3 share at least one of the 4 bands) and — exactly like the text
+MinHash banding — keeps the pair join an EQUI-join on a small key: at
+100 TB the band table is (id, k, band) with an 8-byte key, candidates are
+bucket collisions, and a degenerate hot band (black frames, test cards)
+is capped with ``max_band_df`` — ``prune_stop_shingles``' rationale
+applied to pixels. The Hamming filter is JVM ``bit_count(xor)`` on four
+16-bit ints (kept as separate columns: 4×16 sidesteps signed-64-bit edge
+cases in cross-engine arithmetic).
+
+Hash layout: bit (row i, gradient j) lands at band k = i // 2,
+position (i % 2) * 8 + j — row-local image edits touch one band, so
+edited copies always collide on the other three (stronger than the
+generic distance-3 bound for the edit class that matters).
+
+The hashes themselves are computed per image inside one linear
+``mapInPandas`` pass (Arrow-batched, payload bytes never shuffle); the
+pair phase is pure Catalyst. The oracle-checked declared twin replaces
+the decode step with a portable text-derived pixel matrix (same
+arithmetic in DuckDB — the KMV portable/native pattern) so the banding +
+Hamming plumbing hash-verifies end-to-end, while the real decode path is
+pinned by planted resized/re-encoded duplicates in pytest
+(``tests/test_imagehash.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caffeonspark_spark.catalog import load_table
+from caffeonspark_spark.multimodal.columns import decode_image
+
+_FP_MOD = (1 << 31) - 1
+_CHUNK_LEN = 64
+_N_ROWS = 8  # hash rows (one 16-bit band per 2 rows)
+_N_COLS = 9  # 9 columns -> 8 horizontal gradients per row
+
+
+# --- numpy tier (real images) ----------------------------------------------
+
+def to_gray(img_hwc: np.ndarray) -> np.ndarray:
+    """HWC uint8 → HW uint8 gray: integer channel mean (deterministic,
+    no float weights — hash stability beats colorimetric accuracy)."""
+    if img_hwc.ndim == 2:
+        return img_hwc
+    if img_hwc.shape[2] == 1:
+        return img_hwc[:, :, 0]
+    return (img_hwc.astype(np.int64).sum(axis=2) // img_hwc.shape[2]).astype(
+        np.uint8
+    )
+
+
+def resize_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-average (area) downscale in pure NumPy — the filter that makes
+    perceptual hashes robust to resizing, unlike nearest-neighbour which
+    aliases. Boxes are the float-boundary partition of the input grid;
+    exact block means when dimensions divide evenly. Output uint8 floor."""
+    h, w = gray.shape[:2]
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(np.int64)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(np.int64)
+    ys[-1], xs[-1] = h, w
+    c = np.zeros((h + 1, w + 1), dtype=np.float64)
+    c[1:, 1:] = gray.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    s = (
+        c[ys[1:], :][:, xs[1:]]
+        - c[ys[:-1], :][:, xs[1:]]
+        - c[ys[1:], :][:, xs[:-1]]
+        + c[ys[:-1], :][:, xs[:-1]]
+    )
+    return np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+
+
+def dhash_bands(gray: np.ndarray) -> tuple[int, int, int, int]:
+    """Gradient (difference) hash of an 8×9 gray matrix → four 16-bit
+    bands. bit(i, j) = gray[i, j] < gray[i, j+1]; band k collects rows
+    2k and 2k+1 at positions (i%2)*8 + j."""
+    assert gray.shape == (_N_ROWS, _N_COLS), gray.shape
+    bits = (gray[:, :-1] < gray[:, 1:]).astype(np.int64)  # (8, 8)
+    weights = 1 << (np.arange(8)[None, :] + (np.arange(8)[:, None] % 2) * 8)
+    rowvals = (bits * weights).sum(axis=1)  # per-row partial band
+    return tuple(int(rowvals[2 * k] + rowvals[2 * k + 1]) for k in range(4))
+
+
+def phash_bands(gray32: np.ndarray) -> tuple[int, int, int, int]:
+    """DCT perceptual hash: 32×32 gray → 2-D DCT-II → 8×8 low-frequency
+    block → bit = coefficient > median (DC excluded from the median so a
+    brightness offset can't flip the whole hash). Same 4×16-bit band
+    layout as dHash so the pair machinery is shared."""
+    assert gray32.shape == (32, 32), gray32.shape
+    n = 32
+    i = np.arange(n)
+    basis = np.cos(np.pi * (2 * i[None, :] + 1) * i[:, None] / (2 * n))
+    d = basis @ gray32.astype(np.float64) @ basis.T
+    low = d[:_N_ROWS, : _N_ROWS]
+    med = np.median(low.reshape(-1)[1:])  # exclude DC
+    bits = (low > med).astype(np.int64)  # (8, 8)
+    weights = 1 << (np.arange(8)[None, :] + (np.arange(8)[:, None] % 2) * 8)
+    rowvals = (bits * weights).sum(axis=1)
+    return tuple(int(rowvals[2 * k] + rowvals[2 * k + 1]) for k in range(4))
+
+
+# --- distributed hash computation (one linear Arrow pass) -------------------
+
+def image_perceptual_hashes(
+    df: DataFrame,
+    image_col: str = "image",
+    id_col: str = "id",
+    method: str = "dhash",
+    decoder: Callable[[bytes, int], np.ndarray] = decode_image,
+    channels: int = 3,
+) -> DataFrame:
+    """Per-image perceptual hash as four 16-bit band columns
+    ``(id, b0, b1, b2, b3)`` — one linear ``mapInPandas`` pass, no
+    shuffle; encoded bytes stay in Arrow and never leave the task."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash method: {method}")
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, b0, b1, b2, b3 = [], [], [], [], []
+            for rid, data in zip(pdf[id_col], pdf[image_col]):
+                gray = to_gray(decoder(bytes(data), channels))
+                if method == "dhash":
+                    bands = dhash_bands(resize_area(gray, _N_ROWS, _N_COLS))
+                else:
+                    bands = phash_bands(resize_area(gray, 32, 32))
+                ids.append(rid)
+                b0.append(bands[0])
+                b1.append(bands[1])
+                b2.append(bands[2])
+                b3.append(bands[3])
+            yield pd.DataFrame(
+                {"id": ids, "b0": b0, "b1": b1, "b2": b2, "b3": b3}
+            )
+
+    return df.mapInPandas(
+        run, "id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+# --- pair phase (pure Catalyst, shared by every hash source) -----------------
+
+def near_dup_band_pairs(
+    hashed: DataFrame,
+    id_col: str = "id",
+    max_hamming: int = 8,
+    max_band_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs from a ``(id, b0..b3)`` band table:
+    band-bucket equi-join candidates (hot bands with document frequency
+    > ``max_band_df`` dropped — the ``prune_stop_shingles`` cap: one
+    all-black band shared by 1M frames is 5·10¹¹ pairs), then the exact
+    Hamming filter ``Σ bit_count(xor(bands))`` ≤ ``max_hamming``. Output
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Scale contract: candidates ∝ band collisions (bounded max_band_df²
+    per hot value), the pair shuffle key is (k, band) — 8 bytes — and the
+    Hamming re-join moves 4 smallints per id. Pure JVM expressions
+    end-to-end; no window, no crossJoin. The hash table feeds five plan
+    subtrees (hot-cap agg, both candidate sides, both Hamming sides), so
+    it is persisted through the dedup module's released memo — the
+    minhash signature-table precedent; at 100 TB this is the hash table
+    written once and reused by every downstream job."""
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    ha = _persist_replacing(
+        "image_hash_bands",
+        hashed.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3"),
+    )
+    long_bands = ha.select(
+        "id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band")
+    )
+    ok = (
+        long_bands.groupBy("k", "band")
+        .count()
+        .where(F.col("count") <= max_band_df)
+        .drop("count")
+    )
+    cand = (
+        long_bands.join(ok, ["k", "band"])
+        .alias("a")
+        .join(
+            long_bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
+    xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
+        for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(xa, cand.id_a == xa.a_id)
+        .join(xb, cand.id_b == xb.b_id)
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- portable declared twin (text-derived pixels; DuckDB-reproducible) ------
+
+def _chunk_fold(chunk_col: Column) -> Column:
+    """Portable char-fold hash of an ALREADY-MATERIALIZED chunk column —
+    the ``portable_token_hash`` arithmetic ((a·31 + code) mod 2³¹−1), so
+    DuckDB reproduces it with list_reduce. Empty chunks (short docs) hash
+    to 0 in both engines. The chunk must be a plain column reference:
+    Catalyst re-evaluates an inlined substring expression at every one of
+    the 64 per-char lambda references (same staging lesson as the band
+    seeds)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(chunk_col)),
+        lambda c: F.ascii(F.substring(chunk_col, c, F.lit(1))).cast("long"),
+    )
+    fold = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, x: F.pmod(a * F.lit(31) + x, F.lit(_FP_MOD)),
+    )
+    return F.when(F.length(chunk_col) == 0, F.lit(0).cast("long")).otherwise(fold)
+
+
+def portable_image_bands(rs: list[Column]) -> list[Column]:
+    """The portable pixel matrix + dHash over MATERIALIZED row seeds:
+    pixel(i, j) = (r_i · (j+1) + i) mod 256; dHash bit at (i, j) iff
+    pixel(i, j) < pixel(i, j+1); band k packs rows 2k, 2k+1.
+
+    ``rs`` must be plain column references, not the chunk-hash fold
+    expressions themselves: each seed feeds 32 pixel comparisons, and
+    Catalyst inlines (re-evaluates) a non-trivial expression at every
+    reference — inlining the 64-char fold made the first cut of this
+    query ~256 fold evaluations per row (measured 30 s at sf0.1 vs ~2 s
+    staged). Project the seeds into real columns first; the same staging
+    lesson as ``hard_negatives``' per-side norms.
+
+    Chunk-local derivation is the point: an edit inside one 64-char
+    window perturbs only that row's 8 bits — the behavior of a LOCAL
+    image edit — so the documents table's shared-prefix near-dup
+    families produce a graded Hamming spectrum, not just exact matches."""
+
+    def pix(r: Column, i: int, j: int) -> Column:
+        return F.pmod(r * F.lit(j + 1) + F.lit(i), F.lit(256))
+
+    bands = []
+    for k in range(4):
+        total = F.lit(0).cast("long")
+        for t in range(16):
+            i, j = 2 * k + t // 8, t % 8
+            bit = (pix(rs[i], i, j) < pix(rs[i], i, j + 1)).cast("long")
+            total = total + bit * F.lit(1 << t)
+        bands.append(total.alias(f"b{k}"))
+    return bands
+
+
+def image_dhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): the full banding + Hamming pair pipeline
+    over portable text-derived pixel matrices on the documents table —
+    verifies every relational stage of the image dedup (band explode, hot
+    cap, bucket join, distinct, Hamming filter) against DuckDB exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        F.col("doc_id").alias("id"),
+        *[
+            F.substring(F.col("text"), i * _CHUNK_LEN + 1, _CHUNK_LEN).alias(
+                f"c{i}"
+            )
+            for i in range(_N_ROWS)
+        ],
+    )
+    seeded = chunked.select(
+        "id",
+        *[_chunk_fold(F.col(f"c{i}")).alias(f"r{i}") for i in range(_N_ROWS)],
+    )
+    hashed = seeded.select(
+        "id", *portable_image_bands([F.col(f"r{i}") for i in range(_N_ROWS)])
+    )
+    return near_dup_band_pairs(hashed)
+
+
+def _pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """documents batches → (id, image) with the portable pixel matrix
+    rendered as a REAL 32×36 PGM (P5) image: each hash pixel replicated
+    4×4, so the production path's area-resize back to 8×9 recovers the
+    exact matrix (box mean of a constant block). Python mirror of the
+    portable arithmetic — divergence is caught by the consistency twin."""
+    for pdf in pdfs:
+        ids, imgs = [], []
+        for rid, text in zip(pdf["doc_id"], pdf["text"]):
+            rows = []
+            for i in range(_N_ROWS):
+                chunk = (text or "")[i * _CHUNK_LEN : (i + 1) * _CHUNK_LEN]
+                r = 0
+                for ch in chunk:
+                    r = (r * 31 + ord(ch)) % _FP_MOD
+                rows.append(
+                    [(r * (j + 1) + i) % 256 for j in range(_N_COLS)]
+                )
+            mat = np.array(rows, dtype=np.uint8)
+            big = np.repeat(np.repeat(mat, 4, axis=0), 4, axis=1)
+            pgm = b"P5\n%d %d\n255\n" % (big.shape[1], big.shape[0]) + big.tobytes()
+            ids.append(rid)
+            imgs.append(pgm)
+        yield pd.DataFrame({"id": ids, "image": imgs})
+
+
+def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (rows-only by design — the hash-native pattern):
+    the PRODUCTION image path end-to-end — render each document's portable
+    pixel matrix as a real 32×36 PGM, run the from-spec decode tier,
+    area-resize, dHash, banding, Hamming — over real encoded bytes DuckDB
+    cannot decode. Its pair set is bit-equal to the portable twin's
+    (pinned by ``image_dhash_native_consistency``)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = docs.mapInPandas(_pgm_rows, "id long, image binary")
+    hashed = image_perceptual_hashes(imgs, channels=1)
+    return near_dup_band_pairs(hashed)
+
+
+def image_dhash_native_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared query (✔oracle): ONE row proving the native decode path
+    emits EXACTLY the portable twin's pair set — full-outer join of the
+    two pair tables, count, and a boolean that any missing or
+    Hamming-mismatched pair flips (the ``kmv_native_consistency``
+    pattern, with strict equality instead of a tolerance: the PGM
+    render/decode/resize round-trip is lossless by construction)."""
+    nat = image_dhash_pairs_native(spark, sf_dir).withColumnRenamed(
+        "hamming", "n_ham"
+    )
+    por = image_dhash_pairs_portable(spark, sf_dir).withColumnRenamed(
+        "hamming", "p_ham"
+    )
+    both = por.join(nat, ["id_a", "id_b"], "full_outer")
+    bad = F.when(
+        F.col("p_ham").isNull()
+        | F.col("n_ham").isNull()
+        | (F.col("p_ham") != F.col("n_ham")),
+        1,
+    ).otherwise(0)
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.coalesce(F.sum(bad), F.lit(0)) == 0).alias("pairs_identical"),
+    )
+
+
+ORACLE_IMAGE_DHASH_PAIRS = """
+    WITH chunks AS (
+        SELECT doc_id, i,
+               CASE WHEN length(substring(text, i*64+1, 64)) = 0 THEN 0
+                    ELSE list_reduce([CAST(0 AS BIGINT)] ||
+                        list_transform(
+                            range(1, length(substring(text, i*64+1, 64)) + 1),
+                            c -> CAST(ascii(substring(text, i*64+1, 64)[c]) AS BIGINT)),
+                        (a, x) -> (a * 31 + x) % 2147483647)
+               END AS r
+        FROM documents, range(0, 8) t(i)
+    ),
+    bits AS (
+        SELECT doc_id, CAST(i // 2 AS INT) AS k,
+               ((i % 2) * 8 + j) AS pos,
+               CASE WHEN (r * (j+1) + i) % 256 < (r * (j+2) + i) % 256
+                    THEN 1 ELSE 0 END AS b
+        FROM chunks, range(0, 8) s(j)
+    ),
+    bands AS (
+        SELECT doc_id, k, CAST(SUM(b * (1::BIGINT << pos)) AS BIGINT) AS band
+        FROM bits GROUP BY doc_id, k
+    ),
+    ok_bands AS (
+        SELECT k, band FROM bands GROUP BY k, band HAVING COUNT(*) <= 50
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN ok_bands o ON a.k = o.k AND a.band = o.band
+        JOIN bands b ON b.k = a.k AND b.band = a.band AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bands x ON x.doc_id = c.id_a
+        JOIN bands y ON y.doc_id = c.id_b AND y.k = x.k
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+"""
+
+ORACLE_IMAGE_DHASH_CONSISTENCY = f"""
+    WITH pairs AS ({ORACLE_IMAGE_DHASH_PAIRS})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS pairs_identical
+    FROM pairs
+"""

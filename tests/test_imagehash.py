@@ -1,0 +1,170 @@
+"""Perceptual image dedup: planted near-duplicate recall over REAL encoded
+images through the from-spec decode tier, plus the numpy-tier invariants
+(area-resize exactness, band layout, pHash brightness robustness) and the
+pair phase's hot-band cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from caffeonspark_spark.multimodal.imagehash import (
+    dhash_bands,
+    image_perceptual_hashes,
+    near_dup_band_pairs,
+    phash_bands,
+    resize_area,
+    to_gray,
+)
+from tests.jpeg_fixture import encode_baseline_jpeg
+
+
+def _scene(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """A smooth low-frequency 'photo' (oriented gradient + blobs):
+    perceptual hashes are DESIGNED for natural images — uniform random
+    noise has no structure to survive a resize, so fixtures must be
+    smooth. The gradient orientation, frequency, and blob layout are all
+    seed-dependent so DIFFERENT scenes hash far apart (shared structure
+    between fixtures would under-test the false-pair side)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    theta = rng.uniform(0, np.pi)
+    axis = (yy * np.cos(theta) + xx * np.sin(theta)) / max(h, w)
+    img = 128 + 100 * np.sin(axis * 2 * np.pi * rng.uniform(0.5, 2.5))
+    for _ in range(6):
+        cy, cx, r, amp = rng.uniform(0, h), rng.uniform(0, w), rng.uniform(6, 18), rng.uniform(-90, 90)
+        img += amp * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return np.stack([img, np.roll(img, 3, axis=1), 255 - img // 2], axis=2)
+
+
+def _downscale(img: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Box-filtered downscale per channel (what a real thumbnailer does;
+    raw ``[::2, ::2]`` subsampling aliases and is not a 'resized copy')."""
+    h, w, c = img.shape
+    return np.stack(
+        [resize_area(img[:, :, k], h // factor, w // factor) for k in range(c)],
+        axis=2,
+    )
+
+
+def _hamming(a, b) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+def test_resize_area_exact_block_means():
+    """Evenly dividing dimensions: each output pixel is the exact block
+    mean, so a k× pixel-replicated upscale round-trips bit-exactly —
+    the property the native declared query's PGM render relies on."""
+    rng = np.random.default_rng(3)
+    mat = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    big = np.repeat(np.repeat(mat, 4, axis=0), 4, axis=1)
+    np.testing.assert_array_equal(resize_area(big, 8, 9), mat)
+    # uneven ratio still covers the full grid (boxes partition the input)
+    out = resize_area(big, 5, 7)
+    assert out.shape == (5, 7)
+
+
+def test_dhash_band_layout():
+    """bit(i, j) lands at band i//2, position (i%2)*8 + j — one changed
+    ROW perturbs exactly one band (the row-local edit containment the
+    module docstring claims)."""
+    g = np.arange(72, dtype=np.uint8).reshape(8, 9)  # ascending: all bits 1
+    bands = dhash_bands(g)
+    assert bands == (0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+    g2 = g.copy()
+    g2[5] = g2[5][::-1]  # reverse one row: its 8 bits flip to 0
+    bands2 = dhash_bands(g2)
+    assert bands2[0] == bands[0] and bands2[1] == bands[1] and bands2[3] == bands[3]
+    assert bands2[2] == 0x00FF  # row 5 = odd row of band 2: high byte cleared
+
+
+def test_phash_brightness_invariance():
+    """A constant brightness offset shifts only the DC coefficient, which
+    is excluded from the median — the pHash must not change."""
+    g = to_gray(_scene(11))
+    g32 = resize_area(g, 32, 32)
+    lifted = np.clip(g32.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    assert phash_bands(g32) == phash_bands(lifted)
+
+
+def test_planted_near_duplicates_real_jpegs(spark):
+    """The production pipeline over real JPEG bytes (from-spec decode
+    tier): a resized copy and a re-encoded (coarser quantizer) copy of
+    each scene must pair with their original at low Hamming distance,
+    while distinct scenes stay apart — and the resized/re-encoded copies
+    of the SAME scene transitively cluster."""
+    scenes = [_scene(s) for s in (1, 2, 3)]
+    rows = []
+    for s, img in enumerate(scenes):
+        half = _downscale(img)
+        rows.append((s * 10 + 0, bytearray(encode_baseline_jpeg(img, quant=2))))
+        rows.append((s * 10 + 1, bytearray(encode_baseline_jpeg(half, quant=2))))
+        rows.append((s * 10 + 2, bytearray(encode_baseline_jpeg(img, quant=6))))
+    df = spark.createDataFrame(rows, "id long, image binary")
+    hashed = image_perceptual_hashes(df)
+    pairs = near_dup_band_pairs(hashed, max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for s in range(3):
+        base = s * 10
+        assert (base, base + 1) in got, f"resized copy of scene {s} missed"
+        assert (base, base + 2) in got, f"re-encoded copy of scene {s} missed"
+    for pa, pb in got:
+        assert pa // 10 == pb // 10, f"cross-scene false pair ({pa}, {pb})"
+
+
+def test_phash_method_same_clusters(spark):
+    """The DCT hash through the same distributed path finds the same
+    planted re-encode pairs (method parameter exercises the second
+    algorithm end-to-end)."""
+    img = _scene(7)
+    rows = [
+        (0, bytearray(encode_baseline_jpeg(img, quant=2))),
+        (1, bytearray(encode_baseline_jpeg(img, quant=6))),
+        (2, bytearray(encode_baseline_jpeg(_scene(8), quant=2))),
+    ]
+    df = spark.createDataFrame(rows, "id long, image binary")
+    hashed = image_perceptual_hashes(df, method="phash")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_band_pairs(hashed, max_hamming=10).collect()
+    }
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_hot_band_cap_drops_degenerate_buckets(spark):
+    """50 all-identical hashes (black frames) + cap 10: the degenerate
+    band buckets exceed the cap in every band, so NO pairs emerge — the
+    5·10¹¹-pair failure mode the cap exists for. Raising the cap above
+    the multiplicity restores the pairs."""
+    rows = [(i, 7, 7, 7, 7) for i in range(50)]
+    hashed = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
+    assert near_dup_band_pairs(hashed, max_band_df=10).count() == 0
+    assert near_dup_band_pairs(hashed, max_band_df=50).count() == 50 * 49 // 2
+
+
+def test_pigeonhole_recall_guarantee(spark):
+    """Hamming distance ≤ 3 ⇒ at least one of the 4 bands is untouched ⇒
+    the pair is ALWAYS a candidate: plant hashes at distances 1-3 in
+    adversarial positions (bits spread across different bands) and
+    assert perfect recall."""
+    base = (0x1234, 0x5678, 0x9ABC, 0x0DEF)
+    variants = [
+        (1, base[0] ^ 1, base[1], base[2], base[3]),          # d=1
+        (2, base[0] ^ 1, base[1] ^ 2, base[2], base[3]),      # d=2, 2 bands
+        (3, base[0] ^ 1, base[1] ^ 2, base[2] ^ 4, base[3]),  # d=3, 3 bands
+    ]
+    rows = [(0, *base)] + variants
+    hashed = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_dup_band_pairs(hashed, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+
+
+def test_bad_method_rejected(spark):
+    df = spark.createDataFrame([(0, bytearray(b"x"))], "id long, image binary")
+    with pytest.raises(ValueError, match="unknown perceptual hash"):
+        image_perceptual_hashes(df, method="ahash")

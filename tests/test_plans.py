@@ -639,6 +639,24 @@ def test_zscore_bucketized_fine_keyed_windows(spark, sf_smoke):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
 
 
+def test_image_dhash_pairs_equi_join_only_plan(spark, sf_smoke):
+    """The image near-dup pair phase must be banding equi-joins + the
+    Hamming filter: NO cartesian/nested-loop join (the all-pairs failure
+    mode banding exists to avoid), no window, and the hash table cached
+    once (InMemoryRelation) instead of recomputing the per-doc hash fold
+    for each of its five plan subtrees."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        image_dhash_pairs_portable,
+    )
+
+    df = image_dhash_pairs_portable(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+
+
 def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
     """Cluster-balanced prototype selection must be: ONE corpus scan, a
     map-only literal-centroid assignment (no join anywhere), and the

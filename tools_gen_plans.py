@@ -24,6 +24,7 @@ from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import sampling as SA  # noqa: F401
 from caffeonspark_spark.operators import textops as TX  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
+from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
@@ -106,6 +107,9 @@ SHOW = {
     ),
     "zscore_anomaly_bucketized (fine-keyed windows + broadcast carry map)": (
         TP.rolling_zscore_bucketized_query
+    ),
+    "image_dhash_pairs (band equi-joins + Hamming filter, cached hash table)": (
+        IH.image_dhash_pairs_portable
     ),
     "cluster_prototypes (map-only assign, per-cluster WindowGroupLimit)": (
         S.cluster_prototypes_query

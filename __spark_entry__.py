@@ -27,6 +27,7 @@ from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
 from caffeonspark_spark.ml import dataflow as ML
+from caffeonspark_spark.multimodal import av as AV
 from caffeonspark_spark.multimodal import imagehash as IH
 from caffeonspark_spark.streaming import windows as SW
 
@@ -392,6 +393,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode image bytes); bit-equality pinned by the consistency twin
         "image_dhash_pairs_native": IH.image_dhash_pairs_native,
         "image_dhash_native_consistency": IH.image_dhash_native_consistency,
+        # --- r11: audio spectral fingerprint re-encode invariance — the
+        # full decode -> log-mel -> gradient-fingerprint path on PCM16 AND
+        # G.711 mu-law encodings of per-doc chirp clips; one row, oracle =
+        # doc count + TRUE (the consistency pattern; FFT is not
+        # SQL-expressible, so the boolean IS the check)
+        "audio_fingerprint_invariance": AV.audio_fingerprint_invariance,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -839,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_anomaly_bucketized": TP.ORACLE_ROLLING_ZSCORE,
         "image_dhash_pairs": IH.ORACLE_IMAGE_DHASH_PAIRS,
         "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
+        "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -30,6 +30,7 @@ from caffeonspark_spark.operators import vectorops as V  # noqa: E402
 from caffeonspark_spark import catalog as C  # noqa: E402
 from caffeonspark_spark.streaming import windows as SW  # noqa: E402
 from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
+from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 
 
@@ -207,6 +208,9 @@ BENCH_QUERIES = {
     # the production decode path (PGM render -> from-spec decode -> dHash)
     "q_image_dhash": IH.image_dhash_pairs_portable,
     "q_image_dhash_native": IH.image_dhash_pairs_native,
+    # r11: audio fingerprint invariance (synth + 2 encodes + 2 fingerprint
+    # passes over the full decode -> log-mel path)
+    "q_audio_fingerprint": AV.audio_fingerprint_invariance,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

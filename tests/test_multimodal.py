@@ -223,6 +223,9 @@ def test_jpeg_multiscan_baseline_decodes_identically():
         ((16, 16, 3), {}),
         ((23, 17, 3), {"subsample": True}),  # 4:2:0, non-multiple-of-16 dims
         ((20, 28, 3), {"samp": [(3, 2), (1, 1), (1, 1)]}),  # non-divisible
+        # opposed asymmetric axes: luma 3x horizontal, Cb 3x vertical —
+        # exercises the index-map upsampler on both axes at once
+        ((33, 31, 3), {"samp": [(3, 1), (1, 3), (1, 1)]}),
     ]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         single = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))
@@ -292,6 +295,8 @@ def test_jpeg_progressive_decodes_identically():
         ((23, 17, 3), {"subsample": True}),  # 4:2:0, non-multiple-of-16 dims
         ((20, 28, 3), {"samp": [(3, 2), (1, 1), (1, 1)]}),  # non-divisible
         ((21, 19, 1), {}),  # grayscale script
+        # opposed asymmetric axes (multiscan twin covers the same layout)
+        ((33, 31, 3), {"samp": [(3, 1), (1, 3), (1, 1)]}),
     ]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         base = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=4, **kw))

@@ -973,3 +973,124 @@ ORACLE_AUDIO_FP_INVARIANCE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_clips, TRUE AS encode_invariant
     FROM documents
 """
+
+
+def video_frame_hashes(
+    frames_df: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """Per-sampled-frame perceptual hash: ``video_sample_frames`` output
+    (raw HWC frame bytes + dims) → gray → area-resize → dHash, emitted as
+    ``(id, frame_idx, b0..b3)`` — the video member of the perceptual-dedup
+    family, composed from the image tier (``multimodal.imagehash``). One
+    linear ``mapInPandas`` pass; channel count is inferred from the
+    byte length (a real PyAV seam may emit gray or BGR frames)."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        dhash_bands,
+        resize_area,
+        to_gray,
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, idxs, cols = [], [], [[], [], [], []]
+            for rid, fi, raw, h, w in zip(
+                pdf[id_col], pdf[frame_col], pdf["frame"],
+                pdf["height"], pdf["width"],
+            ):
+                data = bytes(raw)
+                h, w = int(h), int(w)
+                c = len(data) // (h * w)
+                if c not in (1, 3) or len(data) != h * w * c:
+                    raise ValueError(
+                        "frame byte length does not match dims (expected "
+                        f"H*W*{{1,3}}, got {len(data)} for {h}x{w})"
+                    )
+                arr = np.frombuffer(data, np.uint8).reshape(h, w, c)
+                bands = dhash_bands(resize_area(to_gray(arr), 8, 9))
+                ids.append(rid)
+                idxs.append(int(fi))
+                for k in range(4):
+                    cols[k].append(bands[k])
+            yield pd.DataFrame(
+                {
+                    "id": ids, "frame_idx": idxs,
+                    "b0": cols[0], "b1": cols[1],
+                    "b2": cols[2], "b3": cols[3],
+                }
+            )
+
+    return frames_df.mapInPandas(
+        run, "id long, frame_idx int, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def near_dup_video_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    max_hamming: int = 8,
+    max_band_df: int = 50,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Near-duplicate video pairs from per-frame hash bands: the image
+    band machinery keyed additionally by FRAME POSITION — candidates are
+    (frame_idx, k, band) bucket collisions (two clips only collide where
+    the same sampled position looks alike, so a shared intro frame can't
+    pair unrelated clips by itself), per-position Hamming ≤
+    ``max_hamming`` counts as a matching position, and a pair emits iff
+    ≥ ``min_frames`` positions match. Output
+    ``(id_a, id_b, n_frames_matched)``.
+
+    Scale contract: identical to ``near_dup_band_pairs`` with frame_idx
+    widening the bucket key (hot-band cap per position); the final agg
+    is one shuffle of candidate-pair rows."""
+    ha = frame_hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(frame_col).alias("fi"),
+        "b0", "b1", "b2", "b3",
+    )
+    long_bands = ha.select(
+        "id", "fi",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
+    )
+    ok = (
+        long_bands.groupBy("fi", "k", "band")
+        .count()
+        .where(F.col("count") <= max_band_df)
+        .drop("count")
+    )
+    cand = (
+        long_bands.join(ok, ["fi", "k", "band"])
+        .alias("a")
+        .join(
+            long_bands.alias("b"),
+            (F.col("a.fi") == F.col("b.fi"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fi").alias("fi"),
+        )
+        .distinct()
+    )
+    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
+    xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
+        for k in range(4)
+    )
+    matched = (
+        cand.join(xa, (cand.id_a == xa.a_id) & (cand.fi == xa.a_fi))
+        .join(xb, (cand.id_b == xb.b_id) & (cand.fi == xb.b_fi))
+        .where(ham <= max_hamming)
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= min_frames)
+    )

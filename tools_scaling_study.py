@@ -40,6 +40,8 @@ from caffeonspark_spark.operators import relational as R  # noqa: E402
 from caffeonspark_spark.operators import sampling as SA  # noqa: E402
 from caffeonspark_spark.operators import similarity as S  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP  # noqa: E402
+from caffeonspark_spark.multimodal import av as AV  # noqa: E402
+from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scaling_study"
@@ -51,6 +53,9 @@ QUERIES = {
     "gapfill_hourly": TP.gapfill_hourly,
     "zscore_anomaly": TP.rolling_zscore_query,
     "zscore_bucketized": TP.rolling_zscore_bucketized_query,
+    "image_dhash": IH.image_dhash_pairs_portable,
+    "image_dhash_native": IH.image_dhash_pairs_native,
+    "audio_fingerprint": AV.audio_fingerprint_invariance,
     "event_sequences": TP.event_sequence_examples_query,
     "hard_negatives": S.hard_negative_mining_query,
     "cluster_prototypes": S.cluster_prototypes_query,

@@ -246,6 +246,10 @@ def main() -> None:
         "q_clean_corpus_portable", "q3_shipping_priority",  # r10
         "q_minhash_signatures", "q_minhash_lsh",  # r10
         "q_stream_parity_join", "q_train_epoch",  # r10 builder runs
+        # r11: the carry-plan's FIRST run pays ~10 s of Catalyst
+        # analysis/codegen (measured [11.7, 2.3, 2.0, 2.1] serialized);
+        # two runs under-amortize it
+        "q_zscore_bucketized",
     }
 
     timings: dict[str, float] = {}

@@ -178,7 +178,15 @@ def near_dup_band_pairs(
     subtrees (hot-cap agg, both candidate sides, both Hamming sides), so
     it is persisted through the dedup module's released memo — the
     minhash signature-table precedent; at 100 TB this is the hash table
-    written once and reused by every downstream job."""
+    written once and reused by every downstream job.
+
+    The cap drops a hot bucket's pairs ENTIRELY — including true
+    duplicates, exactly like ``prune_stop_shingles``. A corpus with huge
+    exact-duplicate families (the same thumbnail a million times) should
+    run an exact pass FIRST — groupBy the full (b0..b3) hash, keep one
+    representative (``dedup_exact``'s shape on an 8-byte key) — and band
+    only the survivors; the cap then prunes genuinely-degenerate bands
+    (black frames), not duplicate mass."""
     from caffeonspark_spark.operators.dedup import _persist_replacing
 
     ha = _persist_replacing(

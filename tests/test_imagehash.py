@@ -168,3 +168,28 @@ def test_bad_method_rejected(spark):
     df = spark.createDataFrame([(0, bytearray(b"x"))], "id long, image binary")
     with pytest.raises(ValueError, match="unknown perceptual hash"):
         image_perceptual_hashes(df, method="ahash")
+
+
+def test_image_dedup_end_to_end_clusters(spark):
+    """The full image-dedup pipeline a corpus job runs: JPEG bytes →
+    perceptual hashes → banded pairs → connected components (the text
+    side's min-label machinery, composed unchanged) → keep the min-id
+    survivor per component. Each scene's original/resized/re-encoded
+    trio collapses to ONE survivor; distinct scenes keep theirs."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    rows = []
+    for s, seed in enumerate((4, 5, 6)):
+        img = _scene(seed)
+        rows.append((s * 10 + 0, bytearray(encode_baseline_jpeg(img, quant=2))))
+        rows.append(
+            (s * 10 + 1, bytearray(encode_baseline_jpeg(_downscale(img), quant=2)))
+        )
+        rows.append((s * 10 + 2, bytearray(encode_baseline_jpeg(img, quant=6))))
+    df = spark.createDataFrame(rows, "id long, image binary")
+    pairs = near_dup_band_pairs(image_perceptual_hashes(df), max_hamming=8)
+    comp = connected_components(pairs)
+    # survivors = all ids minus non-min members of each component
+    drop = {r["node"] for r in comp.collect() if r["node"] != r["component"]}
+    survivors = sorted({r[0] for r in rows} - drop)
+    assert survivors == [0, 10, 20], survivors

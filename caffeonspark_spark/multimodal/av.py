@@ -946,7 +946,15 @@ def audio_fingerprint_invariance(spark, sf_dir: str) -> DataFrame:
                 {"id": ids, "pcm": pcm, "ulaw": ulaw, "ns": ns}
             )
 
-    clips = docs.mapInPandas(gen, "id long, pcm binary, ulaw binary, ns int")
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    # both fingerprint sides read the clip table; without the (released)
+    # memo the synth + dual-encode subtree executes once PER SIDE —
+    # measured ~2x the row's whole work
+    clips = _persist_replacing(
+        "audio_invariance_clips",
+        docs.mapInPandas(gen, "id long, pcm binary, ulaw binary, ns int"),
+    )
     sr = F.lit(8000)
     fa = audio_spectral_fingerprint(
         clips.select(

@@ -71,21 +71,30 @@ def resize_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Box-average (area) downscale in pure NumPy — the filter that makes
     perceptual hashes robust to resizing, unlike nearest-neighbour which
     aliases. Boxes are the float-boundary partition of the input grid;
-    exact block means when dimensions divide evenly. Output uint8 floor."""
+    exact block means when dimensions divide evenly. Output uint8 floor.
+
+    Inputs SMALLER than the target (tiny icons) widen every empty box to
+    its nearest pixel — the degenerate-box limit of area averaging is
+    nearest replication. Without the widening an empty box summed to 0,
+    so a 1×1 white icon hashed as mostly BLACK gradient rows."""
     h, w = gray.shape[:2]
     ys = (np.arange(out_h + 1) * h / out_h).round().astype(np.int64)
     xs = (np.arange(out_w + 1) * w / out_w).round().astype(np.int64)
     ys[-1], xs[-1] = h, w
+    ylo = np.minimum(ys[:-1], h - 1)
+    yhi = np.minimum(np.maximum(ys[1:], ylo + 1), h)
+    xlo = np.minimum(xs[:-1], w - 1)
+    xhi = np.minimum(np.maximum(xs[1:], xlo + 1), w)
     c = np.zeros((h + 1, w + 1), dtype=np.float64)
     c[1:, 1:] = gray.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
-    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    area = (yhi[:, None] - ylo[:, None]) * (xhi[None, :] - xlo[None, :])
     s = (
-        c[ys[1:], :][:, xs[1:]]
-        - c[ys[:-1], :][:, xs[1:]]
-        - c[ys[1:], :][:, xs[:-1]]
-        + c[ys[:-1], :][:, xs[:-1]]
+        c[yhi, :][:, xhi]
+        - c[ylo, :][:, xhi]
+        - c[yhi, :][:, xlo]
+        + c[ylo, :][:, xlo]
     )
-    return np.clip(s / np.maximum(area, 1), 0, 255).astype(np.uint8)
+    return np.clip(s / area, 0, 255).astype(np.uint8)
 
 
 def dhash_bands(gray: np.ndarray) -> tuple[int, int, int, int]:

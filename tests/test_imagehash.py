@@ -52,6 +52,21 @@ def _hamming(a, b) -> int:
     return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
 
 
+def test_resize_area_tiny_inputs_replicate():
+    """Inputs smaller than the target: empty boxes widen to their nearest
+    pixel (the degenerate-box limit of area averaging), so a 1×1 white
+    icon upsizes to ALL-white — not black rows — and a tiny constant
+    image stays constant at any target size."""
+    one = np.full((1, 1), 255, np.uint8)
+    np.testing.assert_array_equal(resize_area(one, 8, 9), np.full((8, 9), 255))
+    tiny = np.array([[10, 200, 30], [40, 50, 60]], dtype=np.uint8)
+    out = resize_area(tiny, 8, 9)
+    assert out.shape == (8, 9)
+    assert set(np.unique(out)) <= set(np.unique(tiny))  # pure replication
+    const = np.full((2, 3), 77, np.uint8)
+    assert (resize_area(const, 32, 32) == 77).all()
+
+
 def test_resize_area_exact_block_means():
     """Evenly dividing dimensions: each output pixel is the exact block
     mean, so a k× pixel-replicated upscale round-trips bit-exactly —

@@ -1018,6 +1018,10 @@ def video_frame_hashes(
             ):
                 data = bytes(raw)
                 h, w = int(h), int(w)
+                if h <= 0 or w <= 0:
+                    raise ValueError(
+                        f"degenerate frame dims {h}x{w} (decoder contract)"
+                    )
                 c = len(data) // (h * w)
                 if c not in (1, 3) or len(data) != h * w * c:
                     raise ValueError(

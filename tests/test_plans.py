@@ -637,6 +637,12 @@ def test_zscore_bucketized_fine_keyed_windows(spark, sf_smoke):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    # pruning: the main pass reads 4 columns, the metadata counts pass
+    # reads ONLY (ts, event_type) — at 100 TB that scan is 2 columns wide
+    assert set(map(frozenset, read_schema_columns(df))) == {
+        frozenset({"event_id", "ts", "event_type", "value"}),
+        frozenset({"ts", "event_type"}),
+    }, read_schema_columns(df)
 
 
 def test_image_dhash_pairs_equi_join_only_plan(spark, sf_smoke):
@@ -655,6 +661,7 @@ def test_image_dhash_pairs_equi_join_only_plan(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ") Window" not in plan, plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
 
 
 def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):

@@ -393,6 +393,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decode image bytes); bit-equality pinned by the consistency twin
         "image_dhash_pairs_native": IH.image_dhash_pairs_native,
         "image_dhash_native_consistency": IH.image_dhash_native_consistency,
+        # --- r11: image near-dup clusters (components over the portable
+        # pair set) vs a recursive-CTE min-label oracle; the cross-source
+        # duplication matrix over the portable MinHash pair set
+        "image_dhash_clusters": IH.image_dhash_clusters,
+        "dup_source_matrix": D.dup_source_matrix,
         # --- r11: audio spectral fingerprint re-encode invariance — the
         # full decode -> log-mel -> gradient-fingerprint path on PCM16 AND
         # G.711 mu-law encodings of per-doc chirp clips; one row, oracle =
@@ -846,6 +851,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore_anomaly_bucketized": TP.ORACLE_ROLLING_ZSCORE,
         "image_dhash_pairs": IH.ORACLE_IMAGE_DHASH_PAIRS,
         "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
+        "image_dhash_clusters": IH.ORACLE_IMAGE_DHASH_CLUSTERS,
+        "dup_source_matrix": D.ORACLE_DUP_SOURCE_MATRIX,
         "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,

@@ -211,6 +211,9 @@ BENCH_QUERIES = {
     # r11: audio fingerprint invariance (synth + 2 encodes + 2 fingerprint
     # passes over the full decode -> log-mel path)
     "q_audio_fingerprint": AV.audio_fingerprint_invariance,
+    # r11: image near-dup clusters + the cross-source duplication matrix
+    "q_image_dhash_clusters": IH.image_dhash_clusters,
+    "q_dup_source_matrix": D.dup_source_matrix,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

@@ -383,8 +383,23 @@ def image_dhash_native_consistency(
     )
 
 
-ORACLE_IMAGE_DHASH_PAIRS = """
-    WITH chunks AS (
+def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): near-duplicate image CLUSTERS — the
+    survivor-group assignment step after pair generation — as connected
+    components over the portable pair set, value-checked against a
+    recursive-CTE min-label propagation in DuckDB (the
+    ``neardup_clusters`` oracle pattern applied to the image modality).
+    At 100 TB this composes the persisted hash table's pair output with
+    the same O(diameter)-round min-label machinery the text side runs —
+    near-dup clusters are tiny, so 2-3 rounds in practice."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    return connected_components(
+        image_dhash_pairs_portable(spark, sf_dir)
+    ).orderBy("node")
+
+
+_IMAGE_PAIR_CTES = """chunks AS (
         SELECT doc_id, i,
                CASE WHEN length(substring(text, i*64+1, 64)) = 0 THEN 0
                     ELSE list_reduce([CAST(0 AS BIGINT)] ||
@@ -421,12 +436,31 @@ ORACLE_IMAGE_DHASH_PAIRS = """
         JOIN bands x ON x.doc_id = c.id_a
         JOIN bands y ON y.doc_id = c.id_b AND y.k = x.k
         GROUP BY c.id_a, c.id_b
-    )
-    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+    ),
+    pairs AS (SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8)"""
+
+ORACLE_IMAGE_DHASH_PAIRS = f"""
+    WITH {_IMAGE_PAIR_CTES}
+    SELECT id_a, id_b, hamming FROM pairs
 """
 
 ORACLE_IMAGE_DHASH_CONSISTENCY = f"""
-    WITH pairs AS ({ORACLE_IMAGE_DHASH_PAIRS})
+    WITH {_IMAGE_PAIR_CTES}
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS pairs_identical
     FROM pairs
+"""
+
+ORACLE_IMAGE_DHASH_CLUSTERS = f"""
+    WITH RECURSIVE {_IMAGE_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM edges
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node ORDER BY node
 """

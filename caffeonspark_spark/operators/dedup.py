@@ -994,6 +994,69 @@ def _oracle_neardup_clusters(threshold: float = 0.5) -> str:
 ORACLE_NEARDUP_CLUSTERS = _oracle_neardup_clusters()
 
 
+def dup_source_matrix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Declared query: the cross-source duplication matrix — for every
+    unordered pair of sources, how many near-duplicate document pairs
+    span them (diagonal = within-source duplication). This is the corpus-
+    governance report a data owner reads before mixing sources: "how much
+    of source B is already in source A" decides dedup order and mixture
+    weights. Composes the PORTABLE MinHash pair set (full set, no top-N —
+    counts must be exact) with two doc_id equi-joins to the source
+    column and one tiny grouped count.
+
+    Scale contract: pairs are banding-bounded (the minhash_lsh_pairs
+    shape), each source join is an 8-byte-key equi-join moving one small
+    string per row, and the output is |sources|² rows. Unordered keying
+    via least/greatest keeps the matrix triangular and deterministic in
+    both engines."""
+    return dup_source_matrix_df(load_table(spark, sf_dir, "documents"), threshold)
+
+
+def dup_source_matrix_df(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    pairs = minhash_lsh_pairs_portable_df(docs, threshold).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+
+
+def _oracle_dup_source_matrix(threshold: float = 0.5) -> str:
+    """The portable pair set joined to sources, grouped on the unordered
+    source pair — the ``_oracle_neardup_clusters`` est CTE reused."""
+    return f"""
+    WITH {_minhash_sig_ctes()},
+    {_bands_cte()},
+    est AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+        WHERE CAST(list_sum(list_transform(range(1, {MINHASH_PERMS + 1}),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                   AS DOUBLE) / {MINHASH_PERMS} >= {threshold}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM est
+    JOIN documents da ON est.id_a = da.doc_id
+    JOIN documents db ON est.id_b = db.doc_id
+    GROUP BY 1, 2
+"""
+
+
+ORACLE_DUP_SOURCE_MATRIX = _oracle_dup_source_matrix()
+
+
 # --- 5. SimHash ----------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -28,6 +28,33 @@ def _rows_equal(a, b) -> bool:
     return sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+class TestDupSourceMatrix:
+    def test_planted_cross_and_within_source_dups(self, spark):
+        """Two exact copies in different sources → one cross-source cell;
+        two copies within one source → one diagonal cell; unordered
+        keying folds (B, A) into (A, B)."""
+        from caffeonspark_spark.operators.dedup import dup_source_matrix_df
+
+        text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        text2 = "one two three four five six seven eight nine ten eleven"
+        text3 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+        rows = [
+            (1, text1, "en", "srcB", len(text1)),  # cross pair, listed B-first
+            (2, text1, "en", "srcA", len(text1)),
+            (3, text2, "en", "srcA", len(text2)),  # within-A pair
+            (4, text2, "en", "srcA", len(text2)),
+            (5, text3, "en", "srcB", len(text3)),  # no duplicate
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        got = {
+            (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+            for r in dup_source_matrix_df(docs).collect()
+        }
+        assert got == {("srcA", "srcB"): 1, ("srcA", "srcA"): 1}
+
+
 class TestRollingZscoreBucketized:
     def test_bit_equal_dense_buckets(self, spark):
         """Several events per day across types: the bucketized form emits

@@ -111,6 +111,9 @@ SHOW = {
     "image_dhash_pairs (band equi-joins + Hamming filter, cached hash table)": (
         IH.image_dhash_pairs_portable
     ),
+    "dup_source_matrix (banded pairs x two source equi-joins, tiny agg)": (
+        D.dup_source_matrix
+    ),
     "cluster_prototypes (map-only assign, per-cluster WindowGroupLimit)": (
         S.cluster_prototypes_query
     ),

@@ -1010,7 +1010,10 @@ def dup_source_matrix(
     shape), each source join is an 8-byte-key equi-join moving one small
     string per row, and the output is |sources|² rows. Unordered keying
     via least/greatest keeps the matrix triangular and deterministic in
-    both engines."""
+    both engines. The declared form rides the PORTABLE pair set so the
+    counts oracle-check; at 100 TB swap in the xxhash64 production pairs
+    (``minhash_lsh_pairs_df``) or any modality's pair table — the matrix
+    is pair-source-agnostic."""
     return dup_source_matrix_df(load_table(spark, sf_dir, "documents"), threshold)
 
 

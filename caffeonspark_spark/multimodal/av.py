@@ -1066,11 +1066,21 @@ def near_dup_video_pairs(
 
     Scale contract: identical to ``near_dup_band_pairs`` with frame_idx
     widening the bucket key (hot-band cap per position); the final agg
-    is one shuffle of candidate-pair rows."""
-    ha = frame_hashes.select(
-        F.col(id_col).alias("id"),
-        F.col(frame_col).alias("fi"),
-        "b0", "b1", "b2", "b3",
+    is one shuffle of candidate-pair rows. The hash table feeds FIVE plan
+    subtrees (hot-cap agg, both candidate sides, both Hamming sides), so
+    it is persisted through the dedup module's plan-hash-keyed memo —
+    mirroring ``near_dup_band_pairs`` — or the upstream decode→hash
+    ``mapInPandas`` pass would recompute once per subtree; released by
+    ``dedup.unpersist_cached()``."""
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    ha = _persist_replacing(
+        "video_frame_hashes",
+        frame_hashes.select(
+            F.col(id_col).alias("id"),
+            F.col(frame_col).alias("fi"),
+            "b0", "b1", "b2", "b3",
+        ),
     )
     long_bands = ha.select(
         "id", "fi",

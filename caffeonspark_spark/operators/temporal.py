@@ -981,11 +981,15 @@ def rolling_zscore_anomaly_bucketized(
     Bit-equality construction: each bucket's window also needs the type's
     last ``n-1`` GLOBAL predecessors of its first row, which may span
     several earlier buckets when buckets are sparse. A metadata-sized
-    per-bucket count table (|types| × |buckets| rows) is range-joined to
-    itself to find, for every destination bucket, the minimal set of
-    earlier source buckets whose rows can fall inside a frame — src
-    qualifies iff fewer than ``n-1`` rows lie strictly between it and the
-    destination (``src.cum > dst.cum_before - (n-1)``). Each source
+    per-bucket count table (|types| × |buckets| rows) finds, for every
+    destination bucket, the minimal set of earlier source buckets whose
+    rows can fall inside a frame — src qualifies iff fewer than ``n-1``
+    rows lie strictly between it and the destination
+    (``src.cum > dst.cum_before - (n-1)``); every counted bucket holds at
+    least one row, so qualifying destinations lie within the ``n-1``
+    buckets after src and a bounded following window derives the map in
+    O(|buckets| · n) — no quadratic self-join even at minute granularity
+    over multi-year history. Each source
     bucket contributes at most its trailing ``n-1`` rows (a per-bucket
     window, never a per-type one). Carried rows sort into their global
     (ts, event_id) position inside the destination partition, so the
@@ -1000,8 +1004,8 @@ def rolling_zscore_anomaly_bucketized(
     Scale contract: ONE main event scan feeding two event-sized shuffles
     (the per-bucket tail-rank window and the final frame window, both
     keyed ``(event_type, bucket)`` — fine-grained, no single-task key),
-    one column-pruned metadata agg (persisted, so its horizon self-join
-    computes it once), and two broadcast joins of that metadata; carry
+    one column-pruned metadata agg consumed exactly once (the bounded
+    horizon window), and one broadcast join of that metadata; carry
     volume is ≤ (n-1) rows per qualifying (src, dst) bucket pair. The 8×
     scaling study records the ratio vs the coarse form (SCALE.md)."""
     k = n - 1
@@ -1021,38 +1025,47 @@ def rolling_zscore_anomaly_bucketized(
         ev.groupBy("event_type", "_bkt")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .select("event_type", "_bkt", "_cnt", F.sum("_cnt").over(wc).alias("_cum"))
-        # persisted so the dst/src self-join computes the (column-pruned)
-        # counts scan ONCE — tiny (|types| × |buckets| rows), the
-        # relational.py supplier-revenue precedent; released by the
-        # session-level cache clear
-        .persist()
     )
-    # a dst bucket's first row (global rank _before + 1) frames back to
-    # rank _before + 1 - k; src bucket rows end at rank _scum, so src
-    # contributes iff _scum > _before - k (and precedes dst)
-    dst = counts.select(
-        "event_type",
-        F.col("_bkt").alias("_dst"),
-        (F.col("_cum") - F.col("_cnt")).alias("_before"),
-    )
-    src = counts.select(
-        F.col("event_type").alias("_stype"),
-        F.col("_bkt").alias("_src"),
-        F.col("_cum").alias("_scum"),
-    )
-    horizon = (
-        dst.join(
-            F.broadcast(src),
-            (F.col("event_type") == F.col("_stype"))
-            & (F.col("_src") < F.col("_dst"))
-            & (F.col("_scum") > F.col("_before") - F.lit(k)),
+    # src bucket -> list of destination buckets needing its tail. A dst
+    # bucket's first row (global rank _before + 1) frames back to rank
+    # _before + 1 - k; src bucket rows end at rank _scum, so src
+    # contributes iff _scum > _before - k (and precedes dst). Derived with
+    # a BOUNDED following window instead of the former range self-join:
+    # every counted bucket holds >= 1 row, so a qualifying dst (fewer than
+    # k rows strictly between it and src) lies at most k positions after
+    # src — collect the next k buckets' (_bkt, _before) structs and keep
+    # those with _before < _cum + k. Same pair set, O(|buckets| * k) work;
+    # the self-join's broadcast hash key was event_type alone, leaving
+    # per-type O(|buckets|^2) residual comparisons (quadratic for minute
+    # buckets over multi-year history), and its persisted counts table is
+    # no longer needed at all — counts now has exactly one consumer.
+    wnext = wc.rowsBetween(1, k)
+    dstmap = (
+        counts.select(
+            "event_type",
+            "_bkt",
+            "_cum",
+            F.collect_list(
+                F.struct(
+                    F.col("_bkt").alias("d"),
+                    (F.col("_cum") - F.col("_cnt")).alias("b"),
+                )
+            )
+            .over(wnext)
+            .alias("_nxt"),
         )
-        .select("event_type", F.col("_src").alias("_bkt"), "_dst")
-    )
-
-    # src bucket -> list of destination buckets needing its tail (tiny)
-    dstmap = horizon.groupBy("event_type", "_bkt").agg(
-        F.collect_list("_dst").alias("_dsts")
+        .select(
+            "event_type",
+            "_bkt",
+            F.transform(
+                F.filter(
+                    F.col("_nxt"),
+                    lambda s: s["b"] < F.col("_cum") + F.lit(k),
+                ),
+                lambda s: s["d"],
+            ).alias("_dsts"),
+        )
+        .where(F.size("_dsts") > 0)
     )
 
     # single main pass: rank each row within its bucket from the END

@@ -618,10 +618,12 @@ def test_zscore_bucketized_fine_keyed_windows(spark, sf_smoke):
     event_type alone (the coarse form's single-task-per-key bottleneck).
     Both event-volume windows — the per-bucket tail rank and the frame
     sums — must key on (event_type, bucket); the only per-type-only
-    window runs over the metadata-sized per-bucket counts, which are
-    persisted (InMemoryRelation) so the horizon self-join computes them
-    once; the carry joins broadcast — a SortMergeJoin anywhere means the
-    metadata stopped being treated as metadata."""
+    windows run over the metadata-sized per-bucket counts (the running
+    total and the bounded following-horizon window that replaced the r11
+    range self-join — the plan's ONLY join is now the broadcast of the
+    carry map into the main pass; a SortMergeJoin anywhere means the
+    metadata stopped being treated as metadata, a second join means the
+    quadratic self-join came back)."""
     import re
 
     from caffeonspark_spark.operators.temporal import (
@@ -635,8 +637,10 @@ def test_zscore_bucketized_fine_keyed_windows(spark, sf_smoke):
     assert event_sized, plan
     assert all("_bkt" in s for s in event_sized), plan
     assert "SortMergeJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # node counts from the "(N) OpName" detail headers (tree lines repeat)
+    join_nodes = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert join_nodes == ["BroadcastHashJoin"], plan
     # pruning: the main pass reads 4 columns, the metadata counts pass
     # reads ONLY (ts, event_type) — at 100 TB that scan is 2 columns wide
     assert set(map(frozenset, read_schema_columns(df))) == {

@@ -147,3 +147,18 @@ def test_fake_decoder_seam_roundtrip():
     np.testing.assert_array_equal(
         clip, np.frombuffer(data, np.uint8).reshape(8, 32, 32, 1)
     )
+
+
+def test_frame_hash_table_persisted_once(spark):
+    """The (id, fi, b0..b3) hash table feeds FIVE subtrees of the pair
+    plan (hot-cap agg, both candidate sides, both Hamming sides); it must
+    be persisted (InMemoryRelation) so the decode->hash mapInPandas pass
+    runs once — the same memo ``near_dup_band_pairs`` pins for images."""
+    from caffeonspark_spark.plans.inspect import physical_plan
+
+    rows = [(i, bytearray(_smooth_clip(i))) for i in range(3)]
+    frames = video_sample_frames(_videos_df(spark, rows), k=4)
+    hashed = video_frame_hashes(frames)
+    plan = physical_plan(near_dup_video_pairs(hashed))
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

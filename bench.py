@@ -223,6 +223,72 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_LINE_BUDGET = 1900
+
+
+def _result_line(timings: dict[str, float], sf_val) -> str:
+    """The ONE printed JSON line, guaranteed <= _LINE_BUDGET chars.
+
+    The driver captures only the LAST 2000 chars of stdout and parses the
+    final line as JSON; a too-long line prints with its HEAD cut and the
+    round's bench artifact records parsed:null (happened at 85 rows in r8
+    and again at 92 rows in r11 — the old ladder stopped at decisecond
+    rounding, 2,090 chars at 92 rows, still over the window). Degrade
+    ladder, every rung keeping "value"/"sf" intact (full 3-decimal data is
+    always in bench_last_run.json):
+
+      1. full dict, q_-stripped names, centisecond rounding
+      2. ... decisecond rounding
+      3. drop the constant "metric"/"unit" keys
+      4. keep only the N slowest rows (+ a "dropped" count), shrinking N
+         until the line fits — terminates because the rowless line fits.
+    """
+    total = round(sum(timings.values()), 2)
+    short = {(k[2:] if k.startswith("q_") else k): v for k, v in timings.items()}
+    for ndig in (2, 1):
+        line = json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, ndig) for k, v in short.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= _LINE_BUDGET:
+            return line
+    line = json.dumps(
+        {
+            "value": total,
+            "queries": {k: round(v, 1) for k, v in short.items()},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) <= _LINE_BUDGET:
+        return line
+    rows = sorted(short.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(rows)
+    while n > 0:
+        line = json.dumps(
+            {
+                "value": total,
+                "queries": {k: round(v, 1) for k, v in rows[:n]},
+                "sf": sf_val,
+                "dropped": len(rows) - n,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= _LINE_BUDGET:
+            return line
+        n -= max(1, n // 8)
+    return json.dumps(
+        {"value": total, "sf": sf_val, "dropped": len(rows)},
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -253,6 +319,10 @@ def main() -> None:
         # analysis/codegen (measured [11.7, 2.3, 2.0, 2.1] serialized);
         # two runs under-amortize it
         "q_zscore_bucketized",
+        # r11 driver artifact: bpe_encode 21.57 s (best-of-three 4.45) and
+        # remove_dup_passages 5.87 (best-of-three 4.19) -- recorded
+        # repeat-offender inflations, BASELINE.md r11/r12 attributions
+        "q_bpe_encode", "q_remove_dup_passages",
     }
 
     timings: dict[str, float] = {}
@@ -283,30 +353,7 @@ def main() -> None:
                    "value": round(sum(timings.values()), 3), "unit": "sec",
                    "queries": timings, "sf": sf_val}, f, indent=1)
 
-    # The driver captures only the LAST 2000 chars of stdout and parses the
-    # final line as JSON; at ~80 query rows the full-name 3-decimal line
-    # overflows that window (BENCH_r08 recorded parsed:null with the head 5
-    # rows cut). Keep the printed line compact: strip the "q_" prefix
-    # (BASELINE.md documents the mapping), round to centiseconds, no
-    # whitespace; degrade to deciseconds if a pathological run still
-    # exceeds the window.
-    for ndig in (2, 1):
-        line = json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(sum(timings.values()), 2),
-                "unit": "sec",
-                "queries": {
-                    (k[2:] if k.startswith("q_") else k): round(v, ndig)
-                    for k, v in timings.items()
-                },
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
-        if len(line) <= 1900:
-            break
-    print(line)
+    print(_result_line(timings, sf_val))
 
 
 if __name__ == "__main__":

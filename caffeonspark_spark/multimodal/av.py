@@ -669,7 +669,15 @@ def audio_frame_energy(
             for rid, meta in zip(pdf[id_col], pdf[audio_col]):
                 wave = decoder(bytes(meta["audio"]), int(meta["n_samples"]))
                 need = frame_len * n_frames
-                w = np.resize(wave.astype(np.float64), need).reshape(n_frames, frame_len)
+                # zero-pad short clips (and truncate long ones) — the same
+                # contract as the log-mel front end below: np.resize TILED
+                # the clip, so trailing frames of a short clip reported
+                # energy recycled from its start (r10 ADVICE defect class,
+                # fixed on the log-mel path first)
+                w = wave.astype(np.float64)[:need]
+                if w.size < need:
+                    w = np.pad(w, (0, need - w.size))
+                w = w.reshape(n_frames, frame_len)
                 rms = np.sqrt((w * w).mean(axis=1)).astype(np.float32)
                 ids.append(rid)
                 feats.append(rms)

@@ -997,6 +997,38 @@ def test_wav_through_frame_energy(spark):
     assert energy[2] < 1e-6 and energy[3] < 1e-6
 
 
+def test_short_clip_frame_energy_zero_padded(spark):
+    """A clip SHORTER than frame_len*n_frames must zero-pad its tail, not
+    tile the waveform back from the start (the r10 ADVICE defect class,
+    fixed on the log-mel path in r11 and on this energy path in r12):
+    trailing frames of a short loud clip report ~zero energy, never
+    recycled audio."""
+    from caffeonspark_spark.multimodal.av import (
+        audio_frame_energy,
+        audio_struct_col,
+        encode_wav_pcm16,
+        wav_frame_decoder,
+    )
+
+    n = 256  # one frame's worth; frames 1..3 are pure padding
+    wave = 0.9 * np.sign(
+        np.sin(np.arange(n, dtype=np.float32))
+    ).astype(np.float32)
+    base = spark.createDataFrame(
+        [(0, bytearray(encode_wav_pcm16(wave, 16000)), 16000, n)],
+        "id long, audio binary, sr int, ns int",
+    ).select(
+        "id",
+        audio_struct_col(F.col("audio"), F.col("sr"), F.col("ns")).alias("audio_meta"),
+    )
+    out = audio_frame_energy(
+        base, frame_len=256, n_frames=4, decoder=wav_frame_decoder
+    ).collect()
+    energy = out[0]["energy"]
+    assert energy[0] > 0.5
+    assert all(e == 0.0 for e in energy[1:]), energy
+
+
 def test_wav_format_matrix_through_frame_energy(spark):
     """Every codec-free WAV layout through the distributed frame-energy
     operator in one DataFrame: 24-bit PCM, 32-bit float, and extensible-

@@ -397,6 +397,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair set) vs a recursive-CTE min-label oracle; the cross-source
         # duplication matrix over the portable MinHash pair set
         "image_dhash_clusters": IH.image_dhash_clusters,
+        # --- r12: the composed image dedup (exact full-hash pass -> banded
+        # survivors -> components -> canonical map; clean_corpus's staging
+        # on pixels) — every id with its smallest cluster member
+        "image_dedup_map": IH.image_dedup_map_query,
         "dup_source_matrix": D.dup_source_matrix,
         # --- r11: audio spectral fingerprint re-encode invariance — the
         # full decode -> log-mel -> gradient-fingerprint path on PCM16 AND
@@ -404,6 +408,18 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc count + TRUE (the consistency pattern; FFT is not
         # SQL-expressible, so the boolean IS the check)
         "audio_fingerprint_invariance": AV.audio_fingerprint_invariance,
+        # --- r12: video near-dup (the last modality without an
+        # oracle-checked dedup row). Portable twin: per-position frame
+        # matrices derive from overlapping text windows; every relational
+        # stage (frame explode, per-position hot cap, bucket join, Hamming,
+        # the >= min_frames clip gate) oracle-exact
+        "video_dup_pairs": AV.video_dup_pairs_portable,
+        # production clip path end-to-end (raw clip render -> frame
+        # sampling seam -> gray/resize/dHash -> position-keyed banding):
+        # rows-only by design (DuckDB can't decode clip bytes); bit-equal
+        # to the portable twin, pinned by the consistency twin
+        "video_dup_pairs_native": AV.video_dup_pairs_native,
+        "video_dup_native_consistency": AV.video_dup_native_consistency,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -852,8 +868,11 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_pairs": IH.ORACLE_IMAGE_DHASH_PAIRS,
         "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
         "image_dhash_clusters": IH.ORACLE_IMAGE_DHASH_CLUSTERS,
+        "image_dedup_map": IH.ORACLE_IMAGE_DEDUP_MAP,
         "dup_source_matrix": D.ORACLE_DUP_SOURCE_MATRIX,
         "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
+        "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,
+        "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -214,6 +214,13 @@ BENCH_QUERIES = {
     # r11: image near-dup clusters + the cross-source duplication matrix
     "q_image_dhash_clusters": IH.image_dhash_clusters,
     "q_dup_source_matrix": D.dup_source_matrix,
+    # r12: video near-dup — portable position-keyed banding, and the
+    # production clip path (raw render -> sampling seam -> dHash -> pairs)
+    "q_video_dup": AV.video_dup_pairs_portable,
+    "q_video_dup_native": AV.video_dup_pairs_native,
+    # r12: composed image dedup (exact pass -> banded survivors ->
+    # components -> canonical map)
+    "q_image_dedup_map": IH.image_dedup_map_query,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

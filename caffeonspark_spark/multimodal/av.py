@@ -1133,3 +1133,219 @@ def near_dup_video_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
         .where(F.col("n_frames_matched") >= min_frames)
     )
+
+
+# --- declared video near-dup queries (the image portable/native pattern) ----
+
+#: portable clip geometry: 4 sampled positions per document-clip, frame fi's
+#: pixel rows derive from the text window starting at fi*_V_STRIDE — windows
+#: OVERLAP (stride 64 < frame span 8*16=128) because the documents table's
+#: texts average ~300 chars; near-dup families sharing a prefix then match
+#: at the early positions and diverge at the late ones, giving a graded
+#: n_frames_matched spectrum like real re-encoded clips.
+_V_FRAMES = 4
+_V_STRIDE = 64
+_V_CHUNK = 16
+_V_REP = 4  # native render: each hash pixel replicated 4x4
+
+
+def portable_video_frame_hashes(spark, sf_dir: str) -> DataFrame:
+    """(id, fi, b0..b3) per-frame dHash bands from text-derived pixel
+    matrices: document doc_id is a clip, frame ``fi``'s row ``i`` seeds
+    from the 16-char window at ``fi*64 + i*16`` via the portable char
+    fold, pixels and bands exactly as ``imagehash.portable_image_bands``
+    (same staging discipline: fold once into a real column, never inline
+    it into the 64 bit expressions). One explode to _V_FRAMES rows per
+    doc, no shuffle."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.multimodal.imagehash import (
+        _chunk_fold,
+        portable_image_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = docs.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_V_FRAMES - 1))
+        ).alias("fi"),
+    )
+    chunked = frames.select(
+        "id",
+        "fi",
+        *[
+            F.col("text")
+            .substr(
+                F.col("fi") * F.lit(_V_STRIDE) + F.lit(i * _V_CHUNK + 1),
+                F.lit(_V_CHUNK),
+            )
+            .alias(f"c{i}")
+            for i in range(8)
+        ],
+    )
+    seeded = chunked.select(
+        "id", "fi", *[_chunk_fold(F.col(f"c{i}")).alias(f"r{i}") for i in range(8)]
+    )
+    return seeded.select(
+        "id",
+        F.col("fi").cast("int").alias("fi"),
+        *portable_image_bands([F.col(f"r{i}") for i in range(8)]),
+    )
+
+
+def video_dup_pairs_portable(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): near-duplicate CLIP pairs — the full
+    position-keyed banding + per-frame Hamming + matched-frame gate over
+    portable text-derived frame matrices, verifying every relational stage
+    of the video dedup (frame explode, per-position hot cap, bucket join,
+    distinct, Hamming, the >= min_frames clip gate) against DuckDB
+    exactly. Output ``(id_a, id_b, n_frames_matched)``."""
+    return near_dup_video_pairs(
+        portable_video_frame_hashes(spark, sf_dir),
+        frame_col="fi",
+        min_frames=2,
+    )
+
+
+def _video_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """documents batches → (id, video) with the portable frame matrices
+    rendered as a REAL raw clip: each 8×9 matrix's pixels replicated 4×4
+    into a 32×36 gray frame, frames concatenated frame-major — the exact
+    layout ``fake_decode_video`` reshapes back (byte count matches, so
+    the tile is an identity; pinned by test_fake_decoder_seam_roundtrip).
+    Python mirror of the portable arithmetic — divergence is caught by
+    the consistency twin."""
+    for pdf in pdfs:
+        ids, clips = [], []
+        for rid, text in zip(pdf["doc_id"], pdf["text"]):
+            t = text or ""
+            frames = []
+            for fi in range(_V_FRAMES):
+                rows = []
+                for i in range(8):
+                    lo = fi * _V_STRIDE + i * _V_CHUNK
+                    chunk = t[lo : lo + _V_CHUNK]
+                    r = 0
+                    for ch in chunk:
+                        r = (r * 31 + ord(ch)) % ((1 << 31) - 1)
+                    rows.append([(r * (j + 1) + i) % 256 for j in range(9)])
+                mat = np.array(rows, dtype=np.uint8)
+                frames.append(
+                    np.repeat(np.repeat(mat, _V_REP, axis=0), _V_REP, axis=1)
+                )
+            ids.append(rid)
+            clips.append(np.stack(frames)[..., None].tobytes())
+        yield pd.DataFrame({"id": ids, "video": clips})
+
+
+def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
+    """Declared query (rows-only by design — the hash-native pattern): the
+    PRODUCTION video path end-to-end — render each document's portable
+    frame matrices as a real raw clip, run ``video_sample_frames`` (the
+    decoder seam), per-frame gray → area-resize → dHash, position-keyed
+    banding, per-frame Hamming, clip gate — over clip bytes DuckDB cannot
+    decode. With k = n_frames the uniform sampler picks positions 0..3,
+    and the 4×4 pixel replication makes the 8×9 area-resize an exact
+    block mean, so the pair set is bit-equal to the portable twin's
+    (pinned by ``video_dup_native_consistency``)."""
+    from caffeonspark_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vids = docs.mapInPandas(_video_clip_rows, "id long, video binary")
+    meta = vids.select(
+        "id",
+        F.struct(
+            F.col("video").alias("video"),
+            F.lit(_V_FRAMES).cast("int").alias("n_frames"),
+            F.lit(8 * _V_REP).cast("int").alias("height"),
+            F.lit(9 * _V_REP).cast("int").alias("width"),
+        ).alias("video_meta"),
+    )
+    frames = video_sample_frames(meta, k=_V_FRAMES)
+    hashed = video_frame_hashes(frames)
+    return near_dup_video_pairs(hashed, min_frames=2)
+
+
+def video_dup_native_consistency(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): ONE row proving the native clip path
+    emits EXACTLY the portable twin's pair set — full-outer join of the
+    two (id_a, id_b, n_frames_matched) tables, count, and a boolean any
+    missing or count-mismatched pair flips (the
+    ``image_dhash_native_consistency`` pattern on the video modality;
+    strict equality — the render/decode/resize round-trip is lossless by
+    construction)."""
+    nat = video_dup_pairs_native(spark, sf_dir).withColumnRenamed(
+        "n_frames_matched", "n_cnt"
+    )
+    por = video_dup_pairs_portable(spark, sf_dir).withColumnRenamed(
+        "n_frames_matched", "p_cnt"
+    )
+    both = por.join(nat, ["id_a", "id_b"], "full_outer")
+    bad = F.when(
+        F.col("p_cnt").isNull()
+        | F.col("n_cnt").isNull()
+        | (F.col("p_cnt") != F.col("n_cnt")),
+        1,
+    ).otherwise(0)
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.coalesce(F.sum(bad), F.lit(0)) == 0).alias("pairs_identical"),
+    )
+
+
+_VIDEO_PAIR_CTES = """vchunks AS (
+        SELECT doc_id, fi, i,
+               CASE WHEN length(substring(text, fi*64 + i*16 + 1, 16)) = 0 THEN 0
+                    ELSE list_reduce([CAST(0 AS BIGINT)] ||
+                        list_transform(
+                            range(1, length(substring(text, fi*64 + i*16 + 1, 16)) + 1),
+                            c -> CAST(ascii(substring(text, fi*64 + i*16 + 1, 16)[c]) AS BIGINT)),
+                        (a, x) -> (a * 31 + x) % 2147483647)
+               END AS r
+        FROM documents, range(0, 4) f(fi), range(0, 8) t(i)
+    ),
+    vbits AS (
+        SELECT doc_id, fi, CAST(i // 2 AS INT) AS k,
+               ((i % 2) * 8 + j) AS pos,
+               CASE WHEN (r * (j+1) + i) % 256 < (r * (j+2) + i) % 256
+                    THEN 1 ELSE 0 END AS b
+        FROM vchunks, range(0, 8) s(j)
+    ),
+    vbands AS (
+        SELECT doc_id, fi, k, CAST(SUM(b * (1::BIGINT << pos)) AS BIGINT) AS band
+        FROM vbits GROUP BY doc_id, fi, k
+    ),
+    vok AS (
+        SELECT fi, k, band FROM vbands GROUP BY fi, k, band HAVING COUNT(*) <= 50
+    ),
+    vcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fi
+        FROM vbands a JOIN vok o ON a.fi = o.fi AND a.k = o.k AND a.band = o.band
+        JOIN vbands b ON b.fi = a.fi AND b.k = a.k AND b.band = a.band
+             AND a.doc_id < b.doc_id
+    ),
+    vham AS (
+        SELECT c.id_a, c.id_b, c.fi,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM vcand c
+        JOIN vbands x ON x.doc_id = c.id_a AND x.fi = c.fi
+        JOIN vbands y ON y.doc_id = c.id_b AND y.fi = c.fi AND y.k = x.k
+        GROUP BY c.id_a, c.id_b, c.fi
+    ),
+    vpairs AS (
+        SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+        FROM vham WHERE hamming <= 8
+        GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    )"""
+
+ORACLE_VIDEO_DUP_PAIRS = f"""
+    WITH {_VIDEO_PAIR_CTES}
+    SELECT id_a, id_b, n_frames_matched FROM vpairs
+"""
+
+ORACLE_VIDEO_DUP_CONSISTENCY = f"""
+    WITH {_VIDEO_PAIR_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS pairs_identical
+    FROM vpairs
+"""

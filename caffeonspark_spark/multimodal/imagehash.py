@@ -296,24 +296,7 @@ def image_dhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     over portable text-derived pixel matrices on the documents table —
     verifies every relational stage of the image dedup (band explode, hot
     cap, bucket join, distinct, Hamming filter) against DuckDB exactly."""
-    docs = load_table(spark, sf_dir, "documents")
-    chunked = docs.select(
-        F.col("doc_id").alias("id"),
-        *[
-            F.substring(F.col("text"), i * _CHUNK_LEN + 1, _CHUNK_LEN).alias(
-                f"c{i}"
-            )
-            for i in range(_N_ROWS)
-        ],
-    )
-    seeded = chunked.select(
-        "id",
-        *[_chunk_fold(F.col(f"c{i}")).alias(f"r{i}") for i in range(_N_ROWS)],
-    )
-    hashed = seeded.select(
-        "id", *portable_image_bands([F.col(f"r{i}") for i in range(_N_ROWS)])
-    )
-    return near_dup_band_pairs(hashed)
+    return near_dup_band_pairs(portable_image_hash_table(spark, sf_dir))
 
 
 def _pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -463,4 +446,154 @@ ORACLE_IMAGE_DHASH_CLUSTERS = f"""
         SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
     )
     SELECT node, MIN(lbl) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+# --- composed dedup (exact pass -> banded survivors -> clusters -> map) -----
+
+def image_dedup(
+    hashed: DataFrame,
+    id_col: str = "id",
+    max_hamming: int = 8,
+    max_band_df: int = 50,
+) -> DataFrame:
+    """The composed image dedup — ``clean_corpus``'s staging on pixels,
+    turning ``near_dup_band_pairs``' docstring advice into code:
+
+    1. **exact pass** — group on the FULL 64-bit hash (b0..b3), keep the
+       min-id representative per identical hash. Huge exact-duplicate
+       families (the same thumbnail a million times) collapse BEFORE
+       banding, so the hot-band cap afterwards prunes genuinely
+       degenerate bands (black frames), never duplicate mass;
+    2. **near pass** — banded LSH pairs + Hamming filter over the exact
+       SURVIVORS only;
+    3. **clusters** — connected components over the pair set (min-label,
+       O(diameter) rounds).
+
+    Returns ``(id, keep_id)`` for EVERY input id: ``keep_id`` is the
+    smallest id among all images in its merged exact+near cluster, so
+    ``keep_id == id`` marks survivors and the row count equals the input
+    count (a governance-friendly total mapping, not just the drop list).
+
+    Scale contract: the exact group moves (4×16-bit hash, id) pairs —
+    never pixels; the near pass runs on one row per DISTINCT hash; the
+    component rounds touch only the (tiny) near-pair graph; the final map
+    is two equi-joins on 8-byte keys."""
+    from caffeonspark_spark.operators.dedup import (
+        _persist_replacing,
+        connected_components,
+    )
+
+    ha = hashed.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3")
+    exact_keep = _persist_replacing(
+        "image_dedup_exact_reps",
+        ha.groupBy("b0", "b1", "b2", "b3").agg(F.min("id").alias("rep")),
+        # three consumers: the id->rep map, the survivor hash table, and
+        # (transitively) every pair-phase subtree
+    )
+    exact_map = ha.join(exact_keep, ["b0", "b1", "b2", "b3"]).select("id", "rep")
+    survivors = exact_keep.select(
+        F.col("rep").alias("id"), "b0", "b1", "b2", "b3"
+    )
+    pairs = near_dup_band_pairs(
+        survivors, max_hamming=max_hamming, max_band_df=max_band_df
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "rep")
+    rep_keep = exact_keep.select("rep").join(comp, "rep", "left").select(
+        "rep", F.coalesce("component", F.col("rep")).alias("keep_id")
+    )
+    return exact_map.join(rep_keep, "rep").select("id", "keep_id")
+
+
+def image_dedup_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): the composed dedup's canonical-assignment
+    map over the portable hash table — every document-image's smallest
+    exact+near cluster member, checked against a DuckDB pipeline that
+    re-runs all three stages (exact grouping, survivor-only banding,
+    recursive-CTE components) cell-for-cell."""
+    return image_dedup(
+        portable_image_hash_table(spark, sf_dir)
+    ).orderBy("id")
+
+
+def portable_image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, b0..b3) portable hash table of the documents corpus — the
+    shared front end of the portable declared queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        F.col("doc_id").alias("id"),
+        *[
+            F.substring(F.col("text"), i * _CHUNK_LEN + 1, _CHUNK_LEN).alias(
+                f"c{i}"
+            )
+            for i in range(_N_ROWS)
+        ],
+    )
+    seeded = chunked.select(
+        "id",
+        *[_chunk_fold(F.col(f"c{i}")).alias(f"r{i}") for i in range(_N_ROWS)],
+    )
+    return seeded.select(
+        "id", *portable_image_bands([F.col(f"r{i}") for i in range(_N_ROWS)])
+    )
+
+
+ORACLE_IMAGE_DEDUP_MAP = f"""
+    WITH RECURSIVE {_IMAGE_PAIR_CTES},
+    wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 0 THEN band END) AS b0,
+               MAX(CASE WHEN k = 1 THEN band END) AS b1,
+               MAX(CASE WHEN k = 2 THEN band END) AS b2,
+               MAX(CASE WHEN k = 3 THEN band END) AS b3
+        FROM bands GROUP BY doc_id
+    ),
+    egrp AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS rep
+        FROM wide GROUP BY b0, b1, b2, b3
+    ),
+    emap AS (
+        SELECT w.doc_id AS id, e.rep
+        FROM wide w JOIN egrp e USING (b0, b1, b2, b3)
+    ),
+    rbands AS (
+        SELECT doc_id, k, band FROM bands
+        WHERE doc_id IN (SELECT rep FROM egrp)
+    ),
+    rok AS (
+        SELECT k, band FROM rbands GROUP BY k, band HAVING COUNT(*) <= 50
+    ),
+    rcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rbands a JOIN rok o ON a.k = o.k AND a.band = o.band
+        JOIN rbands b ON b.k = a.k AND b.band = a.band AND a.doc_id < b.doc_id
+    ),
+    rham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM rcand c
+        JOIN rbands x ON x.doc_id = c.id_a
+        JOIN rbands y ON y.doc_id = c.id_b AND y.k = x.k
+        GROUP BY c.id_a, c.id_b
+    ),
+    rpairs AS (SELECT id_a, id_b FROM rham WHERE hamming <= 8),
+    redges AS (
+        SELECT id_a AS u, id_b AS v FROM rpairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM rpairs
+    ),
+    rreach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM redges
+        UNION
+        SELECT e.u, r.lbl FROM redges e JOIN rreach r ON e.v = r.node
+    ),
+    rcomp AS (SELECT node, MIN(lbl) AS component FROM rreach GROUP BY node),
+    repkeep AS (
+        SELECT g.rep, COALESCE(c.component, g.rep) AS keep_id
+        FROM (SELECT DISTINCT rep FROM egrp) g
+        LEFT JOIN rcomp c ON c.node = g.rep
+    )
+    SELECT m.id, r.keep_id
+    FROM emap m JOIN repkeep r ON r.rep = m.rep
+    ORDER BY m.id
 """

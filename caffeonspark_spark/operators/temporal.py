@@ -889,6 +889,28 @@ ORACLE_EVENT_SEQUENCE = """
 """
 
 
+def _zscore_guarded_value() -> "F.Column":
+    """The z-score tripwire's own tripwire: |value| >= 1e12 would overflow
+    the exact decimal(18,6) frame sums (the square needs 2*18+1 = 37 of
+    Spark's 38 digits) and — under Spark's default non-ANSI casts —
+    silently NULL the hottest rows out of the anomaly set. A data-quality
+    monitor must never silently drop the rows it exists to flag, so the
+    cast is guarded: out-of-range values RAISE with a pre-scaling hint
+    instead (``assert_true`` stays NULL — and the ``when`` yields the raw
+    value — for every in-range row, so in-range results are bit-identical
+    to the unguarded form; NULL values pass through like before)."""
+    in_range = F.col("value").isNull() | (F.abs(F.col("value")) < F.lit(1e12))
+    msg = F.concat(
+        F.lit(
+            "rolling_zscore_anomaly: |value| >= 1e12 overflows the exact "
+            "decimal frame sums; pre-scale (e.g. log-transform) the metric "
+            "— got "
+        ),
+        F.col("value").cast("string"),
+    )
+    return F.when(F.assert_true(in_range, msg).isNull(), F.col("value"))
+
+
 def rolling_zscore_anomaly(
     events: DataFrame, n: int = 24, threshold: float = 2.0
 ) -> DataFrame:
@@ -906,11 +928,11 @@ def rolling_zscore_anomaly(
 
     Supported value range: |value| < 10^12. The exact arithmetic squares a
     decimal(18,6) — the widest precision whose product (2·18+1 = 37 digits)
-    still fits Spark's 38-digit decimal without scale truncation — so
-    values at or beyond 1e12 overflow the cast to NULL and their frames are
-    silently excluded. Metrics wider than that should be pre-scaled (e.g.
-    log-transformed) before this tripwire, which is standard practice for
-    magnitude-unbounded counters anyway.
+    still fits Spark's 38-digit decimal without scale truncation. Values at
+    or beyond 1e12 RAISE (``_zscore_guarded_value``) instead of silently
+    NULLing out of the anomaly set (r12 — previously a documented silent
+    exclusion); pre-scale such metrics (e.g. log-transform), which is
+    standard practice for magnitude-unbounded counters anyway.
 
     Scale contract: ONE shuffle (event_type — a handful of coarse keys, but
     the windows are per-type linear scans, so a hot type costs one task's
@@ -921,7 +943,7 @@ def rolling_zscore_anomaly(
     """
     w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
     wf = w.rowsBetween(-(n - 1), 0)
-    vdec = F.col("value").cast("decimal(18,6)")
+    vdec = _zscore_guarded_value().cast("decimal(18,6)")
     nn = float(n)
     framed = events.select(
         "event_id",
@@ -1116,7 +1138,7 @@ def rolling_zscore_anomaly_bucketized(
         F.asc("ts"), F.asc("event_id")
     )
     wf = w.rowsBetween(-k, 0)
-    vdec = F.col("value").cast("decimal(18,6)")
+    vdec = _zscore_guarded_value().cast("decimal(18,6)")
     nn = float(n)
     framed = allrows.select(
         "event_id",

@@ -208,3 +208,32 @@ def test_image_dedup_end_to_end_clusters(spark):
     drop = {r["node"] for r in comp.collect() if r["node"] != r["component"]}
     survivors = sorted({r[0] for r in rows} - drop)
     assert survivors == [0, 10, 20], survivors
+
+
+def test_image_dedup_composed_map(spark):
+    """The r12 composed ``image_dedup``: planted EXACT duplicates (byte-
+    identical JPEGs — collapse in stage 1 without entering the band join)
+    plus near-duplicate variants (resize/re-encode — stage 2/3) all map to
+    the scene's min id; distinct scenes keep themselves. The output is a
+    TOTAL map: one row per input id."""
+    from caffeonspark_spark.multimodal.imagehash import image_dedup
+
+    rows = []
+    for s, seed in enumerate((4, 5, 6)):
+        img = _scene(seed)
+        enc = encode_baseline_jpeg(img, quant=2)
+        rows.append((s * 10 + 0, bytearray(enc)))
+        rows.append((s * 10 + 1, bytearray(enc)))  # exact byte copy
+        rows.append(
+            (s * 10 + 2, bytearray(encode_baseline_jpeg(_downscale(img), quant=2)))
+        )
+        rows.append((s * 10 + 3, bytearray(encode_baseline_jpeg(img, quant=6))))
+    df = spark.createDataFrame(rows, "id long, image binary")
+    got = {
+        r["id"]: r["keep_id"]
+        for r in image_dedup(image_perceptual_hashes(df)).collect()
+    }
+    assert len(got) == len(rows)  # total mapping
+    for s in range(3):
+        for m in range(4):
+            assert got[s * 10 + m] == s * 10, got

@@ -668,6 +668,23 @@ def test_image_dhash_pairs_equi_join_only_plan(spark, sf_smoke):
     assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
 
 
+def test_video_dup_pairs_equi_join_only_plan(spark, sf_smoke):
+    """The video near-dup pair phase is the image contract with frame_idx
+    widening every key: banding equi-joins + per-position Hamming + one
+    matched-frame agg — NO cartesian/nested-loop join, no window, the
+    frame-hash table cached once (InMemoryRelation) for its five plan
+    subtrees, and the documents scan pruned to (doc_id, text)."""
+    from caffeonspark_spark.multimodal.av import video_dup_pairs_portable
+
+    df = video_dup_pairs_portable(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
+
+
 def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
     """Cluster-balanced prototype selection must be: ONE corpus scan, a
     map-only literal-centroid assignment (no join anywhere), and the

@@ -153,3 +153,29 @@ def test_zscore_bucketized_bit_equal_randomized(spark, evs, n):
             )
         )
         assert fine == coarse, unit
+
+
+def test_zscore_out_of_range_value_raises(spark):
+    """|value| >= 1e12 must RAISE (both forms), never silently NULL the
+    row out of the anomaly set — the r12 guard on the decimal(18,6)
+    overflow documented since r10. In-range data is bit-identical to the
+    unguarded form (covered by the oracle gates)."""
+    import datetime
+
+    import pytest
+    from caffeonspark_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+        rolling_zscore_anomaly_bucketized,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i), "a",
+         float(i) if i != 30 else 1.0e12)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    for fn in (rolling_zscore_anomaly, rolling_zscore_anomaly_bucketized):
+        with pytest.raises(Exception, match="1e12|pre-scale"):
+            fn(df).collect()

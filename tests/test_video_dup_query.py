@@ -1,0 +1,106 @@
+"""Declared video near-dup queries: oracle parity of the portable twin,
+native/portable bit-equality, and planted re-encoded-clip recall through
+the PRODUCTION path (sample → hash → position-keyed pairs). Completes the
+modality matrix — text/image/audio/video each with an oracle-checked
+dedup row (VERDICT r11 next-round #4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from caffeonspark_spark.multimodal.av import (
+    ORACLE_VIDEO_DUP_PAIRS,
+    near_dup_video_pairs,
+    video_dup_native_consistency,
+    video_dup_pairs_native,
+    video_dup_pairs_portable,
+    video_frame_hashes,
+    video_sample_frames,
+)
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from tests.oracle_check import compare
+
+
+def test_portable_pairs_match_oracle(spark, sf_smoke):
+    ok, msg = compare(
+        video_dup_pairs_portable(spark, sf_smoke),
+        ORACLE_VIDEO_DUP_PAIRS,
+        sf_smoke,
+    )
+    assert ok, msg
+
+
+def test_native_consistency_row(spark, sf_smoke):
+    rows = video_dup_native_consistency(spark, sf_smoke).collect()
+    assert len(rows) == 1
+    assert rows[0]["pairs_identical"] is True
+    assert rows[0]["n_pairs"] > 0  # vacuous equality would prove nothing
+
+
+def test_native_pair_set_bit_equal(spark, sf_smoke):
+    por = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in video_dup_pairs_portable(spark, sf_smoke).collect()
+    }
+    nat = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in video_dup_pairs_native(spark, sf_smoke).collect()
+    }
+    assert por == nat and len(por) > 0
+    # the matched-frame gate produces a graded spectrum, not just exact
+    # clones: at least two distinct n_frames_matched values at sf0.001
+    assert len(set(por.values())) >= 2, sorted(set(por.values()))
+
+
+def _scene_clip(seed: int, n_frames: int = 8, h: int = 32, w: int = 32) -> np.ndarray:
+    """Smooth per-frame scenes (oriented gradients + blobs — perceptual
+    hashes need structure; uniform noise has none)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    frames = []
+    for t in range(n_frames):
+        a, b = rng.uniform(2.0, 8.0), rng.uniform(2.0, 8.0)
+        img = 128 + 70 * np.sin((a * yy + b * xx) / max(h, w) + t * 0.9)
+        for _ in range(3):
+            cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+            r, amp = rng.uniform(3, 9), rng.uniform(-80, 80)
+            img += amp * np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * r * r)))
+        frames.append(np.clip(img, 0, 255))
+    return np.stack(frames)[..., None]
+
+
+def test_planted_reencoded_clip_pairs(spark):
+    """A 're-encoded' copy — uniform brightness lift + mild deterministic
+    quantization noise, the dHash-invariant distortions a transcode
+    introduces — still pairs with its original at every sampled position;
+    an unrelated clip never pairs."""
+    orig = _scene_clip(7)
+    rng = np.random.default_rng(123)
+    reenc = np.clip(
+        orig.astype(np.float64) + 9.0 + rng.uniform(-2.0, 2.0, orig.shape), 0, 255
+    ).astype(np.uint8)
+    rows = [
+        (0, bytearray(orig.astype(np.uint8).tobytes())),
+        (1, bytearray(reenc.tobytes())),
+        (9, bytearray(_scene_clip(8).astype(np.uint8).tobytes())),
+    ]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("video", T.BinaryType())]
+    )
+    meta = spark.createDataFrame(rows, schema).select(
+        "id",
+        F.struct(
+            F.col("video").alias("video"),
+            F.lit(8).cast("int").alias("n_frames"),
+            F.lit(32).cast("int").alias("height"),
+            F.lit(32).cast("int").alias("width"),
+        ).alias("video_meta"),
+    )
+    hashed = video_frame_hashes(video_sample_frames(meta, k=4))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_frames_matched"]
+        for r in near_dup_video_pairs(hashed, min_frames=3).collect()
+    }
+    assert pairs.get((0, 1)) == 4, pairs
+    assert all(9 not in p for p in pairs), pairs

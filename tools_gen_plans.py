@@ -24,6 +24,7 @@ from caffeonspark_spark.operators import relational as R
 from caffeonspark_spark.operators import sampling as SA  # noqa: F401
 from caffeonspark_spark.operators import textops as TX  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
+from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP
 
@@ -110,6 +111,12 @@ SHOW = {
     ),
     "image_dhash_pairs (band equi-joins + Hamming filter, cached hash table)": (
         IH.image_dhash_pairs_portable
+    ),
+    "image_dedup_map (exact full-hash pass -> survivor-only banding -> canonical map)": (
+        IH.image_dedup_map_query
+    ),
+    "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
+        AV.video_dup_pairs_portable
     ),
     "dup_source_matrix (banded pairs x two source equi-joins, tiny agg)": (
         D.dup_source_matrix

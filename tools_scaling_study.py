@@ -56,6 +56,9 @@ QUERIES = {
     "image_dhash": IH.image_dhash_pairs_portable,
     "image_dhash_native": IH.image_dhash_pairs_native,
     "audio_fingerprint": AV.audio_fingerprint_invariance,
+    "video_dup": AV.video_dup_pairs_portable,
+    "image_dedup_map": IH.image_dedup_map_query,
+    "video_dup_native": AV.video_dup_pairs_native,
     "event_sequences": TP.event_sequence_examples_query,
     "hard_negatives": S.hard_negative_mining_query,
     "cluster_prototypes": S.cluster_prototypes_query,

@@ -420,6 +420,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the portable twin, pinned by the consistency twin
         "video_dup_pairs_native": AV.video_dup_pairs_native,
         "video_dup_native_consistency": AV.video_dup_native_consistency,
+        # clip clusters over the portable pair set (recursive-CTE oracle)
+        "video_dup_clusters": AV.video_dup_clusters,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -873,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
         "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,
         "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
+        "video_dup_clusters": AV.ORACLE_VIDEO_DUP_CLUSTERS,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -221,6 +221,8 @@ BENCH_QUERIES = {
     # r12: composed image dedup (exact pass -> banded survivors ->
     # components -> canonical map)
     "q_image_dedup_map": IH.image_dedup_map_query,
+    # r12: clip clusters (components over the video pair set)
+    "q_video_dup_clusters": AV.video_dup_clusters,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

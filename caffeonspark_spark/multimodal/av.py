@@ -1349,3 +1349,34 @@ ORACLE_VIDEO_DUP_CONSISTENCY = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS pairs_identical
     FROM vpairs
 """
+
+
+def video_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): near-duplicate CLIP clusters — connected
+    components over the portable video pair set, value-checked against a
+    recursive-CTE min-label oracle (``image_dhash_clusters``' pattern on
+    the video modality; completes the pairs → clusters symmetry every
+    other modality already has). At 100 TB this composes the persisted
+    frame-hash table's pair output with the O(diameter)-round min-label
+    machinery — near-dup clip clusters are tiny, so 2-3 rounds."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    return connected_components(
+        video_dup_pairs_portable(spark, sf_dir)
+    ).orderBy("node")
+
+
+ORACLE_VIDEO_DUP_CLUSTERS = f"""
+    WITH RECURSIVE {_VIDEO_PAIR_CTES},
+    vedges AS (
+        SELECT id_a AS u, id_b AS v FROM vpairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM vpairs
+    ),
+    vreach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM vedges
+        UNION
+        SELECT e.u, r.lbl FROM vedges e JOIN vreach r ON e.v = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM vreach GROUP BY node ORDER BY node
+"""

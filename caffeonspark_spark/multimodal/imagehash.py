@@ -484,7 +484,13 @@ def image_dedup(
         connected_components,
     )
 
-    ha = hashed.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3")
+    # the input hash table feeds TWO consumers (the exact groupBy and the
+    # final id->rep map join) — persist it or the per-image hash pass runs
+    # twice (measured ~8 s of the query's cost at sf0.1 before the pin)
+    ha = _persist_replacing(
+        "image_dedup_hash_table",
+        hashed.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3"),
+    )
     exact_keep = _persist_replacing(
         "image_dedup_exact_reps",
         ha.groupBy("b0", "b1", "b2", "b3").agg(F.min("id").alias("rep")),

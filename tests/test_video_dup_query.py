@@ -104,3 +104,15 @@ def test_planted_reencoded_clip_pairs(spark):
     }
     assert pairs.get((0, 1)) == 4, pairs
     assert all(9 not in p for p in pairs), pairs
+
+
+def test_video_dup_clusters_match_oracle(spark, sf_smoke):
+    from caffeonspark_spark.multimodal.av import (
+        ORACLE_VIDEO_DUP_CLUSTERS,
+        video_dup_clusters,
+    )
+
+    ok, msg = compare(
+        video_dup_clusters(spark, sf_smoke), ORACLE_VIDEO_DUP_CLUSTERS, sf_smoke
+    )
+    assert ok, msg

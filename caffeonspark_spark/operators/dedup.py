@@ -1018,12 +1018,25 @@ def dup_source_matrix(
 
 
 def dup_source_matrix_df(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    pairs = minhash_lsh_pairs_portable_df(docs, threshold).select("id_a", "id_b")
-    src = docs.select("doc_id", "source")
-    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
-    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return dup_matrix_from_pairs(
+        minhash_lsh_pairs_portable_df(docs, threshold).select("id_a", "id_b"),
+        docs.select("doc_id", "source"),
+    )
+
+
+def dup_matrix_from_pairs(pairs: DataFrame, sources: DataFrame) -> DataFrame:
+    """The pair-source-agnostic production form of the duplication matrix:
+    ANY modality's near-dup pair table ``(id_a, id_b)`` (text MinHash,
+    image dHash, audio fingerprint, video matched-frame pairs) joined to a
+    ``(doc_id, source)`` map, counted per unordered source pair. Two
+    8-byte-key equi-joins + one |sources|²-row agg — the composition
+    ``dup_source_matrix``'s docstring promises, as code (pinned by
+    ``test_video_dup_query::test_video_pairs_through_dup_matrix``)."""
+    a = sources.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = sources.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
     return (
-        pairs.join(a, "id_a")
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
         .join(b, "id_b")
         .groupBy(
             F.least("_sa", "_sb").alias("source_a"),

@@ -116,3 +116,24 @@ def test_video_dup_clusters_match_oracle(spark, sf_smoke):
         video_dup_clusters(spark, sf_smoke), ORACLE_VIDEO_DUP_CLUSTERS, sf_smoke
     )
     assert ok, msg
+
+
+def test_video_pairs_through_dup_matrix(spark, sf_smoke):
+    """The duplication matrix is pair-source-agnostic: the VIDEO pair
+    table drops into ``dup_matrix_from_pairs`` unchanged, and the matrix
+    counts exactly the pair multiset grouped by unordered source pair."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.dedup import dup_matrix_from_pairs
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    pairs = video_dup_pairs_portable(spark, sf_smoke)
+    got = {
+        (r["source_a"], r["source_b"]): r["n_dup_pairs"]
+        for r in dup_matrix_from_pairs(pairs, docs).collect()
+    }
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    expect: dict = {}
+    for r in pairs.collect():
+        k = tuple(sorted((src[r["id_a"]], src[r["id_b"]])))
+        expect[k] = expect.get(k, 0) + 1
+    assert got == expect and sum(got.values()) > 0

@@ -511,6 +511,72 @@ def image_dedup(
     return exact_map.join(rep_keep, "rep").select("id", "keep_id")
 
 
+def image_dedup_against_corpus(
+    new_hashes: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "id",
+    max_hamming: int = 8,
+    max_band_df: int = 50,
+) -> DataFrame:
+    """Bipartite image near-dup: pairs of NEW images against an existing
+    REFERENCE corpus hash table — the incremental-ingest shape
+    (``dedup_against_corpus``'s text pattern on pixels: dedup each crawl
+    batch against images already kept; a within-corpus self-join cannot
+    express it). Returns ``(new_id, ref_id, hamming)``.
+
+    Scale contract: the corpus band table is the artifact you materialize
+    ONCE (8 bytes/band/image) and reuse per batch; candidates are
+    CROSS-side band collisions only (the join keeps new×ref, never
+    ref×ref), the hot cap is computed on the CORPUS side (the side big
+    enough to have degenerate bands), and the Hamming re-join moves four
+    smallints per id. Both hash tables persist through the released memo
+    — each feeds the band explode and a Hamming side."""
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    hn = _persist_replacing(
+        "image_corpus_dedup_new",
+        new_hashes.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3"),
+    )
+    hr = _persist_replacing(
+        "image_corpus_dedup_ref",
+        corpus_hashes.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3"),
+    )
+
+    def bands(t: DataFrame) -> DataFrame:
+        return t.select(
+            "id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band")
+        )
+
+    ok = (
+        bands(hr).groupBy("k", "band")
+        .count()
+        .where(F.col("count") <= max_band_df)
+        .drop("count")
+    )
+    cand = (
+        bands(hn).join(ok, ["k", "band"])
+        .alias("a")
+        .join(
+            bands(hr).alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.band") == F.col("b.band")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("ref_id"))
+        .distinct()
+    )
+    xa = hn.select(*[F.col(c).alias(f"a_{c}") for c in hn.columns])
+    xb = hr.select(*[F.col(c).alias(f"b_{c}") for c in hr.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
+        for k in range(4)
+    ).cast("long")
+    return (
+        cand.join(xa, cand.new_id == xa.a_id)
+        .join(xb, cand.ref_id == xb.b_id)
+        .select("new_id", "ref_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def image_dedup_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query (✔oracle): the composed dedup's canonical-assignment
     map over the portable hash table — every document-image's smallest

@@ -237,3 +237,35 @@ def test_image_dedup_composed_map(spark):
     for s in range(3):
         for m in range(4):
             assert got[s * 10 + m] == s * 10, got
+
+
+def test_image_dedup_against_corpus_bipartite(spark):
+    """Incremental-ingest image dedup: a new batch containing a re-encoded
+    copy of a corpus image pairs with EXACTLY that corpus image; pairs are
+    strictly cross-side (the batch's internal duplicate pair and the
+    corpus's internal structure never appear)."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        image_dedup_against_corpus,
+    )
+
+    corpus_rows = [
+        (100 + i, bytearray(encode_baseline_jpeg(_scene(seed), quant=2)))
+        for i, seed in enumerate((4, 5, 6))
+    ]
+    dup = _scene(5)
+    new_rows = [
+        (0, bytearray(encode_baseline_jpeg(dup, quant=6))),  # re-encode of 101
+        (1, bytearray(encode_baseline_jpeg(dup, quant=6))),  # its exact twin
+        (2, bytearray(encode_baseline_jpeg(_scene(9), quant=2))),  # fresh
+    ]
+    hn = image_perceptual_hashes(
+        spark.createDataFrame(new_rows, "id long, image binary")
+    )
+    hr = image_perceptual_hashes(
+        spark.createDataFrame(corpus_rows, "id long, image binary")
+    )
+    pairs = {
+        (r["new_id"], r["ref_id"])
+        for r in image_dedup_against_corpus(hn, hr).collect()
+    }
+    assert pairs == {(0, 101), (1, 101)}, pairs

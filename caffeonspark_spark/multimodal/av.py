@@ -1218,6 +1218,8 @@ def _video_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     the consistency twin."""
     for pdf in pdfs:
         ids, clips = [], []
+        from caffeonspark_spark.multimodal.imagehash import _FP_MOD
+
         for rid, text in zip(pdf["doc_id"], pdf["text"]):
             t = text or ""
             frames = []
@@ -1228,7 +1230,7 @@ def _video_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     chunk = t[lo : lo + _V_CHUNK]
                     r = 0
                     for ch in chunk:
-                        r = (r * 31 + ord(ch)) % ((1 << 31) - 1)
+                        r = (r * 31 + ord(ch)) % _FP_MOD
                     rows.append([(r * (j + 1) + i) % 256 for j in range(9)])
                 mat = np.array(rows, dtype=np.uint8)
                 frames.append(

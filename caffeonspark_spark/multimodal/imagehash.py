@@ -495,9 +495,21 @@ def image_dedup(
         "image_dedup_exact_reps",
         ha.groupBy("b0", "b1", "b2", "b3").agg(F.min("id").alias("rep")),
         # three consumers: the id->rep map, the survivor hash table, and
-        # (transitively) every pair-phase subtree
+        # the component base — without the pin each re-runs the groupBy
+        # SHUFFLE over ha. The near pass additionally memo-pins its own
+        # (id, b0..b3) reprojection of these rows: ~40 B/distinct-hash of
+        # duplicated cache, accepted — two extra full shuffles of the
+        # distinct-hash table would cost more at 100 TB than the copy
     )
-    exact_map = ha.join(exact_keep, ["b0", "b1", "b2", "b3"]).select("id", "rep")
+    # null-SAFE band equality: groupBy treats NULL bands as a group, so a
+    # null-unsafe equi-join here would silently drop NULL-band rows (a
+    # user-supplied hash table with NULL bands, e.g. a portable fold over
+    # NULL text) from the documented TOTAL map — the silent-exclusion
+    # defect class the zscore guard exists for
+    exact_map = ha.join(
+        exact_keep,
+        [ha[c].eqNullSafe(exact_keep[c]) for c in ("b0", "b1", "b2", "b3")],
+    ).select("id", "rep")
     survivors = exact_keep.select(
         F.col("rep").alias("id"), "b0", "b1", "b2", "b3"
     )

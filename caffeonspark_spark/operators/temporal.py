@@ -941,6 +941,8 @@ def rolling_zscore_anomaly(
     share one partitioning + ordering, so Catalyst plans a single
     Exchange + Sort (plan-pinned).
     """
+    if n < 2:
+        raise ValueError("rolling z-score needs n >= 2 (sample stddev divides by n-1)")
     w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
     wf = w.rowsBetween(-(n - 1), 0)
     vdec = _zscore_guarded_value().cast("decimal(18,6)")
@@ -1030,6 +1032,8 @@ def rolling_zscore_anomaly_bucketized(
     horizon window), and one broadcast join of that metadata; carry
     volume is ≤ (n-1) rows per qualifying (src, dst) bucket pair. The 8×
     scaling study records the ratio vs the coarse form (SCALE.md)."""
+    if n < 2:
+        raise ValueError("rolling z-score needs n >= 2 (sample stddev divides by n-1)")
     k = n - 1
     ev = events.select(
         "event_id",

@@ -269,3 +269,21 @@ def test_image_dedup_against_corpus_bipartite(spark):
         for r in image_dedup_against_corpus(hn, hr).collect()
     }
     assert pairs == {(0, 101), (1, 101)}, pairs
+
+
+def test_image_dedup_total_map_with_null_bands(spark):
+    """A hash table containing NULL-band rows (a portable fold over NULL
+    text) must still produce a TOTAL map — null-band rows group together
+    and map to their min id instead of silently vanishing from the
+    output (null-safe band equality in the rep join)."""
+    from caffeonspark_spark.multimodal.imagehash import image_dedup
+
+    rows = [
+        (1, 10, 20, 30, 40),
+        (2, 10, 20, 30, 40),
+        (7, None, None, None, None),
+        (9, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
+    got = {r["id"]: r["keep_id"] for r in image_dedup(df).collect()}
+    assert got == {1: 1, 2: 1, 7: 7, 9: 7}, got

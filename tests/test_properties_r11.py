@@ -179,3 +179,34 @@ def test_zscore_out_of_range_value_raises(spark):
     for fn in (rolling_zscore_anomaly, rolling_zscore_anomaly_bucketized):
         with pytest.raises(Exception, match="1e12|pre-scale"):
             fn(df).collect()
+
+
+def test_zscore_n1_rejected_up_front(spark):
+    """n=1 is degenerate for a SAMPLE-stddev z-score (divides by n-1):
+    both forms must reject it with a clear ValueError at plan-build time
+    — the r12 bounded-horizon rewrite would otherwise crash deep inside
+    Catalyst with an invalid (1, 0) frame, and the coarse form with a
+    runtime DIVIDE_BY_ZERO."""
+    import datetime
+
+    import pytest
+    from caffeonspark_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+        rolling_zscore_anomaly_bucketized,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i), "a", float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    for fn in (rolling_zscore_anomaly, rolling_zscore_anomaly_bucketized):
+        with pytest.raises(ValueError, match="n >= 2"):
+            fn(df, n=1)
+    # n=2, the smallest legal window, runs in both forms and stays
+    # bit-equal (same oracle contract as the default n)
+    a = sorted(map(tuple, rolling_zscore_anomaly(df, n=2).collect()))
+    b = sorted(map(tuple, rolling_zscore_anomaly_bucketized(df, n=2).collect()))
+    assert a == b

@@ -1457,11 +1457,16 @@ def connected_components(
     component = min node id of the cluster.
 
     This is the genuinely-iterative operator class (SURVEY §2 note on
-    non-SQL-expressible ops): each round is two shuffles (join + min-agg)
-    over the edge list, converging in O(graph diameter) rounds — near-dup
-    clusters are tiny (pairs/triples), so 2-3 rounds in practice. Labels are
-    localCheckpointed per round to cut the exponential lineage an iterative
-    plan otherwise builds.
+    non-SQL-expressible ops): each round is a neighbor-min step (join +
+    min-agg over the edge list) followed by a POINTER-JUMP (label ←
+    label(label), a labels self-join), so labels converge in O(log
+    diameter) rounds instead of O(diameter) — the r12 profile found the
+    sf0.1 portable image pair graph converging in exactly 20 plain
+    min-label rounds (a ~20-hop shared-prefix chain), ONE round from the
+    max_iter=20 non-convergence raise; with path halving the same graph
+    closes in 5 rounds and max_iter=20 covers diameters up to ~2^20.
+    Labels are localCheckpointed per round to cut the exponential lineage
+    an iterative plan otherwise builds.
     """
     both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1473,6 +1478,21 @@ def connected_components(
     )
     nodes = both.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
+    # size the per-round partition count to the GRAPH, not the session:
+    # the count() action materializes the checkpointed edge list (round 1
+    # would have anyway) and a tiny graph (hundreds of banding-bounded
+    # pairs) then runs its ~3 min-label rounds on ONE partition instead of
+    # scheduling defaultParallelism near-empty tasks per job — measured
+    # ~2-3x off the verification-form clusters queries at sf0.1; big
+    # graphs keep full parallelism (one partition per ~50k edges).
+    n_edges = both.count()
+    parts = max(
+        1,
+        min(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            n_edges // 50_000 + 1,
+        ),
+    )
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -1483,15 +1503,26 @@ def connected_components(
         # old and new labels meet in THIS join, so the convergence flag is
         # computed in the same pass and read off the materialized
         # checkpoint — no extra old-vs-new join per round
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "_mid"
+            ),
+            (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_c1"),
+        )
+        # pointer jump (path halving): adopt my label's label. _mid is
+        # always a node id of the graph (min over node-id labels), so the
+        # self-join hits; the left+coalesce only guards the invariant.
+        jump = stepped.select(
+            F.col("node").alias("_jn"), F.col("_mid").alias("_jl")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(jump, stepped["_mid"] == jump["_jn"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "new_label"
-                ),
+                F.coalesce("_jl", F.col("_mid")).alias("new_label"),
                 (
-                    F.coalesce("nbr_label", F.col("label")) < F.col("label")
+                    F.col("_c1") | (F.coalesce("_jl", F.col("_mid")) < F.col("_mid"))
                 ).alias("_changed"),
             )
             # labels are one row per node IN THE EDGE SET (near-dup graphs
@@ -1499,7 +1530,7 @@ def connected_components(
             # partitions before materializing so each iteration doesn't
             # schedule sql.shuffle.partitions near-empty tasks — driver
             # sessions without tuned confs run 200 by default
-            .coalesce(edges.sparkSession.sparkContext.defaultParallelism)
+            .coalesce(parts)
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         changed = new_labels.where(F.col("_changed")).limit(1).count()

@@ -644,3 +644,18 @@ def test_edit_distance_hot_block_cap(spark):
     assert edit_distance_dup_pairs(df, max_block=10).count() == 0
     # without the cap the near-identical prefixes pair up
     assert edit_distance_dup_pairs(df, max_block=100).count() > 0
+
+
+def test_connected_components_long_chain_within_default_iters(spark):
+    """r12 pointer-jumping guard: a 40-node chain (diameter 39) converges
+    well inside the default max_iter=20 — the plain one-hop min-label
+    form needed one round PER HOP and the real sf0.1 image pair graph
+    (a ~20-hop shared-prefix chain) sat one round from the
+    non-convergence raise; path halving closes diameter d in O(log d)."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 40

@@ -287,3 +287,26 @@ def test_image_dedup_total_map_with_null_bands(spark):
     df = spark.createDataFrame(rows, "id long, b0 long, b1 long, b2 long, b3 long")
     got = {r["id"]: r["keep_id"] for r in image_dedup(df).collect()}
     assert got == {1: 1, 2: 1, 7: 7, 9: 7}, got
+
+
+def test_huge_exact_family_survives_composition(spark):
+    """The scenario the exact-first staging exists for: 300 byte-identical
+    images (band document frequency 300 >> max_band_df) make the naive
+    banded pair phase drop the family ENTIRELY at the hot cap — but the
+    composed image_dedup collapses them in the exact pass first, so every
+    copy still maps to the min id and the band phase sees ONE survivor."""
+    from caffeonspark_spark.multimodal.imagehash import image_dedup
+
+    enc = encode_baseline_jpeg(_scene(4), quant=2)
+    fresh = encode_baseline_jpeg(_scene(9), quant=2)
+    rows = [(i, bytearray(enc)) for i in range(300)] + [(999, bytearray(fresh))]
+    hashed = image_perceptual_hashes(
+        spark.createDataFrame(rows, "id long, image binary")
+    )
+    # naive banding: the family's bands are all hot -> zero pairs
+    assert near_dup_band_pairs(hashed, max_band_df=50).collect() == []
+    # composition: exact pass first -> total map, family -> min id
+    got = {r["id"]: r["keep_id"] for r in image_dedup(hashed).collect()}
+    assert len(got) == 301
+    assert all(got[i] == 0 for i in range(300))
+    assert got[999] == 999

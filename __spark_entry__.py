@@ -422,6 +422,19 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dup_native_consistency": AV.video_dup_native_consistency,
         # clip clusters over the portable pair set (recursive-CTE oracle)
         "video_dup_clusters": AV.video_dup_clusters,
+        # --- r12: audio near-dup pairs/clusters — the last modality without
+        # declared dedup rows. Portable twin: temporal-gradient fingerprints
+        # over text-derived log-mel stand-ins, verifying the audio packing
+        # layout (gradient direction, bit offsets, row-pair banding) in SQL
+        "audio_dup_pairs": AV.audio_dup_pairs_portable,
+        # planted gain-family recall through the PRODUCTION path (synth ->
+        # PCM16 RIFF encode -> decode -> log-mel -> fingerprint -> band
+        # machinery): the emitted pair set EQUALS the family combinatorics
+        # (gain invariance is exact; measured min cross-family Hamming 6 vs
+        # the <=2 gate), so the oracle checks recall AND precision per pair
+        "audio_dup_pairs_native": AV.audio_dup_pairs_native,
+        # clip clusters over the portable audio pair set (recursive CTE)
+        "audio_dup_clusters": AV.audio_dup_clusters,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -876,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
         "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,
         "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
         "video_dup_clusters": AV.ORACLE_VIDEO_DUP_CLUSTERS,
+        "audio_dup_pairs": AV.ORACLE_AUDIO_DUP_PAIRS,
+        "audio_dup_pairs_native": AV.ORACLE_AUDIO_DUP_NATIVE,
+        "audio_dup_clusters": AV.ORACLE_AUDIO_DUP_CLUSTERS,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -223,6 +223,12 @@ BENCH_QUERIES = {
     "q_image_dedup_map": IH.image_dedup_map_query,
     # r12: clip clusters (components over the video pair set)
     "q_video_dup_clusters": AV.video_dup_clusters,
+    # r12: audio near-dup — portable temporal-gradient banding, and the
+    # production path (synth -> PCM16 -> decode -> log-mel -> fingerprint
+    # -> band pairs); clusters over the portable pair set
+    "q_audio_dup": AV.audio_dup_pairs_portable,
+    "q_audio_dup_native": AV.audio_dup_pairs_native,
+    "q_audio_dup_clusters": AV.audio_dup_clusters,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
 }

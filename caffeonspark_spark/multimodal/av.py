@@ -1382,3 +1382,263 @@ ORACLE_VIDEO_DUP_CLUSTERS = f"""
     )
     SELECT node, MIN(lbl) AS component FROM vreach GROUP BY node ORDER BY node
 """
+
+
+# --- declared audio near-dup queries (pairs/clusters — completes the
+# --- five-modality dedup symmetry: text/embedding/image/video all have
+# --- declared pair+cluster rows; audio had only the invariance check) -------
+
+#: portable fingerprint geometry: 9 "frames" (16-char text windows at
+#: stride 32, covering 272 of the documents' ~300 chars) -> 8 temporal
+#: gradient rows x 8 "mel" columns = 64 bits. Stride 32 > chunk 16 leaves
+#: gaps on purpose: measured at sf0.01 the contiguous stride-16 layout
+#: yields only 46 pairs (22 exact) while stride 32 yields 222 (23 exact +
+#: 199 graded) AND exercises the hot-band cap (2 hot bands at sf0.01,
+#: 9 at sf0.1) — a richer spectrum for the same relational plan.
+_A_WINDOWS = 9
+_A_CHUNK = 16
+_A_STRIDE = 32
+#: native planted families: 4 level-scaled copies of one clip per family
+#: (gain invariance of the temporal gradient is EXACT — pinned by
+#: test_gain_invariance_is_exact; re-measured over 1250 families x 3 gain
+#: pairs through PCM16 encode: max intra-family drift 1 bit)
+_A_GAINS = (1.0, 0.5, 0.8, 0.65)
+_A_FAMILY = 4
+
+
+def portable_audio_fingerprints(spark, sf_dir: str) -> DataFrame:
+    """(id, b0..b3) per-document TEMPORAL-GRADIENT fingerprint bands from
+    text-derived log-mel stand-ins — the audio member of the portable
+    twin family (``imagehash.portable_image_bands``' role for the audio
+    packing layout). Window ``t``'s seed folds the 16-char chunk at
+    ``t*32`` (the portable char fold); cell(t, j) = (r_t·(j+1) + t) mod
+    256 stands in for log-mel[t, j]; bit(t, j) = cell(t+1, j) >
+    cell(t, j) — the EXACT comparison direction of
+    ``audio_spectral_fingerprint`` (lm[1:] > lm[:-1]) — and band k packs
+    gradient rows 2k, 2k+1 at bit position j + (t mod 2)·8, the exact
+    weight layout of the production packing (its ``weights`` array). A
+    local text edit perturbs only the windows it touches (≤ 2 gradient
+    rows, ≤ 2 bands), so shared-prefix near-dup families produce a graded
+    Hamming spectrum like real re-encoded audio.
+
+    Staging discipline: fold each chunk into a REAL column first — every
+    seed feeds 32 cell comparisons and Catalyst re-evaluates an inlined
+    fold at each reference (the ``portable_image_bands`` lesson: ~256
+    fold evaluations per row, measured 30 s vs ~2 s staged)."""
+    from caffeonspark_spark.catalog import load_table
+
+    return _portable_audio_bands(load_table(spark, sf_dir, "documents"))
+
+
+def _portable_audio_bands(docs: DataFrame) -> DataFrame:
+    """The band construction over any ``(doc_id, text)`` frame — split out
+    so tests can feed crafted documents (edit locality, mirror parity)."""
+    from caffeonspark_spark.multimodal.imagehash import _chunk_fold
+
+    chunked = docs.select(
+        F.col("doc_id").alias("id"),
+        *[
+            F.col("text")
+            .substr(F.lit(t * _A_STRIDE + 1), F.lit(_A_CHUNK))
+            .alias(f"c{t}")
+            for t in range(_A_WINDOWS)
+        ],
+    )
+    seeded = chunked.select(
+        "id",
+        *[_chunk_fold(F.col(f"c{t}")).alias(f"r{t}") for t in range(_A_WINDOWS)],
+    )
+
+    def cell(t: int, j: int) -> Column:
+        return F.pmod(F.col(f"r{t}") * F.lit(j + 1) + F.lit(t), F.lit(256))
+
+    bands = []
+    for k in range(4):
+        total = F.lit(0).cast("long")
+        for t in (2 * k, 2 * k + 1):
+            for j in range(8):
+                bit = (cell(t + 1, j) > cell(t, j)).cast("long")
+                total = total + bit * F.lit(1 << (j + (t % 2) * 8))
+        bands.append(total.alias(f"b{k}"))
+    return seeded.select("id", *bands)
+
+
+def audio_dup_pairs_portable(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): near-duplicate AUDIO pairs — the shared
+    band machinery (``near_dup_band_pairs``: band explode, hot cap,
+    bucket join, distinct, Hamming filter) over portable text-derived
+    temporal-gradient fingerprints, verifying the audio PACKING LAYOUT
+    (gradient direction, per-row bit offsets, row-pair banding) against
+    DuckDB exactly. Output ``(id_a, id_b, hamming)``."""
+    from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
+
+    return near_dup_band_pairs(portable_audio_fingerprints(spark, sf_dir))
+
+
+def audio_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle): near-duplicate audio clip clusters —
+    connected components over the portable audio pair set, value-checked
+    against a recursive-CTE min-label oracle (the
+    ``image_dhash_clusters`` / ``video_dup_clusters`` pattern on the
+    audio modality). At 100 TB this composes the persisted fingerprint
+    table's pair output with the O(log diameter) pointer-jumping
+    min-label machinery."""
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    return connected_components(
+        audio_dup_pairs_portable(spark, sf_dir).select("id_a", "id_b")
+    ).orderBy("node")
+
+
+def synthetic_rich_clip(seed: int, n: int = 1400, sr: int = 8000) -> np.ndarray:
+    """Deterministic 10-segment wide-band chirp sequence — the
+    HIGH-ENTROPY audio fixture for dedup recall checks.
+    ``synthetic_tone_clip``'s 4 narrow segments are fine for the
+    SELF-relative invariance query but their fingerprints collide across
+    clips: measured over 1250 clips, min cross-clip Hamming 0 and — with
+    the planted 4-copy families — 349/1250 families had ALL four bands
+    over the df-50 hot cap (a chirp sweeping up moves energy up the mel
+    bands, making many gradient bits predictable). Ten independent
+    segments with both sweep directions over 150-3500 Hz push the
+    fingerprint entropy up: measured min cross-clip Hamming 6, zero
+    cross pairs at ≤ 2, max band df 96, zero all-hot families — while
+    keeping every gradient cell decisive (max intra-family drift through
+    PCM16 + gain: 1 bit over 3750 pairs). Same PCG64 determinism note as
+    ``synthetic_tone_clip``."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    w = np.zeros(n)
+    edges = np.linspace(0, n, 11).astype(int)
+    for s in range(10):
+        f0 = rng.uniform(150.0, 3500.0)
+        f1 = rng.uniform(150.0, 3500.0)
+        a = rng.uniform(0.15, 0.85)
+        seg = slice(edges[s], edges[s + 1])
+        ts = t[seg] - t[seg][0]
+        dur = max(len(ts) / sr, 1e-9)
+        w[seg] = a * np.sin(2 * np.pi * (f0 * ts + (f1 - f0) / (2 * dur) * ts * ts))
+    return w.astype(np.float32)
+
+
+def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle — exact pair-set equality, stronger than
+    the rows-only hash-native pattern): PLANTED-FAMILY RECALL through the
+    production audio path. Every 4 consecutive doc_ids form a family
+    sharing one high-entropy clip (``synthetic_rich_clip``, seeded by the
+    family id) at four gain levels; each copy is PCM16-encoded to real
+    RIFF/WAVE bytes and runs decode → log-mel → gradient fingerprint →
+    the shared band machinery at ``max_hamming=2``. The temporal gradient
+    cancels a constant gain exactly, so every within-family pair is found
+    (measured max drift 1 bit), and at Hamming ≤ 2 no cross-family pair
+    survives (measured min cross distance 6 over the sf0.1 family set) —
+    the emitted ``(id_a, id_b)`` set EQUALS the family combinatorics,
+    which IS the DuckDB oracle. Both directions checked: a missed copy
+    (recall) or a false pair (precision) breaks the hash.
+
+    Scale posture: one metadata-pruned documents scan, one linear
+    synth+encode pass, one linear fingerprint pass into the persisted
+    band table, then the banding-bounded pair plan — identical to the
+    image/video native forms."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, wavs, ns = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = synthetic_rich_clip(did - did % _A_FAMILY)
+                g = np.float32(_A_GAINS[did % _A_FAMILY])
+                ids.append(did)
+                wavs.append(encode_wav_pcm16(g * w, 8000))
+                ns.append(len(w))
+            yield pd.DataFrame({"id": ids, "wav": wavs, "ns": ns})
+
+    clips = docs.mapInPandas(gen, "id long, wav binary, ns int")
+    fp = audio_spectral_fingerprint(
+        clips.select(
+            "id",
+            audio_struct_col(
+                F.col("wav"), F.lit(8000), F.col("ns")
+            ).alias("audio_meta"),
+        ),
+        decoder=wav_frame_decoder,
+    )
+    return near_dup_band_pairs(fp, max_hamming=2).select("id_a", "id_b")
+
+
+_AUDIO_PAIR_CTES = """awin AS (
+        SELECT doc_id, t,
+               CASE WHEN length(substring(text, t*32 + 1, 16)) = 0 THEN 0
+                    ELSE list_reduce([CAST(0 AS BIGINT)] ||
+                        list_transform(
+                            range(1, length(substring(text, t*32 + 1, 16)) + 1),
+                            c -> CAST(ascii(substring(text, t*32 + 1, 16)[c]) AS BIGINT)),
+                        (a, x) -> (a * 31 + x) % 2147483647)
+               END AS r
+        FROM documents, range(0, 9) s(t)
+    ),
+    acell AS (
+        SELECT doc_id, t, j, (r * (j+1) + t) % 256 AS m
+        FROM awin, range(0, 8) q(j)
+    ),
+    abit AS (
+        SELECT a.doc_id, CAST(a.t // 2 AS INT) AS k,
+               (a.j + (a.t % 2) * 8) AS pos,
+               CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+        FROM acell a
+        JOIN acell b ON b.doc_id = a.doc_id AND b.t = a.t + 1 AND b.j = a.j
+        WHERE a.t < 8
+    ),
+    abands AS (
+        SELECT doc_id, k, CAST(SUM(bit * (1::BIGINT << pos)) AS BIGINT) AS band
+        FROM abit GROUP BY doc_id, k
+    ),
+    aok AS (
+        SELECT k, band FROM abands GROUP BY k, band HAVING COUNT(*) <= 50
+    ),
+    acand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM abands a JOIN aok o ON a.k = o.k AND a.band = o.band
+        JOIN abands b ON b.k = a.k AND b.band = a.band AND a.doc_id < b.doc_id
+    ),
+    apairs AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM acand c
+        JOIN abands x ON x.doc_id = c.id_a
+        JOIN abands y ON y.doc_id = c.id_b AND y.k = x.k
+        GROUP BY c.id_a, c.id_b
+        HAVING SUM(bit_count(xor(x.band, y.band))) <= 8
+    )"""
+
+ORACLE_AUDIO_DUP_PAIRS = f"""
+    WITH {_AUDIO_PAIR_CTES}
+    SELECT id_a, id_b, hamming FROM apairs
+"""
+
+ORACLE_AUDIO_DUP_CLUSTERS = f"""
+    WITH RECURSIVE {_AUDIO_PAIR_CTES},
+    aedges AS (
+        SELECT id_a AS u, id_b AS v FROM apairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM apairs
+    ),
+    areach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM aedges
+        UNION
+        SELECT e.u, r.lbl FROM aedges e JOIN areach r ON e.v = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM areach GROUP BY node ORDER BY node
+"""
+
+# the family combinatorics: every within-family ordered pair — the exact
+# set the planted-gain construction guarantees the production path emits
+ORACLE_AUDIO_DUP_NATIVE = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON (a.doc_id - (a.doc_id % 4)) = (b.doc_id - (b.doc_id % 4))
+     AND a.doc_id < b.doc_id
+"""

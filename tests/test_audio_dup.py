@@ -1,0 +1,166 @@
+"""Declared audio near-dup family: the portable temporal-gradient
+fingerprint against a pure-Python mirror, edit locality of the window
+geometry, planted gain-family recall through the PRODUCTION path, and
+cluster composition vs plain union-find."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from caffeonspark_spark.multimodal.av import (
+    _A_CHUNK,
+    _A_GAINS,
+    _A_STRIDE,
+    _A_WINDOWS,
+    _portable_audio_bands,
+    audio_dup_clusters,
+    audio_dup_pairs_portable,
+    audio_spectral_fingerprint,
+    audio_struct_col,
+    encode_wav_pcm16,
+    synthetic_rich_clip,
+    wav_frame_decoder,
+)
+from caffeonspark_spark.multimodal.imagehash import _FP_MOD, near_dup_band_pairs
+
+from pyspark.sql import functions as F
+
+
+def _mirror_bands(text: str) -> tuple[int, int, int, int]:
+    """Pure-Python mirror of the portable construction (and of the DuckDB
+    oracle CTEs): char-fold seeds over 16-char windows at stride 32, cell
+    (r_t*(j+1) + t) mod 256, bit = cell(t+1) > cell(t), production weight
+    layout j + (t mod 2)*8 with band k packing rows 2k, 2k+1."""
+    t_ = text or ""
+    rs = []
+    for t in range(_A_WINDOWS):
+        r = 0
+        for ch in t_[t * _A_STRIDE : t * _A_STRIDE + _A_CHUNK]:
+            r = (r * 31 + ord(ch)) % _FP_MOD
+        rs.append(r)
+    cells = [[(rs[t] * (j + 1) + t) % 256 for j in range(8)] for t in range(_A_WINDOWS)]
+    bands = []
+    for k in range(4):
+        total = 0
+        for t in (2 * k, 2 * k + 1):
+            for j in range(8):
+                if cells[t + 1][j] > cells[t][j]:
+                    total += 1 << (j + (t % 2) * 8)
+        bands.append(total)
+    return tuple(bands)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_portable_bands_match_python_mirror(spark):
+    """The Spark expression tree and the Python/DuckDB-mirror arithmetic
+    agree band-for-band — including empty and short texts (fold 0 seeds)."""
+    texts = [
+        "",
+        "a",
+        "key agg row scan slow fast table value part hash " * 8,
+        "x" * (_A_WINDOWS * _A_STRIDE + 40),
+        "the quick brown fox jumps over the lazy dog " * 7,
+    ]
+    got = {
+        r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in _portable_audio_bands(_docs_df(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _mirror_bands(t), f"doc {i} diverged"
+        for b in got[i]:
+            assert 0 <= b <= 0xFFFF  # the 16-bit band contract
+
+
+def test_edit_locality_of_window_geometry(spark):
+    """A single-char edit inside ONE window perturbs at most the two
+    gradient rows that read it (≤ 2 bands, ≤ 16 bits); identical texts
+    hash identically. The property that turns shared-prefix families into
+    a graded Hamming spectrum."""
+    base = "abcdefghijklmnop" * 20  # 320 chars, covers all 9 windows
+    # edit inside window 4 only (stride 32, chunk 16: chars 128..143)
+    edited = base[:130] + "Z" + base[131:]
+    rows = {
+        r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in _portable_audio_bands(
+            _docs_df(spark, [base, edited, base])
+        ).collect()
+    }
+    assert rows[0] == rows[2]
+    diff_bands = sum(1 for k in range(4) if rows[0][k] != rows[1][k])
+    ham = sum(bin(rows[0][k] ^ rows[1][k]).count("1") for k in range(4))
+    assert 0 < diff_bands <= 2, "edit must touch >=1 and <=2 bands"
+    assert ham <= 16, "one window feeds at most 2 gradient rows (16 bits)"
+
+
+def test_planted_gain_families_recall_exact(spark):
+    """The native query's construction at unit scale: 3 families x 4 gain
+    levels through synth -> PCM16 -> RIFF decode -> log-mel ->
+    fingerprint -> band machinery at Hamming <= 2 emits EXACTLY the
+    family combinatorics — recall (gain invariance of the temporal
+    gradient) and precision (rich clips keep cross distance >= 6) in one
+    set equality."""
+    rows = []
+    for fam in (0, 40, 80):
+        w = synthetic_rich_clip(fam)
+        for m, g in enumerate(_A_GAINS):
+            enc = encode_wav_pcm16(np.float32(g) * w, 8000)
+            rows.append((fam + m, bytearray(enc), len(w)))
+    base = spark.createDataFrame(rows, "id long, audio binary, ns int")
+    hashed = audio_spectral_fingerprint(
+        base.select(
+            "id",
+            audio_struct_col(F.col("audio"), F.lit(8000), F.col("ns")).alias(
+                "audio_meta"
+            ),
+        ),
+        decoder=wav_frame_decoder,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_band_pairs(hashed, max_hamming=2).collect()
+    }
+    want = {
+        (fam + i, fam + j)
+        for fam in (0, 40, 80)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == want
+
+
+def test_clusters_match_union_find(spark, sf_smoke):
+    """The declared cluster query equals plain union-find over the
+    declared pair set — the components machinery (pointer-jumping
+    min-label) introduces no splits or merges."""
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in audio_dup_pairs_portable(spark, sf_smoke).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # min-label canonicalization: map each root to the min member
+    roots: dict[int, int] = {}
+    for n, r in want.items():
+        roots[r] = min(roots.get(r, n), n)
+    want = {n: roots[find(n)] for n in parent}
+    got = {
+        r["node"]: r["component"]
+        for r in audio_dup_clusters(spark, sf_smoke).collect()
+    }
+    assert got == want

@@ -685,6 +685,35 @@ def test_video_dup_pairs_equi_join_only_plan(spark, sf_smoke):
     assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
 
 
+def test_audio_dup_pairs_equi_join_only_plan(spark, sf_smoke):
+    """The audio near-dup pair phase shares the image contract: banding
+    equi-joins + the Hamming filter — NO cartesian/nested-loop join, no
+    window, the fingerprint table cached once (InMemoryRelation) for its
+    five plan subtrees, and the documents scan pruned to (doc_id, text)."""
+    from caffeonspark_spark.multimodal.av import audio_dup_pairs_portable
+
+    df = audio_dup_pairs_portable(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
+
+
+def test_audio_dup_native_scan_pruned_plan(spark, sf_smoke):
+    """The planted-family native path must feed the synth pass from a
+    doc_id-ONLY documents scan (text never decodes into the clip
+    generator) and keep the pair phase equi-join-only."""
+    from caffeonspark_spark.multimodal.av import audio_dup_pairs_native
+
+    df = audio_dup_pairs_native(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)
+
+
 def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
     """Cluster-balanced prototype selection must be: ONE corpus scan, a
     map-only literal-centroid assignment (no join anywhere), and the

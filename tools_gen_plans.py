@@ -118,6 +118,9 @@ SHOW = {
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),
+    "audio_dup_pairs (staged gradient seeds -> band equi-joins, cached fingerprint table)": (
+        AV.audio_dup_pairs_portable
+    ),
     "dup_source_matrix (banded pairs x two source equi-joins, tiny agg)": (
         D.dup_source_matrix
     ),

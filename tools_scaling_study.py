@@ -59,6 +59,8 @@ QUERIES = {
     "video_dup": AV.video_dup_pairs_portable,
     "image_dedup_map": IH.image_dedup_map_query,
     "video_dup_native": AV.video_dup_pairs_native,
+    "audio_dup": AV.audio_dup_pairs_portable,
+    "audio_dup_native": AV.audio_dup_pairs_native,
     "event_sequences": TP.event_sequence_examples_query,
     "hard_negatives": S.hard_negative_mining_query,
     "cluster_prototypes": S.cluster_prototypes_query,
@@ -137,15 +139,22 @@ def _build(spark, k: int) -> str:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    # integer args are scale factors; name args restrict the query set
+    ks = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8]
+    only = {a for a in sys.argv[1:] if not a.isdigit()}
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"ERROR: unknown queries {sorted(unknown)}")
+        raise SystemExit(2)
+    queries = {q: f for q, f in QUERIES.items() if not only or q in only}
     spark = get_spark(
         Config(master="local[32]", shuffle_partitions=32, app_name="scaling")
     )
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[int, float]] = {q: {} for q in queries}
     for k in ks:
         sf_dir = _build(spark, k)
-        for name, fn in QUERIES.items():
+        for name, fn in queries.items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()

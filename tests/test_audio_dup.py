@@ -76,6 +76,52 @@ def test_portable_bands_match_python_mirror(spark):
             assert 0 <= b <= 0xFFFF  # the 16-bit band contract
 
 
+def test_portable_bands_random_sweep_triangle(spark):
+    """Triangle closure over 200 seeded random ASCII texts (lengths 0-400,
+    words/punctuation/digits), batched into ONE Spark job: Spark expression
+    tree == Python mirror == the DuckDB oracle CTE arithmetic. The declared
+    query's rehearsal proves Spark==DuckDB on the real corpus; this pins
+    all three on adversarial lengths (window-boundary partials, empties)."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    alphabet = list("abcdefghij KLMNO.,;:0123456789 ")
+    texts = [
+        "".join(rng.choice(alphabet, size=int(n)))
+        for n in rng.integers(0, 401, size=200)
+    ]
+    got = {
+        r["id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in _portable_audio_bands(_docs_df(spark, texts)).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        ),
+    )
+    from caffeonspark_spark.multimodal.av import _AUDIO_PAIR_CTES
+
+    duck = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.sql(
+            "WITH " + _AUDIO_PAIR_CTES + """
+            SELECT doc_id,
+                   MAX(CASE WHEN k=0 THEN band END) AS b0,
+                   MAX(CASE WHEN k=1 THEN band END) AS b1,
+                   MAX(CASE WHEN k=2 THEN band END) AS b2,
+                   MAX(CASE WHEN k=3 THEN band END) AS b3
+            FROM abands GROUP BY doc_id"""
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        mirror = _mirror_bands(t)
+        assert got[i] == mirror, f"spark vs python diverged on doc {i}"
+        assert duck[i] == mirror, f"duckdb vs python diverged on doc {i}"
+
+
 def test_edit_locality_of_window_geometry(spark):
     """A single-char edit inside ONE window perturbs at most the two
     gradient rows that read it (≤ 2 bands, ≤ 16 bits); identical texts

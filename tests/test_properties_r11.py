@@ -181,6 +181,34 @@ def test_zscore_out_of_range_value_raises(spark):
             fn(df).collect()
 
 
+def test_zscore_nonfinite_value_raises_with_accurate_message(spark):
+    """NaN/Infinity sentinels also decimal-cast to NULL, so they raise
+    too — but with their OWN message: the overflow hint ('pre-scale the
+    metric') cannot repair a non-finite value, and a monitor's crash line
+    must name the actual defect (r12 review finding)."""
+    import datetime
+
+    import pytest
+    from caffeonspark_spark.operators.temporal import (
+        rolling_zscore_anomaly,
+        rolling_zscore_anomaly_bucketized,
+    )
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        rows = [
+            (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+             "a", float(i) if i != 30 else bad)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, event_type string, value double",
+        )
+        for fn in (rolling_zscore_anomaly, rolling_zscore_anomaly_bucketized):
+            with pytest.raises(Exception, match="non-finite"):
+                fn(df).collect()
+
+
 def test_zscore_n1_rejected_up_front(spark):
     """n=1 is degenerate for a SAMPLE-stddev z-score (divides by n-1):
     both forms must reject it with a clear ValueError at plan-build time

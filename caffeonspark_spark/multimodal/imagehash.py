@@ -487,7 +487,15 @@ def image_dedup(
     Scale contract: the exact group moves (4×16-bit hash, id) pairs —
     never pixels; the near pass runs on one row per DISTINCT hash; the
     component rounds touch only the (tiny) near-pair graph; the final map
-    is two equi-joins on 8-byte keys."""
+    is two equi-joins on 8-byte keys.
+
+    MODALITY-AGNOSTIC despite the name: any ``(id, b0..b3)`` band table
+    composes — ``audio_spectral_fingerprint`` drops in directly (pinned
+    by ``test_audio_dup::test_audio_fingerprints_through_composed_dedup``;
+    the per-clip exact pass collapses gain-identical fingerprints before
+    banding exactly like byte-identical thumbnails). Per-FRAME video
+    hashes do not: the clip gate (≥ min_frames matched positions) needs
+    ``near_dup_video_pairs``' position-keyed pair phase instead."""
     from caffeonspark_spark.operators.dedup import (
         _persist_replacing,
         connected_components,

@@ -179,6 +179,44 @@ def test_planted_gain_families_recall_exact(spark):
     assert got == want
 
 
+def test_audio_fingerprints_through_composed_dedup(spark):
+    """The composed dedup map (`imagehash.image_dedup`) is modality-
+    agnostic: the audio spectral fingerprint table drops straight in.
+    Planted gain families (bit-identical fingerprints) collapse in the
+    EXACT pass to the family min id; distinct clips survive as their own
+    keep_id; the map is TOTAL (one row per input clip)."""
+    from caffeonspark_spark.multimodal.imagehash import image_dedup
+
+    rows = []
+    fams = (0, 40, 80)
+    for fam in fams:
+        w = synthetic_rich_clip(fam)
+        for m, g in enumerate(_A_GAINS):
+            enc = encode_wav_pcm16(np.float32(g) * w, 8000)
+            rows.append((fam + m, bytearray(enc), len(w)))
+    # two singletons with their own clips
+    for sid in (200, 300):
+        w = synthetic_rich_clip(sid)
+        rows.append((sid, bytearray(encode_wav_pcm16(w, 8000)), len(w)))
+    base = spark.createDataFrame(rows, "id long, audio binary, ns int")
+    fp = audio_spectral_fingerprint(
+        base.select(
+            "id",
+            audio_struct_col(F.col("audio"), F.lit(8000), F.col("ns")).alias(
+                "audio_meta"
+            ),
+        ),
+        decoder=wav_frame_decoder,
+    )
+    got = {r["id"]: r["keep_id"] for r in image_dedup(fp, max_hamming=2).collect()}
+    assert len(got) == len(rows), "map must be total"
+    for fam in fams:
+        for m in range(4):
+            assert got[fam + m] == fam, f"clip {fam + m} must map to {fam}"
+    for sid in (200, 300):
+        assert got[sid] == sid, f"singleton {sid} must keep itself"
+
+
 def test_clusters_match_union_find(spark, sf_smoke):
     """The declared cluster query equals plain union-find over the
     declared pair set — the components machinery (pointer-jumping

@@ -1133,6 +1133,77 @@ def near_dup_video_pairs(
     )
 
 
+def video_dedup_map(
+    frame_hashes: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    max_hamming: int = 8,
+    max_band_df: int = 50,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Total clip-level canonical map ``(id, keep_id)`` — the
+    ``image_dedup`` composition for the VIDEO modality, which cannot use
+    that generic band-table form directly: the clip gate (≥ ``min_frames``
+    matched positions) lives in ``near_dup_video_pairs``' position-keyed
+    pair phase, and the exact pass must group on the CONCATENATED
+    per-position hash sequence, not one row's bands.
+
+    Stages (clean_corpus's staging on clips):
+
+    1. **exact pass** — group clips on the full ordered frame-hash
+       sequence (array_agg sorted by position); byte-identical re-uploads
+       collapse to the min-id representative before banding;
+    2. **near pass** — the position-keyed banded pair phase over the
+       exact survivors' frame hashes only;
+    3. **clusters + total map** — components over the pair set, every
+       input id mapped to the min id of its merged exact+near cluster
+       (``keep_id == id`` marks survivors; row count equals clip count).
+
+    Scale contract: the exact group moves (id, 4·n_frames smallints) —
+    never frames; the near pass runs on one clip per DISTINCT sequence;
+    the final map is two 8-byte-key equi-joins."""
+    from caffeonspark_spark.operators.dedup import (
+        _persist_replacing,
+        connected_components,
+    )
+
+    ha = _persist_replacing(
+        "video_dedup_frame_hashes",
+        frame_hashes.select(
+            F.col(id_col).alias("id"),
+            F.col(frame_col).alias("fi"),
+            "b0", "b1", "b2", "b3",
+        ),
+    )
+    seq = ha.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("fi", "b0", "b1", "b2", "b3"))
+        ).alias("_seq")
+    )
+    exact_keep = _persist_replacing(
+        "video_dedup_exact_reps",
+        seq.groupBy("_seq").agg(F.min("id").alias("rep")),
+    )
+    exact_map = seq.join(exact_keep, "_seq").select("id", "rep")
+    survivors = ha.join(
+        exact_keep.select(F.col("rep").alias("id")), "id"
+    )
+    pairs = near_dup_video_pairs(
+        survivors,
+        frame_col="fi",
+        max_hamming=max_hamming,
+        max_band_df=max_band_df,
+        min_frames=min_frames,
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b")
+    ).withColumnRenamed("node", "rep")
+    rep_keep = exact_keep.select("rep").join(comp, "rep", "left").select(
+        "rep", F.coalesce("component", F.col("rep")).alias("keep_id")
+    )
+    return exact_map.join(rep_keep, "rep").select("id", "keep_id")
+
+
 # --- declared video near-dup queries (the image portable/native pattern) ----
 
 #: portable clip geometry: 4 sampled positions per document-clip, frame fi's

@@ -162,3 +162,36 @@ def test_frame_hash_table_persisted_once(spark):
     plan = physical_plan(near_dup_video_pairs(hashed))
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_video_dedup_map_total_composition(spark):
+    """The clip-level canonical map: byte-identical hash SEQUENCES
+    collapse in the exact pass, a 1-bit-perturbed near copy merges
+    through the position-keyed pair phase, an unrelated clip keeps
+    itself, and the map is TOTAL over clips with frames."""
+    from caffeonspark_spark.multimodal.av import video_dedup_map
+
+    rng = np.random.default_rng(7)
+    def clip_hashes(cid, base, flip_bit=None):
+        rows = []
+        for fi in range(4):
+            b = list(base[fi])
+            if flip_bit is not None and fi == flip_bit:
+                b[0] ^= 1  # one bit in one position's band 0
+            rows.append((cid, fi, *b))
+        return rows
+
+    def rand_bands():
+        return [tuple(int(x) for x in rng.integers(0, 65536, 4)) for _ in range(4)]
+
+    fam_a, fam_b = rand_bands(), rand_bands()
+    rows = []
+    rows += clip_hashes(0, fam_a)            # exact family {0,1}
+    rows += clip_hashes(1, fam_a)
+    rows += clip_hashes(2, fam_a, flip_bit=2)  # near copy of family A
+    rows += clip_hashes(10, fam_b)           # unrelated singleton
+    df = spark.createDataFrame(
+        rows, "id long, frame_idx int, b0 long, b1 long, b2 long, b3 long"
+    )
+    got = {r["id"]: r["keep_id"] for r in video_dedup_map(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10}

@@ -1140,6 +1140,7 @@ def video_dedup_map(
     max_hamming: int = 8,
     max_band_df: int = 50,
     min_frames: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Total clip-level canonical map ``(id, keep_id)`` — the
     ``image_dedup`` composition for the VIDEO modality, which cannot use
@@ -1196,7 +1197,7 @@ def video_dedup_map(
         min_frames=min_frames,
     )
     comp = connected_components(
-        pairs.select("id_a", "id_b")
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
     ).withColumnRenamed("node", "rep")
     rep_keep = exact_keep.select("rep").join(comp, "rep", "left").select(
         "rep", F.coalesce("component", F.col("rep")).alias("keep_id")
@@ -1422,7 +1423,9 @@ ORACLE_VIDEO_DUP_CONSISTENCY = f"""
 """
 
 
-def video_dup_clusters(spark, sf_dir: str) -> DataFrame:
+def video_dup_clusters(
+    spark, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Declared query (✔oracle): near-duplicate CLIP clusters — connected
     components over the portable video pair set, value-checked against a
     recursive-CTE min-label oracle (``image_dhash_clusters``' pattern on
@@ -1433,7 +1436,8 @@ def video_dup_clusters(spark, sf_dir: str) -> DataFrame:
     from caffeonspark_spark.operators.dedup import connected_components
 
     return connected_components(
-        video_dup_pairs_portable(spark, sf_dir)
+        video_dup_pairs_portable(spark, sf_dir),
+        checkpoint_dir=checkpoint_dir,
     ).orderBy("node")
 
 
@@ -1544,7 +1548,9 @@ def audio_dup_pairs_portable(spark, sf_dir: str) -> DataFrame:
     return near_dup_band_pairs(portable_audio_fingerprints(spark, sf_dir))
 
 
-def audio_dup_clusters(spark, sf_dir: str) -> DataFrame:
+def audio_dup_clusters(
+    spark, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Declared query (✔oracle): near-duplicate audio clip clusters —
     connected components over the portable audio pair set, value-checked
     against a recursive-CTE min-label oracle (the
@@ -1555,7 +1561,8 @@ def audio_dup_clusters(spark, sf_dir: str) -> DataFrame:
     from caffeonspark_spark.operators.dedup import connected_components
 
     return connected_components(
-        audio_dup_pairs_portable(spark, sf_dir).select("id_a", "id_b")
+        audio_dup_pairs_portable(spark, sf_dir).select("id_a", "id_b"),
+        checkpoint_dir=checkpoint_dir,
     ).orderBy("node")
 
 

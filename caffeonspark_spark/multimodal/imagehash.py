@@ -375,7 +375,9 @@ def image_dhash_native_consistency(
     )
 
 
-def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_dhash_clusters(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Declared query (✔oracle): near-duplicate image CLUSTERS — the
     survivor-group assignment step after pair generation — as connected
     components over the portable pair set, value-checked against a
@@ -387,7 +389,8 @@ def image_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from caffeonspark_spark.operators.dedup import connected_components
 
     return connected_components(
-        image_dhash_pairs_portable(spark, sf_dir)
+        image_dhash_pairs_portable(spark, sf_dir),
+        checkpoint_dir=checkpoint_dir,
     ).orderBy("node")
 
 
@@ -465,6 +468,7 @@ def image_dedup(
     id_col: str = "id",
     max_hamming: int = 8,
     max_band_df: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The composed image dedup — ``clean_corpus``'s staging on pixels,
     turning ``near_dup_band_pairs``' docstring advice into code:
@@ -533,7 +537,9 @@ def image_dedup(
     pairs = near_dup_band_pairs(
         survivors, max_hamming=max_hamming, max_band_df=max_band_df
     )
-    comp = connected_components(pairs).withColumnRenamed("node", "rep")
+    comp = connected_components(
+        pairs, checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", "rep")
     rep_keep = exact_keep.select("rep").join(comp, "rep", "left").select(
         "rep", F.coalesce("component", F.col("rep")).alias("keep_id")
     )

@@ -1449,7 +1449,11 @@ ORACLE_CLEAN_CORPUS_CONSISTENCY = f"""
 # --- 8. near-duplicate clustering (connected components) ------------------
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by iterative
     min-label propagation: every node repeatedly adopts the smallest label
@@ -1465,16 +1469,34 @@ def connected_components(
     min-label rounds (a ~20-hop shared-prefix chain), ONE round from the
     max_iter=20 non-convergence raise; with path halving the same graph
     closes in 5 rounds and max_iter=20 covers diameters up to ~2^20.
-    Labels are localCheckpointed per round to cut the exponential lineage
-    an iterative plan otherwise builds.
+    Labels are checkpointed per round to cut the exponential lineage an
+    iterative plan otherwise builds. By default the pin is
+    ``localCheckpoint`` (executor-local blocks — fastest, fine for
+    single-JVM local mode and the test gates). Pass ``checkpoint_dir`` to
+    use DURABLE ``checkpoint()`` into that directory instead: on a real
+    multi-executor cluster an executor loss invalidates localCheckpoint
+    blocks and kills the whole iterative job non-recoverably, while a
+    reliable checkpoint on shared storage (HDFS/S3) survives it — the same
+    durability discipline the reference applies to its iterative state via
+    HDFS snapshots (reference ``CaffeOnSpark.scala`` source/snapshot state
+    paths). ``setCheckpointDir`` is per-SparkContext (global); callers
+    sharing a session should pass the same directory.
     """
-    both = (
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    both = _pin(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))),
         # the edge list is re-joined EVERY round; without the pin each
         # iteration re-executed the full upstream plan (for neardup
         # clusters: the banded LSH self-join + top-N sort) once per round
-        .localCheckpoint(eager=False)
+        eager=False,
     )
     nodes = both.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
@@ -1494,7 +1516,7 @@ def connected_components(
         ),
     )
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         neighbor_min = (
             both.join(labels, both.v == labels.node)
             .groupBy(F.col("u").alias("node"))
@@ -1521,12 +1543,22 @@ def connected_components(
         # idempotent ⇒ component min); contraction still composes two
         # label applications per round, so O(log diameter) rounds hold
         # (the 40-node-chain pytest pins the bound empirically).
-        jump = labels.select(
-            F.col("node").alias("_jn"), F.col("label").alias("_jl")
-        )
-        new_labels = (
-            stepped.join(jump, stepped["_mid"] == jump["_jn"], "left")
-            .select(
+        if rnd == 0:
+            # round 1 reads the IDENTITY label map (label(x) == x), so the
+            # lagged pointer jump would be a dead self-join — skip it and
+            # take the neighbor-min result directly (r12 ADVICE item)
+            jumped = stepped.select(
+                "node",
+                F.col("_mid").alias("new_label"),
+                F.col("_c1").alias("_changed"),
+            )
+        else:
+            jump = labels.select(
+                F.col("node").alias("_jn"), F.col("label").alias("_jl")
+            )
+            jumped = stepped.join(
+                jump, stepped["_mid"] == jump["_jn"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("_mid"), F.coalesce("_jl", F.col("_mid"))
@@ -1535,13 +1567,14 @@ def connected_components(
                     F.col("_c1") | (F.coalesce("_jl", F.col("_mid")) < F.col("_mid"))
                 ).alias("_changed"),
             )
+        new_labels = _pin(
             # labels are one row per node IN THE EDGE SET (near-dup graphs
             # are tiny relative to the corpus); coalesce to core-count
             # partitions before materializing so each iteration doesn't
             # schedule sql.shuffle.partitions near-empty tasks — driver
             # sessions without tuned confs run 200 by default
-            .coalesce(parts)
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            jumped.coalesce(parts),
+            eager=True,  # truncate iterative lineage
         )
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
@@ -1560,7 +1593,12 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def neardup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Declared query: cluster MinHash-LSH near-duplicate pairs into
     components (the dedup group assignment a pipeline keeps one survivor
     per). VALUE-checked since r6 against ``ORACLE_NEARDUP_CLUSTERS`` — a
@@ -1568,7 +1606,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -
     native and portable pair sets coincide on this corpus); clustering
     semantics additionally pinned by unit test with planted chains."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold, top=10**6)
-    return connected_components(pairs).orderBy("node")
+    return connected_components(pairs, checkpoint_dir=checkpoint_dir).orderBy(
+        "node"
+    )
 
 
 # --- 6. benchmark decontamination ----------------------------------------

@@ -401,6 +401,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivors -> components -> canonical map; clean_corpus's staging
         # on pixels) — every id with its smallest cluster member
         "image_dedup_map": IH.image_dedup_map_query,
+        # --- r13: bipartite crawl-batch-vs-kept-corpus image near-dup
+        # (the dedup_against_corpus split on the portable hash table;
+        # corpus-side hot cap, cross-side candidates only)
+        "image_dedup_against_corpus": IH.image_dedup_against_corpus_query,
         "dup_source_matrix": D.dup_source_matrix,
         # --- r11: audio spectral fingerprint re-encode invariance — the
         # full decode -> log-mel -> gradient-fingerprint path on PCM16 AND
@@ -884,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
         "image_dhash_clusters": IH.ORACLE_IMAGE_DHASH_CLUSTERS,
         "image_dedup_map": IH.ORACLE_IMAGE_DEDUP_MAP,
+        "image_dedup_against_corpus": IH.ORACLE_IMAGE_DEDUP_AGAINST_CORPUS,
         "dup_source_matrix": D.ORACLE_DUP_SOURCE_MATRIX,
         "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
         "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,

@@ -231,6 +231,9 @@ BENCH_QUERIES = {
     "q_audio_dup_clusters": AV.audio_dup_clusters,
     # r10: cluster-balanced prototype selection (map-only assign + limit)
     "q_cluster_prototypes": S.cluster_prototypes_query,
+    # r13: bipartite batch-vs-corpus image dedup (corpus-capped cross-side
+    # band equi-joins over the split portable hash tables)
+    "q_image_corpus_dedup": IH.image_dedup_against_corpus_query,
 }
 
 

@@ -623,7 +623,13 @@ def image_dedup_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def portable_image_hash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, b0..b3) portable hash table of the documents corpus — the
     shared front end of the portable declared queries."""
-    docs = load_table(spark, sf_dir, "documents")
+    return portable_image_hash_table_df(load_table(spark, sf_dir, "documents"))
+
+
+def portable_image_hash_table_df(docs: DataFrame) -> DataFrame:
+    """``portable_image_hash_table`` over an explicit documents frame —
+    lets declared queries hash a SUBSET (e.g. the corpus/batch split of
+    ``image_dedup_against_corpus_query``) with identical arithmetic."""
     chunked = docs.select(
         F.col("doc_id").alias("id"),
         *[
@@ -700,4 +706,66 @@ ORACLE_IMAGE_DEDUP_MAP = f"""
     SELECT m.id, r.keep_id
     FROM emap m JOIN repkeep r ON r.rep = m.rep
     ORDER BY m.id
+"""
+
+
+# --- cross-corpus (incremental) image dedup as a declared query -------------
+
+def image_dedup_against_corpus_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared query (✔oracle): bipartite image near-dup — the portable
+    hash table split by source (``src10+`` = incoming crawl batch,
+    ``src0-9`` = kept corpus, the ``dedup_against_corpus`` split) and
+    each batch image matched against the corpus only. This is the
+    highest-frequency production dedup shape: dedup every new batch
+    against what you already kept, where a within-corpus self-join
+    cannot express the asymmetry. Value-checked cell-for-cell against a
+    DuckDB twin that re-runs the fold→bands→corpus-capped bipartite
+    join→Hamming pipeline.
+
+    Scale notes live on ``image_dedup_against_corpus``: corpus band table
+    materialized once per corpus version, candidates ∝ CROSS-side band
+    collisions, hot cap computed on the corpus side."""
+    from caffeonspark_spark.operators.dedup import split_corpus_by_source
+
+    new_docs, ref_docs = split_corpus_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+    return image_dedup_against_corpus(
+        portable_image_hash_table_df(new_docs),
+        portable_image_hash_table_df(ref_docs),
+    ).orderBy("new_id", "ref_id")
+
+
+ORACLE_IMAGE_DEDUP_AGAINST_CORPUS = f"""
+    WITH {_IMAGE_PAIR_CTES},
+    srcmap AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+        FROM documents
+    ),
+    xbands AS (
+        SELECT b.doc_id, s.is_new, b.k, b.band
+        FROM bands b JOIN srcmap s USING (doc_id)
+    ),
+    rok AS (
+        SELECT k, band FROM xbands WHERE NOT is_new
+        GROUP BY k, band HAVING COUNT(*) <= 50
+    ),
+    xcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+        FROM xbands a JOIN rok o ON a.k = o.k AND a.band = o.band
+        JOIN xbands b ON b.k = a.k AND b.band = a.band
+        WHERE a.is_new AND NOT b.is_new
+    ),
+    xham AS (
+        SELECT c.new_id, c.ref_id,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM xcand c
+        JOIN bands x ON x.doc_id = c.new_id
+        JOIN bands y ON y.doc_id = c.ref_id AND y.k = x.k
+        GROUP BY c.new_id, c.ref_id
+    )
+    SELECT new_id, ref_id, hamming FROM xham WHERE hamming <= 8
+    ORDER BY new_id, ref_id
 """

@@ -310,3 +310,21 @@ def test_huge_exact_family_survives_composition(spark):
     assert len(got) == 301
     assert all(got[i] == 0 for i in range(300))
     assert got[999] == 999
+
+
+def test_image_dedup_against_corpus_query_matches_oracle(spark, sf_smoke):
+    """r13 declared query: the portable batch-vs-corpus pair set matches
+    the DuckDB bipartite twin cell-for-cell at smoke scale (the driver
+    repeats this at sf0.01)."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        ORACLE_IMAGE_DEDUP_AGAINST_CORPUS,
+        image_dedup_against_corpus_query,
+    )
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        image_dedup_against_corpus_query(spark, sf_smoke),
+        ORACLE_IMAGE_DEDUP_AGAINST_CORPUS,
+        sf_smoke,
+    )
+    assert ok, msg

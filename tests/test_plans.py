@@ -728,3 +728,22 @@ def test_cluster_prototypes_map_only_assign_plan(spark, sf_smoke):
     assert plan.count(") WindowGroupLimit") == 2, plan
     assert shuffle_count(df) == 1, plan
     assert read_schema_columns(df) == [{"vec_id", "embedding"}]
+
+
+def test_image_corpus_dedup_bipartite_plan(spark, sf_smoke):
+    """The batch-vs-corpus image dedup must stay bipartite banding
+    equi-joins: NO cartesian/nested-loop join, both hash tables cached
+    once (InMemoryRelation), and each documents scan pruned to
+    (doc_id, source, text) — source only for the split predicate."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        image_dedup_against_corpus_query,
+    )
+
+    df = image_dedup_against_corpus_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    for cols in read_schema_columns(df):
+        assert cols == {"doc_id", "source", "text"}, read_schema_columns(df)

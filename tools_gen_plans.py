@@ -115,6 +115,9 @@ SHOW = {
     "image_dedup_map (exact full-hash pass -> survivor-only banding -> canonical map)": (
         IH.image_dedup_map_query
     ),
+    "image_dedup_against_corpus (bipartite corpus-capped band equi-joins)": (
+        IH.image_dedup_against_corpus_query
+    ),
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),

@@ -426,6 +426,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dup_native_consistency": AV.video_dup_native_consistency,
         # clip clusters over the portable pair set (recursive-CTE oracle)
         "video_dup_clusters": AV.video_dup_clusters,
+        # --- r13: the composed video dedup map (exact sequence pass ->
+        # survivor-only position-keyed banding -> components -> TOTAL
+        # (id, keep_id) map; image_dedup_map's declaration on clips)
+        "video_dedup_map": AV.video_dedup_map_query,
         # --- r12: audio near-dup pairs/clusters — the last modality without
         # declared dedup rows. Portable twin: temporal-gradient fingerprints
         # over text-derived log-mel stand-ins, verifying the audio packing
@@ -894,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,
         "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
         "video_dup_clusters": AV.ORACLE_VIDEO_DUP_CLUSTERS,
+        "video_dedup_map": AV.ORACLE_VIDEO_DEDUP_MAP,
         "audio_dup_pairs": AV.ORACLE_AUDIO_DUP_PAIRS,
         "audio_dup_pairs_native": AV.ORACLE_AUDIO_DUP_NATIVE,
         "audio_dup_clusters": AV.ORACLE_AUDIO_DUP_CLUSTERS,

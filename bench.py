@@ -234,6 +234,9 @@ BENCH_QUERIES = {
     # r13: bipartite batch-vs-corpus image dedup (corpus-capped cross-side
     # band equi-joins over the split portable hash tables)
     "q_image_corpus_dedup": IH.image_dedup_against_corpus_query,
+    # r13: composed video dedup map (exact sequence pass -> survivor-only
+    # position-keyed banding -> components -> total map)
+    "q_video_dedup_map": AV.video_dedup_map_query,
 }
 
 

@@ -1457,6 +1457,81 @@ ORACLE_VIDEO_DUP_CLUSTERS = f"""
 """
 
 
+def video_dedup_map_query(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle, r13): the composed video dedup's
+    canonical-assignment map over the portable frame-hash table — every
+    document-clip's smallest exact+near cluster member, checked against a
+    DuckDB pipeline that re-runs all three stages cell-for-cell: exact
+    grouping on the ordered per-position band sequence, position-keyed
+    banding over the exact SURVIVORS only (the hot cap counts survivors,
+    not raw clips — the staging that keeps the cap pruning degenerate
+    bands, never duplicate mass), and recursive-CTE components. The
+    ``image_dedup_map`` declaration pattern on the video modality;
+    ``min_frames=2`` matches the declared pair query's clip gate."""
+    return video_dedup_map(
+        portable_video_frame_hashes(spark, sf_dir),
+        frame_col="fi",
+        min_frames=2,
+    ).orderBy("id")
+
+
+ORACLE_VIDEO_DEDUP_MAP = f"""
+    WITH RECURSIVE {_VIDEO_PAIR_CTES},
+    vseq AS (
+        SELECT doc_id, list(band ORDER BY fi, k) AS seq
+        FROM vbands GROUP BY doc_id
+    ),
+    vegrp AS (SELECT seq, MIN(doc_id) AS rep FROM vseq GROUP BY seq),
+    vemap AS (
+        SELECT s.doc_id AS id, e.rep FROM vseq s JOIN vegrp e ON s.seq = e.seq
+    ),
+    svb AS (
+        SELECT doc_id, fi, k, band FROM vbands
+        WHERE doc_id IN (SELECT rep FROM vegrp)
+    ),
+    svok AS (
+        SELECT fi, k, band FROM svb GROUP BY fi, k, band HAVING COUNT(*) <= 50
+    ),
+    svcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fi
+        FROM svb a JOIN svok o ON a.fi = o.fi AND a.k = o.k AND a.band = o.band
+        JOIN svb b ON b.fi = a.fi AND b.k = a.k AND b.band = a.band
+             AND a.doc_id < b.doc_id
+    ),
+    svham AS (
+        SELECT c.id_a, c.id_b, c.fi,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM svcand c
+        JOIN svb x ON x.doc_id = c.id_a AND x.fi = c.fi
+        JOIN svb y ON y.doc_id = c.id_b AND y.fi = c.fi AND y.k = x.k
+        GROUP BY c.id_a, c.id_b, c.fi
+    ),
+    svpairs AS (
+        SELECT id_a, id_b FROM svham WHERE hamming <= 8
+        GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    ),
+    svedges AS (
+        SELECT id_a AS u, id_b AS v FROM svpairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM svpairs
+    ),
+    svreach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM svedges
+        UNION
+        SELECT e.u, r.lbl FROM svedges e JOIN svreach r ON e.v = r.node
+    ),
+    svcomp AS (SELECT node, MIN(lbl) AS component FROM svreach GROUP BY node),
+    svkeep AS (
+        SELECT g.rep, COALESCE(c.component, g.rep) AS keep_id
+        FROM (SELECT DISTINCT rep FROM vegrp) g
+        LEFT JOIN svcomp c ON c.node = g.rep
+    )
+    SELECT m.id, s.keep_id
+    FROM vemap m JOIN svkeep s ON s.rep = m.rep
+    ORDER BY m.id
+"""
+
+
 # --- declared audio near-dup queries (pairs/clusters — completes the
 # --- five-modality dedup symmetry: text/embedding/image/video all have
 # --- declared pair+cluster rows; audio had only the invariance check) -------

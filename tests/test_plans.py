@@ -747,3 +747,18 @@ def test_image_corpus_dedup_bipartite_plan(spark, sf_smoke):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     for cols in read_schema_columns(df):
         assert cols == {"doc_id", "source", "text"}, read_schema_columns(df)
+
+
+def test_video_dedup_map_staged_plan(spark, sf_smoke):
+    """The composed clip dedup map: NO cartesian/nested-loop join
+    anywhere (exact pass and banding are groupBy/equi-join only), both
+    multi-consumer tables (frame hashes, exact reps) cached once, and the
+    documents scan pruned to (doc_id, text)."""
+    from caffeonspark_spark.multimodal.av import video_dedup_map_query
+
+    df = video_dedup_map_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)

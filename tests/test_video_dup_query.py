@@ -137,3 +137,20 @@ def test_video_pairs_through_dup_matrix(spark, sf_smoke):
         k = tuple(sorted((src[r["id_a"]], src[r["id_b"]])))
         expect[k] = expect.get(k, 0) + 1
     assert got == expect and sum(got.values()) > 0
+
+
+def test_video_dedup_map_query_matches_oracle(spark, sf_smoke):
+    """r13 declared query: the composed clip dedup map matches the DuckDB
+    three-stage twin (exact sequence grouping, survivor-only banding,
+    recursive-CTE components) cell-for-cell at smoke scale."""
+    from caffeonspark_spark.multimodal.av import (
+        ORACLE_VIDEO_DEDUP_MAP,
+        video_dedup_map_query,
+    )
+
+    ok, msg = compare(
+        video_dedup_map_query(spark, sf_smoke),
+        ORACLE_VIDEO_DEDUP_MAP,
+        sf_smoke,
+    )
+    assert ok, msg

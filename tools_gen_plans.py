@@ -118,6 +118,9 @@ SHOW = {
     "image_dedup_against_corpus (bipartite corpus-capped band equi-joins)": (
         IH.image_dedup_against_corpus_query
     ),
+    "video_dedup_map (exact sequence pass -> survivor-only banding -> total map)": (
+        AV.video_dedup_map_query
+    ),
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),

@@ -388,9 +388,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Hamming filter). Portable twin: text-derived pixel matrices, every
         # relational stage oracle-exact
         "image_dhash_pairs": IH.image_dhash_pairs_portable,
-        # production path end-to-end (PGM render -> from-spec decode ->
-        # area-resize -> dHash -> bands): rows-only by design (DuckDB can't
-        # decode image bytes); bit-equality pinned by the consistency twin
+        # r13: production path end-to-end (PGM -> from-spec decode ->
+        # area-resize -> dHash -> bands) over a PLANTED-FAMILY corpus
+        # (contrast-scaled copies; dHash exactly invariant) — pair set ==
+        # family combinatorics, which is the oracle. The text-rendered
+        # consistency twin keeps pinning render/decode bit-equality.
         "image_dhash_pairs_native": IH.image_dhash_pairs_native,
         "image_dhash_native_consistency": IH.image_dhash_native_consistency,
         # --- r11: image near-dup clusters (components over the portable
@@ -418,10 +420,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage (frame explode, per-position hot cap, bucket join, Hamming,
         # the >= min_frames clip gate) oracle-exact
         "video_dup_pairs": AV.video_dup_pairs_portable,
-        # production clip path end-to-end (raw clip render -> frame
-        # sampling seam -> gray/resize/dHash -> position-keyed banding):
-        # rows-only by design (DuckDB can't decode clip bytes); bit-equal
-        # to the portable twin, pinned by the consistency twin
+        # r13: production clip path end-to-end over a PLANTED-FAMILY raw
+        # clip corpus (contrast-scaled copies; dHash exactly invariant) —
+        # the pair set EQUALS the family combinatorics, which is the
+        # oracle (recall AND precision; the audio_dup_pairs_native
+        # pattern). The text-rendered consistency twin stays as the
+        # bit-equality proof of the render/decode path.
         "video_dup_pairs_native": AV.video_dup_pairs_native,
         "video_dup_native_consistency": AV.video_dup_native_consistency,
         # clip clusters over the portable pair set (recursive-CTE oracle)
@@ -889,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_anomaly": TP.ORACLE_ROLLING_ZSCORE,
         "zscore_anomaly_bucketized": TP.ORACLE_ROLLING_ZSCORE,
         "image_dhash_pairs": IH.ORACLE_IMAGE_DHASH_PAIRS,
+        "image_dhash_pairs_native": IH.ORACLE_IMAGE_DUP_NATIVE,
         "image_dhash_native_consistency": IH.ORACLE_IMAGE_DHASH_CONSISTENCY,
         "image_dhash_clusters": IH.ORACLE_IMAGE_DHASH_CLUSTERS,
         "image_dedup_map": IH.ORACLE_IMAGE_DEDUP_MAP,
@@ -896,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_source_matrix": D.ORACLE_DUP_SOURCE_MATRIX,
         "audio_fingerprint_invariance": AV.ORACLE_AUDIO_FP_INVARIANCE,
         "video_dup_pairs": AV.ORACLE_VIDEO_DUP_PAIRS,
+        "video_dup_pairs_native": AV.ORACLE_VIDEO_DUP_NATIVE,
         "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
         "video_dup_clusters": AV.ORACLE_VIDEO_DUP_CLUSTERS,
         "video_dedup_map": AV.ORACLE_VIDEO_DEDUP_MAP,

@@ -32,6 +32,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_nrows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet FOOTER METADATA — no Spark job.
+
+    Query builders that size a parameter to the corpus (the scaled
+    hot-band caps of the planted-family native dedup queries) must not
+    run an eager ``df.count()`` inside an otherwise lazy builder: every
+    construction (bench warm-up loops, plan tests) would re-run the job
+    and bench timings would include it (r12 ADVICE). Footer reads are
+    O(files) metadata IO; at cluster scale the same number comes from the
+    table catalog / manifest instead."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

@@ -1311,16 +1311,18 @@ def _video_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"id": ids, "video": clips})
 
 
-def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
-    """Declared query (rows-only by design — the hash-native pattern): the
-    PRODUCTION video path end-to-end — render each document's portable
-    frame matrices as a real raw clip, run ``video_sample_frames`` (the
-    decoder seam), per-frame gray → area-resize → dHash, position-keyed
-    banding, per-frame Hamming, clip gate — over clip bytes DuckDB cannot
-    decode. With k = n_frames the uniform sampler picks positions 0..3,
-    and the 4×4 pixel replication makes the 8×9 area-resize an exact
-    block mean, so the pair set is bit-equal to the portable twin's
-    (pinned by ``video_dup_native_consistency``)."""
+def video_dup_pairs_render(spark, sf_dir: str) -> DataFrame:
+    """The text-rendered production-path clip pair set (consistency-twin
+    side): render each document's portable frame matrices as a real raw
+    clip, run ``video_sample_frames`` (the decoder seam), per-frame gray
+    → area-resize → dHash, position-keyed banding, per-frame Hamming,
+    clip gate — over clip bytes DuckDB cannot decode. With k = n_frames
+    the uniform sampler picks positions 0..3, and the 4×4 pixel
+    replication makes the 8×9 area-resize an exact block mean, so the
+    pair set is bit-equal to the portable twin's (pinned by
+    ``video_dup_native_consistency``). Until r13 this WAS the declared
+    ``video_dup_pairs_native`` row (rows-only); the declared native row
+    is now the planted-family query below with a real oracle."""
     from caffeonspark_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1339,6 +1341,88 @@ def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
     return near_dup_video_pairs(hashed, min_frames=2)
 
 
+#: planted clip families: _V_NAT_FAMILY consecutive doc_ids share one
+#: high-entropy random 4-frame clip (values 0.._V_NAT_LEVELS-1); copy m
+#: is CONTRAST-SCALED by _V_NAT_SCALES[m] — strictly monotone, so every
+#: per-frame dHash is exactly invariant (the image planted construction
+#: per position). Measured margins (numpy study, r13): intra-family
+#: drift 0 bits at every position/scale; min cross-family PER-POSITION
+#: Hamming 15 @ 500 docs / 12 @ 5,000 / 10 @ 20,000 and ZERO cross
+#: pairs with even one position at ≤2 (the ≥3-position clip gate needs
+#: three); max (fi,k,band) df 28 @ 20,000 under the corpus-scaled cap.
+#: Tested SF ceiling: 20,000 docs.
+_V_NAT_FAMILY = 4
+_V_NAT_SCALES = (1, 2, 3, 4)
+_V_NAT_LEVELS = 64
+
+
+def _planted_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id) batches → (id, video): the planted-family raw-clip corpus
+    (frame-major, 4×4-replicated — ``fake_decode_video``'s layout)."""
+    for pdf in pdfs:
+        ids, clips = [], []
+        for rid in pdf["doc_id"]:
+            rid = int(rid)
+            rng = np.random.default_rng(rid - rid % _V_NAT_FAMILY)
+            base = rng.integers(0, _V_NAT_LEVELS, (_V_FRAMES, 8, 9))
+            scaled = (base * _V_NAT_SCALES[rid % _V_NAT_FAMILY]).astype(np.uint8)
+            frames = [
+                np.repeat(np.repeat(scaled[fi], _V_REP, axis=0), _V_REP, axis=1)
+                for fi in range(_V_FRAMES)
+            ]
+            ids.append(rid)
+            clips.append(np.stack(frames)[..., None].tobytes())
+        yield pd.DataFrame({"id": ids, "video": clips})
+
+
+def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle — exact pair-set equality, the
+    ``audio_dup_pairs_native`` planted-family pattern on clips):
+    PLANTED-FAMILY RECALL through the production video path. Every
+    ``_V_NAT_FAMILY`` consecutive doc_ids share one high-entropy random
+    4-frame clip at four contrast scales; each copy is rendered to real
+    raw clip bytes and runs ``video_sample_frames`` → per-frame decode →
+    area-resize → dHash → position-keyed banding → per-frame Hamming at
+    ``max_hamming=2`` → the ≥3-matched-positions clip gate. Contrast
+    scaling preserves every frame hash bit-for-bit and no cross-family
+    pair matches even ONE position at ≤ 2 (measured min cross
+    per-position distance 10 at 20,000 docs), so the emitted
+    ``(id_a, id_b)`` set EQUALS the family combinatorics — the DuckDB
+    oracle. Recall AND precision are both load-bearing.
+
+    Corpus-scaled per-position hot cap from parquet footer metadata (no
+    eager Spark job), the audio rationale."""
+    from caffeonspark_spark.catalog import load_table, table_nrows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cap = max(50, table_nrows(sf_dir, "documents") // 100)
+    vids = docs.mapInPandas(_planted_clip_rows, "id long, video binary")
+    meta = vids.select(
+        "id",
+        F.struct(
+            F.col("video").alias("video"),
+            F.lit(_V_FRAMES).cast("int").alias("n_frames"),
+            F.lit(8 * _V_REP).cast("int").alias("height"),
+            F.lit(9 * _V_REP).cast("int").alias("width"),
+        ).alias("video_meta"),
+    )
+    frames = video_sample_frames(meta, k=_V_FRAMES)
+    hashed = video_frame_hashes(frames)
+    return near_dup_video_pairs(
+        hashed, max_hamming=2, max_band_df=cap, min_frames=3
+    ).select("id_a", "id_b")
+
+
+# the family combinatorics (constants interpolated from the module
+# geometry so one edit moves both sides)
+ORACLE_VIDEO_DUP_NATIVE = f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON (a.doc_id - (a.doc_id % {_V_NAT_FAMILY})) = (b.doc_id - (b.doc_id % {_V_NAT_FAMILY}))
+     AND a.doc_id < b.doc_id
+"""
+
+
 def video_dup_native_consistency(spark, sf_dir: str) -> DataFrame:
     """Declared query (✔oracle): ONE row proving the native clip path
     emits EXACTLY the portable twin's pair set — full-outer join of the
@@ -1347,7 +1431,7 @@ def video_dup_native_consistency(spark, sf_dir: str) -> DataFrame:
     ``image_dhash_native_consistency`` pattern on the video modality;
     strict equality — the render/decode/resize round-trip is lossless by
     construction)."""
-    nat = video_dup_pairs_native(spark, sf_dir).withColumnRenamed(
+    nat = video_dup_pairs_render(spark, sf_dir).withColumnRenamed(
         "n_frames_matched", "n_cnt"
     )
     por = video_dup_pairs_portable(spark, sf_dir).withColumnRenamed(
@@ -1701,13 +1785,24 @@ def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
     precision holds (min cross-family Hamming 4, zero cross pairs ≤ 2).
     The df/n ratio is scale-free, so cap ∝ n keeps the pruned fraction
     stationary at any corpus size. At the two gated SFs the scaled cap
-    equals the old fixed 50, so verified results are unchanged."""
-    from caffeonspark_spark.catalog import load_table
+    equals the old fixed 50, so verified results are unchanged.
+
+    TESTED SF CEILING: 20,000 docs (4× the sf0.1 corpus). The exact
+    pair-set-equality oracle rests on MEASURED probabilistic separation —
+    min cross-family Hamming 6 at the gated SFs, 4 at 20k docs; beyond
+    the ceiling nothing guarantees a chance cross-family pair at ≤ 2
+    can't appear (r12 ADVICE). If a larger corpus ever trips the gate,
+    the diagnosis is a cross pair, not a recall miss: got ⊇ family pairs
+    always holds (the gradient is gain-exact), so diff got against the
+    combinatorics and inspect the offending cross pair's two families."""
+    from caffeonspark_spark.catalog import load_table, table_nrows
     from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # parquet metadata count — one cheap job, no data scan
-    cap = max(50, docs.count() // 100)
+    # parquet footer metadata — no Spark job at query-construction time
+    # (r12 ADVICE: an eager count here ran once per construction and
+    # leaked into bench warm-up timings)
+    cap = max(50, table_nrows(sf_dir, "documents") // 100)
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -1736,16 +1831,30 @@ def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-_AUDIO_PAIR_CTES = """awin AS (
+# the portable pair defaults, read off near_dup_band_pairs' signature so
+# the SQL below cannot silently desync from the Spark side (r12 ADVICE:
+# these were literals; changing the geometry constants or the band-pair
+# defaults moved only one side)
+import inspect as _inspect  # noqa: E402
+
+from caffeonspark_spark.multimodal.imagehash import (  # noqa: E402
+    near_dup_band_pairs as _ndbp,
+)
+
+_BAND_SIG = _inspect.signature(_ndbp).parameters
+_PORTABLE_MAX_HAMMING = _BAND_SIG["max_hamming"].default
+_PORTABLE_BAND_CAP = _BAND_SIG["max_band_df"].default
+
+_AUDIO_PAIR_CTES = f"""awin AS (
         SELECT doc_id, t,
-               CASE WHEN length(substring(text, t*32 + 1, 16)) = 0 THEN 0
+               CASE WHEN length(substring(text, t*{_A_STRIDE} + 1, {_A_CHUNK})) = 0 THEN 0
                     ELSE list_reduce([CAST(0 AS BIGINT)] ||
                         list_transform(
-                            range(1, length(substring(text, t*32 + 1, 16)) + 1),
-                            c -> CAST(ascii(substring(text, t*32 + 1, 16)[c]) AS BIGINT)),
+                            range(1, length(substring(text, t*{_A_STRIDE} + 1, {_A_CHUNK})) + 1),
+                            c -> CAST(ascii(substring(text, t*{_A_STRIDE} + 1, {_A_CHUNK})[c]) AS BIGINT)),
                         (a, x) -> (a * 31 + x) % 2147483647)
                END AS r
-        FROM documents, range(0, 9) s(t)
+        FROM documents, range(0, {_A_WINDOWS}) s(t)
     ),
     acell AS (
         SELECT doc_id, t, j, (r * (j+1) + t) % 256 AS m
@@ -1757,14 +1866,15 @@ _AUDIO_PAIR_CTES = """awin AS (
                CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
         FROM acell a
         JOIN acell b ON b.doc_id = a.doc_id AND b.t = a.t + 1 AND b.j = a.j
-        WHERE a.t < 8
+        WHERE a.t < {_A_WINDOWS - 1}
     ),
     abands AS (
         SELECT doc_id, k, CAST(SUM(bit * (1::BIGINT << pos)) AS BIGINT) AS band
         FROM abit GROUP BY doc_id, k
     ),
     aok AS (
-        SELECT k, band FROM abands GROUP BY k, band HAVING COUNT(*) <= 50
+        SELECT k, band FROM abands GROUP BY k, band
+        HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
     ),
     acand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1778,7 +1888,7 @@ _AUDIO_PAIR_CTES = """awin AS (
         JOIN abands x ON x.doc_id = c.id_a
         JOIN abands y ON y.doc_id = c.id_b AND y.k = x.k
         GROUP BY c.id_a, c.id_b
-        HAVING SUM(bit_count(xor(x.band, y.band))) <= 8
+        HAVING SUM(bit_count(xor(x.band, y.band))) <= {_PORTABLE_MAX_HAMMING}
     )"""
 
 ORACLE_AUDIO_DUP_PAIRS = f"""
@@ -1803,9 +1913,10 @@ ORACLE_AUDIO_DUP_CLUSTERS = f"""
 
 # the family combinatorics: every within-family ordered pair — the exact
 # set the planted-gain construction guarantees the production path emits
-ORACLE_AUDIO_DUP_NATIVE = """
+# (_A_FAMILY interpolated so one edit moves the query AND the oracle)
+ORACLE_AUDIO_DUP_NATIVE = f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM documents a JOIN documents b
-      ON (a.doc_id - (a.doc_id % 4)) = (b.doc_id - (b.doc_id % 4))
+      ON (a.doc_id - (a.doc_id % {_A_FAMILY})) = (b.doc_id - (b.doc_id % {_A_FAMILY}))
      AND a.doc_id < b.doc_id
 """

@@ -334,17 +334,91 @@ def _pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"id": ids, "image": imgs})
 
 
-def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared query (rows-only by design — the hash-native pattern):
-    the PRODUCTION image path end-to-end — render each document's portable
-    pixel matrix as a real 32×36 PGM, run the from-spec decode tier,
-    area-resize, dHash, banding, Hamming — over real encoded bytes DuckDB
-    cannot decode. Its pair set is bit-equal to the portable twin's
-    (pinned by ``image_dhash_native_consistency``)."""
+def image_dhash_pairs_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-rendered production-path pair set (consistency-twin side):
+    render each document's portable pixel matrix as a real 32×36 PGM, run
+    the from-spec decode tier, area-resize, dHash, banding, Hamming —
+    over real encoded bytes DuckDB cannot decode. Bit-equal to the
+    portable twin's pair set by construction (the render/decode/resize
+    round-trip is lossless); ``image_dhash_native_consistency`` pins it.
+    Until r13 this WAS the declared ``image_dhash_pairs_native`` row
+    (rows-only); the declared native row is now the planted-family query
+    below, which carries a real recall+precision oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     imgs = docs.mapInPandas(_pgm_rows, "id long, image binary")
     hashed = image_perceptual_hashes(imgs, channels=1)
     return near_dup_band_pairs(hashed)
+
+
+#: planted image families: _I_FAMILY consecutive doc_ids share one
+#: high-entropy random 8×9 scene (values 0.._I_LEVELS-1); copy m is the
+#: scene CONTRAST-SCALED by _I_SCALES[m]. Strictly monotone intensity
+#: maps preserve every gray[i,j] < gray[i,j+1] comparison AND every tie,
+#: so dHash is EXACTLY invariant (the image analog of audio's gain-exact
+#: temporal gradient); 63*4 = 252 stays in u8. Measured margins (numpy
+#: study, r13): intra-family drift 0 bits at every scale; min
+#: cross-family Hamming 17 @ 500 docs / 12 @ 5,000 / 11 @ 20,000 —
+#: nothing near the ≤2 pair gate; max band df 28 @ 20,000 under the
+#: corpus-scaled cap (the audio pattern). Tested SF ceiling: 20,000 docs.
+_I_FAMILY = 4
+_I_SCALES = (1, 2, 3, 4)
+_I_LEVELS = 64
+
+
+def _planted_pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id) batches → (id, image): the planted-family PGM corpus."""
+    for pdf in pdfs:
+        ids, imgs = [], []
+        for rid in pdf["doc_id"]:
+            rid = int(rid)
+            rng = np.random.default_rng(rid - rid % _I_FAMILY)
+            base = rng.integers(0, _I_LEVELS, (_N_ROWS, _N_COLS))
+            scaled = (base * _I_SCALES[rid % _I_FAMILY]).astype(np.uint8)
+            big = np.repeat(np.repeat(scaled, 4, axis=0), 4, axis=1)
+            pgm = b"P5\n%d %d\n255\n" % (big.shape[1], big.shape[0]) + big.tobytes()
+            ids.append(rid)
+            imgs.append(pgm)
+        yield pd.DataFrame({"id": ids, "image": imgs})
+
+
+def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle — exact pair-set equality, the
+    ``audio_dup_pairs_native`` planted-family pattern): PLANTED-FAMILY
+    RECALL through the production image path. Every ``_I_FAMILY``
+    consecutive doc_ids share one high-entropy random scene at four
+    contrast scales; each copy is encoded to real PGM bytes and runs the
+    from-spec decode tier → area-resize → dHash → banding → Hamming at
+    ``max_hamming=2``. Strictly monotone contrast scaling preserves the
+    dHash bit-for-bit (measured drift 0), and at Hamming ≤ 2 no
+    cross-family pair survives (measured min cross distance 11 at 20,000
+    docs), so the emitted ``(id_a, id_b)`` set EQUALS the family
+    combinatorics — which IS the DuckDB oracle. A missed copy (recall) or
+    a false pair (precision) breaks the hash.
+
+    The hot-band cap scales with the corpus (``max(50, n_docs // 100)``,
+    the audio rationale: band df grows linearly in corpus size) and the
+    count comes from parquet footer metadata, not an eager Spark job."""
+    from caffeonspark_spark.catalog import table_nrows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cap = max(50, table_nrows(sf_dir, "documents") // 100)
+    imgs = docs.mapInPandas(_planted_pgm_rows, "id long, image binary")
+    hashed = image_perceptual_hashes(imgs, channels=1)
+    return near_dup_band_pairs(
+        hashed, max_hamming=2, max_band_df=cap
+    ).select("id_a", "id_b")
+
+
+# the family combinatorics: every within-family ordered pair — the exact
+# set the planted-contrast construction guarantees the production path
+# emits (constants interpolated from the module geometry so one edit
+# moves both sides)
+ORACLE_IMAGE_DUP_NATIVE = f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON (a.doc_id - (a.doc_id % {_I_FAMILY})) = (b.doc_id - (b.doc_id % {_I_FAMILY}))
+     AND a.doc_id < b.doc_id
+"""
 
 
 def image_dhash_native_consistency(
@@ -356,7 +430,7 @@ def image_dhash_native_consistency(
     Hamming-mismatched pair flips (the ``kmv_native_consistency``
     pattern, with strict equality instead of a tolerance: the PGM
     render/decode/resize round-trip is lossless by construction)."""
-    nat = image_dhash_pairs_native(spark, sf_dir).withColumnRenamed(
+    nat = image_dhash_pairs_render(spark, sf_dir).withColumnRenamed(
         "hamming", "n_ham"
     )
     por = image_dhash_pairs_portable(spark, sf_dir).withColumnRenamed(

@@ -328,3 +328,29 @@ def test_image_dedup_against_corpus_query_matches_oracle(spark, sf_smoke):
         sf_smoke,
     )
     assert ok, msg
+
+
+def test_image_native_planted_families_match_combinatorics(spark, sf_smoke):
+    """r13: the planted-family native query's pair set EQUALS the family
+    combinatorics through the real PGM decode path — recall (every
+    contrast-scaled copy found: dHash is exactly invariant to strictly
+    monotone intensity maps) and precision (zero cross-family pairs at
+    Hamming <= 2; measured min cross distance 17 at this corpus size)."""
+    from caffeonspark_spark.catalog import table_nrows
+    from caffeonspark_spark.multimodal.imagehash import (
+        _I_FAMILY,
+        image_dhash_pairs_native,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in image_dhash_pairs_native(spark, sf_smoke).collect()
+    }
+    n = table_nrows(sf_smoke, "documents")
+    want = {
+        (a, b)
+        for base in range(0, n, _I_FAMILY)
+        for a in range(base, min(base + _I_FAMILY, n))
+        for b in range(a + 1, min(base + _I_FAMILY, n))
+    }
+    assert got == want and len(want) > 0, (len(got), len(want))

@@ -762,3 +762,27 @@ def test_video_dedup_map_staged_plan(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)
+
+
+def test_image_dup_native_scan_pruned_plan(spark, sf_smoke):
+    """The planted-family image native path must feed the PGM generator
+    from a doc_id-ONLY documents scan and keep the pair phase
+    equi-join-only (the audio native plan contract)."""
+    from caffeonspark_spark.multimodal.imagehash import image_dhash_pairs_native
+
+    df = image_dhash_pairs_native(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)
+
+
+def test_video_dup_native_scan_pruned_plan(spark, sf_smoke):
+    """Same contract for the planted-family video native path."""
+    from caffeonspark_spark.multimodal.av import video_dup_pairs_native
+
+    df = video_dup_pairs_native(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)

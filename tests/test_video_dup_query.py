@@ -12,7 +12,7 @@ from caffeonspark_spark.multimodal.av import (
     ORACLE_VIDEO_DUP_PAIRS,
     near_dup_video_pairs,
     video_dup_native_consistency,
-    video_dup_pairs_native,
+    video_dup_pairs_render,
     video_dup_pairs_portable,
     video_frame_hashes,
     video_sample_frames,
@@ -45,7 +45,7 @@ def test_native_pair_set_bit_equal(spark, sf_smoke):
     }
     nat = {
         (r["id_a"], r["id_b"]): r["n_frames_matched"]
-        for r in video_dup_pairs_native(spark, sf_smoke).collect()
+        for r in video_dup_pairs_render(spark, sf_smoke).collect()
     }
     assert por == nat and len(por) > 0
     # the matched-frame gate produces a graded spectrum, not just exact
@@ -154,3 +154,29 @@ def test_video_dedup_map_query_matches_oracle(spark, sf_smoke):
         sf_smoke,
     )
     assert ok, msg
+
+
+def test_video_native_planted_families_match_combinatorics(spark, sf_smoke):
+    """r13: the planted-family native clip query's pair set EQUALS the
+    family combinatorics through the real clip decode path — all four
+    positions of every contrast-scaled copy hash identically (recall)
+    and no cross-family pair matches even one position at Hamming <= 2
+    (precision; measured min cross per-position distance 15 here)."""
+    from caffeonspark_spark.catalog import table_nrows
+    from caffeonspark_spark.multimodal.av import (
+        _V_NAT_FAMILY,
+        video_dup_pairs_native,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in video_dup_pairs_native(spark, sf_smoke).collect()
+    }
+    n = table_nrows(sf_smoke, "documents")
+    want = {
+        (a, b)
+        for base in range(0, n, _V_NAT_FAMILY)
+        for a in range(base, min(base + _V_NAT_FAMILY, n))
+        for b in range(a + 1, min(base + _V_NAT_FAMILY, n))
+    }
+    assert got == want and len(want) > 0, (len(got), len(want))

@@ -1375,7 +1375,7 @@ def _planted_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"id": ids, "video": clips})
 
 
-def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
+def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     """Declared query (✔oracle — exact pair-set equality, the
     ``audio_dup_pairs_native`` planted-family pattern on clips):
     PLANTED-FAMILY RECALL through the production video path. Every
@@ -1391,7 +1391,15 @@ def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
     oracle. Recall AND precision are both load-bearing.
 
     Corpus-scaled per-position hot cap from parquet footer metadata (no
-    eager Spark job), the audio rationale."""
+    eager Spark job), the audio rationale.
+
+    ``decoder`` is the production codec seam: any callable with
+    ``decode_video_frames``' contract (bytes, n_frames, h, w) →
+    (F, H, W, C) uint8 — e.g. a PyAV/ffmpeg wrapper — threads through
+    ``video_sample_frames`` into the full pair pipeline. The default is
+    the raw-layout decoder (the planted clips ARE raw frame bytes);
+    a third-party stub drives this end-to-end in
+    ``test_video_dup_query::test_third_party_decoder_through_pair_pipeline``."""
     from caffeonspark_spark.catalog import load_table, table_nrows
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1406,7 +1414,9 @@ def video_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
             F.lit(9 * _V_REP).cast("int").alias("width"),
         ).alias("video_meta"),
     )
-    frames = video_sample_frames(meta, k=_V_FRAMES)
+    frames = video_sample_frames(
+        meta, k=_V_FRAMES, **({} if decoder is None else {"decoder": decoder})
+    )
     hashed = video_frame_hashes(frames)
     return near_dup_video_pairs(
         hashed, max_hamming=2, max_band_df=cap, min_frames=3
@@ -1755,7 +1765,7 @@ def synthetic_rich_clip(seed: int, n: int = 1400, sr: int = 8000) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
+def audio_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     """Declared query (✔oracle — exact pair-set equality, stronger than
     the rows-only hash-native pattern): PLANTED-FAMILY RECALL through the
     production audio path. Every 4 consecutive doc_ids form a family
@@ -1824,7 +1834,11 @@ def audio_dup_pairs_native(spark, sf_dir: str) -> DataFrame:
                 F.col("wav"), F.lit(8000), F.col("ns")
             ).alias("audio_meta"),
         ),
-        decoder=wav_frame_decoder,
+        # the production codec seam: a soundfile/torchaudio wrapper with
+        # wav_frame_decoder's (bytes, n_samples) -> float32 contract drops
+        # in here; pinned end-to-end by
+        # test_audio_dup::test_third_party_decoder_through_pair_pipeline
+        decoder=wav_frame_decoder if decoder is None else decoder,
     )
     return near_dup_band_pairs(
         fp, max_hamming=2, max_band_df=cap

@@ -248,3 +248,75 @@ def test_clusters_match_union_find(spark, sf_smoke):
         for r in audio_dup_clusters(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_third_party_decoder_through_pair_pipeline(spark):
+    """r13: a caller-supplied third-party audio decoder drives the FULL
+    pair pipeline (container bytes -> decode -> log-mel fingerprint ->
+    banded pairs). The toy container (magic 'MYA1' + int32 n_samples +
+    float32 payload — the shape a soundfile/torchaudio wrapper parses)
+    would not decode under the default WAV path (no RIFF header), so the
+    correct planted pairing also proves the decoder callable is honored
+    end-to-end; defined inside the test so cloudpickle ships it by
+    value."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.av import (
+        audio_spectral_fingerprint,
+        audio_struct_col,
+        synthetic_rich_clip,
+    )
+    from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
+    from pyspark.sql import functions as F
+
+    def encode(wave: np.ndarray) -> bytes:
+        return (
+            b"MYA1"
+            + np.array([len(wave)], dtype=np.int32).tobytes()
+            + wave.astype(np.float32).tobytes()
+        )
+
+    def stub_decoder(data: bytes, n_samples: int) -> np.ndarray:
+        import numpy as _np
+
+        assert data[:4] == b"MYA1", "not a MYA1 container"
+        n = int(_np.frombuffer(data[4:8], dtype=_np.int32)[0])
+        return _np.frombuffer(data[8 : 8 + 4 * n], dtype=_np.float32)
+
+    rows = []
+    for fam in (0, 4):
+        base = synthetic_rich_clip(fam)
+        for m, gain in enumerate((1.0, 0.5, 0.8, 0.65)):
+            w = (np.float32(gain) * base).astype(np.float32)
+            rows.append((fam + m, bytearray(encode(w)), len(w)))
+    df = spark.createDataFrame(rows, "id long, wav binary, ns int")
+    fp = audio_spectral_fingerprint(
+        df.select(
+            "id",
+            audio_struct_col(F.col("wav"), F.lit(8000), F.col("ns")).alias(
+                "audio_meta"
+            ),
+        ),
+        decoder=stub_decoder,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_band_pairs(fp, max_hamming=2).collect()
+    }
+    want = {(a, b) for fam in (0, 4) for a in range(fam, fam + 4) for b in range(a + 1, fam + 4)}
+    assert got == want, (got, want)
+
+
+def test_declared_audio_native_honors_decoder_seam(spark, sf_smoke):
+    """The declared query's ``decoder=`` must reach the decode stage: a
+    sabotage decoder returning silence makes every fingerprint identical,
+    the all-identical bands trip the hot-band cap, and the pair set
+    collapses to empty — impossible if the default WAV path ran."""
+    import numpy as np
+
+    from caffeonspark_spark.multimodal.av import audio_dup_pairs_native
+
+    def silence(data, n_samples):
+        return np.zeros(max(int(n_samples), 1), dtype=np.float32)
+
+    assert audio_dup_pairs_native(spark, sf_smoke, decoder=silence).count() == 0

@@ -180,3 +180,72 @@ def test_video_native_planted_families_match_combinatorics(spark, sf_smoke):
         for b in range(a + 1, min(base + _V_NAT_FAMILY, n))
     }
     assert got == want and len(want) > 0, (len(got), len(want))
+
+
+def test_third_party_decoder_through_pair_pipeline(spark):
+    """r13: a caller-supplied third-party decoder drives the FULL pair
+    pipeline (container bytes -> sample -> per-frame hash -> position-keyed
+    banded pairs). The toy container (magic 'MYV1' + int32 (nf,h,w) header
+    + raw payload — the byte shape a PyAV/ffmpeg wrapper parses) has a
+    16-byte header that would corrupt every frame under the default
+    raw-layout decoder, so the correct planted pairing also proves the
+    callable seam is honored end-to-end. The adapter is defined inside the
+    test so cloudpickle ships it by value (a real third-party wrapper
+    would live in an importable package on the executors)."""
+    from caffeonspark_spark.multimodal.av import (
+        near_dup_video_pairs,
+        video_frame_hashes,
+        video_sample_frames,
+        video_struct_col,
+    )
+
+    def encode(clip: np.ndarray) -> bytes:
+        nf, h, w = clip.shape[:3]
+        return b"MYV1" + np.array([nf, h, w], dtype=np.int32).tobytes() + clip.tobytes()
+
+    def stub_decoder(data: bytes, n_frames: int, height: int, width: int) -> np.ndarray:
+        import numpy as _np
+
+        assert data[:4] == b"MYV1", "not a MYV1 container"
+        nf, h, w = _np.frombuffer(data[4:16], dtype=_np.int32)
+        return _np.frombuffer(data[16:], dtype=_np.uint8).reshape(
+            int(nf), int(h), int(w), 1
+        )
+
+    rows = []
+    for fam in (0, 4):
+        rng = np.random.default_rng(fam)
+        base = rng.integers(0, 64, (4, 8, 9))
+        for m, scale in enumerate((1, 2, 3, 4)):
+            frames = np.repeat(
+                np.repeat((base * scale).astype(np.uint8), 4, 1), 4, 2
+            )[..., None]
+            rows.append((fam + m, bytearray(encode(frames))))
+    df = spark.createDataFrame(rows, "id long, video binary")
+    meta = df.select(
+        "id",
+        video_struct_col(
+            F.col("video"), F.lit(4), F.lit(32), F.lit(36)
+        ).alias("video_meta"),
+    )
+    pairs = near_dup_video_pairs(
+        video_frame_hashes(video_sample_frames(meta, k=4, decoder=stub_decoder)),
+        max_hamming=2,
+        min_frames=3,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(a, b) for fam in (0, 4) for a in range(fam, fam + 4) for b in range(a + 1, fam + 4)}
+    assert got == want, (got, want)
+
+
+def test_declared_native_honors_decoder_seam(spark, sf_smoke):
+    """The declared query's ``decoder=`` parameter must actually reach the
+    decode stage: a sabotage decoder returning all-zero frames makes every
+    clip identical, the all-identical bands trip the hot-band cap, and the
+    pair set collapses to empty — impossible if the default path ran."""
+    from caffeonspark_spark.multimodal.av import video_dup_pairs_native
+
+    def zeros(data, n_frames, height, width):
+        return np.zeros((n_frames, height, width, 1), dtype=np.uint8)
+
+    assert video_dup_pairs_native(spark, sf_smoke, decoder=zeros).count() == 0

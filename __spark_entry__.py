@@ -447,6 +447,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs_native": AV.audio_dup_pairs_native,
         # clip clusters over the portable audio pair set (recursive CTE)
         "audio_dup_clusters": AV.audio_dup_clusters,
+        # --- r13: the composed audio dedup map (image_dedup's
+        # modality-agnostic composition on the portable fingerprint
+        # table); completes the composed-map matrix across modalities
+        "audio_dedup_map": AV.audio_dedup_map_query,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -908,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_pairs": AV.ORACLE_AUDIO_DUP_PAIRS,
         "audio_dup_pairs_native": AV.ORACLE_AUDIO_DUP_NATIVE,
         "audio_dup_clusters": AV.ORACLE_AUDIO_DUP_CLUSTERS,
+        "audio_dedup_map": AV.ORACLE_AUDIO_DEDUP_MAP,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

@@ -237,6 +237,9 @@ BENCH_QUERIES = {
     # r13: composed video dedup map (exact sequence pass -> survivor-only
     # position-keyed banding -> components -> total map)
     "q_video_dedup_map": AV.video_dedup_map_query,
+    # r13: composed audio dedup map (image_dedup composition on the
+    # portable fingerprint table)
+    "q_audio_dedup_map": AV.audio_dedup_map_query,
 }
 
 

@@ -1925,6 +1925,89 @@ ORACLE_AUDIO_DUP_CLUSTERS = f"""
     SELECT node, MIN(lbl) AS component FROM areach GROUP BY node ORDER BY node
 """
 
+def audio_dedup_map_query(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle, r13): the composed audio dedup's
+    canonical-assignment map over the portable fingerprint table — every
+    clip's smallest exact+near cluster member. ``image_dedup`` is
+    modality-agnostic over any ``(id, b0..b3)`` band table (its docstring
+    contract, already pinned for audio by
+    ``test_audio_dup::test_audio_fingerprints_through_composed_dedup``),
+    so the audio map IS the image composition on fingerprints: exact
+    full-fingerprint groupBy keep-min → banded pairs over the exact
+    survivors (the hot cap counts survivors) → components → total
+    (id, keep_id) map. Completes the composed-dedup-map × modality
+    matrix: text ``clean_corpus`` / image ``image_dedup_map`` / video
+    ``video_dedup_map`` / audio this. Checked against a DuckDB pipeline
+    re-running all three stages cell-for-cell."""
+    from caffeonspark_spark.multimodal.imagehash import image_dedup
+
+    return image_dedup(portable_audio_fingerprints(spark, sf_dir)).orderBy("id")
+
+
+ORACLE_AUDIO_DEDUP_MAP = f"""
+    WITH RECURSIVE {_AUDIO_PAIR_CTES},
+    awide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN k = 0 THEN band END) AS b0,
+               MAX(CASE WHEN k = 1 THEN band END) AS b1,
+               MAX(CASE WHEN k = 2 THEN band END) AS b2,
+               MAX(CASE WHEN k = 3 THEN band END) AS b3
+        FROM abands GROUP BY doc_id
+    ),
+    aegrp AS (
+        SELECT b0, b1, b2, b3, MIN(doc_id) AS rep
+        FROM awide GROUP BY b0, b1, b2, b3
+    ),
+    aemap AS (
+        SELECT w.doc_id AS id, e.rep
+        FROM awide w JOIN aegrp e USING (b0, b1, b2, b3)
+    ),
+    arb AS (
+        SELECT doc_id, k, band FROM abands
+        WHERE doc_id IN (SELECT rep FROM aegrp)
+    ),
+    arok AS (
+        SELECT k, band FROM arb GROUP BY k, band
+        HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
+    ),
+    arcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM arb a JOIN arok o ON a.k = o.k AND a.band = o.band
+        JOIN arb b ON b.k = a.k AND b.band = a.band AND a.doc_id < b.doc_id
+    ),
+    arham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM arcand c
+        JOIN arb x ON x.doc_id = c.id_a
+        JOIN arb y ON y.doc_id = c.id_b AND y.k = x.k
+        GROUP BY c.id_a, c.id_b
+    ),
+    arpairs AS (
+        SELECT id_a, id_b FROM arham WHERE hamming <= {_PORTABLE_MAX_HAMMING}
+    ),
+    aredges AS (
+        SELECT id_a AS u, id_b AS v FROM arpairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM arpairs
+    ),
+    arreach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM aredges
+        UNION
+        SELECT e.u, r.lbl FROM aredges e JOIN arreach r ON e.v = r.node
+    ),
+    arcomp AS (SELECT node, MIN(lbl) AS component FROM arreach GROUP BY node),
+    arkeep AS (
+        SELECT g.rep, COALESCE(c.component, g.rep) AS keep_id
+        FROM (SELECT DISTINCT rep FROM aegrp) g
+        LEFT JOIN arcomp c ON c.node = g.rep
+    )
+    SELECT m.id, s.keep_id
+    FROM aemap m JOIN arkeep s ON s.rep = m.rep
+    ORDER BY m.id
+"""
+
+
 # the family combinatorics: every within-family ordered pair — the exact
 # set the planted-gain construction guarantees the production path emits
 # (_A_FAMILY interpolated so one edit moves the query AND the oracle)

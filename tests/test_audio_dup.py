@@ -320,3 +320,21 @@ def test_declared_audio_native_honors_decoder_seam(spark, sf_smoke):
         return np.zeros(max(int(n_samples), 1), dtype=np.float32)
 
     assert audio_dup_pairs_native(spark, sf_smoke, decoder=silence).count() == 0
+
+
+def test_audio_dedup_map_query_matches_oracle(spark, sf_smoke):
+    """r13 declared query: the composed audio dedup map matches the DuckDB
+    three-stage twin (exact fingerprint grouping, survivor-only banding,
+    recursive-CTE components) cell-for-cell at smoke scale."""
+    from caffeonspark_spark.multimodal.av import (
+        ORACLE_AUDIO_DEDUP_MAP,
+        audio_dedup_map_query,
+    )
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        audio_dedup_map_query(spark, sf_smoke),
+        ORACLE_AUDIO_DEDUP_MAP,
+        sf_smoke,
+    )
+    assert ok, msg

@@ -786,3 +786,17 @@ def test_video_dup_native_scan_pruned_plan(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)
+
+
+def test_audio_dedup_map_staged_plan(spark, sf_smoke):
+    """The composed audio dedup map shares image_dedup's contract: NO
+    cartesian/nested-loop join, multi-consumer tables cached once, and
+    the documents scan pruned to (doc_id, text)."""
+    from caffeonspark_spark.multimodal.av import audio_dedup_map_query
+
+    df = audio_dedup_map_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    assert read_schema_columns(df) == [{"doc_id", "text"}], read_schema_columns(df)

@@ -121,6 +121,9 @@ SHOW = {
     "video_dedup_map (exact sequence pass -> survivor-only banding -> total map)": (
         AV.video_dedup_map_query
     ),
+    "audio_dedup_map (image_dedup composition on audio fingerprints)": (
+        AV.audio_dedup_map_query
+    ),
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),

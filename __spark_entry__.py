@@ -451,6 +451,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # modality-agnostic composition on the portable fingerprint
         # table); completes the composed-map matrix across modalities
         "audio_dedup_map": AV.audio_dedup_map_query,
+        # --- r13: bipartite batch-vs-corpus audio near-dup (the
+        # image_dedup_against_corpus operator on fingerprints)
+        "audio_dedup_against_corpus": AV.audio_dedup_against_corpus_query,
         # --- r10: cluster-balanced prototype selection (map-only kmeans
         # assign + per-cluster WindowGroupLimit; the sampling complement of
         # SemDeDup's assignment)
@@ -913,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_pairs_native": AV.ORACLE_AUDIO_DUP_NATIVE,
         "audio_dup_clusters": AV.ORACLE_AUDIO_DUP_CLUSTERS,
         "audio_dedup_map": AV.ORACLE_AUDIO_DEDUP_MAP,
+        "audio_dedup_against_corpus": AV.ORACLE_AUDIO_DEDUP_AGAINST_CORPUS,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),

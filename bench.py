@@ -240,6 +240,8 @@ BENCH_QUERIES = {
     # r13: composed audio dedup map (image_dedup composition on the
     # portable fingerprint table)
     "q_audio_dedup_map": AV.audio_dedup_map_query,
+    # r13: bipartite batch-vs-corpus audio dedup
+    "q_audio_corpus_dedup": AV.audio_dedup_against_corpus_query,
 }
 
 

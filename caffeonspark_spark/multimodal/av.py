@@ -2008,6 +2008,66 @@ ORACLE_AUDIO_DEDUP_MAP = f"""
 """
 
 
+def audio_dedup_against_corpus_query(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle, r13): bipartite audio near-dup — the
+    portable fingerprint table split by source (``src10+`` incoming batch
+    vs ``src0-9`` kept corpus, the ``dedup_against_corpus`` split) and
+    each batch clip matched against the corpus only.
+    ``image_dedup_against_corpus`` is modality-agnostic over any
+    ``(id, b0..b3)`` band table, so the audio form IS that operator on
+    fingerprints: corpus band table materialized once per corpus version,
+    candidates ∝ CROSS-side band collisions, hot cap computed on the
+    corpus side. Completes the against-corpus × modality coverage for
+    every band-table modality (text, image, audio; per-frame video needs
+    the position-keyed pair phase and stays self-join-only by design)."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.multimodal.imagehash import (
+        image_dedup_against_corpus,
+    )
+    from caffeonspark_spark.operators.dedup import split_corpus_by_source
+
+    new_docs, ref_docs = split_corpus_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+    return image_dedup_against_corpus(
+        _portable_audio_bands(new_docs), _portable_audio_bands(ref_docs)
+    ).orderBy("new_id", "ref_id")
+
+
+ORACLE_AUDIO_DEDUP_AGAINST_CORPUS = f"""
+    WITH {_AUDIO_PAIR_CTES},
+    asrc AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+        FROM documents
+    ),
+    axb AS (
+        SELECT b.doc_id, s.is_new, b.k, b.band
+        FROM abands b JOIN asrc s USING (doc_id)
+    ),
+    axok AS (
+        SELECT k, band FROM axb WHERE NOT is_new
+        GROUP BY k, band HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
+    ),
+    axcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+        FROM axb a JOIN axok o ON a.k = o.k AND a.band = o.band
+        JOIN axb b ON b.k = a.k AND b.band = a.band
+        WHERE a.is_new AND NOT b.is_new
+    ),
+    axham AS (
+        SELECT c.new_id, c.ref_id,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM axcand c
+        JOIN abands x ON x.doc_id = c.new_id
+        JOIN abands y ON y.doc_id = c.ref_id AND y.k = x.k
+        GROUP BY c.new_id, c.ref_id
+    )
+    SELECT new_id, ref_id, hamming FROM axham
+    WHERE hamming <= {_PORTABLE_MAX_HAMMING}
+    ORDER BY new_id, ref_id
+"""
+
+
 # the family combinatorics: every within-family ordered pair — the exact
 # set the planted-gain construction guarantees the production path emits
 # (_A_FAMILY interpolated so one edit moves the query AND the oracle)

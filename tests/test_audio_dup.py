@@ -338,3 +338,21 @@ def test_audio_dedup_map_query_matches_oracle(spark, sf_smoke):
         sf_smoke,
     )
     assert ok, msg
+
+
+def test_audio_dedup_against_corpus_query_matches_oracle(spark, sf_smoke):
+    """r13 declared query: the bipartite batch-vs-corpus audio pair set
+    matches the DuckDB twin cell-for-cell (corpus-side hot cap,
+    cross-side candidates only)."""
+    from caffeonspark_spark.multimodal.av import (
+        ORACLE_AUDIO_DEDUP_AGAINST_CORPUS,
+        audio_dedup_against_corpus_query,
+    )
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        audio_dedup_against_corpus_query(spark, sf_smoke),
+        ORACLE_AUDIO_DEDUP_AGAINST_CORPUS,
+        sf_smoke,
+    )
+    assert ok, msg

@@ -124,6 +124,9 @@ SHOW = {
     "audio_dedup_map (image_dedup composition on audio fingerprints)": (
         AV.audio_dedup_map_query
     ),
+    "audio_dedup_against_corpus (bipartite corpus-capped band equi-joins)": (
+        AV.audio_dedup_against_corpus_query
+    ),
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),

@@ -47,10 +47,19 @@ def table_nrows(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
+    # recursive: a Hive-partitioned layout (key=value subdirectories from
+    # a partitionBy write) nests its part files — Spark reads it fine, so
+    # the metadata count must too (r13 review finding)
     files = (
         [path]
         if os.path.isfile(path)
-        else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        else sorted(
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if os.path.isfile(f)
+        )
     )
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")

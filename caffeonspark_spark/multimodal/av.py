@@ -28,6 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from caffeonspark_spark.multimodal.imagehash import (
+    BAND_CAP_DEFAULT as _PORTABLE_BAND_CAP,
+    MAX_HAMMING_DEFAULT as _PORTABLE_MAX_HAMMING,
+)
+
 # audio payload + typed metadata (sample_rate/n_samples = the dims columns
 # of the image tuple, applied to the time axis)
 AUDIO_STRUCT_SCHEMA = T.StructType(
@@ -1058,8 +1063,8 @@ def near_dup_video_pairs(
     frame_hashes: DataFrame,
     id_col: str = "id",
     frame_col: str = "frame_idx",
-    max_hamming: int = 8,
-    max_band_df: int = 50,
+    max_hamming: int = _PORTABLE_MAX_HAMMING,
+    max_band_df: int = _PORTABLE_BAND_CAP,
     min_frames: int = 3,
 ) -> DataFrame:
     """Near-duplicate video pairs from per-frame hash bands: the image
@@ -1137,8 +1142,8 @@ def video_dedup_map(
     frame_hashes: DataFrame,
     id_col: str = "id",
     frame_col: str = "frame_idx",
-    max_hamming: int = 8,
-    max_band_df: int = 50,
+    max_hamming: int = _PORTABLE_MAX_HAMMING,
+    max_band_df: int = _PORTABLE_BAND_CAP,
     min_frames: int = 3,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -1216,6 +1221,9 @@ def video_dedup_map(
 _V_FRAMES = 4
 _V_STRIDE = 64
 _V_CHUNK = 16
+#: clip gate of the DECLARED portable/map queries (>= 2 matched
+#: positions) — interpolated into the video oracles below
+_V_MIN_FRAMES_PORTABLE = 2
 _V_REP = 4  # native render: each hash pixel replicated 4x4
 
 
@@ -1274,7 +1282,7 @@ def video_dup_pairs_portable(spark, sf_dir: str) -> DataFrame:
     return near_dup_video_pairs(
         portable_video_frame_hashes(spark, sf_dir),
         frame_col="fi",
-        min_frames=2,
+        min_frames=_V_MIN_FRAMES_PORTABLE,
     )
 
 
@@ -1342,8 +1350,9 @@ def video_dup_pairs_render(spark, sf_dir: str) -> DataFrame:
 
 
 #: planted clip families: _V_NAT_FAMILY consecutive doc_ids share one
-#: high-entropy random 4-frame clip (values 0.._V_NAT_LEVELS-1); copy m
-#: is CONTRAST-SCALED by _V_NAT_SCALES[m] — strictly monotone, so every
+#: high-entropy random 4-frame clip; copy m is CONTRAST-SCALED via the
+#: shared ``imagehash.planted_family_matrix`` construction (its levels/
+#: scale tuple) — strictly monotone, so every
 #: per-frame dHash is exactly invariant (the image planted construction
 #: per position). Measured margins (numpy study, r13): intra-family
 #: drift 0 bits at every position/scale; min cross-family PER-POSITION
@@ -1352,20 +1361,23 @@ def video_dup_pairs_render(spark, sf_dir: str) -> DataFrame:
 #: three); max (fi,k,band) df 28 @ 20,000 under the corpus-scaled cap.
 #: Tested SF ceiling: 20,000 docs.
 _V_NAT_FAMILY = 4
-_V_NAT_SCALES = (1, 2, 3, 4)
-_V_NAT_LEVELS = 64
 
 
 def _planted_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id) batches → (id, video): the planted-family raw-clip corpus
-    (frame-major, 4×4-replicated — ``fake_decode_video``'s layout)."""
+    (frame-major, 4×4-replicated — ``fake_decode_video``'s layout).
+    Scene/scale/levels come from the SHARED
+    ``imagehash.planted_family_matrix`` construction so the image and
+    video margins re-tune together (r13 review finding)."""
+    from caffeonspark_spark.multimodal.imagehash import planted_family_matrix
+
     for pdf in pdfs:
         ids, clips = [], []
         for rid in pdf["doc_id"]:
             rid = int(rid)
-            rng = np.random.default_rng(rid - rid % _V_NAT_FAMILY)
-            base = rng.integers(0, _V_NAT_LEVELS, (_V_FRAMES, 8, 9))
-            scaled = (base * _V_NAT_SCALES[rid % _V_NAT_FAMILY]).astype(np.uint8)
+            scaled = planted_family_matrix(
+                rid, (_V_FRAMES, 8, 9), family=_V_NAT_FAMILY
+            )
             frames = [
                 np.repeat(np.repeat(scaled[fi], _V_REP, axis=0), _V_REP, axis=1)
                 for fi in range(_V_FRAMES)
@@ -1423,14 +1435,11 @@ def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-# the family combinatorics (constants interpolated from the module
-# geometry so one edit moves both sides)
-ORACLE_VIDEO_DUP_NATIVE = f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM documents a JOIN documents b
-      ON (a.doc_id - (a.doc_id % {_V_NAT_FAMILY})) = (b.doc_id - (b.doc_id % {_V_NAT_FAMILY}))
-     AND a.doc_id < b.doc_id
-"""
+from caffeonspark_spark.multimodal.imagehash import (  # noqa: E402
+    family_combinatorics_sql as _family_sql,
+)
+
+ORACLE_VIDEO_DUP_NATIVE = _family_sql(_V_NAT_FAMILY)
 
 
 def video_dup_native_consistency(spark, sf_dir: str) -> DataFrame:
@@ -1460,7 +1469,7 @@ def video_dup_native_consistency(spark, sf_dir: str) -> DataFrame:
     )
 
 
-_VIDEO_PAIR_CTES = """vchunks AS (
+_VIDEO_PAIR_CTES = f"""vchunks AS (
         SELECT doc_id, fi, i,
                CASE WHEN length(substring(text, fi*64 + i*16 + 1, 16)) = 0 THEN 0
                     ELSE list_reduce([CAST(0 AS BIGINT)] ||
@@ -1483,7 +1492,8 @@ _VIDEO_PAIR_CTES = """vchunks AS (
         FROM vbits GROUP BY doc_id, fi, k
     ),
     vok AS (
-        SELECT fi, k, band FROM vbands GROUP BY fi, k, band HAVING COUNT(*) <= 50
+        SELECT fi, k, band FROM vbands GROUP BY fi, k, band
+        HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
     ),
     vcand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fi
@@ -1501,8 +1511,8 @@ _VIDEO_PAIR_CTES = """vchunks AS (
     ),
     vpairs AS (
         SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames_matched
-        FROM vham WHERE hamming <= 8
-        GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+        FROM vham WHERE hamming <= {_PORTABLE_MAX_HAMMING}
+        GROUP BY id_a, id_b HAVING COUNT(*) >= {_V_MIN_FRAMES_PORTABLE}
     )"""
 
 ORACLE_VIDEO_DUP_PAIRS = f"""
@@ -1565,7 +1575,7 @@ def video_dedup_map_query(spark, sf_dir: str) -> DataFrame:
     return video_dedup_map(
         portable_video_frame_hashes(spark, sf_dir),
         frame_col="fi",
-        min_frames=2,
+        min_frames=_V_MIN_FRAMES_PORTABLE,
     ).orderBy("id")
 
 
@@ -1584,7 +1594,8 @@ ORACLE_VIDEO_DEDUP_MAP = f"""
         WHERE doc_id IN (SELECT rep FROM vegrp)
     ),
     svok AS (
-        SELECT fi, k, band FROM svb GROUP BY fi, k, band HAVING COUNT(*) <= 50
+        SELECT fi, k, band FROM svb GROUP BY fi, k, band
+        HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
     ),
     svcand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fi
@@ -1601,8 +1612,8 @@ ORACLE_VIDEO_DEDUP_MAP = f"""
         GROUP BY c.id_a, c.id_b, c.fi
     ),
     svpairs AS (
-        SELECT id_a, id_b FROM svham WHERE hamming <= 8
-        GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+        SELECT id_a, id_b FROM svham WHERE hamming <= {_PORTABLE_MAX_HAMMING}
+        GROUP BY id_a, id_b HAVING COUNT(*) >= {_V_MIN_FRAMES_PORTABLE}
     ),
     svedges AS (
         SELECT id_a AS u, id_b AS v FROM svpairs
@@ -1845,20 +1856,12 @@ def audio_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-# the portable pair defaults, read off near_dup_band_pairs' signature so
-# the SQL below cannot silently desync from the Spark side (r12 ADVICE:
-# these were literals; changing the geometry constants or the band-pair
-# defaults moved only one side)
-import inspect as _inspect  # noqa: E402
-
-from caffeonspark_spark.multimodal.imagehash import (  # noqa: E402
-    near_dup_band_pairs as _ndbp,
-)
-
-_BAND_SIG = _inspect.signature(_ndbp).parameters
-_PORTABLE_MAX_HAMMING = _BAND_SIG["max_hamming"].default
-_PORTABLE_BAND_CAP = _BAND_SIG["max_band_df"].default
-
+# _PORTABLE_BAND_CAP / _PORTABLE_MAX_HAMMING are the imagehash module's
+# named defaults (imported at the top): the SAME constants parameterize
+# near_dup_band_pairs/near_dup_video_pairs AND every oracle below, so the
+# Spark side and the SQL cannot silently desync (r12 ADVICE; the r13
+# review moved the binding from inspect.signature to the shared named
+# constants so composed consumers like image_dedup are covered too)
 _AUDIO_PAIR_CTES = f"""awin AS (
         SELECT doc_id, t,
                CASE WHEN length(substring(text, t*{_A_STRIDE} + 1, {_A_CHUNK})) = 0 THEN 0
@@ -2070,10 +2073,4 @@ ORACLE_AUDIO_DEDUP_AGAINST_CORPUS = f"""
 
 # the family combinatorics: every within-family ordered pair — the exact
 # set the planted-gain construction guarantees the production path emits
-# (_A_FAMILY interpolated so one edit moves the query AND the oracle)
-ORACLE_AUDIO_DUP_NATIVE = f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM documents a JOIN documents b
-      ON (a.doc_id - (a.doc_id % {_A_FAMILY})) = (b.doc_id - (b.doc_id % {_A_FAMILY}))
-     AND a.doc_id < b.doc_id
-"""
+ORACLE_AUDIO_DUP_NATIVE = _family_sql(_A_FAMILY)

@@ -51,6 +51,13 @@ _FP_MOD = (1 << 31) - 1
 _CHUNK_LEN = 64
 _N_ROWS = 8  # hash rows (one 16-bit band per 2 rows)
 _N_COLS = 9  # 9 columns -> 8 horizontal gradients per row
+#: the pair-phase defaults, shared by EVERY band-table consumer (pair
+#: queries, composed dedup, against-corpus) AND interpolated into every
+#: DuckDB oracle below — one edit moves the Spark side and the oracle
+#: together (the r12-ADVICE anti-desync discipline; the r13 review found
+#: the literals drifting back in, hence the named constants)
+MAX_HAMMING_DEFAULT = 8
+BAND_CAP_DEFAULT = 50
 
 
 # --- numpy tier (real images) ----------------------------------------------
@@ -182,8 +189,8 @@ def band_hamming(prefix_a: str = "a_b", prefix_b: str = "b_b") -> Column:
 def near_dup_band_pairs(
     hashed: DataFrame,
     id_col: str = "id",
-    max_hamming: int = 8,
-    max_band_df: int = 50,
+    max_hamming: int = MAX_HAMMING_DEFAULT,
+    max_band_df: int = BAND_CAP_DEFAULT,
 ) -> DataFrame:
     """Near-duplicate pairs from a ``(id, b0..b3)`` band table:
     band-bucket equi-join candidates (hot bands with document frequency
@@ -365,15 +372,43 @@ _I_SCALES = (1, 2, 3, 4)
 _I_LEVELS = 64
 
 
+def planted_family_matrix(
+    rid: int,
+    shape: tuple,
+    family: int = _I_FAMILY,
+    scales: tuple = _I_SCALES,
+    levels: int = _I_LEVELS,
+) -> np.ndarray:
+    """THE planted-family construction, shared by every modality's native
+    query generator (image PGMs here, video clips in ``av.py``) so a
+    margin re-tune (levels, scale tuple, family size) moves all of them
+    together (r13 review finding): copy ``rid``'s matrix is the family
+    base scene (seeded by the family id) contrast-scaled by its member
+    index — strictly monotone, so dHash-exact."""
+    rng = np.random.default_rng(rid - rid % family)
+    base = rng.integers(0, levels, shape)
+    return (base * scales[rid % family]).astype(np.uint8)
+
+
+def family_combinatorics_sql(family: int) -> str:
+    """The one family-combinatorics oracle, parameterized by family size
+    — every within-family ordered pair (the exact set each planted-family
+    construction guarantees its production path emits)."""
+    return f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON (a.doc_id - (a.doc_id % {family})) = (b.doc_id - (b.doc_id % {family}))
+     AND a.doc_id < b.doc_id
+"""
+
+
 def _planted_pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id) batches → (id, image): the planted-family PGM corpus."""
     for pdf in pdfs:
         ids, imgs = [], []
         for rid in pdf["doc_id"]:
             rid = int(rid)
-            rng = np.random.default_rng(rid - rid % _I_FAMILY)
-            base = rng.integers(0, _I_LEVELS, (_N_ROWS, _N_COLS))
-            scaled = (base * _I_SCALES[rid % _I_FAMILY]).astype(np.uint8)
+            scaled = planted_family_matrix(rid, (_N_ROWS, _N_COLS))
             big = np.repeat(np.repeat(scaled, 4, axis=0), 4, axis=1)
             pgm = b"P5\n%d %d\n255\n" % (big.shape[1], big.shape[0]) + big.tobytes()
             ids.append(rid)
@@ -409,16 +444,7 @@ def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-# the family combinatorics: every within-family ordered pair — the exact
-# set the planted-contrast construction guarantees the production path
-# emits (constants interpolated from the module geometry so one edit
-# moves both sides)
-ORACLE_IMAGE_DUP_NATIVE = f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM documents a JOIN documents b
-      ON (a.doc_id - (a.doc_id % {_I_FAMILY})) = (b.doc_id - (b.doc_id % {_I_FAMILY}))
-     AND a.doc_id < b.doc_id
-"""
+ORACLE_IMAGE_DUP_NATIVE = family_combinatorics_sql(_I_FAMILY)
 
 
 def image_dhash_native_consistency(
@@ -468,7 +494,7 @@ def image_dhash_clusters(
     ).orderBy("node")
 
 
-_IMAGE_PAIR_CTES = """chunks AS (
+_IMAGE_PAIR_CTES = f"""chunks AS (
         SELECT doc_id, i,
                CASE WHEN length(substring(text, i*64+1, 64)) = 0 THEN 0
                     ELSE list_reduce([CAST(0 AS BIGINT)] ||
@@ -491,7 +517,8 @@ _IMAGE_PAIR_CTES = """chunks AS (
         FROM bits GROUP BY doc_id, k
     ),
     ok_bands AS (
-        SELECT k, band FROM bands GROUP BY k, band HAVING COUNT(*) <= 50
+        SELECT k, band FROM bands GROUP BY k, band
+        HAVING COUNT(*) <= {BAND_CAP_DEFAULT}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -506,7 +533,10 @@ _IMAGE_PAIR_CTES = """chunks AS (
         JOIN bands y ON y.doc_id = c.id_b AND y.k = x.k
         GROUP BY c.id_a, c.id_b
     ),
-    pairs AS (SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8)"""
+    pairs AS (
+        SELECT id_a, id_b, hamming FROM ham
+        WHERE hamming <= {MAX_HAMMING_DEFAULT}
+    )"""
 
 ORACLE_IMAGE_DHASH_PAIRS = f"""
     WITH {_IMAGE_PAIR_CTES}
@@ -540,8 +570,8 @@ ORACLE_IMAGE_DHASH_CLUSTERS = f"""
 def image_dedup(
     hashed: DataFrame,
     id_col: str = "id",
-    max_hamming: int = 8,
-    max_band_df: int = 50,
+    max_hamming: int = MAX_HAMMING_DEFAULT,
+    max_band_df: int = BAND_CAP_DEFAULT,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The composed image dedup — ``clean_corpus``'s staging on pixels,
@@ -624,8 +654,8 @@ def image_dedup_against_corpus(
     new_hashes: DataFrame,
     corpus_hashes: DataFrame,
     id_col: str = "id",
-    max_hamming: int = 8,
-    max_band_df: int = 50,
+    max_hamming: int = MAX_HAMMING_DEFAULT,
+    max_band_df: int = BAND_CAP_DEFAULT,
 ) -> DataFrame:
     """Bipartite image near-dup: pairs of NEW images against an existing
     REFERENCE corpus hash table — the incremental-ingest shape
@@ -745,7 +775,8 @@ ORACLE_IMAGE_DEDUP_MAP = f"""
         WHERE doc_id IN (SELECT rep FROM egrp)
     ),
     rok AS (
-        SELECT k, band FROM rbands GROUP BY k, band HAVING COUNT(*) <= 50
+        SELECT k, band FROM rbands GROUP BY k, band
+        HAVING COUNT(*) <= {BAND_CAP_DEFAULT}
     ),
     rcand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -760,7 +791,7 @@ ORACLE_IMAGE_DEDUP_MAP = f"""
         JOIN rbands y ON y.doc_id = c.id_b AND y.k = x.k
         GROUP BY c.id_a, c.id_b
     ),
-    rpairs AS (SELECT id_a, id_b FROM rham WHERE hamming <= 8),
+    rpairs AS (SELECT id_a, id_b FROM rham WHERE hamming <= {MAX_HAMMING_DEFAULT}),
     redges AS (
         SELECT id_a AS u, id_b AS v FROM rpairs
         UNION ALL
@@ -824,7 +855,7 @@ ORACLE_IMAGE_DEDUP_AGAINST_CORPUS = f"""
     ),
     rok AS (
         SELECT k, band FROM xbands WHERE NOT is_new
-        GROUP BY k, band HAVING COUNT(*) <= 50
+        GROUP BY k, band HAVING COUNT(*) <= {BAND_CAP_DEFAULT}
     ),
     xcand AS (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
@@ -840,6 +871,7 @@ ORACLE_IMAGE_DEDUP_AGAINST_CORPUS = f"""
         JOIN bands y ON y.doc_id = c.ref_id AND y.k = x.k
         GROUP BY c.new_id, c.ref_id
     )
-    SELECT new_id, ref_id, hamming FROM xham WHERE hamming <= 8
+    SELECT new_id, ref_id, hamming FROM xham
+    WHERE hamming <= {MAX_HAMMING_DEFAULT}
     ORDER BY new_id, ref_id
 """

@@ -1481,6 +1481,16 @@ def connected_components(
     HDFS snapshots (reference ``CaffeOnSpark.scala`` source/snapshot state
     paths). ``setCheckpointDir`` is per-SparkContext (global); callers
     sharing a session should pass the same directory.
+
+    CLEANUP IS THE CALLER'S: Spark never deletes reliable checkpoints at
+    application exit, and each of the up-to-``max_iter`` rounds writes a
+    full label-table checkpoint (plus the edge list), so a scheduled
+    production job must either scope ``checkpoint_dir`` to a per-run
+    directory it removes afterwards (what ``tools_cluster_posture.py``
+    does with a TemporaryDirectory) or launch the session with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    context-creation conf — cannot be set from here) to reclaim
+    superseded rounds as their RDDs are GC'd.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

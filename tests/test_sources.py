@@ -293,3 +293,19 @@ def test_imagedir_append_merges_manifest(spark, tmp_path):
     write_image_dir(spark.createDataFrame(second, schema), out, mode="overwrite")
     got = {r["id"] for r in read_image_dir(spark, out).collect()}
     assert got == {f"b{i}" for i in range(3)}
+
+
+def test_table_nrows_flat_and_partitioned(spark, sf_smoke, tmp_path):
+    """r13: `table_nrows` (parquet-footer counts, no Spark job) must match
+    the scan count on the flat testdata layout AND on a Hive-partitioned
+    write (nested key=value subdirectories) — the layout Spark reads
+    transparently but a top-level-only glob missed (review finding)."""
+    from caffeonspark_spark.catalog import load_table, table_nrows
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    assert table_nrows(sf_smoke, "documents") == n
+
+    part_dir = tmp_path / "parted"
+    docs.write.partitionBy("source").parquet(str(part_dir / "documents.parquet"))
+    assert table_nrows(str(part_dir), "documents") == n

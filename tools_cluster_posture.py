@@ -91,7 +91,13 @@ def main() -> None:
         }
         for name, (build, oracle) in cases.items():
             t0 = time.time()
-            ok, msg = compare(build(), oracle, sf_dir)
+            # one raising query (non-convergence, collect error) must not
+            # abort the smoke — report it as a FAIL line and keep going,
+            # so the summary always prints (r13 review finding)
+            try:
+                ok, msg = compare(build(), oracle, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                ok, msg = False, f"raised {type(e).__name__}: {e}"
             dt = time.time() - t0
             print(f"{name}: {'ok' if ok else 'FAIL'} ({dt:.1f}s) {msg[:120]}")
             if not ok:

@@ -434,6 +434,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivor-only position-keyed banding -> components -> TOTAL
         # (id, keep_id) map; image_dedup_map's declaration on clips)
         "video_dedup_map": AV.video_dedup_map_query,
+        # --- r13: bipartite batch-vs-corpus video near-dup (position-
+        # keyed cross-side banding, corpus-side per-position hot cap)
+        "video_dedup_against_corpus": AV.video_dedup_against_corpus_query,
         # --- r12: audio near-dup pairs/clusters — the last modality without
         # declared dedup rows. Portable twin: temporal-gradient fingerprints
         # over text-derived log-mel stand-ins, verifying the audio packing
@@ -912,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "video_dup_native_consistency": AV.ORACLE_VIDEO_DUP_CONSISTENCY,
         "video_dup_clusters": AV.ORACLE_VIDEO_DUP_CLUSTERS,
         "video_dedup_map": AV.ORACLE_VIDEO_DEDUP_MAP,
+        "video_dedup_against_corpus": AV.ORACLE_VIDEO_DEDUP_AGAINST_CORPUS,
         "audio_dup_pairs": AV.ORACLE_AUDIO_DUP_PAIRS,
         "audio_dup_pairs_native": AV.ORACLE_AUDIO_DUP_NATIVE,
         "audio_dup_clusters": AV.ORACLE_AUDIO_DUP_CLUSTERS,

@@ -242,6 +242,8 @@ BENCH_QUERIES = {
     "q_audio_dedup_map": AV.audio_dedup_map_query,
     # r13: bipartite batch-vs-corpus audio dedup
     "q_audio_corpus_dedup": AV.audio_dedup_against_corpus_query,
+    # r13: bipartite batch-vs-corpus video dedup (position-keyed)
+    "q_video_corpus_dedup": AV.video_dedup_against_corpus_query,
 }
 
 

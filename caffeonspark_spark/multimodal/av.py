@@ -1138,6 +1138,85 @@ def near_dup_video_pairs(
     )
 
 
+def video_dedup_against_corpus(
+    new_frames: DataFrame,
+    corpus_frames: DataFrame,
+    id_col: str = "id",
+    frame_col: str = "frame_idx",
+    max_hamming: int = _PORTABLE_MAX_HAMMING,
+    max_band_df: int = _PORTABLE_BAND_CAP,
+    min_frames: int = 3,
+) -> DataFrame:
+    """Bipartite video near-dup: NEW clips against a kept REFERENCE
+    corpus — ``image_dedup_against_corpus``'s incremental-ingest shape
+    with ``near_dup_video_pairs``' position-keyed key (the generic band
+    form can't express the ≥ ``min_frames`` clip gate). Returns
+    ``(new_id, ref_id, n_frames_matched)``.
+
+    Scale contract: the corpus frame-hash table is the materialize-once
+    artifact (4 smallints × positions per clip) reused per ingest batch;
+    candidates are CROSS-side (fi, k, band) collisions only — the join
+    keeps new×ref, never ref×ref — and the per-position hot cap is
+    computed on the CORPUS side (the side big enough to have degenerate
+    positions: black intro frames, test cards)."""
+    from caffeonspark_spark.multimodal.imagehash import band_hamming
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    def prep(t: DataFrame, memo: str) -> DataFrame:
+        return _persist_replacing(
+            memo,
+            t.select(
+                F.col(id_col).alias("id"),
+                F.col(frame_col).alias("fi"),
+                "b0", "b1", "b2", "b3",
+            ),
+        )
+
+    hn = prep(new_frames, "video_corpus_dedup_new")
+    hr = prep(corpus_frames, "video_corpus_dedup_ref")
+
+    def bands(t: DataFrame) -> DataFrame:
+        return t.select(
+            "id", "fi",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
+        )
+
+    ok = (
+        bands(hr).groupBy("fi", "k", "band")
+        .count()
+        .where(F.col("count") <= max_band_df)
+        .drop("count")
+    )
+    cand = (
+        bands(hn).join(ok, ["fi", "k", "band"])
+        .alias("a")
+        .join(
+            bands(hr).alias("b"),
+            (F.col("a.fi") == F.col("b.fi"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("ref_id"),
+            F.col("a.fi").alias("fi"),
+        )
+        .distinct()
+    )
+    xa = hn.select(*[F.col(c).alias(f"a_{c}") for c in hn.columns])
+    xb = hr.select(*[F.col(c).alias(f"b_{c}") for c in hr.columns])
+    matched = (
+        cand.join(xa, (cand.new_id == xa.a_id) & (cand.fi == xa.a_fi))
+        .join(xb, (cand.ref_id == xb.b_id) & (cand.fi == xb.b_fi))
+        .where(band_hamming() <= max_hamming)
+    )
+    return (
+        matched.groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def video_dedup_map(
     frame_hashes: DataFrame,
     id_col: str = "id",
@@ -1236,12 +1315,19 @@ def portable_video_frame_hashes(spark, sf_dir: str) -> DataFrame:
     it into the 64 bit expressions). One explode to _V_FRAMES rows per
     doc, no shuffle."""
     from caffeonspark_spark.catalog import load_table
+
+    return portable_video_frame_hashes_df(load_table(spark, sf_dir, "documents"))
+
+
+def portable_video_frame_hashes_df(docs: DataFrame) -> DataFrame:
+    """``portable_video_frame_hashes`` over an explicit documents frame —
+    lets declared queries hash a SUBSET (the corpus/batch split of
+    ``video_dedup_against_corpus_query``) with identical arithmetic."""
     from caffeonspark_spark.multimodal.imagehash import (
         _chunk_fold,
         portable_image_bands,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     frames = docs.select(
         F.col("doc_id").alias("id"),
         "text",
@@ -1558,6 +1644,63 @@ ORACLE_VIDEO_DUP_CLUSTERS = f"""
         SELECT e.u, r.lbl FROM vedges e JOIN vreach r ON e.v = r.node
     )
     SELECT node, MIN(lbl) AS component FROM vreach GROUP BY node ORDER BY node
+"""
+
+
+def video_dedup_against_corpus_query(spark, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle, r13): bipartite video near-dup — the
+    portable frame-hash table split by source (``src10+`` incoming batch
+    vs ``src0-9`` kept corpus, the ``dedup_against_corpus`` split), each
+    batch clip matched against the corpus only through the position-keyed
+    pair phase with the corpus-side per-position hot cap and the
+    ≥ ``min_frames`` clip gate. Completes the against-corpus × modality
+    matrix: text, image, audio, and now video."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.dedup import split_corpus_by_source
+
+    new_docs, ref_docs = split_corpus_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+    return video_dedup_against_corpus(
+        portable_video_frame_hashes_df(new_docs),
+        portable_video_frame_hashes_df(ref_docs),
+        frame_col="fi",
+        min_frames=_V_MIN_FRAMES_PORTABLE,
+    ).orderBy("new_id", "ref_id")
+
+
+ORACLE_VIDEO_DEDUP_AGAINST_CORPUS = f"""
+    WITH {_VIDEO_PAIR_CTES},
+    vsrc AS (
+        SELECT doc_id, CAST(substr(source, 4) AS INT) >= 10 AS is_new
+        FROM documents
+    ),
+    vxb AS (
+        SELECT b.doc_id, s.is_new, b.fi, b.k, b.band
+        FROM vbands b JOIN vsrc s USING (doc_id)
+    ),
+    vxok AS (
+        SELECT fi, k, band FROM vxb WHERE NOT is_new
+        GROUP BY fi, k, band HAVING COUNT(*) <= {_PORTABLE_BAND_CAP}
+    ),
+    vxcand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id, a.fi
+        FROM vxb a JOIN vxok o ON a.fi = o.fi AND a.k = o.k AND a.band = o.band
+        JOIN vxb b ON b.fi = a.fi AND b.k = a.k AND b.band = a.band
+        WHERE a.is_new AND NOT b.is_new
+    ),
+    vxham AS (
+        SELECT c.new_id, c.ref_id, c.fi,
+               CAST(SUM(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming
+        FROM vxcand c
+        JOIN vbands x ON x.doc_id = c.new_id AND x.fi = c.fi
+        JOIN vbands y ON y.doc_id = c.ref_id AND y.fi = c.fi AND y.k = x.k
+        GROUP BY c.new_id, c.ref_id, c.fi
+    )
+    SELECT new_id, ref_id, CAST(COUNT(*) AS BIGINT) AS n_frames_matched
+    FROM vxham WHERE hamming <= {_PORTABLE_MAX_HAMMING}
+    GROUP BY new_id, ref_id HAVING COUNT(*) >= {_V_MIN_FRAMES_PORTABLE}
+    ORDER BY new_id, ref_id
 """
 
 
@@ -2020,9 +2163,9 @@ def audio_dedup_against_corpus_query(spark, sf_dir: str) -> DataFrame:
     ``(id, b0..b3)`` band table, so the audio form IS that operator on
     fingerprints: corpus band table materialized once per corpus version,
     candidates ∝ CROSS-side band collisions, hot cap computed on the
-    corpus side. Completes the against-corpus × modality coverage for
-    every band-table modality (text, image, audio; per-frame video needs
-    the position-keyed pair phase and stays self-join-only by design)."""
+    corpus side. Completes the against-corpus × modality coverage
+    for every band-table modality (text, image, audio; video has its own
+    position-keyed bipartite form, ``video_dedup_against_corpus``)."""
     from caffeonspark_spark.catalog import load_table
     from caffeonspark_spark.multimodal.imagehash import (
         image_dedup_against_corpus,

@@ -818,3 +818,21 @@ def test_audio_corpus_dedup_bipartite_plan(spark, sf_smoke):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     for cols in read_schema_columns(df):
         assert cols == {"doc_id", "source", "text"}, read_schema_columns(df)
+
+
+def test_video_corpus_dedup_bipartite_plan(spark, sf_smoke):
+    """The batch-vs-corpus video dedup: position-keyed banding equi-joins
+    only, both frame-hash tables cached once, each documents scan pruned
+    to (doc_id, source, text)."""
+    from caffeonspark_spark.multimodal.av import (
+        video_dedup_against_corpus_query,
+    )
+
+    df = video_dedup_against_corpus_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Window" not in plan, plan
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
+    for cols in read_schema_columns(df):
+        assert cols == {"doc_id", "source", "text"}, read_schema_columns(df)

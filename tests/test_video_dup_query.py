@@ -249,3 +249,54 @@ def test_declared_native_honors_decoder_seam(spark, sf_smoke):
         return np.zeros((n_frames, height, width, 1), dtype=np.uint8)
 
     assert video_dup_pairs_native(spark, sf_smoke, decoder=zeros).count() == 0
+
+
+def test_video_dedup_against_corpus_query_matches_oracle(spark, sf_smoke):
+    """r13 declared query: the bipartite batch-vs-corpus clip pair set
+    matches the DuckDB twin cell-for-cell (corpus-side per-position hot
+    cap, cross-side candidates only, clip gate)."""
+    from caffeonspark_spark.multimodal.av import (
+        ORACLE_VIDEO_DEDUP_AGAINST_CORPUS,
+        video_dedup_against_corpus_query,
+    )
+
+    ok, msg = compare(
+        video_dedup_against_corpus_query(spark, sf_smoke),
+        ORACLE_VIDEO_DEDUP_AGAINST_CORPUS,
+        sf_smoke,
+    )
+    assert ok, msg
+
+
+def test_video_corpus_dedup_strictly_cross_side(spark):
+    """Operator semantics: a batch containing a contrast-scaled copy of a
+    corpus clip pairs with EXACTLY that corpus clip; the batch's internal
+    duplicate pair and the corpus's internal structure never appear."""
+    from caffeonspark_spark.multimodal.av import video_dedup_against_corpus
+    from caffeonspark_spark.multimodal.imagehash import planted_family_matrix
+
+    def frames_rows(ids_scenes):
+        rows = []
+        for rid, (scene_seed, scale) in ids_scenes.items():
+            base = planted_family_matrix(scene_seed, (4, 8, 9))
+            clip = (base.astype(np.int64) * scale // 1).astype(np.uint8)
+            for fi in range(4):
+                from caffeonspark_spark.multimodal.imagehash import dhash_bands
+
+                b = dhash_bands(clip[fi])
+                rows.append((rid, fi, b[0], b[1], b[2], b[3]))
+        return spark.createDataFrame(
+            rows, "id long, frame_idx int, b0 long, b1 long, b2 long, b3 long"
+        )
+
+    # corpus: three distinct scenes; batch: a 2x-contrast copy of corpus
+    # clip 101's scene, its exact twin, and a fresh scene
+    corpus = frames_rows({100: (0, 1), 101: (4, 1), 102: (8, 1)})
+    batch = frames_rows({0: (4, 2), 1: (4, 2), 2: (12, 1)})
+    pairs = {
+        (r["new_id"], r["ref_id"])
+        for r in video_dedup_against_corpus(
+            batch, corpus, max_hamming=2, min_frames=3
+        ).collect()
+    }
+    assert pairs == {(0, 101), (1, 101)}, pairs

@@ -127,6 +127,9 @@ SHOW = {
     "audio_dedup_against_corpus (bipartite corpus-capped band equi-joins)": (
         AV.audio_dedup_against_corpus_query
     ),
+    "video_dedup_against_corpus (position-keyed bipartite banding, clip gate)": (
+        AV.video_dedup_against_corpus_query
+    ),
     "video_dup_pairs (position-keyed band equi-joins, cached frame-hash table, clip gate)": (
         AV.video_dup_pairs_portable
     ),

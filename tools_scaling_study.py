@@ -62,6 +62,7 @@ QUERIES = {
     "video_dedup_map": AV.video_dedup_map_query,
     "audio_dedup_map": AV.audio_dedup_map_query,
     "audio_corpus_dedup": AV.audio_dedup_against_corpus_query,
+    "video_corpus_dedup": AV.video_dedup_against_corpus_query,
     "video_dup_native": AV.video_dup_pairs_native,
     "audio_dup": AV.audio_dup_pairs_portable,
     "audio_dup_native": AV.audio_dup_pairs_native,

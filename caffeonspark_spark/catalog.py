@@ -49,7 +49,16 @@ def table_nrows(sf_dir: str, name: str) -> int:
     path = table_path(sf_dir, name)
     # recursive: a Hive-partitioned layout (key=value subdirectories from
     # a partitionBy write) nests its part files — Spark reads it fine, so
-    # the metadata count must too (r13 review finding)
+    # the metadata count must too (r13 review finding). Spark's FileIndex
+    # HIDES any path segment starting with '_' or '.' (e.g. a leftover
+    # _temporary staging tree from a killed write), so the count must
+    # skip them too or it over-counts vs the scan (r13 review finding 2)
+    def _visible(f: str) -> bool:
+        rel = os.path.relpath(f, path)
+        return not any(
+            seg.startswith(("_", ".")) for seg in rel.split(os.sep)
+        )
+
     files = (
         [path]
         if os.path.isfile(path)
@@ -58,7 +67,7 @@ def table_nrows(sf_dir: str, name: str) -> int:
             for f in _glob.glob(
                 os.path.join(path, "**", "*.parquet"), recursive=True
             )
-            if os.path.isfile(f)
+            if os.path.isfile(f) and _visible(f)
         )
     )
     if not files:

@@ -1158,7 +1158,14 @@ def video_dedup_against_corpus(
     candidates are CROSS-side (fi, k, band) collisions only — the join
     keeps new×ref, never ref×ref — and the per-position hot cap is
     computed on the CORPUS side (the side big enough to have degenerate
-    positions: black intro frames, test cards)."""
+    positions: black intro frames, test cards).
+
+    SYNC NOTE: this deliberately mirrors ``near_dup_video_pairs``' pair
+    phase (persist → posexplode → hot cap → candidate equi-join →
+    per-position Hamming → clip gate) in bipartite form; a change to the
+    banding key or Hamming staging there must be mirrored here (queued
+    r13 review item: factor the shared core the way ``band_hamming``
+    was)."""
     from caffeonspark_spark.multimodal.imagehash import band_hamming
     from caffeonspark_spark.operators.dedup import _persist_replacing
 
@@ -1432,7 +1439,10 @@ def video_dup_pairs_render(spark, sf_dir: str) -> DataFrame:
     )
     frames = video_sample_frames(meta, k=_V_FRAMES)
     hashed = video_frame_hashes(frames)
-    return near_dup_video_pairs(hashed, min_frames=2)
+    # the portable twin's gate constant: the consistency row full-outer
+    # compares this render path against the portable query, so the two
+    # gates MUST retune together (r13 review finding)
+    return near_dup_video_pairs(hashed, min_frames=_V_MIN_FRAMES_PORTABLE)
 
 
 #: planted clip families: _V_NAT_FAMILY consecutive doc_ids share one

@@ -309,3 +309,23 @@ def test_table_nrows_flat_and_partitioned(spark, sf_smoke, tmp_path):
     part_dir = tmp_path / "parted"
     docs.write.partitionBy("source").parquet(str(part_dir / "documents.parquet"))
     assert table_nrows(str(part_dir), "documents") == n
+
+
+def test_table_nrows_skips_hidden_staging_files(spark, sf_smoke, tmp_path):
+    """r13 review: Spark's FileIndex hides '_'/'.'-prefixed path segments
+    (e.g. a _temporary tree from a killed write); the metadata count must
+    skip them too or it over-counts vs the scan."""
+    import shutil
+
+    from caffeonspark_spark.catalog import load_table, table_nrows
+
+    d = tmp_path / "staged"
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.write.parquet(str(d / "documents.parquet"))
+    n = docs.count()
+    # plant a leftover staging tree with a real parquet file inside
+    staging = d / "documents.parquet" / "_temporary" / "0"
+    staging.mkdir(parents=True)
+    real = sorted((d / "documents.parquet").glob("*.parquet"))[0]
+    shutil.copy(real, staging / "part-leftover.parquet")
+    assert table_nrows(str(d), "documents") == n

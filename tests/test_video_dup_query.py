@@ -279,7 +279,7 @@ def test_video_corpus_dedup_strictly_cross_side(spark):
         rows = []
         for rid, (scene_seed, scale) in ids_scenes.items():
             base = planted_family_matrix(scene_seed, (4, 8, 9))
-            clip = (base.astype(np.int64) * scale // 1).astype(np.uint8)
+            clip = (base.astype(np.int64) * scale).astype(np.uint8)
             for fi in range(4):
                 from caffeonspark_spark.multimodal.imagehash import dhash_bands
 

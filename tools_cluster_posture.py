@@ -50,6 +50,9 @@ def main() -> None:
 
     from caffeonspark_spark.multimodal import av as AV
     from caffeonspark_spark.multimodal import imagehash as IH
+    from caffeonspark_spark.multimodal.av import (
+        _V_MIN_FRAMES_PORTABLE as _V_MINF,
+    )
     from caffeonspark_spark.operators import dedup as D
     from tests.oracle_check import compare
 
@@ -83,7 +86,7 @@ def main() -> None:
                 lambda: AV.video_dedup_map(
                     AV.portable_video_frame_hashes(spark, sf_dir),
                     frame_col="fi",
-                    min_frames=2,
+                    min_frames=_V_MINF,
                     checkpoint_dir=ckpt,
                 ).orderBy("id"),
                 AV.ORACLE_VIDEO_DEDUP_MAP,

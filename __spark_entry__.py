@@ -26,6 +26,7 @@ from caffeonspark_spark.operators import temporal as TP
 from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
+from caffeonspark_spark.sources import lmdb as LM
 from caffeonspark_spark.ml import dataflow as ML
 from caffeonspark_spark.multimodal import av as AV
 from caffeonspark_spark.multimodal import imagehash as IH
@@ -477,6 +478,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": TX.token_stats,
         "bigram_topk": TX.bigram_topk,
         "struct_binary_roundtrip": R.struct_binary_roundtrip,
+        # --- r14: the last §2.A format gap — from-spec LMDB byte-format
+        # scan (planned leaf-range partitions, Datum wire decode, CHW→HWC
+        # reorder) end-to-end over a deterministic fixture whose
+        # position-weighted byte checksums DuckDB recomputes in closed
+        # form from documents.doc_id
+        "lmdb_scan_agg": LM.lmdb_scan_agg,
         "caption_encode": ETL.caption_encode_docs,
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
@@ -952,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": TX.ORACLE_TOKEN_STATS,
         "bigram_topk": TX.ORACLE_BIGRAM_TOPK,
         # --- multimodal / ETL / partitioning ---
+        "lmdb_scan_agg": LM.ORACLE_LMDB_SCAN,
         "struct_binary_roundtrip": """
             SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -32,6 +32,7 @@ from caffeonspark_spark.streaming import windows as SW  # noqa: E402
 from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
+from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
 
 
 def _train_epoch_bench(spark, sf_dir):
@@ -244,6 +245,9 @@ BENCH_QUERIES = {
     "q_audio_corpus_dedup": AV.audio_dedup_against_corpus_query,
     # r13: bipartite batch-vs-corpus video dedup (position-keyed)
     "q_video_corpus_dedup": AV.video_dedup_against_corpus_query,
+    # r14: from-spec LMDB scan (leaf-range planned partitions + Datum
+    # decode + CHW→HWC) — includes the one-time fixture build on first run
+    "q_lmdb_scan": LM.lmdb_scan_agg,
 }
 
 

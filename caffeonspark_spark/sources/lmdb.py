@@ -1,0 +1,706 @@
+"""From-spec LMDB (Lightning Memory-Mapped Database) scan → DataFrame.
+
+The reference reads Caffe LMDB datasets through a custom RDD backed by
+the native liblmdbjni (``LmdbRDD.scala:36-155``): driver-side partition
+planning by sequentially ITERATING the whole B-tree and remembering every
+``part_size``-th key as a partition start key, then per-partition
+``seek(startKey)`` + bounded enumeration, protobuf ``Datum`` decode, and
+a CHW→HWC pixel reorder (``LmdbRDD.scala:270-281``). The DataFrame
+conversion tool (``tools/LMDB2DataFrame.scala:12-18``) fixes the output
+schema: ``(id string, label string, channels int, height int, width int,
+encoded boolean, data binary)``.
+
+This rebuild reads the LMDB byte format DIRECTLY — a pure-Python page
+reader written from the public on-disk layout (struct definitions in
+lmdb's ``mdb.c``/``lmdb.h``, Howard Chu's OpenLDAP LMDB; the format is
+stable and versioned ``MDB_DATA_VERSION=1``), following the same
+from-spec discipline as the JPEG/PNG/TIFF decode tier:
+
+* dual meta pages 0/1, the live one chosen by larger ``mm_txnid``;
+* 16-byte page headers (``p_pgno u64, mp_pad u16, mp_flags u16,
+  pb_lower u16, pb_upper u16`` — the last four bytes reading as the
+  ``pb_pages u32`` overflow-chain length on P_OVERFLOW pages);
+* branch/leaf node headers (``mn_lo, mn_hi, mn_flags, mn_ksize``, each
+  u16): leaf data size = ``lo | hi<<16`` with ``F_BIGDATA`` values
+  spilled to contiguous overflow pages, branch child pgno =
+  ``lo | hi<<16 | flags<<32``;
+* ``MDB_db`` main-database descriptor in the meta (root pgno, depth,
+  entry count — the count LMDB keeps exactly, used for planning).
+
+Scale shape (how this differs from the reference's planner): partition
+planning walks only the BRANCH level of the tree to list leaf page
+numbers in key order and hands each planned partition a contiguous leaf
+RANGE — O(branch pages) driver metadata I/O instead of the reference's
+O(n) full-key iteration at plan time (``LmdbRDD.scala:60-90`` skips
+``part_size`` entries per boundary on the driver). Executors open the
+file read-only and touch only their own leaf/overflow pages; pixel bytes
+never pass through the driver. On a real cluster the ``.mdb`` file must
+be visible to executors (shared storage, or shipped with ``--files`` the
+way the reference calls ``sc.addFile`` — ``LmdbRDD.scala:252-257``).
+
+The ``Datum`` value codec is the public Caffe protobuf message
+(``caffe.proto``: 1=channels, 2=height, 3=width, 4=data, 5=label,
+6=float_data, 7=encoded) parsed with a minimal wire-format reader — no
+protobuf dependency. Non-encoded multi-channel pixel data is reordered
+CHW→HWC exactly as ``LmdbRDD.LMDBdata2Matdata`` does, vectorized
+(one numpy transpose per value, not a per-byte loop).
+
+A from-spec WRITER (``write_lmdb``) rounds out the capability for tests
+and export: it emits the same layout (sorted leaf pages, minimal branch
+levels, overflow chains for big values, dual metas) that the reader —
+and the real liblmdb — consumes. The declared query ``lmdb_scan_agg``
+builds a deterministic Datum corpus keyed by the documents table's
+doc_ids, scans it through the full planner/reader/decode/reorder path,
+and aggregates position-weighted byte checksums that a DuckDB oracle
+recomputes in closed form from ``documents`` alone — a wrong byte, a
+missed entry, a bad overflow stitch, or a wrong CHW→HWC permutation all
+break the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterable, Iterator, Sequence
+
+import numpy as np
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+# --- on-disk constants (lmdb.h / mdb.c, public) ---------------------------
+
+MDB_MAGIC = 0xBEEFC0DE
+MDB_DATA_VERSION = 1
+PAGE_SIZE = 4096
+PAGEHDRSZ = 16
+P_BRANCH = 0x01
+P_LEAF = 0x02
+P_OVERFLOW = 0x04
+P_META = 0x08
+P_LEAF2 = 0x20
+F_BIGDATA = 0x01
+P_INVALID = 0xFFFFFFFFFFFFFFFF
+#: inline-value ceiling for the writer; liblmdb's me_nodemax is
+#: ((psize - PAGEHDRSZ) / MDB_MINKEYS) & ~1 = 2040 for 4 KiB pages — any
+#: threshold at or below that produces files liblmdb itself would accept,
+#: and the READER handles both representations regardless
+MAX_INLINE_DATA = 1900
+
+LMDB_SCHEMA = (
+    "id string, label string, channels int, height int, width int, "
+    "encoded boolean, data binary"
+)  # tools/LMDB2DataFrame.scala:12-18
+
+FORMAT_NAME = "cos_lmdb"
+
+
+# --- Caffe Datum wire codec (public caffe.proto) ---------------------------
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        out |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _put_uvarint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def encode_datum(
+    channels: int,
+    height: int,
+    width: int,
+    data: bytes,
+    label: int,
+    encoded: bool = False,
+    float_data: Sequence[float] | None = None,
+) -> bytes:
+    """Serialize a Caffe ``Datum`` (caffe.proto field numbers 1-7)."""
+    out = bytearray()
+    for field, v in ((1, channels), (2, height), (3, width)):
+        out.append(field << 3)  # wire type 0
+        _put_uvarint(out, v)
+    out.append((4 << 3) | 2)  # bytes
+    _put_uvarint(out, len(data))
+    out.extend(data)
+    out.append(5 << 3)
+    _put_uvarint(out, label & 0xFFFFFFFF if label >= 0 else label + (1 << 64))
+    for f in float_data or ():
+        out.append((6 << 3) | 5)  # fixed32
+        out.extend(struct.pack("<f", f))
+    out.append(7 << 3)
+    _put_uvarint(out, 1 if encoded else 0)
+    return bytes(out)
+
+
+def decode_datum(buf: bytes) -> dict:
+    """Parse a Caffe ``Datum`` — any field order, unknown fields skipped
+    (standard proto2 semantics; the reference delegates this to the
+    generated ``caffe.Caffe.Datum`` class, ``LmdbRDD.scala:136-149``)."""
+    out = {
+        "channels": 0, "height": 0, "width": 0, "data": b"",
+        "label": 0, "encoded": False, "float_data": [],
+    }
+    names = {1: "channels", 2: "height", 3: "width", 5: "label"}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _uvarint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v, pos = _uvarint(buf, pos)
+            if field in names:
+                out[names[field]] = v - (1 << 64) if v >= 1 << 63 else v
+            elif field == 7:
+                out["encoded"] = bool(v)
+        elif wire == 2:
+            n, pos = _uvarint(buf, pos)
+            chunk = buf[pos : pos + n]
+            pos += n
+            if field == 4:
+                out["data"] = chunk
+            elif field == 6:  # packed floats
+                out["float_data"].extend(
+                    struct.unpack(f"<{len(chunk) // 4}f", chunk)
+                )
+        elif wire == 5:
+            if field == 6:
+                out["float_data"].append(
+                    struct.unpack_from("<f", buf, pos)[0]
+                )
+            pos += 4
+        elif wire == 1:
+            pos += 8
+        else:  # pragma: no cover - groups (3/4) don't appear in Datum
+            raise ValueError(f"unsupported wire type {wire}")
+    return out
+
+
+def chw_to_hwc(channels: int, data: bytes) -> bytes:
+    """Pixel reorder (channel,height,width) → (height,width,channel) —
+    ``LmdbRDD.LMDBdata2Matdata`` (``LmdbRDD.scala:270-281``), vectorized:
+    HWC[p*C + c] = CHW[c*HW + p]."""
+    if channels <= 1 or not data:
+        return data
+    hw, rem = divmod(len(data), channels)
+    if rem:  # not a dense pixel volume — pass through untouched
+        return data
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(channels, hw)
+    return arr.transpose(1, 0).tobytes()
+
+
+# --- pure-Python LMDB page reader ------------------------------------------
+
+class LmdbKV:
+    """Read-only B-tree access to one LMDB data file.
+
+    ``path`` may be the environment directory (containing ``data.mdb``,
+    how liblmdb and the reference address it — ``LmdbRDD.scala:166-191``)
+    or the data file itself.
+    """
+
+    def __init__(self, path: str):
+        self.path = (
+            os.path.join(path, "data.mdb") if os.path.isdir(path) else path
+        )
+        with open(self.path, "rb") as fh:
+            self._buf = fh.read()
+        meta = max(self._meta(0), self._meta(1), key=lambda m: m["txnid"])
+        self.entries: int = meta["entries"]
+        self.root: int = meta["root"]
+        self.depth: int = meta["depth"]
+        self.page_size: int = meta["psize"]
+
+    def _meta(self, pgno: int) -> dict:
+        # psize isn't stored; probe both meta candidates at the default
+        # 4 KiB offset first, then common alternates (the page carries its
+        # own pgno, so a wrong probe fails the pgno/magic check)
+        for psize in (PAGE_SIZE, 8192, 16384, 32768, 65536, 1024, 2048, 512):
+            off = pgno * psize
+            if off + PAGEHDRSZ + 136 > len(self._buf):
+                continue
+            p_pgno, _, flags = struct.unpack_from("<QHH", self._buf, off)
+            if p_pgno != pgno or not flags & P_META:
+                continue
+            m = off + PAGEHDRSZ
+            magic, version = struct.unpack_from("<II", self._buf, m)
+            if magic != MDB_MAGIC or version != MDB_DATA_VERSION:
+                continue
+            # MDB_meta: magic, version, address(8), mapsize(8),
+            # dbs[2] (48 each: pad u32, flags u16, depth u16, branch u64,
+            # leaf u64, overflow u64, entries u64, root u64), last_pg, txnid
+            main = m + 4 + 4 + 8 + 8 + 48
+            _, _, depth, _, _, _, entries, root = struct.unpack_from(
+                "<IHHQQQQQ", self._buf, main
+            )
+            txnid = struct.unpack_from("<Q", self._buf, main + 48 + 8)[0]
+            return {
+                "txnid": txnid, "entries": entries, "root": root,
+                "depth": depth, "psize": psize,
+            }
+        raise ValueError(f"{self.path}: no valid LMDB meta page {pgno}")
+
+    # -- page primitives --
+
+    def _page(self, pgno: int) -> tuple[int, int, int]:
+        """→ (offset, flags, numkeys)."""
+        off = pgno * self.page_size
+        _, _, flags, lower = struct.unpack_from("<QHHH", self._buf, off)
+        return off, flags, (lower - PAGEHDRSZ) >> 1
+
+    def _node(self, page_off: int, i: int) -> tuple[int, int, int, bytes]:
+        """Node ``i`` → (lo|hi<<16, flags, ksize, key)."""
+        ptr = struct.unpack_from("<H", self._buf, page_off + PAGEHDRSZ + 2 * i)[0]
+        off = page_off + ptr
+        lo, hi, flags, ksize = struct.unpack_from("<HHHH", self._buf, off)
+        key = self._buf[off + 8 : off + 8 + ksize]
+        return lo | (hi << 16), flags, off, key
+
+    def leaf_pgnos(self) -> list[int]:
+        """Leaf page numbers in key order — planner metadata (walks branch
+        levels only; never touches leaf or overflow bytes)."""
+        if self.root == P_INVALID:
+            return []
+        level = [self.root]
+        while True:
+            off, flags, _ = self._page(level[0])
+            if flags & P_LEAF:
+                return level
+            if not flags & P_BRANCH:
+                raise ValueError(f"unexpected page flags 0x{flags:x}")
+            nxt: list[int] = []
+            for pgno in level:
+                off, flags, nkeys = self._page(pgno)
+                for i in range(nkeys):
+                    sz, nflags, _, _ = self._node(off, i)
+                    nxt.append(sz | (nflags << 32))
+            level = nxt
+
+    def iter_leaf(self, pgno: int) -> Iterator[tuple[bytes, bytes]]:
+        """(key, value) pairs of one leaf page, overflow chains resolved."""
+        off, flags, nkeys = self._page(pgno)
+        if flags & P_LEAF2:
+            raise NotImplementedError(
+                "MDB_DUPFIXED (P_LEAF2) pages are not used by Caffe LMDB "
+                "datasets; unsupported by this reader"
+            )
+        for i in range(nkeys):
+            dsize, nflags, noff, key = self._node(off, i)
+            data_off = noff + 8 + len(key)
+            if nflags & F_BIGDATA:
+                ovf = struct.unpack_from("<Q", self._buf, data_off)[0]
+                o = ovf * self.page_size
+                yield key, self._buf[o + PAGEHDRSZ : o + PAGEHDRSZ + dsize]
+            else:
+                yield key, self._buf[data_off : data_off + dsize]
+
+    def items(self) -> Iterator[tuple[bytes, bytes]]:
+        for pgno in self.leaf_pgnos():
+            yield from self.iter_leaf(pgno)
+
+
+# --- from-spec writer (fixtures / export) ----------------------------------
+
+def _even(n: int) -> int:
+    return n + (n & 1)
+
+
+def write_lmdb(path: str, items: Iterable[tuple[bytes, bytes]]) -> str:
+    """Write ``(key, value)`` pairs as a valid single-file LMDB database
+    (``data.mdb`` under ``path`` if ``path`` is/becomes a directory).
+
+    Layout choices (all within what liblmdb produces): 4 KiB pages, keys
+    pre-sorted into packed leaves, values over ``MAX_INLINE_DATA`` bytes
+    on contiguous overflow chains, minimal branch levels above, FREE_DBI
+    empty, meta 0 at txnid 0 and meta 1 at txnid 1. Returns the data-file
+    path. Page numbering: metas 0-1, leaves, overflow chains, branches.
+    """
+    recs = sorted(items)
+    if any(len(k) == 0 or len(k) > 511 for k, _ in recs):
+        raise ValueError("LMDB keys must be 1..511 bytes")
+
+    # pass 1 — plan leaves and overflow chains
+    leaves: list[list[int]] = []  # record indices per leaf
+    ovf_pages: list[tuple[int, bytes]] = []  # (first pgno later, value)
+    big: dict[int, int] = {}  # record idx -> overflow chain index
+    cur: list[int] = []
+    room = PAGE_SIZE - PAGEHDRSZ
+    for idx, (k, v) in enumerate(recs):
+        inline = len(v) <= MAX_INLINE_DATA
+        need = 2 + _even(8 + len(k) + (len(v) if inline else 8))
+        if need > room and cur:
+            leaves.append(cur)
+            cur, room = [], PAGE_SIZE - PAGEHDRSZ
+        cur.append(idx)
+        room -= need
+        if not inline:
+            big[idx] = len(ovf_pages)
+            ovf_pages.append((0, v))
+    if cur or not leaves:
+        leaves.append(cur)
+
+    first_leaf = 2
+    next_pg = first_leaf + len(leaves)
+    ovf_start: list[int] = []
+    n_ovf = 0
+    for _, v in ovf_pages:
+        ovf_start.append(next_pg)
+        npages = (PAGEHDRSZ + len(v) + PAGE_SIZE - 1) // PAGE_SIZE
+        next_pg += npages
+        n_ovf += npages
+
+    def render_page(pgno: int, flags: int, nodes: list[bytes]) -> bytearray:
+        page = bytearray(PAGE_SIZE)
+        upper = PAGE_SIZE
+        ptrs = []
+        for nb in nodes:
+            upper -= _even(len(nb))
+            page[upper : upper + len(nb)] = nb
+            ptrs.append(upper)
+        lower = PAGEHDRSZ + 2 * len(ptrs)
+        struct.pack_into("<QHHHH", page, 0, pgno, 0, flags, lower, upper)
+        for i, p in enumerate(ptrs):
+            struct.pack_into("<H", page, PAGEHDRSZ + 2 * i, p)
+        return page
+
+    pages: dict[int, bytearray] = {}
+    for li, idxs in enumerate(leaves):
+        nodes = []
+        for idx in idxs:
+            k, v = recs[idx]
+            if idx in big:
+                hdr = struct.pack(
+                    "<HHHH", len(v) & 0xFFFF, len(v) >> 16, F_BIGDATA, len(k)
+                )
+                nodes.append(hdr + k + struct.pack("<Q", ovf_start[big[idx]]))
+            else:
+                hdr = struct.pack(
+                    "<HHHH", len(v) & 0xFFFF, len(v) >> 16, 0, len(k)
+                )
+                nodes.append(hdr + k + v)
+        pages[first_leaf + li] = render_page(first_leaf + li, P_LEAF, nodes)
+
+    for ci, (_, v) in enumerate(ovf_pages):
+        pgno = ovf_start[ci]
+        npages = (PAGEHDRSZ + len(v) + PAGE_SIZE - 1) // PAGE_SIZE
+        blob = bytearray(npages * PAGE_SIZE)
+        struct.pack_into("<QHHI", blob, 0, pgno, 0, P_OVERFLOW, npages)
+        blob[PAGEHDRSZ : PAGEHDRSZ + len(v)] = v
+        for j in range(npages):
+            pages[pgno + j] = blob[j * PAGE_SIZE : (j + 1) * PAGE_SIZE]
+
+    # pass 2 — branch levels bottom-up until a single root
+    def first_key(pgno: int) -> bytes:
+        # leaves keep record order; branches carry their first child's key
+        return level_keys[pgno]
+
+    level = list(range(first_leaf, first_leaf + len(leaves)))
+    level_keys = {
+        pg: recs[leaves[i][0]][0] if leaves[i] else b""
+        for i, pg in enumerate(level)
+    }
+    depth = 1
+    n_branch = 0
+    while len(level) > 1:
+        nxt: list[int] = []
+        i = 0
+        while i < len(level):
+            nodes, children = [], []
+            room = PAGE_SIZE - PAGEHDRSZ
+            while i < len(level):
+                key = b"" if not nodes else first_key(level[i])
+                need = 2 + _even(8 + len(key))
+                if need > room and nodes:
+                    break
+                child = level[i]
+                hdr = struct.pack(
+                    "<HHHH",
+                    child & 0xFFFF,
+                    (child >> 16) & 0xFFFF,
+                    (child >> 32) & 0xFFFF,
+                    len(key),
+                )
+                nodes.append(hdr + key)
+                children.append(child)
+                room -= need
+                i += 1
+            pgno = next_pg
+            next_pg += 1
+            n_branch += 1
+            pages[pgno] = render_page(pgno, P_BRANCH, nodes)
+            level_keys[pgno] = level_keys[children[0]]
+            nxt.append(pgno)
+        level = nxt
+        depth += 1
+
+    root = level[0] if recs else P_INVALID
+    if not recs:
+        depth = 0
+
+    def meta_page(pgno: int, txnid: int) -> bytearray:
+        page = bytearray(PAGE_SIZE)
+        struct.pack_into("<QHHHH", page, 0, pgno, 0, P_META, 0, 0)
+        m = PAGEHDRSZ
+        struct.pack_into(
+            "<IIQQ", page, m, MDB_MAGIC, MDB_DATA_VERSION, 0,
+            max(next_pg * PAGE_SIZE, 1 << 20),
+        )
+        # FREE_DBI: empty
+        struct.pack_into(
+            "<IHHQQQQQ", page, m + 24, 0, 0, 0, 0, 0, 0, 0, P_INVALID
+        )
+        # MAIN_DBI
+        struct.pack_into(
+            "<IHHQQQQQ", page, m + 72, 0, 0, depth, n_branch, len(leaves),
+            n_ovf, len(recs), root,
+        )
+        struct.pack_into("<QQ", page, m + 120, next_pg - 1, txnid)
+        return page
+
+    if not os.path.splitext(path)[1]:
+        os.makedirs(path, exist_ok=True)
+        out_path = os.path.join(path, "data.mdb")
+    else:
+        out_path = path
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(meta_page(0, 0))
+        fh.write(meta_page(1, 1))
+        for pgno in range(2, next_pg):
+            fh.write(pages[pgno])
+    os.replace(tmp, out_path)
+    return out_path
+
+
+# --- Spark DataSource -------------------------------------------------------
+
+class _LeafRange(InputPartition):
+    def __init__(self, path: str, pgnos: list[int]):
+        self.path = path
+        self.pgnos = pgnos
+
+
+class LmdbReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.n_partitions = int(options.get("partitions", "8"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        kv = LmdbKV(self.path)
+        pgnos = kv.leaf_pgnos()
+        n = max(1, min(self.n_partitions, len(pgnos) or 1))
+        bounds = [round(i * len(pgnos) / n) for i in range(n + 1)]
+        chunks = [pgnos[bounds[i] : bounds[i + 1]] for i in range(n)]
+        # the engine substitutes [None] for an empty partition list — an
+        # empty db must still plan ONE empty partition (imagedir lesson)
+        return [_LeafRange(kv.path, c) for c in chunks if c] or [
+            _LeafRange(kv.path, [])
+        ]
+
+    def read(self, partition: _LeafRange) -> Iterator[tuple]:
+        kv = LmdbKV(partition.path)
+        for pgno in partition.pgnos:
+            for key, value in kv.iter_leaf(pgno):
+                d = decode_datum(value)
+                data = (
+                    bytes(d["data"])
+                    if d["encoded"]
+                    else chw_to_hwc(d["channels"], d["data"])
+                )
+                yield (
+                    key.decode("utf-8", "replace"),
+                    str(d["label"]),
+                    d["channels"],
+                    d["height"],
+                    d["width"],
+                    d["encoded"],
+                    data,
+                )
+
+
+class LmdbDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return LMDB_SCHEMA
+
+    def reader(self, schema: StructType) -> LmdbReader:
+        return LmdbReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(LmdbDataSource)
+
+
+def lmdb_to_dataframe(spark, path: str, partitions: int = 8):
+    """LMDB scan as a DataFrame — the E4 ``LMDB2DataFrame`` tool
+    (``tools/LMDB2DataFrame.scala:31-45``) as a one-liner: plan, scan,
+    decode, reorder; write with any builtin sink."""
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("path", path)
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+# --- declared query + fixture ----------------------------------------------
+
+#: fixture arithmetic, shared by the generator (Python) and the oracle
+#: (SQL): raw rows are 3×4×5 CHW volumes byte(c,p) = (id*7+c*11+p*3)%256;
+#: every 5th id is an "encoded" opaque blob of 2500+(id%3)*700 bytes
+#: byte(i) = (id*31+i)%256 — big enough to force overflow chains
+_RAW_C, _RAW_H, _RAW_W = 3, 4, 5
+
+
+def _fixture_value(doc_id: int) -> bytes:
+    if doc_id % 5 == 4:
+        n = 2500 + (doc_id % 3) * 700
+        payload = ((doc_id * 31 + np.arange(n)) % 256).astype(np.uint8)
+        return encode_datum(0, 0, 0, payload.tobytes(), doc_id % 10, True)
+    c = np.arange(_RAW_C).reshape(-1, 1)
+    p = np.arange(_RAW_H * _RAW_W).reshape(1, -1)
+    chw = ((doc_id * 7 + c * 11 + p * 3) % 256).astype(np.uint8)
+    return encode_datum(
+        _RAW_C, _RAW_H, _RAW_W, chw.tobytes(), doc_id % 10, False
+    )
+
+
+def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
+    """Deterministic Datum LMDB keyed ``%08d`` over ids 0..n-1, built once
+    per size (idempotent; the write is atomic via rename). Also emits the
+    ToolTest-style label manifest beside it for count-parity checks."""
+    env_dir = os.path.join(base, f"cos_lmdb_fixture_{n_docs}")
+    data = os.path.join(env_dir, "data.mdb")
+    labels = os.path.join(env_dir, "labels.txt")
+    if not (os.path.exists(data) and os.path.exists(labels)):
+        write_lmdb(
+            env_dir,
+            (
+                (b"%08d" % i, _fixture_value(i))
+                for i in range(n_docs)
+            ),
+        )
+        tmp = labels + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for i in range(n_docs):
+                fh.write(f"{i:08d} {i % 10}\n")
+        os.replace(tmp, labels)
+    return env_dir
+
+
+def _row_metrics(pdfs):
+    """scan batches → per-row (label, enc, channels, dlen, wsum) where
+    wsum = Σ data[i]·(i+1) over the bytes THE SCAN RETURNED (post
+    CHW→HWC for raw rows) — the checksum the oracle recomputes in closed
+    form, so any writer/reader/decode/reorder defect lands in the hash."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        dlen, wsum = [], []
+        for raw in pdf["data"]:
+            b = np.frombuffer(bytes(raw), dtype=np.uint8)
+            dlen.append(len(b))
+            wsum.append(int(b.astype(np.int64) @ (np.arange(len(b)) + 1)))
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "label": pdf["label"],
+                "enc": pdf["encoded"].astype("int64"),
+                "channels": pdf["channels"].astype("int64"),
+                "dlen": pd.Series(dlen, dtype="int64"),
+                "wsum": pd.Series(wsum, dtype="int64"),
+            }
+        )
+
+
+def lmdb_scan_agg(spark, sf_dir: str):
+    """Declared query (✔oracle): full LMDB path end-to-end — build the
+    deterministic Datum fixture for this SF's documents ids, scan it
+    through the planned-partition page reader, decode every Datum,
+    CHW→HWC-reorder raw pixel volumes, checksum the returned bytes
+    per row (Arrow-batched), and roll up per label. DuckDB recomputes
+    every aggregate in closed form from ``documents.doc_id``."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.catalog import table_nrows
+
+    env_dir = ensure_fixture(table_nrows(sf_dir, "documents"))
+    df = lmdb_to_dataframe(spark, env_dir)
+    per_row = df.mapInPandas(
+        _row_metrics,
+        "id string, label string, enc long, channels long, dlen long, "
+        "wsum long",
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("enc").alias("n_encoded"),
+            F.sum("channels").alias("sum_channels"),
+            F.sum("dlen").alias("sum_dlen"),
+            F.sum("wsum").alias("sum_wsum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LMDB_SCAN = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(doc_id % 10 AS VARCHAR) AS label,
+           CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS enc,
+           CASE WHEN doc_id % 5 = 4 THEN 2500 + (doc_id % 3) * 700
+                ELSE {_RAW_C * _RAW_H * _RAW_W} END AS dlen
+    FROM documents
+),
+enc_sum AS (
+    SELECT b.doc_id,
+           SUM(((b.doc_id * 31 + t.i) % 256) * (t.i + 1)) AS wsum
+    FROM base b, LATERAL (SELECT unnest(range(0, b.dlen)) AS i) t
+    WHERE b.enc = 1
+    GROUP BY b.doc_id
+),
+raw_sum AS (
+    -- HWC position p*C+c holds CHW byte (id*7 + c*11 + p*3) % 256
+    SELECT b.doc_id,
+           SUM(((b.doc_id * 7 + c.c * 11 + p.p * 3) % 256)
+               * (p.p * {_RAW_C} + c.c + 1)) AS wsum
+    FROM base b,
+         (SELECT unnest(range(0, {_RAW_H * _RAW_W})) AS p) p,
+         (SELECT unnest(range(0, {_RAW_C})) AS c) c
+    WHERE b.enc = 0
+    GROUP BY b.doc_id
+)
+SELECT b.label,
+       COUNT(*) AS n_rows,
+       CAST(SUM(b.enc) AS BIGINT) AS n_encoded,
+       CAST(SUM(CASE WHEN b.enc = 0 THEN {_RAW_C} ELSE 0 END) AS BIGINT)
+           AS sum_channels,
+       CAST(SUM(b.dlen) AS BIGINT) AS sum_dlen,
+       CAST(SUM(COALESCE(e.wsum, r.wsum)) AS BIGINT) AS sum_wsum,
+       MIN(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS min_id,
+       MAX(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS max_id
+FROM base b
+LEFT JOIN enc_sum e ON b.doc_id = e.doc_id
+LEFT JOIN raw_sum r ON b.doc_id = r.doc_id
+GROUP BY b.label
+ORDER BY b.label
+"""

@@ -45,6 +45,9 @@ SOURCE_FORMATS = {
     # files + "filename label [id]" label file, planned partitions, label
     # filter pushdown
     "imagedir": "cos_imagedir",
+    # S1: from-spec LMDB byte-format reader (sources/lmdb.py) — B-tree
+    # leaf-range planned partitions + Datum decode, LmdbRDD.scala parity
+    "lmdb": "cos_lmdb",
 }
 
 SINK_FORMATS = {"parquet", "json", "csv", "text", "orc"}
@@ -72,6 +75,10 @@ def read_source(
         from caffeonspark_spark.sources.imagedir import register
 
         register(spark)  # load(path) surfaces as options["path"] in the reader
+    elif fmt == "lmdb":
+        from caffeonspark_spark.sources.lmdb import register as register_lmdb
+
+        register_lmdb(spark)
     reader = spark.read.format(SOURCE_FORMATS[fmt]).options(**options)
     if schema is not None:
         reader = reader.schema(schema)

@@ -1,0 +1,137 @@
+"""From-spec LMDB reader tests (SURVEY §2 S1 — ``LmdbRDD.scala:36-155``).
+
+Covers the byte-format round-trip (inline values, overflow chains,
+multi-level B-trees, empty db, dual-meta selection), the Caffe ``Datum``
+wire codec, the CHW→HWC reorder against a literal mirror of the
+reference's byte loop (``LmdbRDD.scala:270-281``), the Spark DataSource
+scan (schema parity with ``tools/LMDB2DataFrame.scala:12-18``, planned
+partition fan-out, label-manifest count parity — the ``ToolTest.scala:54``
+analogue), and the declared query against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from caffeonspark_spark.sources import lmdb as L
+
+
+# --- byte-format round-trip -------------------------------------------------
+
+def test_kv_roundtrip_inline_overflow_multilevel(tmp_path):
+    items = [
+        (b"%010d" % i, bytes(((i * 3 + j) % 256) for j in range(120)))
+        for i in range(15000)
+    ]
+    # every 50th value is big enough to force an overflow chain; a couple
+    # span multiple overflow pages
+    for i in range(0, 15000, 50):
+        n = 2500 + (i % 3) * 3000
+        items[i] = (b"%010d" % i, bytes(((i + j) % 256) for j in range(n)))
+    L.write_lmdb(str(tmp_path), items)
+    kv = L.LmdbKV(str(tmp_path))
+    assert kv.entries == 15000
+    assert kv.depth >= 3  # multi-level branch walk exercised
+    got = list(kv.items())
+    assert got == sorted(items)  # key order AND exact bytes
+
+
+def test_kv_empty_db(tmp_path):
+    L.write_lmdb(str(tmp_path), [])
+    kv = L.LmdbKV(str(tmp_path))
+    assert kv.entries == 0
+    assert list(kv.items()) == []
+
+
+def test_kv_picks_larger_txnid_meta(tmp_path):
+    """Dual meta pages: the live tree is the one with the larger txnid —
+    corrupt meta 1's entry count and bump meta 0's txnid above it; the
+    reader must now report meta 0's view."""
+    L.write_lmdb(str(tmp_path), [(b"k1", b"v1"), (b"k2", b"v2")])
+    data = tmp_path / "data.mdb"
+    buf = bytearray(data.read_bytes())
+    # meta layout: page header 16B, then magic/version/address/mapsize
+    # (24B), FREE_DBI (48B), MAIN_DBI (48B: entries at +32), last/txnid
+    main0 = 16 + 24 + 48
+    struct.pack_into("<Q", buf, main0 + 32, 99)  # meta0 entries := 99
+    struct.pack_into("<Q", buf, main0 + 48 + 8, 7)  # meta0 txnid := 7
+    data.write_bytes(buf)
+    assert L.LmdbKV(str(tmp_path)).entries == 99
+
+
+def test_key_validation(tmp_path):
+    with pytest.raises(ValueError, match="1..511"):
+        L.write_lmdb(str(tmp_path), [(b"", b"v")])
+
+
+# --- Datum wire codec --------------------------------------------------------
+
+def test_datum_roundtrip_and_unknown_fields():
+    raw = L.encode_datum(3, 8, 9, b"\x01\x02\x03", 42, True, [1.5, -2.25])
+    d = L.decode_datum(raw)
+    assert (d["channels"], d["height"], d["width"]) == (3, 8, 9)
+    assert d["data"] == b"\x01\x02\x03" and d["label"] == 42 and d["encoded"]
+    assert d["float_data"] == [1.5, -2.25]
+    # unknown varint field 9 + unknown fixed64 field 10 must be skipped
+    extra = bytes([9 << 3, 0x05, (10 << 3) | 1]) + b"\0" * 8 + raw
+    assert L.decode_datum(extra)["label"] == 42
+    # packed float_data (wire 2) decodes identically to unpacked
+    packed = bytes([(6 << 3) | 2, 8]) + struct.pack("<2f", 1.5, -2.25)
+    assert L.decode_datum(packed)["float_data"] == [1.5, -2.25]
+
+
+def test_chw_to_hwc_matches_reference_loop():
+    """Vectorized reorder == the reference's per-byte loop
+    (``LmdbRDD.LMDBdata2Matdata``): clone[p*C + c] = data[p + c*HW]."""
+    channels, hw = 3, 20
+    data = bytes(((j * 7 + 1) % 256) for j in range(channels * hw))
+    clone = bytearray(data)
+    for p in range(hw):
+        for c in range(channels):
+            clone[p * channels + c] = data[p + c * hw]
+    assert L.chw_to_hwc(channels, data) == bytes(clone)
+    # 1-channel and non-dense payloads pass through untouched
+    assert L.chw_to_hwc(1, data) == data
+    assert L.chw_to_hwc(3, b"\x01\x02") == b"\x01\x02"
+
+
+# --- Spark scan ---------------------------------------------------------------
+
+def test_lmdb_scan_schema_count_and_partitions(spark, tmp_path):
+    env = L.ensure_fixture(200, base=str(tmp_path))
+    df = L.lmdb_to_dataframe(spark, env, partitions=4)
+    assert df.schema.simpleString() == (
+        "struct<id:string,label:string,channels:int,height:int,width:int,"
+        "encoded:boolean,data:binary>"
+    )  # LMDB2DataFrame.scala:12-18
+    assert df.rdd.getNumPartitions() == 4
+    # count parity with the label manifest (ToolTest.scala:54 analogue)
+    with open(f"{env}/labels.txt", encoding="utf-8") as fh:
+        n_labels = sum(1 for _ in fh)
+    assert df.count() == n_labels == 200
+    row = df.where("id = '00000007'").first()
+    assert row.label == "7" and row.channels == 3 and not row.encoded
+    assert len(row.data) == 60
+    enc = df.where("encoded").limit(1).first()
+    assert enc.channels == 0 and len(enc.data) >= 2500
+
+
+def test_lmdb_registry_format(spark, tmp_path):
+    from caffeonspark_spark.sources.registry import read_source
+
+    env = L.ensure_fixture(50, base=str(tmp_path))
+    df = read_source(spark, "lmdb", env, select_expr=["id", "label"])
+    assert df.columns == ["id", "label"] and df.count() == 50
+
+
+def test_lmdb_scan_agg_oracle(spark):
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        L.lmdb_scan_agg(spark, "/root/testdata/sf0.001"),
+        L.ORACLE_LMDB_SCAN,
+        "/root/testdata/sf0.001",
+    )
+    assert ok, msg

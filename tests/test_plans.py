@@ -836,3 +836,22 @@ def test_video_corpus_dedup_bipartite_plan(spark, sf_smoke):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, plan
     for cols in read_schema_columns(df):
         assert cols == {"doc_id", "source", "text"}, read_schema_columns(df)
+
+
+def test_lmdb_scan_agg_plan(spark, sf_smoke):
+    """The LMDB scan query: the custom source surfaces as a planned
+    BatchScan (leaf-range partitions, not a parallelized collect), the
+    per-row checksum is ONE Arrow-batched MapInPandas, and the rollup
+    keeps map-side partials around a single group-by exchange (the
+    second exchange is the 10-row orderBy)."""
+    from caffeonspark_spark.sources.lmdb import lmdb_scan_agg
+
+    df = lmdb_scan_agg(spark, sf_smoke)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n")[0]  # formatted plans repeat nodes in details
+    assert "BatchScan cos_lmdb" in tree, plan
+    assert tree.count("MapInPandas") == 1, plan
+    # min/max on string ids pick SortAggregate; partial+final = 2 nodes
+    assert tree.count("SortAggregate") == 2 or has_partial_aggregation(df)
+    assert shuffle_count(df) <= 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -26,6 +26,7 @@ from caffeonspark_spark.operators import textops as TX  # noqa: F401
 from caffeonspark_spark.operators import similarity as S
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
+from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
@@ -141,6 +142,9 @@ SHOW = {
     ),
     "cluster_prototypes (map-only assign, per-cluster WindowGroupLimit)": (
         S.cluster_prototypes_query
+    ),
+    "lmdb_scan_agg (leaf-range planned Python source, Arrow checksums, one agg)": (
+        LM.lmdb_scan_agg
     ),
 }
 

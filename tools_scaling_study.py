@@ -42,6 +42,7 @@ from caffeonspark_spark.operators import similarity as S  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP  # noqa: E402
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
+from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scaling_study"
@@ -71,6 +72,10 @@ QUERIES = {
     "cluster_prototypes": S.cluster_prototypes_query,
     "topk_per_group": R.topk_per_group,
     "kmv_source_overlap": SA.kmv_source_overlap,
+    # r14: from-spec LMDB scan — fixture size follows the scaled corpus'
+    # documents count (built once per size, cached; min-of-runs timing
+    # discards the one-time build)
+    "lmdb_scan": LM.lmdb_scan_agg,
 }
 
 

@@ -258,7 +258,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": D.neardup_clusters,
         "pq_topk": S.pq_topk_query0,
         "approx_percentile_agg": R.approx_percentile_agg,
-        "minhash_lsh_pairs_native": D.minhash_lsh_pairs,
+        # r14: re-declared with a REAL planted-family oracle (the r13
+        # image/video native pattern on text): families of 4 doc_ids with
+        # DIFFERENT texts but IDENTICAL cyclic 3-shingle sets through the
+        # production xxhash64 path — pair set == family combinatorics at
+        # est_jaccard exactly 1.0. The real-corpus xxhash64 run stays
+        # value-checked by minhash_native_consistency.
+        "minhash_lsh_pairs_native": D.minhash_lsh_pairs_planted,
         "scan_filter_project": R.scan_filter_project,
         "expression_projection": R.expression_projection,
         "pricing_summary": R.pricing_summary,
@@ -948,8 +954,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": D.ORACLE_NGRAM_JACCARD,
         "ngram_jaccard_pruned": D.ORACLE_NGRAM_JACCARD_PRUNED,
         "decontaminate": D.ORACLE_DECONTAMINATE,
-        # minhash_lsh_pairs_native keeps the xxhash64 banding → rows-only;
-        # the declared minhash_lsh_pairs is the portable-banding twin below
+        # the xxhash64 production banding, oracle-checked since r14 via
+        # planted families (exact pair-set equality); the declared
+        # minhash_lsh_pairs below is the portable-banding real-corpus twin
+        "minhash_lsh_pairs_native": D.ORACLE_MINHASH_LSH_NATIVE,
         "minhash_lsh_pairs": D.ORACLE_MINHASH_LSH_PAIRS,
         "minhash_signatures": D.ORACLE_MINHASH_SIGNATURES,
         "simhash_buckets": D.ORACLE_SIMHASH,

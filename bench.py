@@ -248,6 +248,10 @@ BENCH_QUERIES = {
     # r14: from-spec LMDB scan (leaf-range planned partitions + Datum
     # decode + CHW→HWC) — includes the one-time fixture build on first run
     "q_lmdb_scan": LM.lmdb_scan_agg,
+    # r14: planted-family recall+precision through the production xxhash64
+    # MinHash-LSH path (Catalyst text synth -> shingle explode -> 64
+    # min-aggs -> banded self-join)
+    "q_minhash_native_planted": D.minhash_lsh_pairs_planted,
 }
 
 

@@ -960,6 +960,85 @@ def _oracle_minhash_native_consistency(threshold: float = 0.5) -> str:
 ORACLE_MINHASH_NATIVE_CONSISTENCY = _oracle_minhash_native_consistency()
 
 
+#: planted text families for the PRODUCTION xxhash64 MinHash-LSH path —
+#: the r13 audio/image/video pattern brought to text. Family = _T_FAMILY
+#: consecutive doc_ids; member m's text is the family's 12-token base
+#: sequence repeated m+2 times. For ≥2 repetitions the distinct-3-gram
+#: SET is the full CYCLIC shingle set of the base sequence — identical
+#: for every member — so texts DIFFER (different lengths, different
+#: shingle multiplicities) while shingle sets are EXACTLY equal: all 64
+#: xxhash64 min-signatures agree, est_jaccard is exactly 64/64 = 1.0,
+#: and every band collides (exact recall, no margin study needed).
+#: Cross-family token universes are disjoint, so a false pair needs a
+#: cross-set minhash collision in 4 consecutive slots (~(2/p)^4 ≈ 2^-124
+#: per band with p = 2^31-1) — collision-level, not distance-margin-level
+#: like the pixel families, hence NO documented SF ceiling.
+_T_FAMILY = 4
+_T_BASE_TOKENS = 12
+
+
+def _planted_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) planted corpus — pure Catalyst expressions off a
+    doc_id-only documents scan (tokens must be lowercase: the pipeline's
+    ``space_tokens`` lowercases before shingling)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fam = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_T_FAMILY))).cast(
+        "string"
+    )
+    base = F.array(
+        *[
+            F.concat(F.lit("w"), fam, F.lit(f"x{j}"))
+            for j in range(_T_BASE_TOKENS)
+        ]
+    )
+    reps = (F.pmod(F.col("doc_id"), F.lit(_T_FAMILY)) + F.lit(2)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.flatten(F.array_repeat(base, reps))).alias("text"),
+    )
+
+
+def minhash_lsh_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query ``minhash_lsh_pairs_native`` (✔oracle — exact
+    pair-set equality): PLANTED-FAMILY RECALL + PRECISION through the
+    production xxhash64 MinHash-LSH path (``minhash_lsh_pairs_df``
+    verbatim: xxhash64 shingle hash, 64 min-agg signatures, xxhash64-
+    folded band keys, band equi-join, signature-estimate filter). The
+    emitted ``(id_a, id_b, est_jaccard)`` set EQUALS the family
+    combinatorics at est_jaccard exactly 1.0 — which IS the DuckDB
+    oracle (``family_combinatorics_sql``, the shared planted-family
+    oracle). A missed family pair (recall), a false cross-family pair
+    (precision), or any estimate drifting off 64/64 breaks the hash.
+    Until r14 this row ran the xxhash64 path over the real documents
+    rows-only; that behavior stays value-checked via
+    ``minhash_native_consistency`` (production vs portable pair sets on
+    the real corpus)."""
+    from caffeonspark_spark.catalog import table_nrows
+
+    n = table_nrows(sf_dir, "documents")
+    return minhash_lsh_pairs_df(
+        _planted_minhash_docs(spark, sf_dir),
+        threshold=0.5,
+        # no truncation: complete families emit C(4,2)=6 pairs per 4 docs
+        # (1.5·n); 2·n clears it at any corpus size including partials
+        top=2 * n + _T_FAMILY * _T_FAMILY,
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def _oracle_minhash_lsh_native() -> str:
+    from caffeonspark_spark.multimodal.imagehash import (
+        family_combinatorics_sql,
+    )
+
+    return f"""
+    SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM ({family_combinatorics_sql(_T_FAMILY)})
+"""
+
+
+ORACLE_MINHASH_LSH_NATIVE = _oracle_minhash_lsh_native()
+
+
 def _oracle_neardup_clusters(threshold: float = 0.5) -> str:
     """Recursive-CTE connected components over the PORTABLE pair set — a
     REAL value oracle for the iterative min-label clustering (the native

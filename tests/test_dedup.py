@@ -713,3 +713,66 @@ def test_video_dedup_map_durable_checkpoint(spark):
             for r in video_dedup_map(df, checkpoint_dir=ckpt).collect()
         }
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_minhash_planted_family_invariance_properties(spark):
+    """The planted-family construction's two load-bearing properties,
+    checked directly (not through the pair pipeline): within a family the
+    member TEXTS are pairwise distinct (the invariance is shingle-SET
+    level, not trivial string equality) while the distinct-3-gram sets
+    are EXACTLY equal; across families the shingle universes are
+    disjoint."""
+    from caffeonspark_spark.operators.dedup import (
+        _planted_minhash_docs,
+        shingle_sets,
+    )
+
+    docs = _planted_minhash_docs(spark, "/root/testdata/sf0.001").where(
+        "doc_id < 8"
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(set(texts.values())) == 8  # all eight texts distinct
+    sets = {
+        did: frozenset(
+            r["shingle"]
+            for r in shingle_sets(docs.where(f"doc_id = {did}")).collect()
+        )
+        for did in range(8)
+    }
+    assert sets[0] == sets[1] == sets[2] == sets[3]
+    assert sets[4] == sets[5] == sets[6] == sets[7]
+    assert not (sets[0] & sets[4])  # disjoint across families
+    # the cyclic set: 12 base tokens -> exactly 12 cyclic 3-grams
+    assert len(sets[0]) == 12
+
+
+def test_minhash_planted_pairs_match_family_combinatorics(spark):
+    """Recall AND precision through the production xxhash64 path: the
+    emitted pair set equals the family combinatorics at est exactly 1.0."""
+    from itertools import combinations
+
+    from caffeonspark_spark.operators.dedup import minhash_lsh_pairs_planted
+
+    got = minhash_lsh_pairs_planted(spark, "/root/testdata/sf0.001").collect()
+    want = {
+        (a, b)
+        for f in range(0, 500, 4)
+        for a, b in combinations(range(f, min(f + 4, 500)), 2)
+    }
+    assert {(r["id_a"], r["id_b"]) for r in got} == want
+    assert all(r["est_jaccard"] == 1.0 for r in got)
+
+
+def test_minhash_planted_query_matches_oracle(spark):
+    from caffeonspark_spark.operators.dedup import (
+        ORACLE_MINHASH_LSH_NATIVE,
+        minhash_lsh_pairs_planted,
+    )
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        minhash_lsh_pairs_planted(spark, "/root/testdata/sf0.001"),
+        ORACLE_MINHASH_LSH_NATIVE,
+        "/root/testdata/sf0.001",
+    )
+    assert ok, msg

@@ -855,3 +855,16 @@ def test_lmdb_scan_agg_plan(spark, sf_smoke):
     assert tree.count("SortAggregate") == 2 or has_partial_aggregation(df)
     assert shuffle_count(df) <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_planted_scan_pruned_plan(spark, sf_smoke):
+    """The planted minhash native feeds its Catalyst text generator from
+    a doc_id-ONLY documents scan and keeps the pair phase equi-join-only
+    (the image/video/audio native plan contract)."""
+    from caffeonspark_spark.operators.dedup import minhash_lsh_pairs_planted
+
+    df = minhash_lsh_pairs_planted(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)

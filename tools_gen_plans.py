@@ -146,6 +146,9 @@ SHOW = {
     "lmdb_scan_agg (leaf-range planned Python source, Arrow checksums, one agg)": (
         LM.lmdb_scan_agg
     ),
+    "minhash_lsh_pairs_native (planted families, xxhash64 band equi-join)": (
+        D.minhash_lsh_pairs_planted
+    ),
 }
 
 

@@ -76,6 +76,8 @@ QUERIES = {
     # documents count (built once per size, cached; min-of-runs timing
     # discards the one-time build)
     "lmdb_scan": LM.lmdb_scan_agg,
+    # r14: planted families through the production xxhash64 LSH path
+    "minhash_native_planted": D.minhash_lsh_pairs_planted,
 }
 
 

@@ -1059,6 +1059,82 @@ def video_frame_hashes(
     )
 
 
+def _position_pair_phase(
+    ha: DataFrame,
+    hb: DataFrame,
+    out_a: str,
+    out_b: str,
+    max_hamming: int,
+    max_band_df: int,
+    min_frames: int,
+    self_pairs: bool,
+) -> DataFrame:
+    """THE position-keyed pair phase, shared by the self-join
+    (``near_dup_video_pairs``) and bipartite
+    (``video_dedup_against_corpus``) forms — the r13 queued review item:
+    until r14 the two carried hand-synced copies of this block. Stages,
+    over prepared ``(id, fi, b0..b3)`` hash tables:
+
+    1. posexplode each side into long ``(id, fi, k, band)`` rows;
+    2. hot cap per ``(fi, k, band)`` computed on the ``hb`` side (the one
+       table itself for the self-join; the CORPUS — the side big enough
+       to have degenerate positions — for the bipartite form), applied to
+       the ``ha`` side before the candidate join;
+    3. candidate equi-join on ``(fi, k, band)`` (+ ``a.id < b.id`` when
+       ``self_pairs``, the half-triangle dedup; the bipartite form keeps
+       new×ref only by construction), distinct per (pair, position);
+    4. per-position Hamming ≤ ``max_hamming`` via ``band_hamming``;
+    5. the clip gate: a pair emits iff ≥ ``min_frames`` positions match.
+
+    Both inputs must already be persisted (they feed the cap agg, a
+    candidate side, and a Hamming side each) — the callers own that via
+    the dedup module's plan-hash-keyed memo."""
+    from caffeonspark_spark.multimodal.imagehash import band_hamming
+
+    def bands(t: DataFrame) -> DataFrame:
+        return t.select(
+            "id", "fi",
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
+        )
+
+    ok = (
+        bands(hb).groupBy("fi", "k", "band")
+        .count()
+        .where(F.col("count") <= max_band_df)
+        .drop("count")
+    )
+    cond = (
+        (F.col("a.fi") == F.col("b.fi"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.band") == F.col("b.band"))
+    )
+    if self_pairs:
+        cond = cond & (F.col("a.id") < F.col("b.id"))
+    cand = (
+        bands(ha).join(ok, ["fi", "k", "band"])
+        .alias("a")
+        .join(bands(hb).alias("b"), cond)
+        .select(
+            F.col("a.id").alias(out_a),
+            F.col("b.id").alias(out_b),
+            F.col("a.fi").alias("fi"),
+        )
+        .distinct()
+    )
+    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
+    xb = hb.select(*[F.col(c).alias(f"b_{c}") for c in hb.columns])
+    matched = (
+        cand.join(xa, (cand[out_a] == xa.a_id) & (cand.fi == xa.a_fi))
+        .join(xb, (cand[out_b] == xb.b_id) & (cand.fi == xb.b_fi))
+        .where(band_hamming() <= max_hamming)
+    )
+    return (
+        matched.groupBy(out_a, out_b)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
+        .where(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def near_dup_video_pairs(
     frame_hashes: DataFrame,
     id_col: str = "id",
@@ -1083,7 +1159,8 @@ def near_dup_video_pairs(
     it is persisted through the dedup module's plan-hash-keyed memo —
     mirroring ``near_dup_band_pairs`` — or the upstream decode→hash
     ``mapInPandas`` pass would recompute once per subtree; released by
-    ``dedup.unpersist_cached()``."""
+    ``dedup.unpersist_cached()``. The pair phase itself is the shared
+    ``_position_pair_phase`` (self-join form)."""
     from caffeonspark_spark.operators.dedup import _persist_replacing
 
     ha = _persist_replacing(
@@ -1094,47 +1171,9 @@ def near_dup_video_pairs(
             "b0", "b1", "b2", "b3",
         ),
     )
-    long_bands = ha.select(
-        "id", "fi",
-        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
-    )
-    ok = (
-        long_bands.groupBy("fi", "k", "band")
-        .count()
-        .where(F.col("count") <= max_band_df)
-        .drop("count")
-    )
-    cand = (
-        long_bands.join(ok, ["fi", "k", "band"])
-        .alias("a")
-        .join(
-            long_bands.alias("b"),
-            (F.col("a.fi") == F.col("b.fi"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fi").alias("fi"),
-        )
-        .distinct()
-    )
-    from caffeonspark_spark.multimodal.imagehash import band_hamming
-
-    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
-    xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
-    ham = band_hamming()
-    matched = (
-        cand.join(xa, (cand.id_a == xa.a_id) & (cand.fi == xa.a_fi))
-        .join(xb, (cand.id_b == xb.b_id) & (cand.fi == xb.b_fi))
-        .where(ham <= max_hamming)
-    )
-    return (
-        matched.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
-        .where(F.col("n_frames_matched") >= min_frames)
+    return _position_pair_phase(
+        ha, ha, "id_a", "id_b",
+        max_hamming, max_band_df, min_frames, self_pairs=True,
     )
 
 
@@ -1160,13 +1199,9 @@ def video_dedup_against_corpus(
     computed on the CORPUS side (the side big enough to have degenerate
     positions: black intro frames, test cards).
 
-    SYNC NOTE: this deliberately mirrors ``near_dup_video_pairs``' pair
-    phase (persist → posexplode → hot cap → candidate equi-join →
-    per-position Hamming → clip gate) in bipartite form; a change to the
-    banding key or Hamming staging there must be mirrored here (queued
-    r13 review item: factor the shared core the way ``band_hamming``
-    was)."""
-    from caffeonspark_spark.multimodal.imagehash import band_hamming
+    The pair phase is the shared ``_position_pair_phase`` (bipartite
+    form: no half-triangle predicate, hot cap on the corpus side) — the
+    r13 sync note is retired."""
     from caffeonspark_spark.operators.dedup import _persist_replacing
 
     def prep(t: DataFrame, memo: str) -> DataFrame:
@@ -1181,46 +1216,9 @@ def video_dedup_against_corpus(
 
     hn = prep(new_frames, "video_corpus_dedup_new")
     hr = prep(corpus_frames, "video_corpus_dedup_ref")
-
-    def bands(t: DataFrame) -> DataFrame:
-        return t.select(
-            "id", "fi",
-            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
-        )
-
-    ok = (
-        bands(hr).groupBy("fi", "k", "band")
-        .count()
-        .where(F.col("count") <= max_band_df)
-        .drop("count")
-    )
-    cand = (
-        bands(hn).join(ok, ["fi", "k", "band"])
-        .alias("a")
-        .join(
-            bands(hr).alias("b"),
-            (F.col("a.fi") == F.col("b.fi"))
-            & (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.band") == F.col("b.band")),
-        )
-        .select(
-            F.col("a.id").alias("new_id"),
-            F.col("b.id").alias("ref_id"),
-            F.col("a.fi").alias("fi"),
-        )
-        .distinct()
-    )
-    xa = hn.select(*[F.col(c).alias(f"a_{c}") for c in hn.columns])
-    xb = hr.select(*[F.col(c).alias(f"b_{c}") for c in hr.columns])
-    matched = (
-        cand.join(xa, (cand.new_id == xa.a_id) & (cand.fi == xa.a_fi))
-        .join(xb, (cand.ref_id == xb.b_id) & (cand.fi == xb.b_fi))
-        .where(band_hamming() <= max_hamming)
-    )
-    return (
-        matched.groupBy("new_id", "ref_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_frames_matched"))
-        .where(F.col("n_frames_matched") >= min_frames)
+    return _position_pair_phase(
+        hn, hr, "new_id", "ref_id",
+        max_hamming, max_band_df, min_frames, self_pairs=False,
     )
 
 

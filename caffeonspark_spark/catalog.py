@@ -59,14 +59,20 @@ def table_nrows(sf_dir: str, name: str) -> int:
             seg.startswith(("_", ".")) for seg in rel.split(os.sep)
         )
 
+    # glob ALL visible regular files, not just *.parquet: Spark's scan
+    # reads every visible file regardless of extension, so a table
+    # written by a non-Spark writer with extensionless (or mixed) part
+    # files must count the same here or the footer count desyncs from
+    # the scan it claims to mirror (r13 ADVICE). For Spark-written
+    # layouts the two sets coincide — the visibility filter already
+    # drops _SUCCESS/_temporary/dotfiles. A visible non-parquet stray
+    # raises at the footer read below; the same file breaks the scan.
     files = (
         [path]
         if os.path.isfile(path)
         else sorted(
             f
-            for f in _glob.glob(
-                os.path.join(path, "**", "*.parquet"), recursive=True
-            )
+            for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
             if os.path.isfile(f) and _visible(f)
         )
     )

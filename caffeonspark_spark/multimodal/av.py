@@ -1507,9 +1507,14 @@ def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     a third-party stub drives this end-to-end in
     ``test_video_dup_query::test_third_party_decoder_through_pair_pipeline``."""
     from caffeonspark_spark.catalog import load_table, table_nrows
+    from caffeonspark_spark.multimodal.imagehash import (
+        warn_if_beyond_planted_ceiling,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cap = max(50, table_nrows(sf_dir, "documents") // 100)
+    n_docs = table_nrows(sf_dir, "documents")
+    warn_if_beyond_planted_ceiling(n_docs, "video_dup_pairs_native")
+    cap = max(50, n_docs // 100)
     vids = docs.mapInPandas(_planted_clip_rows, "id long, video binary")
     meta = vids.select(
         "id",
@@ -1968,13 +1973,18 @@ def audio_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     always holds (the gradient is gain-exact), so diff got against the
     combinatorics and inspect the offending cross pair's two families."""
     from caffeonspark_spark.catalog import load_table, table_nrows
-    from caffeonspark_spark.multimodal.imagehash import near_dup_band_pairs
+    from caffeonspark_spark.multimodal.imagehash import (
+        near_dup_band_pairs,
+        warn_if_beyond_planted_ceiling,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # parquet footer metadata — no Spark job at query-construction time
     # (r12 ADVICE: an eager count here ran once per construction and
     # leaked into bench warm-up timings)
-    cap = max(50, table_nrows(sf_dir, "documents") // 100)
+    n_docs = table_nrows(sf_dir, "documents")
+    warn_if_beyond_planted_ceiling(n_docs, "audio_dup_pairs_native")
+    cap = max(50, n_docs // 100)
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:

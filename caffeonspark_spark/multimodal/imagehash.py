@@ -372,6 +372,35 @@ _I_SCALES = (1, 2, 3, 4)
 _I_LEVELS = 64
 
 
+#: corpus size up to which the planted-family cross-distance margins were
+#: MEASURED (the numpy studies cited per modality: image min cross
+#: Hamming 11, video 10, audio 6 at 20k docs vs the ≤2 gates)
+PLANTED_STUDY_CEILING = 20_000
+
+
+def warn_if_beyond_planted_ceiling(n_docs: int, query: str) -> None:
+    """The planted-family exact-equality oracles rest on PROBABILISTIC
+    cross-family distance margins measured up to ``PLANTED_STUDY_CEILING``
+    docs; beyond that a chance cross-family pair inside the Hamming gate
+    can flip the oracle even though the code is correct. Fail LOUDLY with
+    the right diagnosis instead of letting a future larger SF read as a
+    dedup regression (r13 ADVICE). Shared by every modality's native
+    query, next to the shared construction itself."""
+    if n_docs > PLANTED_STUDY_CEILING:
+        import warnings
+
+        warnings.warn(
+            f"{query}: planted-family cross-distance margins are measured "
+            f"only up to {PLANTED_STUDY_CEILING} docs; at {n_docs} a "
+            "chance cross-family pair inside the Hamming gate can break "
+            "the exact-equality oracle without any code defect — re-run "
+            "the margin study (widen levels/scales or raise the gate "
+            "margin) before trusting a mismatch",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def planted_family_matrix(
     rid: int,
     shape: tuple,
@@ -436,7 +465,9 @@ def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from caffeonspark_spark.catalog import table_nrows
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    cap = max(50, table_nrows(sf_dir, "documents") // 100)
+    n_docs = table_nrows(sf_dir, "documents")
+    warn_if_beyond_planted_ceiling(n_docs, "image_dhash_pairs_native")
+    cap = max(50, n_docs // 100)
     imgs = docs.mapInPandas(_planted_pgm_rows, "id long, image binary")
     hashed = image_perceptual_hashes(imgs, channels=1)
     return near_dup_band_pairs(
@@ -630,11 +661,20 @@ def image_dedup(
     # null-unsafe equi-join here would silently drop NULL-band rows (a
     # user-supplied hash table with NULL bands, e.g. a portable fold over
     # NULL text) from the documented TOTAL map — the silent-exclusion
-    # defect class the zscore guard exists for
-    exact_map = ha.join(
-        exact_keep,
-        [ha[c].eqNullSafe(exact_keep[c]) for c in ("b0", "b1", "b2", "b3")],
-    ).select("id", "rep")
+    # defect class the zscore guard exists for. Both sides are ALIASED and
+    # referenced by qualifier: exact_keep derives from ha, and dataframe-
+    # indexed columns (ha[c] vs exact_keep[c]) initially share attribute
+    # ids, making Spark log a "trivially true equals predicate" WARN ×4
+    # per run even though plan-id dedup resolves the join correctly
+    # (r13 VERDICT nit #1)
+    hl, er = ha.alias("hl"), exact_keep.alias("er")
+    exact_map = hl.join(
+        er,
+        [
+            F.col(f"hl.{c}").eqNullSafe(F.col(f"er.{c}"))
+            for c in ("b0", "b1", "b2", "b3")
+        ],
+    ).select(F.col("hl.id").alias("id"), F.col("er.rep").alias("rep"))
     survivors = exact_keep.select(
         F.col("rep").alias("id"), "b0", "b1", "b2", "b3"
     )

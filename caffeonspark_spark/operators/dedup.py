@@ -24,6 +24,8 @@ with planted duplicates instead.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1559,7 +1561,10 @@ def connected_components(
     durability discipline the reference applies to its iterative state via
     HDFS snapshots (reference ``CaffeOnSpark.scala`` source/snapshot state
     paths). ``setCheckpointDir`` is per-SparkContext (global); callers
-    sharing a session should pass the same directory.
+    sharing a session should pass the same directory — re-pointing an
+    already-set dir emits a ``RuntimeWarning``, and CONCURRENT mixed-dir
+    use on one session is unsupported (later checkpoints land in
+    whichever dir was set last, breaking per-run cleanup scoping).
 
     CLEANUP IS THE CALLER'S: Spark never deletes reliable checkpoints at
     application exit, and each of the up-to-``max_iter`` rounds writes a
@@ -1572,7 +1577,34 @@ def connected_components(
     superseded rounds as their RDDs are GC'd.
     """
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        # setCheckpointDir is a GLOBAL per-SparkContext mutation (it
+        # resolves to <dir>/<uuid> and every later checkpoint() lands
+        # there). Re-pointing silently would let two concurrent callers
+        # with different dirs interleave checkpoints into whichever dir
+        # was set last — breaking per-run TemporaryDirectory cleanup
+        # scoping and potentially deleting another job's live checkpoints
+        # (r13 ADVICE). Warn loudly on a mismatch instead of hiding it;
+        # sequential re-pointing still works (lazy plans pin at execution,
+        # and each call's checkpoints live under the dir set here).
+        current = sc.getCheckpointDir()
+        if current is not None:
+            cur_parent = os.path.dirname(
+                current[5:] if current.startswith("file:") else current
+            )
+            if os.path.abspath(cur_parent) != os.path.abspath(checkpoint_dir):
+                import warnings
+
+                warnings.warn(
+                    "connected_components: re-pointing the session's "
+                    f"global checkpoint dir from {cur_parent!r} to "
+                    f"{checkpoint_dir!r}; concurrent mixed-dir use on one "
+                    "session is unsupported (checkpoints land in whichever "
+                    "dir was set last)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _pin(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint_dir is not None:

@@ -776,3 +776,30 @@ def test_minhash_planted_query_matches_oracle(spark):
         "/root/testdata/sf0.001",
     )
     assert ok, msg
+
+
+def test_connected_components_warns_on_checkpoint_dir_repoint(spark):
+    """The global setCheckpointDir mutation must not be silent: a call
+    whose checkpoint_dir differs from the session's current one warns
+    (concurrent mixed-dir use is unsupported); the same dir re-passed
+    stays quiet."""
+    import tempfile
+    import warnings
+
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            connected_components(edges, checkpoint_dir=d1).collect()
+            # same dir again: no warning
+            connected_components(edges, checkpoint_dir=d1).collect()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            connected_components(edges, checkpoint_dir=d2).collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "re-pointing" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]

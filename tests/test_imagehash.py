@@ -354,3 +354,28 @@ def test_image_native_planted_families_match_combinatorics(spark, sf_smoke):
         for b in range(a + 1, min(base + _I_FAMILY, n))
     }
     assert got == want and len(want) > 0, (len(got), len(want))
+
+
+def test_planted_ceiling_warning():
+    """r14 (r13 ADVICE): the planted-family natives rest on margins
+    measured up to 20k docs — beyond that the shared guard must warn with
+    the right diagnosis; at or below it, stay quiet."""
+    import warnings
+
+    from caffeonspark_spark.multimodal.imagehash import (
+        PLANTED_STUDY_CEILING,
+        warn_if_beyond_planted_ceiling,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        warn_if_beyond_planted_ceiling(PLANTED_STUDY_CEILING, "x")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        warn_if_beyond_planted_ceiling(PLANTED_STUDY_CEILING + 1, "img_q")
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "img_q" in str(w.message)
+        and "margin" in str(w.message)
+        for w in caught
+    )

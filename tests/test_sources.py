@@ -329,3 +329,26 @@ def test_table_nrows_skips_hidden_staging_files(spark, sf_smoke, tmp_path):
     real = sorted((d / "documents.parquet").glob("*.parquet"))[0]
     shutil.copy(real, staging / "part-leftover.parquet")
     assert table_nrows(str(d), "documents") == n
+
+
+def test_table_nrows_counts_extensionless_part_files(spark, sf_smoke, tmp_path):
+    """r14 (r13 ADVICE): Spark's scan reads any visible file regardless of
+    extension, so a table directory written by a non-Spark writer with
+    extensionless part files must count identically — including MIXED
+    layouts (some .parquet, some extensionless)."""
+    from caffeonspark_spark.catalog import load_table, table_nrows
+
+    d = tmp_path / "ext"
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.repartition(3).write.parquet(str(d / "documents.parquet"))
+    n = docs.count()
+    parts = sorted((d / "documents.parquet").glob("*.parquet"))
+    assert len(parts) >= 2, "need >=2 part files to test the mixed layout"
+    # strip the extension off ONE part file -> mixed layout
+    parts[0].rename(parts[0].with_suffix(""))
+    assert spark.read.parquet(str(d / "documents.parquet")).count() == n
+    assert table_nrows(str(d), "documents") == n
+    # all-extensionless layout
+    for p in sorted((d / "documents.parquet").glob("*.parquet")):
+        p.rename(p.with_suffix(""))
+    assert table_nrows(str(d), "documents") == n

@@ -268,25 +268,35 @@ class LmdbKV:
         key = self._buf[off + 8 : off + 8 + ksize]
         return lo | (hi << 16), flags, off, key
 
-    def leaf_pgnos(self) -> list[int]:
-        """Leaf page numbers in key order — planner metadata (walks branch
-        levels only; never touches leaf or overflow bytes)."""
+    def leaf_ranges(self) -> list[tuple[int, bytes | None]]:
+        """Ordered ``(pgno, lower_key)`` for every leaf — planner metadata
+        (walks branch levels only; never touches leaf or overflow bytes).
+        ``lower_key`` is the smallest key the leaf can contain, taken from
+        the BRANCH node keys (``None`` for the unbounded left edge; a
+        branch page's first node is keyless and inherits its parent's
+        lower bound). Leaf i's key range is [lower_i, lower_{i+1})."""
         if self.root == P_INVALID:
             return []
-        level = [self.root]
+        level: list[tuple[int, bytes | None]] = [(self.root, None)]
         while True:
-            off, flags, _ = self._page(level[0])
+            off, flags, _ = self._page(level[0][0])
             if flags & P_LEAF:
                 return level
             if not flags & P_BRANCH:
                 raise ValueError(f"unexpected page flags 0x{flags:x}")
-            nxt: list[int] = []
-            for pgno in level:
+            nxt: list[tuple[int, bytes | None]] = []
+            for pgno, low in level:
                 off, flags, nkeys = self._page(pgno)
                 for i in range(nkeys):
-                    sz, nflags, _, _ = self._node(off, i)
-                    nxt.append(sz | (nflags << 32))
+                    sz, nflags, _, key = self._node(off, i)
+                    nxt.append(
+                        (sz | (nflags << 32), low if i == 0 else bytes(key))
+                    )
             level = nxt
+
+    def leaf_pgnos(self) -> list[int]:
+        """Leaf page numbers in key order."""
+        return [pgno for pgno, _ in self.leaf_ranges()]
 
     def iter_leaf(self, pgno: int) -> Iterator[tuple[bytes, bytes]]:
         """(key, value) pairs of one leaf page, overflow chains resolved."""
@@ -496,10 +506,69 @@ class LmdbReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.n_partitions = int(options.get("partitions", "8"))
+        self._lo: bytes | None = None  # inclusive key lower bound
+        self._hi: bytes | None = None  # inclusive key upper bound
+
+    def pushFilters(self, filters):
+        """Key-range partition PRUNING off ``id`` predicates — the
+        Python-source equivalent of parquet partition pruning, and a
+        capability the reference planner lacks (``LmdbRDD.scala:60-90``
+        iterates every key at plan time regardless of the query): leaves
+        whose [lower, next_lower) branch-key range cannot contain a
+        matching id are never planned, read, or decoded. Every filter is
+        RE-YIELDED for Spark to evaluate row-exactly — the bounds only
+        prune, so >, >= (and In via min/max) can share one conservative
+        inclusive range. Same sharp edge as the imagedir source: pushed
+        state bakes into the DataFrame's relation on first action; derive
+        each distinct filter set from a fresh ``lmdb_to_dataframe`` call."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+            StringStartsWith,
+        )
+
+        def _raise_lo(v: bytes) -> None:
+            self._lo = v if self._lo is None else max(self._lo, v)
+
+        def _drop_hi(v: bytes) -> None:
+            self._hi = v if self._hi is None else min(self._hi, v)
+
+        for f in filters:
+            if getattr(f, "attribute", None) == ("id",):
+                if isinstance(f, EqualTo):
+                    _raise_lo(str(f.value).encode())
+                    _drop_hi(str(f.value).encode())
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    _raise_lo(str(f.value).encode())
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    _drop_hi(str(f.value).encode())
+                elif isinstance(f, In) and f.value:
+                    vs = [str(v).encode() for v in f.value]
+                    _raise_lo(min(vs))
+                    _drop_hi(max(vs))
+                elif isinstance(f, StringStartsWith):
+                    p = str(f.value).encode()
+                    _raise_lo(p)
+                    _drop_hi(p + b"\xff" * 8)
+            yield f  # pruning-only pushdown: Spark keeps row-exact filtering
 
     def partitions(self) -> Sequence[InputPartition]:
         kv = LmdbKV(self.path)
-        pgnos = kv.leaf_pgnos()
+        ranges = kv.leaf_ranges()
+        pgnos = []
+        for i, (pgno, low) in enumerate(ranges):
+            nxt = ranges[i + 1][1] if i + 1 < len(ranges) else None
+            # leaf covers [low, nxt); drop it when the whole range misses
+            # the pushed inclusive [lo, hi] key window
+            if self._lo is not None and nxt is not None and nxt <= self._lo:
+                continue
+            if self._hi is not None and low is not None and low > self._hi:
+                continue
+            pgnos.append(pgno)
         n = max(1, min(self.n_partitions, len(pgnos) or 1))
         bounds = [round(i * len(pgnos) / n) for i in range(n + 1)]
         chunks = [pgnos[bounds[i] : bounds[i + 1]] for i in range(n)]
@@ -543,6 +612,9 @@ class LmdbDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # planning-time pushdown for Python sources is opt-in (imagedir sets
+    # the same conf; key-range pruning needs it)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LmdbDataSource)
 
 

@@ -135,3 +135,53 @@ def test_lmdb_scan_agg_oracle(spark):
         "/root/testdata/sf0.001",
     )
     assert ok, msg
+
+
+# --- key-range partition pruning ---------------------------------------------
+
+def test_leaf_ranges_cover_key_order(tmp_path):
+    """leaf_ranges' branch-key lower bounds must bracket each leaf's
+    actual first key: lower_i <= first_key_i < lower_{i+1}."""
+    items = [(b"%010d" % i, bytes(60)) for i in range(8000)]
+    L.write_lmdb(str(tmp_path), items)
+    kv = L.LmdbKV(str(tmp_path))
+    ranges = kv.leaf_ranges()
+    assert len(ranges) > 100 and ranges[0][1] is None
+    for i, (pgno, low) in enumerate(ranges):
+        first = next(iter(kv.iter_leaf(pgno)))[0]
+        if low is not None:
+            assert low <= first
+        if i + 1 < len(ranges):
+            assert first < ranges[i + 1][1]
+
+
+def test_pushdown_prunes_leaf_partitions_and_stays_exact(spark, tmp_path):
+    """An id-range predicate must shrink the PLANNED leaf set (pruning
+    observable at the reader level) and return exactly the right rows
+    through Spark (the residual filter stays row-exact)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    env = L.ensure_fixture(5000, base=str(tmp_path))
+    # reader-level: consume the pushFilters generator, then plan
+    r_all = L.LmdbReader({"path": env, "partitions": "64"})
+    all_pgnos = sum(len(p.pgnos) for p in r_all.partitions())
+    r = L.LmdbReader({"path": env, "partitions": "64"})
+    kept = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), "00000100"),
+                LessThan(("id",), "00000200"),
+            ]
+        )
+    )
+    assert len(kept) == 2  # pruning-only: both filters re-yielded
+    pruned_pgnos = sum(len(p.pgnos) for p in r.partitions())
+    assert 0 < pruned_pgnos < all_pgnos / 4
+    # e2e: fresh DataFrame per filter set (pushdown bakes into the plan)
+    df = L.lmdb_to_dataframe(spark, env).where(
+        "id >= '00000100' AND id < '00000200'"
+    )
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == [f"{i:08d}" for i in range(100, 200)]
+    eq = L.lmdb_to_dataframe(spark, env).where("id = '00004999'")
+    assert eq.count() == 1

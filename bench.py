@@ -359,6 +359,11 @@ def main() -> None:
         # remove_dup_passages 5.87 (best-of-three 4.19) -- recorded
         # repeat-offender inflations, BASELINE.md r11/r12 attributions
         "q_bpe_encode", "q_remove_dup_passages",
+        # r13 artifact: q5_local_supplier 3.6 s vs a serialized r14
+        # re-measurement of [1.19, 1.33, 1.27, 1.39] best-of-two across 4
+        # separate processes with zero code change (BASELINE.md r14
+        # attribution) — host variance on a 6-way join's short runtime
+        "q5_local_supplier",
     }
 
     timings: dict[str, float] = {}

@@ -356,6 +356,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7: custom-stateful-streaming parity (applyInPandasWithState
         # running per-user stats driven to completion vs batch agg) ---
         "stream_stateful_parity": SW.stream_stateful_parity,
+        # --- r14: streaming exact dedup driven to completion (the one
+        # declared-surface gap in the streaming matrix): every event
+        # tripled in-stream, dropDuplicatesWithinWatermark must emit each
+        # event_id exactly once — rollup == the batch rollup over events
+        "stream_dedup_parity": SW.stream_dedup_parity,
         # --- r7: weekly cohort-retention triangle over events ---
         "cohort_retention": TP.cohort_retention_query,
         # --- r7: exact cosine radius (range) search — the threshold sibling
@@ -490,6 +495,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position-weighted byte checksums DuckDB recomputes in closed
         # form from documents.doc_id
         "lmdb_scan_agg": LM.lmdb_scan_agg,
+        # r14: the key-range PRUNED lookup over the same fixture — leaves
+        # outside [n/4, n/2) are never planned/read/decoded
+        "lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
         "caption_encode": ETL.caption_encode_docs,
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
@@ -903,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_pagerank": D.ORACLE_NEARDUP_PAGERANK,
         "cdc_dup_chunks": TX.ORACLE_CDC_DUP_CHUNKS,
         "stream_stateful_parity": SW.ORACLE_STREAM_STATEFUL_PARITY,
+        "stream_dedup_parity": SW.ORACLE_STREAM_DEDUP_PARITY,
         "cohort_retention": TP.ORACLE_COHORT_RETENTION,
         "cosine_range_search": S.ORACLE_COSINE_RANGE,
         "embedding_gram": V.ORACLE_EMBEDDING_GRAM,
@@ -968,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": TX.ORACLE_BIGRAM_TOPK,
         # --- multimodal / ETL / partitioning ---
         "lmdb_scan_agg": LM.ORACLE_LMDB_SCAN,
+        "lmdb_pruned_lookup": LM.ORACLE_LMDB_PRUNED_LOOKUP,
         "struct_binary_roundtrip": """
             SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -252,6 +252,10 @@ BENCH_QUERIES = {
     # MinHash-LSH path (Catalyst text synth -> shingle explode -> 64
     # min-aggs -> banded self-join)
     "q_minhash_native_planted": D.minhash_lsh_pairs_planted,
+    # r14: key-range pruned LMDB lookup (pushdown plans only in-window
+    # leaves) and the streaming-dedup parity run-to-completion
+    "q_lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
+    "q_stream_parity_dedup": SW.stream_dedup_parity,
 }
 
 

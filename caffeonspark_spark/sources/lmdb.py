@@ -776,3 +776,80 @@ LEFT JOIN raw_sum r ON b.doc_id = r.doc_id
 GROUP BY b.label
 ORDER BY b.label
 """
+
+
+def lmdb_pruned_lookup(spark, sf_dir: str):
+    """Declared query (✔oracle): key-range PRUNED lookup over the LMDB
+    fixture — the scan restricted to ids in [n/4, n/2) through a pushed
+    range predicate, so partition planning drops every leaf outside the
+    window (``LmdbReader.pushFilters``; the plan pin asserts the planned
+    leaf fraction), then the same per-row checksum rollup as
+    ``lmdb_scan_agg`` collapsed to ONE global row. DuckDB recomputes the
+    window with the identical integer arithmetic off ``COUNT(*)``
+    (doc_ids are 0..n-1, TESTDATA.md), so a wrong prune boundary — a
+    dropped in-range leaf or a mis-bracketed edge — changes row counts
+    and checksums and breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.catalog import table_nrows
+
+    n = table_nrows(sf_dir, "documents")
+    env_dir = ensure_fixture(n)
+    lo, hi = n // 4, n // 2
+    df = lmdb_to_dataframe(spark, env_dir).where(
+        (F.col("id") >= f"{lo:08d}") & (F.col("id") < f"{hi:08d}")
+    )
+    per_row = df.mapInPandas(
+        _row_metrics,
+        "id string, label string, enc long, channels long, dlen long, "
+        "wsum long",
+    )
+    return per_row.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("enc").alias("n_encoded"),
+        F.sum("dlen").alias("sum_dlen"),
+        F.sum("wsum").alias("sum_wsum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+ORACLE_LMDB_PRUNED_LOOKUP = f"""
+WITH bounds AS (
+    SELECT COUNT(*) // 4 AS lo, COUNT(*) // 2 AS hi FROM documents
+),
+base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS enc,
+           CASE WHEN doc_id % 5 = 4 THEN 2500 + (doc_id % 3) * 700
+                ELSE {_RAW_C * _RAW_H * _RAW_W} END AS dlen
+    FROM documents, bounds
+    WHERE doc_id >= bounds.lo AND doc_id < bounds.hi
+),
+enc_sum AS (
+    SELECT b.doc_id,
+           SUM(((b.doc_id * 31 + t.i) % 256) * (t.i + 1)) AS wsum
+    FROM base b, LATERAL (SELECT unnest(range(0, b.dlen)) AS i) t
+    WHERE b.enc = 1
+    GROUP BY b.doc_id
+),
+raw_sum AS (
+    SELECT b.doc_id,
+           SUM(((b.doc_id * 7 + c.c * 11 + p.p * 3) % 256)
+               * (p.p * {_RAW_C} + c.c + 1)) AS wsum
+    FROM base b,
+         (SELECT unnest(range(0, {_RAW_H * _RAW_W})) AS p) p,
+         (SELECT unnest(range(0, {_RAW_C})) AS c) c
+    WHERE b.enc = 0
+    GROUP BY b.doc_id
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(b.enc) AS BIGINT) AS n_encoded,
+       CAST(SUM(b.dlen) AS BIGINT) AS sum_dlen,
+       CAST(SUM(COALESCE(e.wsum, r.wsum)) AS BIGINT) AS sum_wsum,
+       MIN(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS min_id,
+       MAX(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS max_id
+FROM base b
+LEFT JOIN enc_sum e ON b.doc_id = e.doc_id
+LEFT JOIN raw_sum r ON b.doc_id = r.doc_id
+"""

@@ -432,6 +432,50 @@ ORACLE_STREAM_STATEFUL_PARITY = """
 """
 
 
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup parity row (r14 — the one declared-surface gap in
+    the streaming operator matrix: ``dedup_stream`` had tests but no
+    hash-checked row): every event is TRIPLED in-stream (explode of a
+    3-element copy array — duplicate ingestion, the condition the
+    operator exists for), ``dropDuplicatesWithinWatermark`` on event_id
+    dedups it as a real streaming query driven to completion (append
+    mode), and the surviving rows roll up per event_type batch-side. The
+    oracle is the same rollup over the events table, where each event_id
+    appears exactly once — a leaked duplicate inflates every aggregate, a
+    lost event deflates them, either breaks the hash. ``value`` sums on
+    the decimal grid like every checked float.
+
+    Timezone note: watermarks require TIMESTAMP (not NTZ), so ``ts`` is
+    cast for the watermark only — it never reaches the output, and the
+    result is still tz-independent: append-mode dedup emits each
+    first-seen row immediately, the triplicated copies share their
+    original's micro-batch by construction (explode of one row), and no
+    event_id recurs across batches, so watermark state-eviction timing
+    (the only tz-sensitive part) cannot change what is emitted."""
+    from caffeonspark_spark.functions.arrays import dsum
+
+    raw = _read_events_ntz_stream(spark, sf_dir)
+    tripled = raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "_copy", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+    )
+    ded = dedup_stream(tripled).select("event_id", "event_type", "value")
+    emitted = _run_parity(spark, ded, "dedup", output_mode="append")
+    return emitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_ids"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+ORACLE_STREAM_DEDUP_PARITY = """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     static dimension (broadcast by Catalyst — the dim is batch-side, so no

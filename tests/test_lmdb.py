@@ -185,3 +185,14 @@ def test_pushdown_prunes_leaf_partitions_and_stays_exact(spark, tmp_path):
     assert ids == [f"{i:08d}" for i in range(100, 200)]
     eq = L.lmdb_to_dataframe(spark, env).where("id = '00004999'")
     assert eq.count() == 1
+
+
+def test_lmdb_pruned_lookup_matches_oracle(spark):
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        L.lmdb_pruned_lookup(spark, "/root/testdata/sf0.001"),
+        L.ORACLE_LMDB_PRUNED_LOOKUP,
+        "/root/testdata/sf0.001",
+    )
+    assert ok, msg

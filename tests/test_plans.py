@@ -868,3 +868,19 @@ def test_minhash_planted_scan_pruned_plan(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)
+
+
+def test_lmdb_pruned_lookup_plan(spark, sf_smoke):
+    """The pruned lookup keeps the lmdb_scan_agg shape (planned BatchScan,
+    one MapInPandas, one global agg — zero group-by exchange beyond the
+    single-row agg) with the id range filter in the plan; the leaf-level
+    pruning itself is pinned at the reader level in test_lmdb."""
+    from caffeonspark_spark.sources.lmdb import lmdb_pruned_lookup
+
+    df = lmdb_pruned_lookup(spark, sf_smoke)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "BatchScan cos_lmdb" in tree, plan
+    assert tree.count("MapInPandas") == 1, plan
+    assert "Filter" in tree, plan
+    assert shuffle_count(df) <= 1, plan

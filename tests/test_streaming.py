@@ -386,3 +386,26 @@ def test_stream_dedup_state_is_watermark_bounded(spark, events_stream):
     # form fails loudly.
     plan = dd._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan, plan
+
+
+def test_stream_dedup_parity_matches_oracle(spark):
+    """r14 declared row: tripled in-stream events through
+    dropDuplicatesWithinWatermark must roll up exactly like the batch
+    events table (each id once); and the raw stream really is tripled —
+    the operator has actual duplicates to remove."""
+    from caffeonspark_spark.streaming.windows import (
+        ORACLE_STREAM_DEDUP_PARITY,
+        stream_dedup_parity,
+    )
+    from tests.oracle_check import compare
+
+    sf = "/root/testdata/sf0.001"
+    ok, msg = compare(
+        stream_dedup_parity(spark, sf), ORACLE_STREAM_DEDUP_PARITY, sf
+    )
+    assert ok, msg
+    # repeat invocation (the driver iterates; memory sinks must not clash)
+    ok2, msg2 = compare(
+        stream_dedup_parity(spark, sf), ORACLE_STREAM_DEDUP_PARITY, sf
+    )
+    assert ok2, msg2

@@ -149,6 +149,9 @@ SHOW = {
     "minhash_lsh_pairs_native (planted families, xxhash64 band equi-join)": (
         D.minhash_lsh_pairs_planted
     ),
+    "lmdb_pruned_lookup (key-range planned-partition pruning, global agg)": (
+        LM.lmdb_pruned_lookup
+    ),
 }
 
 

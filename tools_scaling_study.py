@@ -78,6 +78,9 @@ QUERIES = {
     "lmdb_scan": LM.lmdb_scan_agg,
     # r14: planted families through the production xxhash64 LSH path
     "minhash_native_planted": D.minhash_lsh_pairs_planted,
+    # r14: pruned lookup — cost should track the WINDOW (n/4 rows), the
+    # pruning claim under scale
+    "lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
 }
 
 

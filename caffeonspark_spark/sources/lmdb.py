@@ -661,14 +661,21 @@ def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
     data = os.path.join(env_dir, "data.mdb")
     labels = os.path.join(env_dir, "labels.txt")
     if not (os.path.exists(data) and os.path.exists(labels)):
+        os.makedirs(env_dir, exist_ok=True)
+        # build under pid-unique names then rename: two concurrent
+        # processes (bench + a test run) must not interleave writes into
+        # one shared .tmp; the deterministic content makes the last
+        # rename-over harmless either way
+        tmp_db = os.path.join(env_dir, f".build_{os.getpid()}.mdb")
         write_lmdb(
-            env_dir,
+            tmp_db,
             (
                 (b"%08d" % i, _fixture_value(i))
                 for i in range(n_docs)
             ),
         )
-        tmp = labels + ".tmp"
+        os.replace(tmp_db, data)
+        tmp = f"{labels}.{os.getpid()}.tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             for i in range(n_docs):
                 fh.write(f"{i:08d} {i % 10}\n")

@@ -790,10 +790,12 @@ def test_connected_components_warns_on_checkpoint_dir_repoint(spark):
 
     edges = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
     with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        # first call may itself warn (an earlier test on the shared
+        # session may have set a different dir) — it only establishes d1
+        connected_components(edges, checkpoint_dir=d1).collect()
         with warnings.catch_warnings():
+            # same dir re-passed: must stay quiet
             warnings.simplefilter("error", RuntimeWarning)
-            connected_components(edges, checkpoint_dir=d1).collect()
-            # same dir again: no warning
             connected_components(edges, checkpoint_dir=d1).collect()
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")

@@ -1589,10 +1589,26 @@ def connected_components(
         # and each call's checkpoints live under the dir set here).
         current = sc.getCheckpointDir()
         if current is not None:
-            cur_parent = os.path.dirname(
-                current[5:] if current.startswith("file:") else current
+            from urllib.parse import urlparse
+
+            def _norm(scheme: str, netloc: str, path: str) -> str:
+                # compare URI-aware: getCheckpointDir returns a resolved
+                # URI ('file:/tmp/x/<uuid>', 'hdfs://nn/ckpt/<uuid>');
+                # string-slicing only the 'file:' scheme turned every
+                # remote-dir comparison into cwd-relative garbage (r14
+                # review finding)
+                if scheme in ("", "file"):
+                    return os.path.abspath(path)
+                return f"{scheme}://{netloc}{path}"
+
+            cur = urlparse(current)
+            want = urlparse(checkpoint_dir)
+            cur_parent = _norm(
+                cur.scheme, cur.netloc, os.path.dirname(cur.path)
             )
-            if os.path.abspath(cur_parent) != os.path.abspath(checkpoint_dir):
+            if cur_parent != _norm(
+                want.scheme, want.netloc, want.path or checkpoint_dir
+            ):
                 import warnings
 
                 warnings.warn(

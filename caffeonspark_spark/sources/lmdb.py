@@ -80,6 +80,8 @@ P_OVERFLOW = 0x04
 P_META = 0x08
 P_LEAF2 = 0x20
 F_BIGDATA = 0x01
+F_SUBDATA = 0x02
+F_DUPDATA = 0x04
 P_INVALID = 0xFFFFFFFFFFFFFFFF
 #: inline-value ceiling for the writer; liblmdb's me_nodemax is
 #: ((psize - PAGEHDRSZ) / MDB_MINKEYS) & ~1 = 2040 for 4 KiB pages — any
@@ -212,45 +214,67 @@ class LmdbKV:
     """
 
     def __init__(self, path: str):
+        import mmap
+
         self.path = (
             os.path.join(path, "data.mdb") if os.path.isdir(path) else path
         )
-        with open(self.path, "rb") as fh:
-            self._buf = fh.read()
-        meta = max(self._meta(0), self._meta(1), key=lambda m: m["txnid"])
+        # mmap, not a full read: the planner touches branch pages only and
+        # each executor touches its own leaf/overflow pages — slurping a
+        # multi-GB db once per task is exactly what the leaf-range design
+        # exists to avoid (r14 review finding)
+        self._fh = open(self.path, "rb")  # noqa: SIM115 - lifetime = object
+        try:
+            self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file → no valid meta below
+            self._buf = b""
+        # psize isn't stored in the file; locate META PAGE 1 by probing
+        # candidate sizes (offset = psize, and the page carries its own
+        # pgno, so a wrong probe fails the pgno/magic check). Probing page
+        # 0 is degenerate — offset 0 "succeeds" at any candidate size
+        # (r14 review finding) — so the psize that places meta 1 is THE
+        # page size, shared by both metas.
+        psize = next(
+            (
+                c
+                for c in (PAGE_SIZE, 8192, 16384, 32768, 65536, 1024, 2048, 512)
+                if self._try_meta(1, c) is not None
+            ),
+            None,
+        )
+        if psize is None:
+            raise ValueError(f"{self.path}: no valid LMDB meta page 1")
+        metas = [
+            m for p in (0, 1) if (m := self._try_meta(p, psize)) is not None
+        ]
+        meta = max(metas, key=lambda m: m["txnid"])
         self.entries: int = meta["entries"]
         self.root: int = meta["root"]
         self.depth: int = meta["depth"]
-        self.page_size: int = meta["psize"]
+        self.page_size: int = psize
 
-    def _meta(self, pgno: int) -> dict:
-        # psize isn't stored; probe both meta candidates at the default
-        # 4 KiB offset first, then common alternates (the page carries its
-        # own pgno, so a wrong probe fails the pgno/magic check)
-        for psize in (PAGE_SIZE, 8192, 16384, 32768, 65536, 1024, 2048, 512):
-            off = pgno * psize
-            if off + PAGEHDRSZ + 136 > len(self._buf):
-                continue
-            p_pgno, _, flags = struct.unpack_from("<QHH", self._buf, off)
-            if p_pgno != pgno or not flags & P_META:
-                continue
-            m = off + PAGEHDRSZ
-            magic, version = struct.unpack_from("<II", self._buf, m)
-            if magic != MDB_MAGIC or version != MDB_DATA_VERSION:
-                continue
-            # MDB_meta: magic, version, address(8), mapsize(8),
-            # dbs[2] (48 each: pad u32, flags u16, depth u16, branch u64,
-            # leaf u64, overflow u64, entries u64, root u64), last_pg, txnid
-            main = m + 4 + 4 + 8 + 8 + 48
-            _, _, depth, _, _, _, entries, root = struct.unpack_from(
-                "<IHHQQQQQ", self._buf, main
-            )
-            txnid = struct.unpack_from("<Q", self._buf, main + 48 + 8)[0]
-            return {
-                "txnid": txnid, "entries": entries, "root": root,
-                "depth": depth, "psize": psize,
-            }
-        raise ValueError(f"{self.path}: no valid LMDB meta page {pgno}")
+    def _try_meta(self, pgno: int, psize: int) -> dict | None:
+        off = pgno * psize
+        if off + PAGEHDRSZ + 136 > len(self._buf):
+            return None
+        p_pgno, _, flags = struct.unpack_from("<QHH", self._buf, off)
+        if p_pgno != pgno or not flags & P_META:
+            return None
+        m = off + PAGEHDRSZ
+        magic, version = struct.unpack_from("<II", self._buf, m)
+        if magic != MDB_MAGIC or version != MDB_DATA_VERSION:
+            return None
+        # MDB_meta: magic, version, address(8), mapsize(8),
+        # dbs[2] (48 each: pad u32, flags u16, depth u16, branch u64,
+        # leaf u64, overflow u64, entries u64, root u64), last_pg, txnid
+        main = m + 4 + 4 + 8 + 8 + 48
+        _, _, depth, _, _, _, entries, root = struct.unpack_from(
+            "<IHHQQQQQ", self._buf, main
+        )
+        txnid = struct.unpack_from("<Q", self._buf, main + 48 + 8)[0]
+        return {
+            "txnid": txnid, "entries": entries, "root": root, "depth": depth,
+        }
 
     # -- page primitives --
 
@@ -308,6 +332,16 @@ class LmdbKV:
             )
         for i in range(nkeys):
             dsize, nflags, noff, key = self._node(off, i)
+            if nflags & (F_SUBDATA | F_DUPDATA):
+                # MDB_DUPSORT sub-trees / named-database descriptors look
+                # like plain values byte-wise — fail LOUDLY like the
+                # P_LEAF2 guard instead of yielding garbage rows (r14
+                # review finding); Caffe datasets never use either
+                raise NotImplementedError(
+                    "DUPSORT/sub-database leaf nodes (F_DUPDATA/F_SUBDATA)"
+                    " are not used by Caffe LMDB datasets; unsupported by"
+                    " this reader"
+                )
             data_off = noff + 8 + len(key)
             if nflags & F_BIGDATA:
                 ovf = struct.unpack_from("<Q", self._buf, data_off)[0]
@@ -508,6 +542,7 @@ class LmdbReader(DataSourceReader):
         self.n_partitions = int(options.get("partitions", "8"))
         self._lo: bytes | None = None  # inclusive key lower bound
         self._hi: bytes | None = None  # inclusive key upper bound
+        self._hi_excl: bytes | None = None  # EXCLUSIVE upper bound (prefix)
 
     def pushFilters(self, filters):
         """Key-range partition PRUNING off ``id`` predicates — the
@@ -553,7 +588,21 @@ class LmdbReader(DataSourceReader):
                 elif isinstance(f, StringStartsWith):
                     p = str(f.value).encode()
                     _raise_lo(p)
-                    _drop_hi(p + b"\xff" * 8)
+                    # EXCLUSIVE upper bound: the prefix with its last
+                    # non-0xFF byte incremented — every key matching the
+                    # prefix sorts strictly below it. An appended-0xFF
+                    # inclusive bound is UNSOUND: prefix + b"\\xff"*9
+                    # sorts above prefix + b"\\xff"*8 and its leaf would
+                    # be pruned before the row-exact filter could keep it
+                    # (r14 review finding). All-0xFF prefix → unbounded.
+                    stem = p.rstrip(b"\xff")
+                    if stem:
+                        bound = stem[:-1] + bytes([stem[-1] + 1])
+                        self._hi_excl = (
+                            bound
+                            if self._hi_excl is None
+                            else min(self._hi_excl, bound)
+                        )
             yield f  # pruning-only pushdown: Spark keeps row-exact filtering
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -567,6 +616,12 @@ class LmdbReader(DataSourceReader):
             if self._lo is not None and nxt is not None and nxt <= self._lo:
                 continue
             if self._hi is not None and low is not None and low > self._hi:
+                continue
+            if (
+                self._hi_excl is not None
+                and low is not None
+                and low >= self._hi_excl
+            ):
                 continue
             pgnos.append(pgno)
         n = max(1, min(self.n_partitions, len(pgnos) or 1))

@@ -196,3 +196,82 @@ def test_lmdb_pruned_lookup_matches_oracle(spark):
         "/root/testdata/sf0.001",
     )
     assert ok, msg
+
+
+# --- r14 review-finding pins --------------------------------------------------
+
+def test_kv_nondefault_page_size(tmp_path):
+    """The page-size probe must locate meta page 1 (probing page 0 is
+    degenerate — offset 0 'succeeds' at any candidate size) so a
+    non-4KiB-page file reads correctly even when META 0 is the live one."""
+    import struct as _s
+
+    from caffeonspark_spark.sources import lmdb as LM
+
+    # write a 16 KiB-page file by temporarily re-pointing the writer's
+    # module constant (the writer derives every offset from PAGE_SIZE)
+    orig = LM.PAGE_SIZE
+    LM.PAGE_SIZE = 16384
+    try:
+        items = [(b"%08d" % i, bytes(((i + j) % 256) for j in range(100)))
+                 for i in range(2000)]
+        LM.write_lmdb(str(tmp_path), items)
+    finally:
+        LM.PAGE_SIZE = orig
+    data = tmp_path / "data.mdb"
+    buf = bytearray(data.read_bytes())
+    # make meta 0 the live meta (txnid 9 > meta 1's 1): entries stays
+    # correct; the reader must still derive psize=16384 from meta 1's
+    # LOCATION even though meta 0 wins the txnid race
+    _s.pack_into("<Q", buf, 16 + 24 + 48 + 48 + 8, 9)
+    data.write_bytes(buf)
+    kv = L.LmdbKV(str(tmp_path))
+    assert kv.page_size == 16384
+    assert kv.entries == 2000
+    assert [k for k, _ in kv.items()] == sorted(k for k, _ in items)
+
+
+def test_dupsort_leaf_nodes_fail_loudly(tmp_path):
+    """A leaf node carrying F_DUPDATA/F_SUBDATA must raise, not parse the
+    sub-tree bytes as a Datum value."""
+    L.write_lmdb(str(tmp_path), [(b"k1", b"v1"), (b"k2", b"v2")])
+    kv = L.LmdbKV(str(tmp_path))
+    [leaf] = kv.leaf_pgnos()
+    # flip F_DUPDATA on the first node in the raw buffer
+    import struct as _s
+
+    data = tmp_path / "data.mdb"
+    buf = bytearray(data.read_bytes())
+    off = leaf * kv.page_size
+    ptr = _s.unpack_from("<H", buf, off + 16)[0]
+    _s.pack_into("<H", buf, off + ptr + 4, L.F_DUPDATA)
+    data.write_bytes(buf)
+    with pytest.raises(NotImplementedError, match="DUPSORT"):
+        list(L.LmdbKV(str(tmp_path)).items())
+
+
+def test_prefix_pushdown_bound_is_sound(tmp_path):
+    """StringStartsWith pruning must keep keys that sort above
+    prefix+0xFF*8 (the r14 review's unsound-bound scenario) and must not
+    over-prune: plan with the prefix bound, then verify every matching
+    key is still inside a planned leaf."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    # keys: 'p' + 10 x 0xFF-ish tall keys plus normal ones
+    items = [(b"p" + bytes([0xFF]) * 9, b"tall")]
+    items += [(b"p%04d" % i, b"v") for i in range(3000)]
+    items += [(b"q%04d" % i, b"v") for i in range(3000)]
+    L.write_lmdb(str(tmp_path), items)
+    r = L.LmdbReader({"path": str(tmp_path / "data.mdb"), "partitions": "64"})
+    list(r.pushFilters([StringStartsWith(("id",), "p")]))
+    planned = {pg for part in r.partitions() for pg in part.pgnos}
+    kv = L.LmdbKV(str(tmp_path))
+    covered = {
+        k
+        for pg in planned
+        for k, _ in kv.iter_leaf(pg)
+    }
+    matching = {k for k, _ in items if k.startswith(b"p")}
+    assert matching <= covered  # nothing matching was pruned away
+    # and the q-side was actually pruned (the bound is doing work)
+    assert len(planned) < len(kv.leaf_pgnos())

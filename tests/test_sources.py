@@ -42,8 +42,9 @@ def test_roundtrip_formats(spark, tmp_path_factory):
 
 
 def test_unknown_formats_rejected(spark):
+    # "lmdb" was the example unknown format until r14 made it real
     with pytest.raises(ValueError):
-        read_source(spark, "lmdb", "/nope")
+        read_source(spark, "leveldb", "/nope")
     with pytest.raises(ValueError):
         write_sink(spark.range(1), "sequencefile", "/nope")
 

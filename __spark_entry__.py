@@ -247,6 +247,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": S.kmeans_assign_query,
         "kmeans_fit": S.kmeans_fit_query,
         "semantic_dedup": S.semantic_dedup_query,
+        # r14: the bipartite SemDeDup (new batch x kept corpus, shared
+        # centroid index) — completes the against-corpus matrix across
+        # all five modalities (text/image/audio/video/embedding)
+        "semantic_dedup_against_corpus": S.semantic_dedup_against_corpus_query,
         "dup_ngram_stats": D.dup_ngram_stats_docs,
         "asof_join_tolerance": TP.asof_join_tolerance_query,
         "moving_avg_window": R.moving_avg_window,
@@ -944,6 +948,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_dedup_map": AV.ORACLE_AUDIO_DEDUP_MAP,
         "audio_dedup_against_corpus": AV.ORACLE_AUDIO_DEDUP_AGAINST_CORPUS,
         "cluster_prototypes": S.ORACLE_CLUSTER_PROTOTYPES,
+        "semantic_dedup_against_corpus": S.ORACLE_SEMANTIC_DEDUP_CORPUS,
         "asof_join_forward": TP.ORACLE_ASOF_FORWARD,
         "rrf_fusion": TX.oracle_rrf_fusion(),
         # incremental merge must equal the one-shot rollup — same oracle

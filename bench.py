@@ -256,6 +256,8 @@ BENCH_QUERIES = {
     # leaves) and the streaming-dedup parity run-to-completion
     "q_lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
     "q_stream_parity_dedup": SW.stream_dedup_parity,
+    # r14: bipartite SemDeDup (cross-side cluster-local cosine pairs)
+    "q_semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,
 }
 
 

@@ -1127,39 +1127,45 @@ def semantic_dedup_pairs(
         lambda acc, x: acc + x,
     )
     denom_f = F.col("a._nrm") * F.col("b._nrm")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
-            F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
-        )
-        # rank on the float score ROUNDED TO THE SAME 9-DECIMAL GRID as the
-        # exact phase, ids as tie-break: grid-tied pairs (exact duplicates,
-        # scaled copies — cos collapses to one grid value for all of them)
-        # are then kept in the oracle's own (score, id_a, id_b) order
-        # instead of arbitrary float-ulp order, so a tie group larger than
-        # top·margin cannot push an oracle-selected pair out of phase 1
-        .orderBy(
-            F.desc_nulls_last(F.bround(F.col("_approx"), 9)),
-            F.asc("id_a"),
-            F.asc("id_b"),
-        )
-        .limit(top * margin)
+    cand = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{vec_col}").alias("_vb"),
+        F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
     )
+    return _two_phase_rank(cand, "id_a", "id_b", top, margin)
+
+
+def _two_phase_rank(
+    cand: DataFrame, out_a: str, out_b: str, top: int, margin: int
+) -> DataFrame:
+    """THE two-phase ranking tail shared by the self-join and bipartite
+    semantic-dedup forms (factored so a tie-handling retune cannot drift
+    between them — the r14 pair-phase lesson). Phase 1 ranks on the float
+    score ROUNDED TO THE SAME 9-DECIMAL GRID as the exact phase, ids as
+    tie-break: grid-tied pairs (exact duplicates, scaled copies — cos
+    collapses to one grid value for all of them) are kept in the oracle's
+    own (score, id_a, id_b) order instead of arbitrary float-ulp order,
+    so a tie group larger than ``top·margin`` cannot push an
+    oracle-selected pair out of phase 1. Phase 2 recomputes the
+    decimal-grid ``cosine_similarity`` only on the survivors."""
+    survivors = cand.orderBy(
+        F.desc_nulls_last(F.bround(F.col("_approx"), 9)),
+        F.asc(out_a),
+        F.asc(out_b),
+    ).limit(top * margin)
     return (
-        cand.select(
-            "id_a",
-            "id_b",
+        survivors.select(
+            out_a,
+            out_b,
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("cos_sim"),
         )
-        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .orderBy(F.desc("cos_sim"), F.asc(out_a), F.asc(out_b))
         .limit(top)
     )
 
@@ -1277,6 +1283,157 @@ def _oracle_semantic_dedup(k: int = 8) -> str:
 
 
 ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
+
+
+def semantic_dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top: int = 50,
+    margin: int = 4,
+) -> DataFrame:
+    """Bipartite SemDeDup: NEW embeddings against a kept REFERENCE corpus
+    — the ``dedup_against_corpus`` incremental-ingest shape on the
+    embedding modality, completing the against-corpus × modality matrix
+    (text/image/audio/video/embedding). Both sides are assigned to the
+    SAME centroid table (in production: the kept corpus' index — a
+    centroid table is the materialize-once artifact here, the way the
+    corpus band table is for images), candidates are CROSS-side
+    cluster-local pairs only (new×ref, never ref×ref), and the shared
+    ``_two_phase_rank`` emits the exact decimal-grid top pairs as
+    ``(new_id, ref_id, cos_sim)``.
+
+    Scale contract: candidates ∝ Σ |new_cluster|·|ref_cluster| with k
+    scaling by ``semantic_dedup_k`` — the join key is an 8-byte centroid
+    id and embeddings never shuffle twice (each side carries its vector
+    through its own assign join)."""
+
+    def prep(t: DataFrame) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        fold = F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            t.select(id_col, vec_col)
+            .withColumn("_nrm", F.sqrt(fold))
+            .join(
+                kmeans_assign(t, centroids, vec_col, id_col).select(
+                    id_col, "centroid_id"
+                ),
+                id_col,
+            )
+        )
+
+    a, b = prep(new).alias("a"), prep(corpus).alias("b")
+    dot_f = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom_f = F.col("a._nrm") * F.col("b._nrm")
+    cand = a.join(
+        b, F.col("a.centroid_id") == F.col("b.centroid_id")
+    ).select(
+        F.col(f"a.{id_col}").alias("new_id"),
+        F.col(f"b.{id_col}").alias("ref_id"),
+        F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{vec_col}").alias("_vb"),
+        F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
+    )
+    return _two_phase_rank(cand, "new_id", "ref_id", top, margin)
+
+
+def semantic_dedup_against_corpus_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declared query (✔oracle): top-50 cross-side cluster-local cosine
+    pairs — embeddings split by label parity (even = kept corpus, odd =
+    new batch, the ``dedup_against_corpus`` source-split convention on
+    this table's one categorical column), centroids = the k smallest
+    corpus vec_ids (deterministic, DuckDB-reproducible), k scaled to the
+    corpus half by the SemDeDup rule. At the driver's oracle scale
+    (sf0.01, 250 corpus vectors) k resolves to 8, matching
+    ``ORACLE_SEMANTIC_DEDUP_CORPUS``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = semantic_dedup_k(_row_count_memo(spark, sf_dir, emb) // 2)
+    corpus = emb.where(F.pmod(F.col("label"), F.lit(2)) == 0)
+    new = emb.where(F.pmod(F.col("label"), F.lit(2)) == 1)
+    cents = corpus.orderBy(F.asc("vec_id")).limit(k)
+    return semantic_dedup_against_corpus(new, corpus, cents)
+
+
+def _oracle_semantic_dedup_corpus(k: int = 8) -> str:
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)) AS c
+        FROM embeddings WHERE label % 2 = 0
+        ORDER BY vec_id LIMIT {k}
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, centroid_id,
+               list_reduce(
+                   [CAST(0 AS DOUBLE)] ||
+                   list_transform(range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c[i])),
+                   (a, x) -> a + x) AS dist2
+        FROM embeddings e CROSS JOIN cent
+    ),
+    assign AS (
+        SELECT vec_id, label, centroid_id FROM (
+            SELECT vec_id, label, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, centroid_id) AS rk
+            FROM dists
+        ) WHERE rk = 1
+    ),
+    ex AS (
+        SELECT vec_id, unnest(embedding) AS ee,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(CAST(ee AS DOUBLE) * CAST(ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dd
+        FROM ex GROUP BY vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS new_id, b.vec_id AS ref_id
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id
+        WHERE a.label % 2 = 1 AND b.label % 2 = 0
+    ),
+    dots AS (
+        SELECT p.new_id, p.ref_id,
+               CAST(SUM(CAST(CAST(xa.ee AS DOUBLE) * CAST(xb.ee AS DOUBLE)
+                              AS DECIMAL(30,9))) AS DOUBLE) AS dab
+        FROM pairs p
+        JOIN ex xa ON xa.vec_id = p.new_id
+        JOIN ex xb ON xb.vec_id = p.ref_id AND xa.i = xb.i
+        GROUP BY p.new_id, p.ref_id
+    )
+    SELECT d.new_id, d.ref_id,
+           CASE WHEN na.dd * nb.dd <> 0
+                THEN d.dab / (sqrt(na.dd) * sqrt(nb.dd)) END AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.new_id = na.vec_id
+    JOIN norms nb ON d.ref_id = nb.vec_id
+    ORDER BY cos_sim DESC, new_id ASC, ref_id ASC
+    LIMIT 50
+"""
+
+
+ORACLE_SEMANTIC_DEDUP_CORPUS = _oracle_semantic_dedup_corpus()
 
 
 ORACLE_KMEANS_ASSIGN = """

@@ -884,3 +884,19 @@ def test_lmdb_pruned_lookup_plan(spark, sf_smoke):
     assert tree.count("MapInPandas") == 1, plan
     assert "Filter" in tree, plan
     assert shuffle_count(df) <= 1, plan
+
+
+def test_semantic_corpus_dedup_cluster_local_plan(spark, sf_smoke):
+    """The bipartite SemDeDup must stay cluster-local: the pair phase is
+    an equi-join on centroid_id (no cartesian/BNLJ between the embedding
+    sides — the centroid literals themselves ride a broadcast), and both
+    sides' scans are pruned to (vec_id, embedding, label)."""
+    from caffeonspark_spark.operators.similarity import (
+        semantic_dedup_against_corpus_query,
+    )
+
+    df = semantic_dedup_against_corpus_query(spark, sf_smoke)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "embedding", "label"}, cols

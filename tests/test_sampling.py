@@ -509,3 +509,34 @@ class TestKmvOverlap:
         [p] = kmv_overlap_docs(docs, k=64).collect()
         assert abs(n["est_union"] - p["est_union"]) <= 0.35 * p["est_union"]
         assert abs(n["est_overlap"] - p["est_overlap"]) <= 0.35 * p["est_union"]
+
+
+def test_semantic_dedup_against_corpus_cross_side_and_oracle(spark):
+    """r14 bipartite SemDeDup: every emitted pair is strictly cross-side
+    (odd-label new x even-label corpus), and the query hash-matches its
+    DuckDB twin."""
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.operators.similarity import (
+        ORACLE_SEMANTIC_DEDUP_CORPUS,
+        semantic_dedup_against_corpus_query,
+    )
+    from tests.oracle_check import compare
+
+    sf = "/root/testdata/sf0.001"
+    got = semantic_dedup_against_corpus_query(spark, sf).collect()
+    assert len(got) == 50
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in got:
+        assert labels[r["new_id"]] % 2 == 1, r  # new side: odd labels
+        assert labels[r["ref_id"]] % 2 == 0, r  # corpus side: even labels
+    ok, msg = compare(
+        semantic_dedup_against_corpus_query(spark, sf),
+        ORACLE_SEMANTIC_DEDUP_CORPUS,
+        sf,
+    )
+    assert ok, msg

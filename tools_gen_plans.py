@@ -152,6 +152,9 @@ SHOW = {
     "lmdb_pruned_lookup (key-range planned-partition pruning, global agg)": (
         LM.lmdb_pruned_lookup
     ),
+    "semantic_dedup_against_corpus (cross-side cluster-local, shared centroid index)": (
+        S.semantic_dedup_against_corpus_query
+    ),
 }
 
 

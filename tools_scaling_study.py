@@ -81,6 +81,9 @@ QUERIES = {
     # r14: pruned lookup — cost should track the WINDOW (n/4 rows), the
     # pruning claim under scale
     "lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
+    # r14: bipartite SemDeDup — candidates stay cluster-local (k grows
+    # with the corpus), the against-corpus claim on embeddings
+    "semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,
 }
 
 

@@ -683,16 +683,30 @@ def pq_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_LITERAL_K_MAX = 1024
 
 
+def _collect_centroids(
+    centroids: DataFrame, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """Centroid table → sorted driver-side rows (the one collect of this
+    family; callers assigning SEVERAL sides against one table collect
+    once and pass the rows, r14 review finding)."""
+    return sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_literal_k: int = KMEANS_LITERAL_K_MAX,
 ) -> DataFrame:
     """Nearest-centroid assignment (the Lloyd's-iteration E-step, and the
     partitioner behind IVF indexing and SemDeDup-style semantic dedup):
-    squared-L2 argmin of each corpus vector over the centroid table.
+    squared-L2 argmin of each corpus vector over the centroid table —
+    passed as a DataFrame (collected here) or as already-collected
+    ``_collect_centroids`` rows.
 
     Two physical strategies, switched on k (both map-only — no join, no
     shuffle; centroids are driver metadata in either case):
@@ -712,9 +726,10 @@ def kmeans_assign(
       summation order differs from the literal fold, so this path is the
       scale path, not the oracle path.
     """
-    cent = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in centroids.select(id_col, vec_col).collect()
+    cent = (
+        centroids
+        if isinstance(centroids, list)
+        else _collect_centroids(centroids, vec_col, id_col)
     )
     if len(cent) > max_literal_k:
         return _kmeans_assign_arrow(corpus, cent, vec_col, id_col)
@@ -1106,17 +1121,56 @@ def semantic_dedup_pairs(
     oracle-selected pair; the residual risk is a pair whose double
     ``bround(9)`` lands on the other side of a rounding boundary than the
     exact decimal grid (ulp-rare), which the ``margin`` buffer absorbs."""
-    assign = kmeans_assign(corpus, centroids, vec_col, id_col)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    fold = F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    cand = _semantic_candidate_pairs(
+        corpus, corpus, centroids, "id_a", "id_b", vec_col, id_col,
+        self_pairs=True,
     )
-    t = (
-        corpus.select(id_col, vec_col)
-        .withColumn("_nrm", F.sqrt(fold))
-        .join(assign.select(id_col, "centroid_id"), id_col)
-    )
-    a, b = t.alias("a"), t.alias("b")
+    return _two_phase_rank(cand, "id_a", "id_b", top, margin)
+
+
+def _semantic_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: DataFrame,
+    out_a: str,
+    out_b: str,
+    vec_col: str,
+    id_col: str,
+    self_pairs: bool,
+) -> DataFrame:
+    """THE candidate phase shared by the self-join and bipartite SemDeDup
+    forms — norm fold, assign join, cluster-local join, the
+    null-when-zero-denominator float pre-score ``_approx`` that
+    ``_two_phase_rank``'s grid ranking depends on (r14 review: the first
+    factoring cut only the ranking tail and left this block duplicated).
+    Centroids are COLLECTED ONCE here and the rows passed to each side's
+    ``kmeans_assign`` (previously the bipartite form ran the centroid
+    scan-and-collect job twice per construction). ``self_pairs`` adds the
+    half-triangle predicate and reuses one prepared table for both
+    aliases."""
+    cent = _collect_centroids(centroids, vec_col, id_col)
+
+    def prep(t: DataFrame) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        fold = F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            t.select(id_col, vec_col)
+            .withColumn("_nrm", F.sqrt(fold))
+            .join(
+                kmeans_assign(t, cent, vec_col, id_col).select(
+                    id_col, "centroid_id"
+                ),
+                id_col,
+            )
+        )
+
+    ta = prep(left)
+    tb = ta if self_pairs else prep(right)
+    a, b = ta.alias("a"), tb.alias("b")
     dot_f = F.aggregate(
         F.zip_with(
             F.col(f"a.{vec_col}"),
@@ -1127,18 +1181,16 @@ def semantic_dedup_pairs(
         lambda acc, x: acc + x,
     )
     denom_f = F.col("a._nrm") * F.col("b._nrm")
-    cand = a.join(
-        b,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
+    cond = F.col("a.centroid_id") == F.col("b.centroid_id")
+    if self_pairs:
+        cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias(out_a),
+        F.col(f"b.{id_col}").alias(out_b),
         F.col(f"a.{vec_col}").alias("_va"),
         F.col(f"b.{vec_col}").alias("_vb"),
         F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
     )
-    return _two_phase_rank(cand, "id_a", "id_b", top, margin)
 
 
 def _two_phase_rank(
@@ -1177,14 +1229,40 @@ def semantic_dedup_k(n_rows: int) -> int:
     return max(8, n_rows // 250)
 
 
+#: the k every gated SF resolves to — and the one HARDCODED in both
+#: semantic-dedup DuckDB oracles. The query scales k dynamically, so on a
+#: bigger table (whole-table form: >2,250 embeddings; corpus-split form:
+#: >4,500) the oracle SILENTLY diverges by construction: warn with the
+#: right diagnosis so a future larger-SF hash mismatch reads as
+#: "re-parameterize the oracle", not as a dedup regression (the
+#: planted-ceiling pattern; r14 review finding)
+_SEMANTIC_ORACLE_K = 8
+
+
+def _warn_semantic_oracle_k(k: int, query: str) -> None:
+    if k != _SEMANTIC_ORACLE_K:
+        import warnings
+
+        warnings.warn(
+            f"{query}: dynamic k={k} != the k={_SEMANTIC_ORACLE_K} its"
+            " DuckDB oracle hardcodes — a hash comparison at this corpus"
+            " size is invalid by construction (regenerate the oracle with"
+            " the matching k); the query itself is fine",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query: top-50 within-cluster cosine pairs. k scales with
     the corpus (``semantic_dedup_k``); centroids are the deterministic
     first-k vectors so the DuckDB twin can reproduce them. At the driver's
     oracle scale (sf0.01, 500 vectors) k resolves to 8, matching
-    ``ORACLE_SEMANTIC_DEDUP``."""
+    ``ORACLE_SEMANTIC_DEDUP`` (warns when it wouldn't —
+    ``_warn_semantic_oracle_k``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = semantic_dedup_k(_row_count_memo(spark, sf_dir, emb))
+    _warn_semantic_oracle_k(k, "semantic_dedup")
     return semantic_dedup_pairs(emb, emb.where(F.col("vec_id") < k))
 
 
@@ -1308,45 +1386,12 @@ def semantic_dedup_against_corpus(
     Scale contract: candidates ∝ Σ |new_cluster|·|ref_cluster| with k
     scaling by ``semantic_dedup_k`` — the join key is an 8-byte centroid
     id and embeddings never shuffle twice (each side carries its vector
-    through its own assign join)."""
-
-    def prep(t: DataFrame) -> DataFrame:
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        fold = F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            t.select(id_col, vec_col)
-            .withColumn("_nrm", F.sqrt(fold))
-            .join(
-                kmeans_assign(t, centroids, vec_col, id_col).select(
-                    id_col, "centroid_id"
-                ),
-                id_col,
-            )
-        )
-
-    a, b = prep(new).alias("a"), prep(corpus).alias("b")
-    dot_f = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{vec_col}"),
-            F.col(f"b.{vec_col}"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    denom_f = F.col("a._nrm") * F.col("b._nrm")
-    cand = a.join(
-        b, F.col("a.centroid_id") == F.col("b.centroid_id")
-    ).select(
-        F.col(f"a.{id_col}").alias("new_id"),
-        F.col(f"b.{id_col}").alias("ref_id"),
-        F.col(f"a.{vec_col}").alias("_va"),
-        F.col(f"b.{vec_col}").alias("_vb"),
-        F.when(denom_f != 0, dot_f / denom_f).alias("_approx"),
+    through its own assign join). Shares ``_semantic_candidate_pairs``
+    (which collects the centroid table once for both sides) and
+    ``_two_phase_rank`` with the self-join form."""
+    cand = _semantic_candidate_pairs(
+        new, corpus, centroids, "new_id", "ref_id", vec_col, id_col,
+        self_pairs=False,
     )
     return _two_phase_rank(cand, "new_id", "ref_id", top, margin)
 
@@ -1364,6 +1409,7 @@ def semantic_dedup_against_corpus_query(
     ``ORACLE_SEMANTIC_DEDUP_CORPUS``."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = semantic_dedup_k(_row_count_memo(spark, sf_dir, emb) // 2)
+    _warn_semantic_oracle_k(k, "semantic_dedup_against_corpus")
     corpus = emb.where(F.pmod(F.col("label"), F.lit(2)) == 0)
     new = emb.where(F.pmod(F.col("label"), F.lit(2)) == 1)
     cents = corpus.orderBy(F.asc("vec_id")).limit(k)

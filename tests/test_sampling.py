@@ -540,3 +540,26 @@ def test_semantic_dedup_against_corpus_cross_side_and_oracle(spark):
         sf,
     )
     assert ok, msg
+
+
+def test_semantic_oracle_k_guard():
+    """r14 review: the semantic-dedup oracles hardcode k=8 while the
+    queries scale k — the guard must warn with the right diagnosis past
+    the divergence point and stay quiet at the gated scales."""
+    import warnings
+
+    from caffeonspark_spark.operators.similarity import (
+        _warn_semantic_oracle_k,
+        semantic_dedup_k,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        _warn_semantic_oracle_k(semantic_dedup_k(2000), "q")  # gated scale
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _warn_semantic_oracle_k(semantic_dedup_k(5000), "sem_q")
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "sem_q" in str(w.message)
+        for w in caught
+    )

@@ -102,6 +102,8 @@ FORMAT_NAME = "cos_lmdb"
 def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
     out = shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated Datum: varint runs past buffer end")
         b = buf[pos]
         out |= (b & 0x7F) << shift
         pos += 1
@@ -169,6 +171,14 @@ def decode_datum(buf: bytes) -> dict:
                 out["encoded"] = bool(v)
         elif wire == 2:
             n, pos = _uvarint(buf, pos)
+            if pos + n > len(buf):
+                # fail LOUDLY on corrupt values, matching the reader's
+                # P_LEAF2/DUPSORT posture — a silently truncated data
+                # slice would otherwise exit the loop as a "valid" row
+                raise ValueError(
+                    f"truncated Datum: field {field} declares {n} bytes, "
+                    f"{len(buf) - pos} remain"
+                )
             chunk = buf[pos : pos + n]
             pos += n
             if field == 4:
@@ -178,12 +188,16 @@ def decode_datum(buf: bytes) -> dict:
                     struct.unpack(f"<{len(chunk) // 4}f", chunk)
                 )
         elif wire == 5:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated Datum: fixed32 past buffer end")
             if field == 6:
                 out["float_data"].append(
                     struct.unpack_from("<f", buf, pos)[0]
                 )
             pos += 4
         elif wire == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated Datum: fixed64 past buffer end")
             pos += 8
         else:  # pragma: no cover - groups (3/4) don't appear in Datum
             raise ValueError(f"unsupported wire type {wire}")
@@ -225,33 +239,74 @@ class LmdbKV:
         # exists to avoid (r14 review finding)
         self._fh = open(self.path, "rb")  # noqa: SIM115 - lifetime = object
         try:
-            self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
-        except ValueError:  # zero-length file → no valid meta below
-            self._buf = b""
-        # psize isn't stored in the file; locate META PAGE 1 by probing
-        # candidate sizes (offset = psize, and the page carries its own
-        # pgno, so a wrong probe fails the pgno/magic check). Probing page
-        # 0 is degenerate — offset 0 "succeeds" at any candidate size
-        # (r14 review finding) — so the psize that places meta 1 is THE
-        # page size, shared by both metas.
-        psize = next(
-            (
-                c
-                for c in (PAGE_SIZE, 8192, 16384, 32768, 65536, 1024, 2048, 512)
-                if self._try_meta(1, c) is not None
-            ),
-            None,
-        )
-        if psize is None:
-            raise ValueError(f"{self.path}: no valid LMDB meta page 1")
-        metas = [
-            m for p in (0, 1) if (m := self._try_meta(p, psize)) is not None
-        ]
-        meta = max(metas, key=lambda m: m["txnid"])
+            try:
+                self._buf = mmap.mmap(
+                    self._fh.fileno(), 0, access=mmap.ACCESS_READ
+                )
+            except ValueError:  # zero-length file → no valid meta below
+                self._buf = b""
+            # mm_psize IS the FREE_DBI descriptor's md_pad field (mdb.c:
+            # '#define mm_psize mm_dbs[FREE_DBI].md_pad') and meta page 0
+            # sits at offset 0 regardless of page size, so read it from
+            # there first — the way mdb_env_open does. Fall back to the
+            # meta-1 location probe only when md_pad is 0 (files written
+            # by tools that left it blank): offset = psize and the page
+            # carries its own pgno, so a wrong probe fails the pgno/magic
+            # check; probing page 0 is degenerate — offset 0 "succeeds"
+            # at any candidate size (r14 review finding).
+            m0 = self._try_meta(0, PAGE_SIZE)  # offset 0: psize-agnostic
+            stored = m0["psize"] if m0 is not None else 0
+            if (
+                512 <= stored <= 65536
+                and stored & (stored - 1) == 0
+                and self._try_meta(1, stored) is not None
+            ):
+                psize = stored
+            else:
+                psize = next(
+                    (
+                        c
+                        for c in (
+                            PAGE_SIZE, 8192, 16384, 32768, 65536,
+                            1024, 2048, 512,
+                        )
+                        if self._try_meta(1, c) is not None
+                    ),
+                    None,
+                )
+            if psize is None:
+                raise ValueError(f"{self.path}: no valid LMDB meta page 1")
+            metas = [
+                m
+                for p in (0, 1)
+                if (m := self._try_meta(p, psize)) is not None
+            ]
+            meta = max(metas, key=lambda m: m["txnid"])
+        except BaseException:
+            # don't leak the fd/mmap when the file has no valid meta
+            self.close()
+            raise
         self.entries: int = meta["entries"]
         self.root: int = meta["root"]
         self.depth: int = meta["depth"]
         self.page_size: int = psize
+
+    def close(self) -> None:
+        """Release the mmap and file handle deterministically (executors
+        must not rely on refcount GC after every partitions()/read())."""
+        buf = getattr(self, "_buf", b"")
+        if buf is not None and not isinstance(buf, bytes):
+            buf.close()
+        self._buf = b""
+        fh = getattr(self, "_fh", None)
+        if fh is not None and not fh.closed:
+            fh.close()
+
+    def __enter__(self) -> "LmdbKV":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _try_meta(self, pgno: int, psize: int) -> dict | None:
         off = pgno * psize
@@ -272,8 +327,11 @@ class LmdbKV:
             "<IHHQQQQQ", self._buf, main
         )
         txnid = struct.unpack_from("<Q", self._buf, main + 48 + 8)[0]
+        # mm_psize lives in FREE_DBI's md_pad (first u32 of the dbs array)
+        psize_field = struct.unpack_from("<I", self._buf, m + 24)[0]
         return {
             "txnid": txnid, "entries": entries, "root": root, "depth": depth,
+            "psize": psize_field,
         }
 
     # -- page primitives --
@@ -501,9 +559,11 @@ def write_lmdb(path: str, items: Iterable[tuple[bytes, bytes]]) -> str:
             "<IIQQ", page, m, MDB_MAGIC, MDB_DATA_VERSION, 0,
             max(next_pg * PAGE_SIZE, 1 << 20),
         )
-        # FREE_DBI: empty
+        # FREE_DBI: empty — except md_pad, which IS mm_psize (mdb.c:
+        # '#define mm_psize mm_dbs[FREE_DBI].md_pad'); real liblmdb's
+        # mdb_env_open reads the page size from here
         struct.pack_into(
-            "<IHHQQQQQ", page, m + 24, 0, 0, 0, 0, 0, 0, 0, P_INVALID
+            "<IHHQQQQQ", page, m + 24, PAGE_SIZE, 0, 0, 0, 0, 0, 0, P_INVALID
         )
         # MAIN_DBI
         struct.pack_into(
@@ -606,7 +666,10 @@ class LmdbReader(DataSourceReader):
             yield f  # pruning-only pushdown: Spark keeps row-exact filtering
 
     def partitions(self) -> Sequence[InputPartition]:
-        kv = LmdbKV(self.path)
+        with LmdbKV(self.path) as kv:
+            return self._plan(kv)
+
+    def _plan(self, kv: "LmdbKV") -> Sequence[InputPartition]:
         ranges = kv.leaf_ranges()
         pgnos = []
         for i, (pgno, low) in enumerate(ranges):
@@ -634,24 +697,24 @@ class LmdbReader(DataSourceReader):
         ]
 
     def read(self, partition: _LeafRange) -> Iterator[tuple]:
-        kv = LmdbKV(partition.path)
-        for pgno in partition.pgnos:
-            for key, value in kv.iter_leaf(pgno):
-                d = decode_datum(value)
-                data = (
-                    bytes(d["data"])
-                    if d["encoded"]
-                    else chw_to_hwc(d["channels"], d["data"])
-                )
-                yield (
-                    key.decode("utf-8", "replace"),
-                    str(d["label"]),
-                    d["channels"],
-                    d["height"],
-                    d["width"],
-                    d["encoded"],
-                    data,
-                )
+        with LmdbKV(partition.path) as kv:
+            for pgno in partition.pgnos:
+                for key, value in kv.iter_leaf(pgno):
+                    d = decode_datum(value)
+                    data = (
+                        bytes(d["data"])
+                        if d["encoded"]
+                        else chw_to_hwc(d["channels"], d["data"])
+                    )
+                    yield (
+                        key.decode("utf-8", "replace"),
+                        str(d["label"]),
+                        d["channels"],
+                        d["height"],
+                        d["width"],
+                        d["encoded"],
+                        data,
+                    )
 
 
 class LmdbDataSource(DataSource):
@@ -708,11 +771,20 @@ def _fixture_value(doc_id: int) -> bytes:
     )
 
 
+#: bump when _fixture_value arithmetic or the writer layout changes —
+#: the version is part of the shared /tmp cache key, so older processes'
+#: on-disk fixtures can never be silently reused by newer code (r14
+#: ADVICE). v2 = writer stores mm_psize in FREE_DBI md_pad.
+_FIXTURE_VERSION = 2
+
+
 def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
     """Deterministic Datum LMDB keyed ``%08d`` over ids 0..n-1, built once
     per size (idempotent; the write is atomic via rename). Also emits the
     ToolTest-style label manifest beside it for count-parity checks."""
-    env_dir = os.path.join(base, f"cos_lmdb_fixture_{n_docs}")
+    env_dir = os.path.join(
+        base, f"cos_lmdb_fixture_v{_FIXTURE_VERSION}_{n_docs}"
+    )
     data = os.path.join(env_dir, "data.mdb")
     labels = os.path.join(env_dir, "labels.txt")
     if not (os.path.exists(data) and os.path.exists(labels)):

@@ -231,6 +231,75 @@ def test_kv_nondefault_page_size(tmp_path):
     assert [k for k, _ in kv.items()] == sorted(k for k, _ in items)
 
 
+# --- r15 ADVICE pins -----------------------------------------------------------
+
+def test_writer_stores_psize_in_freedbi_md_pad(tmp_path):
+    """mm_psize IS FREE_DBI's md_pad (mdb.c) — the writer must store it
+    so real liblmdb can open the file, and the reader must use the stored
+    value FIRST (no probe needed)."""
+    L.write_lmdb(str(tmp_path), [(b"k1", b"v1")])
+    buf = (tmp_path / "data.mdb").read_bytes()
+    # meta 0: page header 16B + magic/version/address/mapsize 24B → FREE_DBI
+    assert struct.unpack_from("<I", buf, 16 + 24)[0] == L.PAGE_SIZE
+    assert L.LmdbKV(str(tmp_path)).page_size == L.PAGE_SIZE
+
+
+def test_reader_falls_back_to_probe_when_md_pad_zero(tmp_path):
+    """Files whose meta leaves md_pad blank (older writers) must still
+    open via the meta-1 location probe."""
+    L.write_lmdb(str(tmp_path), [(b"k1", b"v1"), (b"k2", b"v2")])
+    data = tmp_path / "data.mdb"
+    buf = bytearray(data.read_bytes())
+    for meta_off in (0, L.PAGE_SIZE):  # zero md_pad in BOTH metas
+        struct.pack_into("<I", buf, meta_off + 16 + 24, 0)
+    data.write_bytes(buf)
+    kv = L.LmdbKV(str(tmp_path))
+    assert kv.page_size == L.PAGE_SIZE and kv.entries == 2
+
+
+def test_truncated_datum_fails_loudly():
+    """Corrupt values must raise, not yield silently-truncated rows
+    (matches the P_LEAF2/DUPSORT fail-loud posture)."""
+    good = L.encode_datum(3, 4, 5, b"\x01" * 60, 7, False)
+    with pytest.raises(ValueError, match="truncated Datum"):
+        L.decode_datum(good[:-10])  # length-delimited data runs past end
+    with pytest.raises(ValueError, match="truncated Datum"):
+        L.decode_datum(bytes([1 << 3, 0x80]))  # varint never terminates
+    with pytest.raises(ValueError, match="truncated Datum"):
+        L.decode_datum(bytes([(6 << 3) | 5, 0x01]))  # fixed32 short
+    assert L.decode_datum(good)["data"] == b"\x01" * 60
+
+
+def test_kv_close_and_no_fd_leak_on_probe_failure(tmp_path):
+    """close()/context-manager release the mmap+fd deterministically, and
+    a constructor that raises (no valid meta) must not leak its handle."""
+    import os as _os
+
+    L.write_lmdb(str(tmp_path), [(b"k", b"v")])
+    with L.LmdbKV(str(tmp_path)) as kv:
+        assert kv.entries == 1
+    assert kv._fh.closed
+    kv.close()  # idempotent
+
+    garbage = tmp_path / "bad.mdb"
+    garbage.write_bytes(b"\x00" * 8192)
+    before = len(_os.listdir("/proc/self/fd"))
+    for _ in range(5):
+        with pytest.raises(ValueError, match="no valid LMDB meta"):
+            L.LmdbKV(str(garbage))
+    assert len(_os.listdir("/proc/self/fd")) == before
+
+    empty = tmp_path / "empty.mdb"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="no valid LMDB meta"):
+        L.LmdbKV(str(empty))
+
+
+def test_fixture_cache_is_version_keyed(tmp_path):
+    env = L.ensure_fixture(10, base=str(tmp_path))
+    assert f"cos_lmdb_fixture_v{L._FIXTURE_VERSION}_10" in env
+
+
 def test_dupsort_leaf_nodes_fail_loudly(tmp_path):
     """A leaf node carrying F_DUPDATA/F_SUBDATA must raise, not parse the
     sub-tree bytes as a Datum value."""

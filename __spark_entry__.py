@@ -27,6 +27,7 @@ from caffeonspark_spark.operators import textops as TX
 from caffeonspark_spark.operators import vectorops as V
 from caffeonspark_spark.etl import tools as ETL
 from caffeonspark_spark.sources import lmdb as LM
+from caffeonspark_spark.sources import seqfile as SEQ
 from caffeonspark_spark.ml import dataflow as ML
 from caffeonspark_spark.multimodal import av as AV
 from caffeonspark_spark.multimodal import imagehash as IH
@@ -502,6 +503,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r14: the key-range PRUNED lookup over the same fixture — leaves
         # outside [n/4, n/2) are never planned/read/decoded
         "lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
+        # --- r15: the last remaining reference storage format — from-spec
+        # Hadoop SequenceFile scan (sync-split byte-range partitions,
+        # Java-serialization key decode for all three reference key
+        # encodings) end-to-end over a deterministic two-part fixture;
+        # DuckDB recomputes the checksums in closed form
+        "seqfile_scan_agg": SEQ.seqfile_scan_agg,
         "caption_encode": ETL.caption_encode_docs,
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
@@ -983,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
         # --- multimodal / ETL / partitioning ---
         "lmdb_scan_agg": LM.ORACLE_LMDB_SCAN,
         "lmdb_pruned_lookup": LM.ORACLE_LMDB_PRUNED_LOOKUP,
+        "seqfile_scan_agg": SEQ.ORACLE_SEQFILE_SCAN,
         "struct_binary_roundtrip": """
             SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -33,6 +33,7 @@ from caffeonspark_spark.ml import dataflow as ML  # noqa: E402
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
+from caffeonspark_spark.sources import seqfile as SEQ  # noqa: E402
 
 
 def _train_epoch_bench(spark, sf_dir):
@@ -255,6 +256,9 @@ BENCH_QUERIES = {
     # r14: key-range pruned LMDB lookup (pushdown plans only in-window
     # leaves) and the streaming-dedup parity run-to-completion
     "q_lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
+    # r15: from-spec Hadoop SequenceFile scan (sync-split byte-range
+    # partitions + Java-serialization key decode, all 3 key encodings)
+    "q_seqfile_scan": SEQ.seqfile_scan_agg,
     "q_stream_parity_dedup": SW.stream_dedup_parity,
     # r14: bipartite SemDeDup (cross-side cluster-local cosine pairs)
     "q_semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,

@@ -12,8 +12,10 @@ Reference parity (SURVEY.md §2 S1-S9 / K1-K6):
   ``LMDB.scala:31-43``) → the rebuild stores image tuples as parquet; the
   not-null payload filter and optional persist are reproduced in
   ``read_images``.
-* S3 SequenceFile, S8 whole-binary-file ingest (``Binary2Sequence.scala:56-73``)
-  → ``binaryFile`` built-in format.
+* S3 SequenceFile (``SeqImageDataSource.scala:24-69``) → from-spec
+  container reader ``sources/seqfile.py`` (format ``"sequencefile"``);
+  S8 whole-binary-file ingest (``Binary2Sequence.scala:56-73``) →
+  ``binaryFile`` built-in format.
 * S6 JSON / S7 text → native readers.
 * S9 reflection registry (``DataSource.scala:133-166``) → this format-string
   table (no reflection: formats are data, not classes).
@@ -48,6 +50,10 @@ SOURCE_FORMATS = {
     # S1: from-spec LMDB byte-format reader (sources/lmdb.py) — B-tree
     # leaf-range planned partitions + Datum decode, LmdbRDD.scala parity
     "lmdb": "cos_lmdb",
+    # S3: from-spec Hadoop SequenceFile reader (sources/seqfile.py) —
+    # sync-split byte-range planned partitions + Java-serialized key
+    # decode, SeqImageDataSource.scala parity
+    "sequencefile": "cos_seqfile",
 }
 
 SINK_FORMATS = {"parquet", "json", "csv", "text", "orc"}
@@ -79,6 +85,10 @@ def read_source(
         from caffeonspark_spark.sources.lmdb import register as register_lmdb
 
         register_lmdb(spark)
+    elif fmt == "sequencefile":
+        from caffeonspark_spark.sources.seqfile import register as register_seq
+
+        register_seq(spark)
     reader = spark.read.format(SOURCE_FORMATS[fmt]).options(**options)
     if schema is not None:
         reader = reader.schema(schema)

@@ -1,0 +1,621 @@
+"""From-spec Hadoop SequenceFile scan → DataFrame (SURVEY §2 S3/K3).
+
+The reference's SequenceFile image source reads
+``sc.sequenceFile[BytesWritable, BytesWritable]`` and decodes each key
+as a Java-serialized Pair/Tuple2/Tuple6 (``SeqImageDataSource.scala:
+24-69``); ``Binary2Sequence.scala:31-84`` and ``LMDB2Sequence.scala:
+17-48`` write such files with ``saveAsSequenceFile``. This rebuild reads
+the byte format DIRECTLY — a pure-Python reader written from the public
+Hadoop SequenceFile container specification (the format documented on
+``org.apache.hadoop.io.SequenceFile``; stable "SEQ" version 6):
+
+* header: ``SEQ`` + version byte, key/value class names (Hadoop
+  vint-length Text strings), ``compress``/``blockCompress`` booleans,
+  optional codec class name, metadata map, 16-byte sync marker;
+* uncompressed / record-compressed records:
+  ``recordLen i32 | keyLen i32 | key bytes | value bytes`` with the sync
+  escape ``-1`` + 16-byte marker interleaved every ~2 KB;
+* block-compressed blocks: sync escape, then vint record count and four
+  vint-length-prefixed codec-compressed buffers (key lengths, keys,
+  value lengths, values — lengths are Hadoop vints);
+* ``BytesWritable`` payloads are 4-byte-BE-length-prefixed byte arrays;
+* DefaultCodec = zlib, GzipCodec = gzip, BZip2Codec = bz2 — all
+  decodable with the Python standard library; anything else (Snappy,
+  LZO, ZStandard) fails LOUDLY.
+
+Key decode is the from-spec Java-serialization subset in ``javaser.py``
+(all three reference key encodings), producing the same 7-tuple schema
+as every other image source (``ImageDataSource.scala:27-29``).
+
+Scale shape: planned partitions are BYTE RANGES split on the file's
+sync markers — the exact split semantics of Hadoop's own
+``SequenceFileInputFormat`` (a split owns every record from the first
+sync at/after its start up to the first sync at/after its end), so a
+1000-executor cluster scans one multi-TB file, or a directory of
+``part-*`` files, with no driver-side iteration at all: planning reads
+one ~100-byte header per file. Executors read only their own byte
+range (+ tail run-out to the next sync).
+
+A from-spec WRITER (``write_seqfile`` / ``dataframe_to_seqfile``)
+closes K3: it emits version-6 uncompressed or record-compressed files
+that real Hadoop readers consume — the keys use scala-library's
+published fixed ``@SerialVersionUID`` values so a JVM ObjectInputStream
+accepts them (verified against Spark's own JVM in tests), reproducing
+``LMDB2Sequence``'s Tuple6 key convention.
+"""
+
+from __future__ import annotations
+
+import bz2
+import hashlib
+import os
+import struct
+import zlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from caffeonspark_spark.sources import javaser
+
+SEQ_MAGIC = b"SEQ"
+SEQ_VERSION = 6
+SYNC_SIZE = 16
+SYNC_ESCAPE = b"\xff\xff\xff\xff"
+SYNC_INTERVAL = 100 * (4 + SYNC_SIZE)  # Hadoop's writer cadence
+BYTES_WRITABLE = "org.apache.hadoop.io.BytesWritable"
+
+#: codec class name → one-shot decompressor over stdlib (public formats)
+_CODECS = {
+    "org.apache.hadoop.io.compress.DefaultCodec": zlib.decompress,
+    "org.apache.hadoop.io.compress.GzipCodec": (
+        lambda b: zlib.decompress(b, wbits=31)
+    ),
+    "org.apache.hadoop.io.compress.BZip2Codec": bz2.decompress,
+}
+
+SEQFILE_SCHEMA = (
+    "id string, label string, channels int, height int, width int, "
+    "encoded boolean, data binary"
+)  # SeqImageDataSource.scala:24 tuple order
+
+FORMAT_NAME = "cos_seqfile"
+
+
+# --- Hadoop vint (WritableUtils) --------------------------------------------
+
+def read_vint(buf, pos: int) -> tuple[int, int]:
+    """Hadoop WritableUtils.readVInt: first byte >= -112 is the value;
+    otherwise it encodes sign and a 1-8 byte big-endian magnitude."""
+    b = struct.unpack_from(">b", buf, pos)[0]
+    pos += 1
+    if b >= -112:
+        return b, pos
+    n = -(b + 120) if b < -120 else -(b + 112)
+    v = 0
+    for i in range(n):
+        v = (v << 8) | buf[pos + i]
+    pos += n
+    return (~v if b < -120 else v), pos
+
+
+def write_vint(out: bytearray, v: int) -> None:
+    if -112 <= v <= 127:
+        out.extend(struct.pack(">b", v))
+        return
+    neg = v < 0
+    if neg:
+        v = ~v
+    n = (v.bit_length() + 7) // 8
+    out.extend(struct.pack(">b", (-120 if neg else -112) - n))
+    out.extend(v.to_bytes(n, "big"))
+
+
+# --- container header --------------------------------------------------------
+
+class SeqFileInfo:
+    """Parsed header of one SequenceFile."""
+
+    __slots__ = (
+        "key_class", "value_class", "compress", "block_compress",
+        "codec", "metadata", "sync", "header_end",
+    )
+
+    @classmethod
+    def parse(cls, buf) -> "SeqFileInfo":
+        if bytes(buf[:3]) != SEQ_MAGIC:
+            raise ValueError("not a SequenceFile (bad magic)")
+        version = buf[3]
+        if version != SEQ_VERSION:
+            raise NotImplementedError(
+                f"SequenceFile version {version} unsupported (only the "
+                f"stable version {SEQ_VERSION} written by Hadoop 1+)"
+            )
+        info = cls()
+        pos = 4
+
+        def text(pos: int) -> tuple[str, int]:
+            n, pos = read_vint(buf, pos)
+            return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
+
+        info.key_class, pos = text(pos)
+        info.value_class, pos = text(pos)
+        info.compress = bool(buf[pos])
+        info.block_compress = bool(buf[pos + 1])
+        pos += 2
+        info.codec = None
+        if info.compress or info.block_compress:
+            info.codec, pos = text(pos)
+            if info.codec not in _CODECS:
+                raise NotImplementedError(
+                    f"SequenceFile codec {info.codec!r} needs a native "
+                    f"library; supported: {sorted(_CODECS)}"
+                )
+        n_meta = struct.unpack_from(">i", buf, pos)[0]
+        pos += 4
+        info.metadata = {}
+        for _ in range(n_meta):
+            k, pos = text(pos)
+            v, pos = text(pos)
+            info.metadata[k] = v
+        info.sync = bytes(buf[pos : pos + SYNC_SIZE])
+        info.header_end = pos + SYNC_SIZE
+        return info
+
+    def decompress(self, b: bytes) -> bytes:
+        return _CODECS[self.codec](b)
+
+
+def _bytes_writable(b) -> bytes:
+    """Strip the BytesWritable 4-byte-BE length prefix."""
+    (n,) = struct.unpack_from(">i", b, 0)
+    if 4 + n > len(b):
+        raise ValueError("truncated BytesWritable payload")
+    return bytes(b[4 : 4 + n])
+
+
+def scan_records(
+    buf, info: SeqFileInfo, start: int, end: int
+) -> Iterator[tuple[bytes, bytes]]:
+    """Yield raw ``(key, value)`` BytesWritable payloads for the split
+    ``[start, end)`` under Hadoop split semantics: begin at the first
+    sync at/after ``start`` (or the header for start=0), stop at the
+    first sync at/after ``end``. Works for all three layouts."""
+    marker = SYNC_ESCAPE + info.sync
+    synced = start == 0  # block mode: does pos sit ON an escape?
+    if start == 0:
+        pos = info.header_end
+    else:
+        hit = buf.find(marker, start)
+        if hit < 0 or hit >= end:
+            # the first sync at/after start already belongs to the next
+            # split — this split owns nothing
+            return
+        pos = hit + len(marker)
+    total = len(buf)
+    while pos < total:
+        if info.block_compress:
+            # each block is PRECEDED by a sync escape (verified against
+            # Hadoop's own BLOCK writer), then: vint record count + four
+            # vint-length-prefixed codec-compressed buffers
+            if synced:
+                if bytes(buf[pos : pos + 4]) != SYNC_ESCAPE or bytes(
+                    buf[pos + 4 : pos + 4 + SYNC_SIZE]
+                ) != info.sync:
+                    raise ValueError(
+                        "corrupt block-compressed SequenceFile: block "
+                        "without sync marker"
+                    )
+                if pos >= end:
+                    return
+                pos += 4 + SYNC_SIZE
+            synced = True  # after the first sync-scanned block, verify
+            n_rec, pos = read_vint(buf, pos)
+            bufs = []
+            for _ in range(4):
+                n, pos = read_vint(buf, pos)
+                bufs.append(info.decompress(bytes(buf[pos : pos + n])))
+                pos += n
+            klens, keys, vlens, vals = bufs
+            kp = vp = ko = vo = 0
+            for _ in range(n_rec):
+                kl, kp = read_vint(klens, kp)
+                vl, vp = read_vint(vlens, vp)
+                yield (
+                    _bytes_writable(keys[ko : ko + kl]),
+                    _bytes_writable(vals[vo : vo + vl]),
+                )
+                ko += kl
+                vo += vl
+            continue
+        (rec_len,) = struct.unpack_from(">i", buf, pos)
+        if rec_len == -1:  # sync escape
+            if pos >= end:
+                return
+            if bytes(buf[pos + 4 : pos + 4 + SYNC_SIZE]) != info.sync:
+                raise ValueError("corrupt SequenceFile: bad sync marker")
+            pos += 4 + SYNC_SIZE
+            continue
+        (key_len,) = struct.unpack_from(">i", buf, pos + 4)
+        if rec_len < key_len or key_len < 0:
+            raise ValueError("corrupt SequenceFile record header")
+        kb = buf[pos + 8 : pos + 8 + key_len]
+        vb = buf[pos + 8 + key_len : pos + 8 + rec_len]
+        if info.compress:
+            vb = info.decompress(bytes(vb))
+        yield _bytes_writable(kb), _bytes_writable(vb)
+        pos += 8 + rec_len
+
+
+# --- from-spec writer (K3) ---------------------------------------------------
+
+def _derive_sync(path: str) -> bytes:
+    # Hadoop derives the marker from a random UID; a content-independent
+    # DETERMINISTIC derivation (md5 of the file name) keeps outputs
+    # bit-identical across task retries — same contract as augment_hwc
+    return hashlib.md5(
+        b"cos_seqfile:" + os.path.basename(path).encode()
+    ).digest()
+
+
+def write_seqfile(
+    path: str,
+    items,
+    record_compress: bool = False,
+    key_encoding: str = "tuple6",
+) -> str:
+    """Write ``(id, label, channels, height, width, encoded, data)``
+    tuples as a version-6 BytesWritable/BytesWritable SequenceFile —
+    the ``LMDB2Sequence.scala:31-38`` convention (Tuple6-serialized
+    keys; ``key_encoding='tuple2'`` gives ``Binary2Sequence``'s
+    (id, label) form). Atomic via rename; returns ``path``."""
+    sync = _derive_sync(path)
+    out = bytearray()
+    out.extend(SEQ_MAGIC)
+    out.append(SEQ_VERSION)
+    for name in (BYTES_WRITABLE, BYTES_WRITABLE):
+        b = name.encode()
+        write_vint(out, len(b))
+        out.extend(b)
+    out.append(1 if record_compress else 0)
+    out.append(0)  # block compression not written
+    if record_compress:
+        codec = b"org.apache.hadoop.io.compress.DefaultCodec"
+        write_vint(out, len(codec))
+        out.extend(codec)
+    out.extend(struct.pack(">i", 0))  # empty metadata
+    out.extend(sync)
+
+    last_sync = len(out)
+    for rec in items:
+        rid, label, channels, height, width, encoded, data = rec
+        if key_encoding == "tuple6":
+            key = javaser.dumps_tuple6(
+                str(rid), str(label), int(channels), int(height),
+                int(width), bool(encoded),
+            )
+        elif key_encoding == "tuple2":
+            key = javaser.dumps_tuple2(str(rid), str(label))
+        else:
+            raise ValueError(f"unknown key_encoding {key_encoding!r}")
+        kb = struct.pack(">i", len(key)) + key
+        data = bytes(data)
+        vb = struct.pack(">i", len(data)) + data
+        if record_compress:
+            vb = zlib.compress(vb)
+        if len(out) - last_sync >= SYNC_INTERVAL:
+            out.extend(SYNC_ESCAPE)
+            out.extend(sync)
+            last_sync = len(out)
+        out.extend(struct.pack(">ii", len(kb) + len(vb), len(kb)))
+        out.extend(kb)
+        out.extend(vb)
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
+    os.replace(tmp, path)
+    return path
+
+
+def dataframe_to_seqfile(df, out_dir: str) -> int:
+    """Export an image-tuple DataFrame as a directory of SequenceFile
+    parts, one per partition (the distributed ``saveAsSequenceFile``
+    shape of ``Binary2Sequence.scala:31`` / ``LMDB2Sequence.scala:46``);
+    executors write their own part files — nothing moves through the
+    driver. Requires ``out_dir`` on storage all executors can reach
+    (same caveat as the reference's HDFS output path). Returns the
+    number of part files written."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [
+        "id", "label", "channels", "height", "width", "encoded", "data",
+    ]
+
+    def _write(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for batch in iterator:
+            pdf = batch.to_pandas()
+            rows.extend(pdf[cols].itertuples(index=False, name=None))
+        if rows:
+            write_seqfile(
+                os.path.join(out_dir, f"part-{pid:05d}"), rows
+            )
+        import pyarrow as pa
+
+        yield pa.RecordBatch.from_pandas(
+            pd.DataFrame({"n": [len(rows)]}),
+            schema=pa.schema([("n", pa.int64())]),
+        )
+
+    parts = (
+        df.select(*cols).mapInArrow(_write, "n long").where("n > 0").count()
+    )
+    return parts
+
+
+# --- Spark DataSource --------------------------------------------------------
+
+class _ByteSplit(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+def _data_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+    return [path]
+
+
+class SeqFileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.n_partitions = int(options.get("partitions", "8"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # plan from file sizes + one small header read per file — no
+        # record iteration on the driver
+        files = [
+            (f, os.path.getsize(f))
+            for f in _data_files(self.path)
+        ]
+        total = sum(s for _, s in files) or 1
+        splits: list[_ByteSplit] = []
+        for f, size in files:
+            n = max(1, round(self.n_partitions * size / total))
+            step = max(1, size // n)
+            for i in range(n):
+                start = i * step
+                end = size if i == n - 1 else (i + 1) * step
+                if start < size:
+                    splits.append(_ByteSplit(f, start, end))
+        return splits or [_ByteSplit(files[0][0] if files else self.path, 0, 0)]
+
+    def read(self, partition: _ByteSplit) -> Iterator[tuple]:
+        import mmap
+
+        if partition.end <= partition.start:  # empty-source placeholder
+            return
+        with open(partition.path, "rb") as fh:
+            try:
+                buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            except ValueError:
+                return  # zero-length part
+            try:
+                info = SeqFileInfo.parse(buf)
+                if (
+                    info.key_class != BYTES_WRITABLE
+                    or info.value_class != BYTES_WRITABLE
+                ):
+                    raise ValueError(
+                        "expected BytesWritable/BytesWritable SequenceFile "
+                        f"(SeqImageDataSource contract), got "
+                        f"{info.key_class}/{info.value_class}"
+                    )
+                for kb, vb in scan_records(
+                    buf, info, partition.start, partition.end
+                ):
+                    rid, label, ch, h, w, enc = javaser.decode_image_key(kb)
+                    yield rid, label, ch, h, w, enc, vb
+            finally:
+                buf.close()
+
+
+class SeqFileDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return SEQFILE_SCHEMA
+
+    def reader(self, schema: StructType) -> SeqFileReader:
+        return SeqFileReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SeqFileDataSource)
+
+
+def seqfile_to_dataframe(spark, path: str, partitions: int = 8):
+    """SequenceFile scan as a DataFrame — the S3 ``SeqImageDataSource``
+    surface (``SeqImageDataSource.scala:24-69``) as a one-liner."""
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("path", path)
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+
+# --- declared query + fixture ------------------------------------------------
+
+#: fixture arithmetic shared by the generator and the DuckDB oracle:
+#: key encoding cycles by doc_id % 3 (0=Tuple6 raw 3×4×5 volume,
+#: 1=Tuple2, 2=Pair — both "encoded" blobs); value byte(i) =
+#: (doc_id*13 + i*5) % 256; encoded blob length = 800 + (doc_id%5)*300
+_T6_C, _T6_H, _T6_W = 3, 4, 5
+
+#: bump when fixture arithmetic or the writer layout changes (cache-key
+#: versioning, same rationale as the LMDB fixture)
+_FIXTURE_VERSION = 1
+
+
+def _fixture_record(doc_id: int) -> tuple:
+    kind = doc_id % 3
+    if kind == 0:
+        n = _T6_C * _T6_H * _T6_W
+        shape = (str(doc_id % 10), _T6_C, _T6_H, _T6_W, False)
+    else:
+        n = 800 + (doc_id % 5) * 300
+        shape = (str(doc_id % 10), 1, 0, 0, True)
+    import numpy as np
+
+    data = ((doc_id * 13 + np.arange(n) * 5) % 256).astype(np.uint8)
+    return (f"{doc_id:08d}", *shape, data.tobytes(), kind)
+
+
+def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
+    """Deterministic 2-part SequenceFile fixture over ids 0..n-1 mixing
+    ALL THREE key encodings (idempotent, atomic via rename)."""
+    out_dir = os.path.join(
+        base, f"cos_seqfile_fixture_v{_FIXTURE_VERSION}_{n_docs}"
+    )
+    parts = [os.path.join(out_dir, f"part-{i:05d}") for i in range(2)]
+    if all(os.path.exists(p) for p in parts):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for pi, part in enumerate(parts):
+        out = bytearray()
+        sync = _derive_sync(f"part-{pi:05d}")
+        out.extend(SEQ_MAGIC)
+        out.append(SEQ_VERSION)
+        for name in (BYTES_WRITABLE, BYTES_WRITABLE):
+            b = name.encode()
+            write_vint(out, len(b))
+            out.extend(b)
+        out.extend(b"\x00\x00")
+        out.extend(struct.pack(">i", 0))
+        out.extend(sync)
+        last_sync = len(out)
+        for doc_id in range(pi, n_docs, 2):  # round-robin across parts
+            rid, label, ch, h, w, enc, data, kind = _fixture_record(doc_id)
+            if kind == 0:
+                key = javaser.dumps_tuple6(rid, label, ch, h, w, enc)
+            elif kind == 1:
+                key = javaser.dumps_tuple2(rid, label)
+            else:
+                key = javaser.dumps_pair(rid, label)
+            kb = struct.pack(">i", len(key)) + key
+            vb = struct.pack(">i", len(data)) + data
+            if len(out) - last_sync >= SYNC_INTERVAL:
+                out.extend(SYNC_ESCAPE)
+                out.extend(sync)
+                last_sync = len(out)
+            out.extend(struct.pack(">ii", len(kb) + len(vb), len(kb)))
+            out.extend(kb)
+            out.extend(vb)
+        tmp = f"{part}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(out)
+        os.replace(tmp, part)
+    return out_dir
+
+
+def _row_metrics(pdfs):
+    """Same per-row checksum discipline as the LMDB query: dlen + the
+    position-weighted byte sum Σ data[i]·(i+1), Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdfs:
+        dlen, wsum = [], []
+        for raw in pdf["data"]:
+            b = np.frombuffer(bytes(raw), dtype=np.uint8)
+            dlen.append(len(b))
+            wsum.append(int(b.astype(np.int64) @ (np.arange(len(b)) + 1)))
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "label": pdf["label"],
+                "enc": pdf["encoded"].astype("int64"),
+                "channels": pdf["channels"].astype("int64"),
+                "dlen": pd.Series(dlen, dtype="int64"),
+                "wsum": pd.Series(wsum, dtype="int64"),
+            }
+        )
+
+
+def seqfile_scan_agg(spark, sf_dir: str):
+    """Declared query (✔oracle): the full SequenceFile path end-to-end —
+    build the deterministic fixture for this SF's documents ids (two
+    part files, all three Java key encodings interleaved), scan it
+    through the byte-range-planned container reader, decode every
+    Java-serialized key and BytesWritable payload, checksum the returned
+    bytes per row, and roll up per label. DuckDB recomputes every
+    aggregate in closed form from ``documents.doc_id``."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.catalog import table_nrows
+
+    out_dir = ensure_fixture(table_nrows(sf_dir, "documents"))
+    df = seqfile_to_dataframe(spark, out_dir)
+    per_row = df.mapInPandas(
+        _row_metrics,
+        "id string, label string, enc long, channels long, dlen long, "
+        "wsum long",
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("enc").alias("n_encoded"),
+            F.sum("channels").alias("sum_channels"),
+            F.sum("dlen").alias("sum_dlen"),
+            F.sum("wsum").alias("sum_wsum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SEQFILE_SCAN = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(doc_id % 10 AS VARCHAR) AS label,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS enc,
+           CASE WHEN doc_id % 3 = 0 THEN {_T6_C * _T6_H * _T6_W}
+                ELSE 800 + (doc_id % 5) * 300 END AS dlen,
+           CASE WHEN doc_id % 3 = 0 THEN {_T6_C} ELSE 1 END AS channels
+    FROM documents
+),
+sums AS (
+    SELECT b.doc_id,
+           SUM(((b.doc_id * 13 + t.i * 5) % 256) * (t.i + 1)) AS wsum
+    FROM base b, LATERAL (SELECT unnest(range(0, b.dlen)) AS i) t
+    GROUP BY b.doc_id
+)
+SELECT b.label,
+       COUNT(*) AS n_rows,
+       CAST(SUM(b.enc) AS BIGINT) AS n_encoded,
+       CAST(SUM(b.channels) AS BIGINT) AS sum_channels,
+       CAST(SUM(b.dlen) AS BIGINT) AS sum_dlen,
+       CAST(SUM(s.wsum) AS BIGINT) AS sum_wsum,
+       MIN(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS min_id,
+       MAX(lpad(CAST(b.doc_id AS VARCHAR), 8, '0')) AS max_id
+FROM base b JOIN sums s ON b.doc_id = s.doc_id
+GROUP BY b.label
+ORDER BY b.label
+"""

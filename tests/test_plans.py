@@ -870,6 +870,23 @@ def test_minhash_planted_scan_pruned_plan(spark, sf_smoke):
     assert read_schema_columns(df) == [{"doc_id"}], read_schema_columns(df)
 
 
+def test_seqfile_scan_agg_plan(spark, sf_smoke):
+    """The SequenceFile scan query: the custom source surfaces as a
+    planned BatchScan over sync-split byte ranges (not a parallelized
+    collect), the per-row checksum is ONE Arrow-batched MapInPandas, and
+    the rollup keeps map-side partials around a single group-by exchange
+    (the second exchange is the 10-row orderBy)."""
+    from caffeonspark_spark.sources.seqfile import seqfile_scan_agg
+
+    df = seqfile_scan_agg(spark, sf_smoke)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "BatchScan cos_seqfile" in tree, plan
+    assert tree.count("MapInPandas") == 1, plan
+    assert tree.count("SortAggregate") == 2 or has_partial_aggregation(df)
+    assert shuffle_count(df) <= 2, plan
+
+
 def test_lmdb_pruned_lookup_plan(spark, sf_smoke):
     """The pruned lookup keeps the lmdb_scan_agg shape (planned BatchScan,
     one MapInPandas, one global agg — zero group-by exchange beyond the

@@ -27,6 +27,7 @@ from caffeonspark_spark.operators import similarity as S
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
+from caffeonspark_spark.sources import seqfile as SEQ  # noqa: E402
 from caffeonspark_spark.operators import temporal as TP
 
 HEADER = """# PLANS — formatted physical plans of the headline queries
@@ -151,6 +152,9 @@ SHOW = {
     ),
     "lmdb_pruned_lookup (key-range planned-partition pruning, global agg)": (
         LM.lmdb_pruned_lookup
+    ),
+    "seqfile_scan_agg (sync-split byte-range planned source, Arrow checksums)": (
+        SEQ.seqfile_scan_agg
     ),
     "semantic_dedup_against_corpus (cross-side cluster-local, shared centroid index)": (
         S.semantic_dedup_against_corpus_query

@@ -43,6 +43,7 @@ from caffeonspark_spark.operators import temporal as TP  # noqa: E402
 from caffeonspark_spark.multimodal import av as AV  # noqa: E402
 from caffeonspark_spark.multimodal import imagehash as IH  # noqa: E402
 from caffeonspark_spark.sources import lmdb as LM  # noqa: E402
+from caffeonspark_spark.sources import seqfile as SEQ  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scaling_study"
@@ -81,6 +82,9 @@ QUERIES = {
     # r14: pruned lookup — cost should track the WINDOW (n/4 rows), the
     # pruning claim under scale
     "lmdb_pruned_lookup": LM.lmdb_pruned_lookup,
+    # r15: from-spec SequenceFile scan — same fixture-follows-corpus
+    # discipline as lmdb_scan; cost should scale with total bytes
+    "seqfile_scan": SEQ.seqfile_scan_agg,
     # r14: bipartite SemDeDup — candidates stay cluster-local (k grows
     # with the corpus), the against-corpus claim on embeddings
     "semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,

@@ -1,0 +1,275 @@
+"""Determinism-under-retry drill (r15).
+
+Forces EVERY task of each target pipeline through Spark's task-retry
+path (``local[8,2]`` master + an injected first-attempt failure,
+``faults.fail_first_attempt``) and asserts the output is bit-identical
+to the unfaulted run — the 100 TB failure mode (preemptions, OOM kills,
+speculative execution) that a single green run never exercises. The
+reference leans on the same property for its feeding-queue restart
+semantics (``CaffeProcessor.scala:192-198``).
+
+Scenarios:
+
+1. ``image_dedup_map`` — the composed exact+near dedup map (persist-once
+   hash table, banded candidates, iterative connected components): fault
+   injected on the documents scan feeding the hash table.
+2. ``neardup_clusters`` — MinHash-LSH pairs + iterative min-label CC
+   with DURABLE per-round checkpointing: fault injected via the module's
+   ``load_table`` seam, checkpoint_dir engaged (the recovery path a real
+   cluster uses).
+3. ``augment_assemble`` — seeded augmentation (``augment_hwc``, whose
+   hash(sample_id, seed) design CLAIMS retry determinism) composed with
+   ``assemble_batches``: fault injected upstream so a retried task
+   re-runs augmentation + batch assembly; the control twin keeps the
+   identical plan with the fault disabled.
+4. ``stream_restart`` — a stateful streaming aggregation (complete-mode
+   counts + decimal-grid sum over a 6-file source, 1 file per trigger)
+   KILLED after >=2 micro-batches and restarted from its checkpoint;
+   the recovered end state must equal both the batch aggregation and an
+   uninterrupted stream twin.
+
+Prints one JSON line per scenario and a final ``RETRY_DRILL_RESULT``
+JSON; exits non-zero if any scenario is non-deterministic or if an
+injected fault never fired (vacuous pass).
+
+Run: ``python tools_retry_drill.py [sf_dir] [work_dir]``
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SILENT", "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def rows_key(rows):
+    return [tuple(r) for r in rows]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/retry_drill"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    spark = (
+        SparkSession.builder.master("local[8,2]")  # maxFailures=2: retry once
+        .appName("retry-drill")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import caffeonspark_spark.catalog as C
+    import caffeonspark_spark.operators.dedup as D
+    from caffeonspark_spark.faults import fail_first_attempt
+    from caffeonspark_spark.multimodal import imagehash as IH
+    from caffeonspark_spark.multimodal.batch import assemble_batches
+    from caffeonspark_spark.multimodal.columns import ColumnSpec
+
+    results = {}
+
+    def record(name, identical, faults, n_rows, secs):
+        results[name] = {
+            "identical": identical,
+            "faults_fired": faults,
+            "rows": n_rows,
+            "sec": round(secs, 1),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    def markers(d):
+        return len(glob.glob(os.path.join(d, "attempt0_*")))
+
+    # --- 1. composed dedup map under injected retries -----------------------
+    t0 = time.time()
+    md = os.path.join(work, "m_dedup_map")
+    clean = IH.image_dedup(
+        IH.portable_image_hash_table(spark, sf)
+    ).orderBy("id").collect()
+    faulted = IH.image_dedup(
+        IH.portable_image_hash_table_df(
+            # repartition(8) upstream: EIGHT tasks each fail-and-retry,
+            # not just the single small-SF scan task
+            fail_first_attempt(
+                C.load_table(spark, sf, "documents").repartition(8),
+                marker_dir=md,
+            )
+        )
+    ).orderBy("id").collect()
+    record(
+        "image_dedup_map",
+        rows_key(clean) == rows_key(faulted),
+        markers(md),
+        len(clean),
+        time.time() - t0,
+    )
+
+    # --- 2. iterative CC with durable checkpoint under injected retries -----
+    t0 = time.time()
+    md = os.path.join(work, "m_neardup")
+    clean = D.neardup_clusters(spark, sf).collect()
+    orig_load = D.load_table
+    try:
+        D.load_table = lambda s, d, t: fail_first_attempt(
+            orig_load(s, d, t).repartition(8), marker_dir=md
+        )
+        faulted = D.neardup_clusters(
+            spark, sf, checkpoint_dir=os.path.join(work, "ckpt_cc")
+        ).collect()
+    finally:
+        D.load_table = orig_load
+    record(
+        "neardup_clusters",
+        rows_key(clean) == rows_key(faulted),
+        markers(md),
+        len(clean),
+        time.time() - t0,
+    )
+
+    # --- 3. seeded augmentation + batch assembly under injected retries -----
+    t0 = time.time()
+    md = os.path.join(work, "m_augment")
+    base = spark.createDataFrame(
+        [
+            (
+                f"s{i:04d}",
+                bytes(((i * 7 + j) % 256) for j in range(16 * 16 * 3)),
+            )
+            for i in range(200)
+        ],
+        "id string, data binary",
+    ).repartition(8)
+
+    def augment_stage(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from caffeonspark_spark.multimodal.columns import (
+            augment_hwc,
+            raw_to_hwc,
+        )
+
+        for b in batches:
+            pdf = b.to_pandas()
+            out = []
+            for rid, raw in zip(pdf["id"], pdf["data"]):
+                img = raw_to_hwc(bytes(raw), 3, 16, 16)
+                aug = augment_hwc(img, rid, seed=7, crop_h=8, crop_w=8)
+                out.append(np.ascontiguousarray(aug).tobytes())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pdf["id"]), pa.array(out, type=pa.binary())],
+                names=["id", "data"],
+            )
+
+    def run_augment(active):
+        df = fail_first_attempt(
+            base, active=active, marker_dir=md if active else None
+        )
+        aug = df.mapInArrow(augment_stage, "id string, data binary")
+        spec = ColumnSpec("data", "raw_image", channels=3, height=8, width=8)
+        out = assemble_batches(aug, [spec], batch_size=32).collect()
+        return sorted(
+            (tuple(r.sample_ids), tuple(r.data), tuple(r.data_shape))
+            for r in out
+        )
+
+    control = run_augment(active=False)
+    faulted = run_augment(active=True)
+    record(
+        "augment_assemble",
+        control == faulted,
+        markers(md),
+        len(control),
+        time.time() - t0,
+    )
+
+    # --- 4. streaming restart from checkpoint mid-stream --------------------
+    t0 = time.time()
+    from caffeonspark_spark.functions.arrays import dsum
+
+    src_dir = os.path.join(work, "events_src")
+    events = C.load_table(spark, sf, "events").select(
+        "event_type", "value"
+    )
+    events.repartition(6).write.mode("overwrite").parquet(src_dir)
+    batch_expect = rows_key(
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sv"))
+        .orderBy("event_type")
+        .collect()
+    )
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_stream(tag, interrupt):
+        ckpt = os.path.join(work, f"ckpt_{tag}")
+        out = os.path.join(work, f"out_{tag}")
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            agg = stream.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"), dsum("value").alias("sv")
+            )
+
+            def write_batch(df, batch_id):
+                df.write.mode("overwrite").parquet(out)
+
+            return (
+                agg.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        if interrupt:
+            # kill after >=2 committed micro-batches, mid-stream
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p["batchId"] >= 2:
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination(30)
+            q = start()  # recover from the checkpoint
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        return rows_key(
+            spark.read.parquet(out).orderBy("event_type").collect()
+        )
+
+    uninterrupted = run_stream("plain", interrupt=False)
+    restarted = run_stream("restart", interrupt=True)
+    record(
+        "stream_restart",
+        restarted == uninterrupted == batch_expect,
+        1,  # the mid-stream kill IS the injected fault here
+        len(restarted),
+        time.time() - t0,
+    )
+
+    ok = all(
+        r["identical"] and r["faults_fired"] > 0 for r in results.values()
+    )
+    print("RETRY_DRILL_RESULT " + json.dumps({"ok": ok, "scenarios": results}))
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -77,12 +77,34 @@ class _FileChunk(InputPartition):
         self.items = items
 
 
+_E2_FIELDS = {"id": "string", "label": "int", "data": "binary"}
+
+
 class ImageDirReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.base = options["path"]
         self.labels_path = options.get("labels", os.path.join(self.base, "labels.txt"))
         self.n_partitions = int(options.get("partitions", "8"))
         self._label_filters: list[Filter] | None = None
+        # COLUMN PRUNING via the user-schema mechanism (Catalyst never
+        # prunes into Python sources): without "data" the reader plans
+        # from the label MANIFEST alone and never opens a payload file —
+        # a count/label-histogram over a multi-TB image dir reads zero
+        # image bytes.
+        if schema is None:
+            self._fields = list(_E2_FIELDS)
+        else:
+            self._fields = []
+            for f in schema.fields:
+                want = _E2_FIELDS.get(f.name)
+                if want is None or f.dataType.simpleString() != want:
+                    raise ValueError(
+                        f"column {f.name!r} must be one of "
+                        f"{_E2_FIELDS} with matching type"
+                    )
+                self._fields.append(f.name)
+            if not self._fields:
+                raise ValueError("pruned schema must keep >=1 column")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept label = v / label IN (...) — applied during planning so
@@ -114,9 +136,17 @@ class ImageDirReader(DataSourceReader):
         return [_FileChunk(c) for c in chunks if c] or [_FileChunk([])]
 
     def read(self, partition: _FileChunk) -> Iterator[tuple]:
+        fields = self._fields
+        if "data" not in fields:
+            # manifest-only scan: payload files are never opened
+            for fname, label, sample_id in partition.items:
+                row = {"id": sample_id, "label": label}
+                yield tuple(row[f] for f in fields)
+            return
         for fname, label, sample_id in partition.items:
             with open(os.path.join(self.base, fname), "rb") as fh:
-                yield (sample_id, label, fh.read())
+                row = {"id": sample_id, "label": label, "data": fh.read()}
+            yield tuple(row[f] for f in fields)
 
 
 class ImageDirDataSource(DataSource):
@@ -142,7 +172,13 @@ def register(spark) -> None:
     spark.dataSource.register(ImageDirDataSource)
 
 
-def read_image_dir(spark, path: str, labels: str | None = None, partitions: int = 8):
+def read_image_dir(
+    spark,
+    path: str,
+    labels: str | None = None,
+    partitions: int = 8,
+    columns: list[str] | None = None,
+):
     """Image-directory scan as a DataFrame (id, label, data).
 
     Sharp edge inherited from the Python DataSource planning model: once
@@ -159,6 +195,16 @@ def read_image_dir(spark, path: str, labels: str | None = None, partitions: int 
     )
     if labels:
         reader = reader.option("labels", labels)
+    if columns is not None:
+        unknown = [c for c in columns if c not in _E2_FIELDS]
+        if unknown:
+            raise ValueError(
+                f"unknown columns {unknown}; known: {sorted(_E2_FIELDS)}"
+            )
+        # source-level pruning: without "data" no payload file is opened
+        reader = reader.schema(
+            ", ".join(f"{c} {_E2_FIELDS[c]}" for c in columns)
+        )
     return reader.load()
 
 

@@ -150,10 +150,15 @@ def encode_datum(
     return bytes(out)
 
 
-def decode_datum(buf: bytes) -> dict:
+def decode_datum(buf: bytes, want_data: bool = True) -> dict:
     """Parse a Caffe ``Datum`` — any field order, unknown fields skipped
     (standard proto2 semantics; the reference delegates this to the
-    generated ``caffe.Caffe.Datum`` class, ``LmdbRDD.scala:136-149``)."""
+    generated ``caffe.Caffe.Datum`` class, ``LmdbRDD.scala:136-149``).
+
+    ``want_data=False`` is the column-pruned decode: the ``data`` payload
+    is bounds-validated and SKIPPED, never copied — a metadata-only scan
+    (count, label histogram) over a multi-TB image db moves no pixel
+    bytes through Python."""
     out = {
         "channels": 0, "height": 0, "width": 0, "data": b"",
         "label": 0, "encoded": False, "float_data": [],
@@ -179,6 +184,9 @@ def decode_datum(buf: bytes) -> dict:
                     f"truncated Datum: field {field} declares {n} bytes, "
                     f"{len(buf) - pos} remain"
                 )
+            if field == 4 and not want_data:
+                pos += n  # pruned: validate + skip, no copy
+                continue
             chunk = buf[pos : pos + n]
             pos += n
             if field == 4:
@@ -296,7 +304,13 @@ class LmdbKV:
         must not rely on refcount GC after every partitions()/read())."""
         buf = getattr(self, "_buf", b"")
         if buf is not None and not isinstance(buf, bytes):
-            buf.close()
+            try:
+                buf.close()
+            except BufferError:
+                # zero-copy memoryviews still alive (e.g. generator-frame
+                # locals); dropping our reference lets refcount GC unmap
+                # once they die — release stays deterministic otherwise
+                pass
         self._buf = b""
         fh = getattr(self, "_fh", None)
         if fh is not None and not fh.closed:
@@ -380,14 +394,25 @@ class LmdbKV:
         """Leaf page numbers in key order."""
         return [pgno for pgno, _ in self.leaf_ranges()]
 
-    def iter_leaf(self, pgno: int) -> Iterator[tuple[bytes, bytes]]:
-        """(key, value) pairs of one leaf page, overflow chains resolved."""
+    def iter_leaf(
+        self, pgno: int, zero_copy: bool = False
+    ) -> Iterator[tuple[bytes, bytes]]:
+        """(key, value) pairs of one leaf page, overflow chains resolved.
+
+        ``zero_copy=True`` yields values as MEMORYVIEWS over the mmap
+        instead of bytes copies: a column-pruned decode that SKIPS the
+        pixel field then never faults in the middle pages of a big
+        value's overflow chain — on a multi-TB image db a metadata-only
+        scan does O(keys + Datum header/tail bytes) of real I/O, not
+        O(database). Callers must drop the views before ``close()``
+        (``close()`` falls back to refcount release if any are alive)."""
         off, flags, nkeys = self._page(pgno)
         if flags & P_LEAF2:
             raise NotImplementedError(
                 "MDB_DUPFIXED (P_LEAF2) pages are not used by Caffe LMDB "
                 "datasets; unsupported by this reader"
             )
+        view = memoryview(self._buf) if zero_copy else self._buf
         for i in range(nkeys):
             dsize, nflags, noff, key = self._node(off, i)
             if nflags & (F_SUBDATA | F_DUPDATA):
@@ -404,9 +429,9 @@ class LmdbKV:
             if nflags & F_BIGDATA:
                 ovf = struct.unpack_from("<Q", self._buf, data_off)[0]
                 o = ovf * self.page_size
-                yield key, self._buf[o + PAGEHDRSZ : o + PAGEHDRSZ + dsize]
+                yield key, view[o + PAGEHDRSZ : o + PAGEHDRSZ + dsize]
             else:
-                yield key, self._buf[data_off : data_off + dsize]
+                yield key, view[data_off : data_off + dsize]
 
     def items(self) -> Iterator[tuple[bytes, bytes]]:
         for pgno in self.leaf_pgnos():
@@ -590,6 +615,39 @@ def write_lmdb(path: str, items: Iterable[tuple[bytes, bytes]]) -> str:
 
 # --- Spark DataSource -------------------------------------------------------
 
+#: full image-tuple field order and Spark type names (shared by the LMDB
+#: and SequenceFile sources — both produce the reference 7-tuple)
+IMAGE_TUPLE_FIELDS = {
+    "id": "string", "label": "string", "channels": "int", "height": "int",
+    "width": "int", "encoded": "boolean", "data": "binary",
+}
+
+
+def _validated_fields(schema) -> list[str]:
+    """Requested field names, in the user's order, validated against the
+    image-tuple schema — an unknown name or a wrong type fails LOUDLY at
+    plan time instead of yielding misaligned tuples."""
+    if schema is None:
+        return list(IMAGE_TUPLE_FIELDS)
+    fields = []
+    for f in schema.fields:
+        want = IMAGE_TUPLE_FIELDS.get(f.name)
+        if want is None:
+            raise ValueError(
+                f"unknown column {f.name!r}; the image-tuple schema has "
+                f"{sorted(IMAGE_TUPLE_FIELDS)}"
+            )
+        if f.dataType.simpleString() != want:
+            raise ValueError(
+                f"column {f.name!r} must be {want}, got "
+                f"{f.dataType.simpleString()}"
+            )
+        fields.append(f.name)
+    if not fields:
+        raise ValueError("pruned schema must keep at least one column")
+    return fields
+
+
 class _LeafRange(InputPartition):
     def __init__(self, path: str, pgnos: list[int]):
         self.path = path
@@ -597,9 +655,17 @@ class _LeafRange(InputPartition):
 
 
 class LmdbReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.path = options["path"]
         self.n_partitions = int(options.get("partitions", "8"))
+        # COLUMN PRUNING: Catalyst does not push column pruning into
+        # Python sources (the scan always outputs the source schema and a
+        # Project above drops columns), so pruning rides the user-schema
+        # mechanism instead — spark.read.schema(<subset>) hands the subset
+        # to reader(schema). A metadata-only scan then skips the Datum
+        # pixel-byte copy AND the CHW→HWC reorder; an id-only scan skips
+        # value decode entirely (leaf keys only).
+        self._fields = _validated_fields(schema)
         self._lo: bytes | None = None  # inclusive key lower bound
         self._hi: bytes | None = None  # inclusive key upper bound
         self._hi_excl: bytes | None = None  # EXCLUSIVE upper bound (prefix)
@@ -697,24 +763,27 @@ class LmdbReader(DataSourceReader):
         ]
 
     def read(self, partition: _LeafRange) -> Iterator[tuple]:
+        fields = self._fields
+        want_data = "data" in fields
+        key_only = fields == ["id"]
         with LmdbKV(partition.path) as kv:
             for pgno in partition.pgnos:
-                for key, value in kv.iter_leaf(pgno):
-                    d = decode_datum(value)
-                    data = (
-                        bytes(d["data"])
-                        if d["encoded"]
-                        else chw_to_hwc(d["channels"], d["data"])
-                    )
-                    yield (
-                        key.decode("utf-8", "replace"),
-                        str(d["label"]),
-                        d["channels"],
-                        d["height"],
-                        d["width"],
-                        d["encoded"],
-                        data,
-                    )
+                # zero-copy values: a pruned decode skips the pixel field
+                # without ever faulting in its overflow pages
+                for key, value in kv.iter_leaf(pgno, zero_copy=True):
+                    if key_only:  # pruned to the key: no value decode
+                        yield (key.decode("utf-8", "replace"),)
+                        continue
+                    d = decode_datum(value, want_data=want_data)
+                    if want_data:
+                        d["data"] = (
+                            bytes(d["data"])
+                            if d["encoded"]
+                            else chw_to_hwc(d["channels"], d["data"])
+                        )
+                    d["id"] = key.decode("utf-8", "replace")
+                    d["label"] = str(d["label"])
+                    yield tuple(d[f] for f in fields)
 
 
 class LmdbDataSource(DataSource):
@@ -726,7 +795,7 @@ class LmdbDataSource(DataSource):
         return LMDB_SCHEMA
 
     def reader(self, schema: StructType) -> LmdbReader:
-        return LmdbReader(self.options)
+        return LmdbReader(self.options, schema)
 
 
 def register(spark) -> None:
@@ -736,17 +805,35 @@ def register(spark) -> None:
     spark.dataSource.register(LmdbDataSource)
 
 
-def lmdb_to_dataframe(spark, path: str, partitions: int = 8):
+def lmdb_to_dataframe(
+    spark, path: str, partitions: int = 8, columns: list[str] | None = None
+):
     """LMDB scan as a DataFrame — the E4 ``LMDB2DataFrame`` tool
     (``tools/LMDB2DataFrame.scala:31-45``) as a one-liner: plan, scan,
-    decode, reorder; write with any builtin sink."""
+    decode, reorder; write with any builtin sink.
+
+    ``columns=`` prunes AT THE SOURCE (Catalyst cannot push column
+    pruning into Python sources): ``columns=["id", "label"]`` skips the
+    pixel-byte copy and CHW→HWC reorder per row; ``columns=["id"]``
+    skips Datum decode entirely — metadata-only scans over a multi-TB
+    image db touch leaf keys only."""
     register(spark)
-    return (
+    reader = (
         spark.read.format(FORMAT_NAME)
         .option("path", path)
         .option("partitions", str(partitions))
-        .load()
     )
+    if columns is not None:
+        unknown = [c for c in columns if c not in IMAGE_TUPLE_FIELDS]
+        if unknown:
+            raise ValueError(
+                f"unknown columns {unknown}; known: "
+                f"{sorted(IMAGE_TUPLE_FIELDS)}"
+            )
+        reader = reader.schema(
+            ", ".join(f"{c} {IMAGE_TUPLE_FIELDS[c]}" for c in columns)
+        )
+    return reader.load()
 
 
 # --- declared query + fixture ----------------------------------------------

@@ -175,12 +175,17 @@ def _bytes_writable(b) -> bytes:
 
 
 def scan_records(
-    buf, info: SeqFileInfo, start: int, end: int
+    buf, info: SeqFileInfo, start: int, end: int, want_values: bool = True
 ) -> Iterator[tuple[bytes, bytes]]:
     """Yield raw ``(key, value)`` BytesWritable payloads for the split
     ``[start, end)`` under Hadoop split semantics: begin at the first
     sync at/after ``start`` (or the header for start=0), stop at the
-    first sync at/after ``end``. Works for all three layouts."""
+    first sync at/after ``end``. Works for all three layouts.
+
+    ``want_values=False`` is the column-pruned scan: values are never
+    copied (nor decompressed, in the compressed layouts) — every
+    non-``data`` column lives in the key, so a metadata-only scan moves
+    no image bytes through Python. Yields ``b""`` in the value slot."""
     marker = SYNC_ESCAPE + info.sync
     synced = start == 0  # block mode: does pos sit ON an escape?
     if start == 0:
@@ -212,21 +217,25 @@ def scan_records(
             synced = True  # after the first sync-scanned block, verify
             n_rec, pos = read_vint(buf, pos)
             bufs = []
-            for _ in range(4):
+            for bi in range(4):
                 n, pos = read_vint(buf, pos)
-                bufs.append(info.decompress(bytes(buf[pos : pos + n])))
+                if bi >= 2 and not want_values:
+                    bufs.append(b"")  # pruned: skip value decompress
+                else:
+                    bufs.append(info.decompress(bytes(buf[pos : pos + n])))
                 pos += n
             klens, keys, vlens, vals = bufs
             kp = vp = ko = vo = 0
             for _ in range(n_rec):
                 kl, kp = read_vint(klens, kp)
-                vl, vp = read_vint(vlens, vp)
-                yield (
-                    _bytes_writable(keys[ko : ko + kl]),
-                    _bytes_writable(vals[vo : vo + vl]),
-                )
+                key = _bytes_writable(keys[ko : ko + kl])
                 ko += kl
-                vo += vl
+                if want_values:
+                    vl, vp = read_vint(vlens, vp)
+                    yield key, _bytes_writable(vals[vo : vo + vl])
+                    vo += vl
+                else:
+                    yield key, b""
             continue
         (rec_len,) = struct.unpack_from(">i", buf, pos)
         if rec_len == -1:  # sync escape
@@ -240,10 +249,13 @@ def scan_records(
         if rec_len < key_len or key_len < 0:
             raise ValueError("corrupt SequenceFile record header")
         kb = buf[pos + 8 : pos + 8 + key_len]
-        vb = buf[pos + 8 + key_len : pos + 8 + rec_len]
-        if info.compress:
-            vb = info.decompress(bytes(vb))
-        yield _bytes_writable(kb), _bytes_writable(vb)
+        if want_values:
+            vb = buf[pos + 8 + key_len : pos + 8 + rec_len]
+            if info.compress:
+                vb = info.decompress(bytes(vb))
+            yield _bytes_writable(kb), _bytes_writable(vb)
+        else:  # pruned: the value bytes are never touched
+            yield _bytes_writable(kb), b""
         pos += 8 + rec_len
 
 
@@ -378,9 +390,15 @@ def _data_files(path: str) -> list[str]:
 
 
 class SeqFileReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
+        from caffeonspark_spark.sources.lmdb import _validated_fields
+
         self.path = options["path"]
         self.n_partitions = int(options.get("partitions", "8"))
+        # column pruning rides the user-schema mechanism (see the LMDB
+        # reader note): a key-only scan skips the value BytesWritable
+        # copy; all non-data columns come from the Java-serialized key
+        self._fields = _validated_fields(schema)
 
     def partitions(self) -> Sequence[InputPartition]:
         # plan from file sizes + one small header read per file — no
@@ -422,11 +440,18 @@ class SeqFileReader(DataSourceReader):
                         f"(SeqImageDataSource contract), got "
                         f"{info.key_class}/{info.value_class}"
                     )
+                fields = self._fields
+                want_data = "data" in fields
                 for kb, vb in scan_records(
-                    buf, info, partition.start, partition.end
+                    buf, info, partition.start, partition.end,
+                    want_values=want_data,
                 ):
                     rid, label, ch, h, w, enc = javaser.decode_image_key(kb)
-                    yield rid, label, ch, h, w, enc, vb
+                    row = {
+                        "id": rid, "label": label, "channels": ch,
+                        "height": h, "width": w, "encoded": enc, "data": vb,
+                    }
+                    yield tuple(row[f] for f in fields)
             finally:
                 buf.close()
 
@@ -440,23 +465,39 @@ class SeqFileDataSource(DataSource):
         return SEQFILE_SCHEMA
 
     def reader(self, schema: StructType) -> SeqFileReader:
-        return SeqFileReader(self.options)
+        return SeqFileReader(self.options, schema)
 
 
 def register(spark) -> None:
     spark.dataSource.register(SeqFileDataSource)
 
 
-def seqfile_to_dataframe(spark, path: str, partitions: int = 8):
+def seqfile_to_dataframe(
+    spark, path: str, partitions: int = 8, columns: list[str] | None = None
+):
     """SequenceFile scan as a DataFrame — the S3 ``SeqImageDataSource``
-    surface (``SeqImageDataSource.scala:24-69``) as a one-liner."""
+    surface (``SeqImageDataSource.scala:24-69``) as a one-liner.
+    ``columns=`` prunes at the source (see ``lmdb_to_dataframe``): a
+    scan without ``data`` never copies or decompresses value bytes."""
+    from caffeonspark_spark.sources.lmdb import IMAGE_TUPLE_FIELDS
+
     register(spark)
-    return (
+    reader = (
         spark.read.format(FORMAT_NAME)
         .option("path", path)
         .option("partitions", str(partitions))
-        .load()
     )
+    if columns is not None:
+        unknown = [c for c in columns if c not in IMAGE_TUPLE_FIELDS]
+        if unknown:
+            raise ValueError(
+                f"unknown columns {unknown}; known: "
+                f"{sorted(IMAGE_TUPLE_FIELDS)}"
+            )
+        reader = reader.schema(
+            ", ".join(f"{c} {IMAGE_TUPLE_FIELDS[c]}" for c in columns)
+        )
+    return reader.load()
 
 
 # --- declared query + fixture ------------------------------------------------

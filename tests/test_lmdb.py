@@ -300,6 +300,43 @@ def test_fixture_cache_is_version_keyed(tmp_path):
     assert f"cos_lmdb_fixture_v{L._FIXTURE_VERSION}_10" in env
 
 
+# --- r15: column pruning at the source ------------------------------------------
+
+def test_decode_datum_pruned_skips_data_but_validates():
+    raw = L.encode_datum(3, 4, 5, b"\x07" * 60, 9, False)
+    d = L.decode_datum(raw, want_data=False)
+    assert d["data"] == b"" and d["label"] == 9 and d["channels"] == 3
+    # bounds are STILL validated on the pruned path
+    with pytest.raises(ValueError, match="truncated Datum"):
+        L.decode_datum(raw[:-10], want_data=False)
+
+
+def test_pruned_scan_matches_projection_and_order(spark, tmp_path):
+    env = L.ensure_fixture(120, base=str(tmp_path))
+    full = L.lmdb_to_dataframe(spark, env)
+    pruned = L.lmdb_to_dataframe(spark, env, columns=["label", "id"])
+    assert pruned.schema.simpleString() == "struct<label:string,id:string>"
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.select("label", "id").collect())
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        L.lmdb_to_dataframe(spark, env, columns=["id", "pixels"])
+
+
+def test_id_only_scan_never_decodes_values(spark, tmp_path):
+    """The airtight skip proof: a db whose Datum values are all CORRUPT
+    (truncated) scans fine when pruned to the key, while the full scan
+    fails loudly — so the pruned path provably never parses a value."""
+    bad = L.encode_datum(3, 4, 5, b"\x01" * 600, 1, False)[:-50]
+    L.write_lmdb(str(tmp_path), [(b"%08d" % i, bad) for i in range(200)])
+    ids = L.lmdb_to_dataframe(spark, str(tmp_path), columns=["id"])
+    assert ids.count() == 200
+    assert ids.orderBy("id").first().id == "00000000"
+    full = L.lmdb_to_dataframe(spark, str(tmp_path))
+    with pytest.raises(Exception, match="truncated Datum"):
+        full.collect()
+
+
 def test_dupsort_leaf_nodes_fail_loudly(tmp_path):
     """A leaf node carrying F_DUPDATA/F_SUBDATA must raise, not parse the
     sub-tree bytes as a Datum value."""

@@ -305,6 +305,59 @@ def test_dataframe_to_seqfile_export_roundtrip(spark, tmp_path):
     assert a == b
 
 
+# --- r15: column pruning at the source -------------------------------------------
+
+def test_pruned_scan_matches_projection(spark, tmp_path):
+    env = S.ensure_fixture(120, base=str(tmp_path))
+    full = S.seqfile_to_dataframe(spark, env)
+    pruned = S.seqfile_to_dataframe(
+        spark, env, columns=["label", "id", "encoded"]
+    )
+    assert pruned.schema.simpleString() == (
+        "struct<label:string,id:string,encoded:boolean>"
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.select("label", "id", "encoded").collect())
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        S.seqfile_to_dataframe(spark, env, columns=["data", "pixels"])
+
+
+def test_pruned_scan_never_touches_values(spark, tmp_path):
+    """Skip proof: a record-compressed file whose VALUE bytes are corrupt
+    zlib streams scans fine without 'data' (values never decompressed)
+    while the full scan fails loudly."""
+    p = str(tmp_path / "bad.seq")
+    items = [
+        (f"id{i:04d}", str(i % 5), 3, 4, 5, False, bytes(500))
+        for i in range(80)
+    ]
+    S.write_seqfile(p, items, record_compress=True)
+    raw = bytearray(open(p, "rb").read())
+    info = S.SeqFileInfo.parse(bytes(raw))
+    # corrupt every compressed value region: flip bytes after each record
+    # header's key (values are the compressed tail of each record)
+    pos = info.header_end
+    n_corrupted = 0
+    while pos < len(raw):
+        (rec_len,) = struct.unpack_from(">i", raw, pos)
+        if rec_len == -1:
+            pos += 4 + S.SYNC_SIZE
+            continue
+        (key_len,) = struct.unpack_from(">i", raw, pos + 4)
+        vstart = pos + 8 + key_len
+        raw[vstart] ^= 0xFF  # breaks the zlib header
+        n_corrupted += 1
+        pos += 8 + rec_len
+    assert n_corrupted == 80
+    open(p, "wb").write(bytes(raw))
+    meta = S.seqfile_to_dataframe(spark, p, columns=["id", "channels"])
+    assert meta.count() == 80
+    full = S.seqfile_to_dataframe(spark, p)
+    with pytest.raises(Exception, match="(?i)zlib|decompress|error"):
+        full.collect()
+
+
 def test_seqfile_scan_agg_oracle(spark):
     from tests.oracle_check import compare
 

@@ -142,6 +142,30 @@ def test_imagedir_datasource(spark, tmp_path):
     assert rows == payloads
 
 
+def test_imagedir_column_pruning_skips_payload_reads(spark, tmp_path):
+    """r15 source-level column pruning: a metadata-only scan plans from
+    the label manifest alone and never opens a payload file — proven by
+    scanning a manifest whose payload files DON'T EXIST."""
+    import pytest
+
+    from caffeonspark_spark.sources.imagedir import read_image_dir
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "labels.txt").write_text(
+        "".join(f"ghost_{i}.bin {i % 3}\n" for i in range(12))
+    )
+    meta = read_image_dir(spark, str(d), columns=["id", "label"])
+    assert meta.columns == ["id", "label"]
+    got = sorted((r.id, r.label) for r in meta.collect())
+    assert got == sorted((f"ghost_{i}", i % 3) for i in range(12))
+    # the full scan over the same manifest fails loudly (files missing)
+    with pytest.raises(Exception, match="(?i)no such file|filenotfound"):
+        read_image_dir(spark, str(d)).collect()
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_image_dir(spark, str(d), columns=["nope"])
+
+
 def test_imagedir_filter_pushdown_prunes_files(spark, tmp_path):
     """label = v pushes into planning: non-matching files are never opened
     (proven by deleting them from disk — the scan must still succeed)."""

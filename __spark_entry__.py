@@ -366,6 +366,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tripled in-stream, dropDuplicatesWithinWatermark must emit each
         # event_id exactly once — rollup == the batch rollup over events
         "stream_dedup_parity": SW.stream_dedup_parity,
+        # r15: the watermark late-data DROP policy as a hash-checked row —
+        # planted stragglers re-sent behind the watermark must vanish;
+        # stream-to-completion == the batch hourly rollup
+        "stream_late_data_parity": SW.stream_late_data_parity,
         # --- r7: weekly cohort-retention triangle over events ---
         "cohort_retention": TP.cohort_retention_query,
         # --- r7: exact cosine radius (range) search — the threshold sibling
@@ -923,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dup_chunks": TX.ORACLE_CDC_DUP_CHUNKS,
         "stream_stateful_parity": SW.ORACLE_STREAM_STATEFUL_PARITY,
         "stream_dedup_parity": SW.ORACLE_STREAM_DEDUP_PARITY,
+        "stream_late_data_parity": SW.ORACLE_STREAM_LATE_DATA_PARITY,
         "cohort_retention": TP.ORACLE_COHORT_RETENTION,
         "cosine_range_search": S.ORACLE_COSINE_RANGE,
         "embedding_gram": V.ORACLE_EMBEDDING_GRAM,

@@ -260,6 +260,9 @@ BENCH_QUERIES = {
     # partitions + Java-serialization key decode, all 3 key encodings)
     "q_seqfile_scan": SEQ.seqfile_scan_agg,
     "q_stream_parity_dedup": SW.stream_dedup_parity,
+    # r15: watermark late-data drop policy run-to-completion (3 phased
+    # waves: on-time corpus, late straggler re-sends, sentinel flush)
+    "q_stream_parity_late_data": SW.stream_late_data_parity,
     # r14: bipartite SemDeDup (cross-side cluster-local cosine pairs)
     "q_semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,
 }

@@ -476,6 +476,158 @@ ORACLE_STREAM_DEDUP_PARITY = """
 """
 
 
+def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query (✔oracle, r15): the WATERMARK LATE-DATA DROP policy
+    as a hash-checked row — previously pinned only by a unit test.
+
+    Construction: two deterministic waves over a 1-file-per-trigger file
+    source. Wave 1 carries every event on time. Wave 2 re-sends planted
+    STRAGGLERS (``event_id % 10 == 7`` with event time at least 2 hours
+    behind the corpus max — strictly behind the 1-hour watermark wave 1
+    established) plus one far-future sentinel that pushes the watermark
+    past every real window. The hourly append-mode aggregation must
+    therefore (a) DROP every straggler copy — a leak re-opens an already
+    -emitted window and the duplicate window row breaks the rollup hash —
+    and (b) emit every real window exactly once (the sentinel's own
+    window is never emitted: the watermark never passes it).
+
+    The oracle is the plain batch hourly rollup over ``events`` — i.e.
+    "stream result == batch with the watermark filter applied", since
+    every dropped straggler is a duplicate of an on-time event.
+
+    Arrival phasing: the waves are added to the source directory BETWEEN
+    ``processAllAvailable`` rounds, the way real late data arrives. This
+    matters: files all queued before the first trigger see a one-batch
+    LAG in the late-data filter (the filter uses the pre-update
+    watermark while progress already reports the advanced one — measured
+    on Spark 4.1), so pre-queued stragglers are NOT dropped. Genuinely
+    late arrival — discovery after the on-time wave's commit — is both
+    the semantics the policy exists for and the deterministic one.
+
+    Timezone note: watermarks require TIMESTAMP, so ``ts`` is built with
+    ``timestamp_micros`` (exact epoch arithmetic) and windows leave the
+    result as epoch SECONDS (``win.start`` cast to long) — never a
+    rendered timestamp — keeping the row tz-independent."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.functions.arrays import dsum
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        # tz-FREE epoch micros from the NTZ column (an NTZ→TIMESTAMP cast
+        # would re-interpret wall time in the session timezone)
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    max_us = events.agg(F.max("ts_us")).first()[0]  # driver scalar
+    hour_us = 3_600_000_000
+    straggler = (F.col("event_id") % 10 == 7) & (
+        F.col("ts_us") <= max_us - 2 * hour_us
+    )
+    # stop condition for the final no-data flush batch: every real
+    # (hour, event_type) window must end up emitted exactly once
+    n_windows = (
+        events.select(
+            (F.col("ts_us") / hour_us).cast("long"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+
+    _PARITY_SEQ[0] += 1
+    src = _os.path.join(
+        "/tmp", f"cos_late_parity_{_os.getpid()}_{_PARITY_SEQ[0]}"
+    )
+    _shutil.rmtree(src, ignore_errors=True)
+    _os.makedirs(src)
+    cols = ["ts_us", "event_type", "value"]
+    waves = [
+        events.select(cols),  # wave 0: everything, on time
+        events.where(straggler).select(cols),  # wave 1: late re-sends
+        spark.createDataFrame(  # wave 2: far-future watermark sentinel
+            [(max_us + 100 * hour_us, "__sentinel", 0.0)],
+            "ts_us long, event_type string, value double",
+        ),
+    ]
+
+    def _land(i: int) -> None:
+        tmp = _os.path.join(src, f"_build{i}")
+        waves[i].coalesce(1).write.mode("overwrite").parquet(tmp)
+        [part] = _glob.glob(_os.path.join(tmp, "part-*.parquet"))
+        _os.replace(part, _os.path.join(src, f"wave{i}.parquet"))
+        _shutil.rmtree(tmp)
+
+    _land(0)
+    stream = (
+        spark.readStream.schema("ts_us long, event_type string, value double")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_late_data_parity_{_PARITY_SEQ[0]}"
+    prev = _PARITY_LAST.get("late_data")
+    if prev:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:  # other session / already gone
+            pass
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # wave 0 commits; watermark = max - 1h
+        _land(1)
+        q.processAllAvailable()  # stragglers arrive LATE → dropped
+        _land(2)
+        q.processAllAvailable()  # sentinel closes every real window
+        # the final eviction may ride a no-data micro-batch that
+        # processAllAvailable does not wait for — poll to the known
+        # window count (bounded; a leak would overshoot and hash-fail)
+        deadline = _time.time() + 60
+        while (
+            spark.table(name).count() < n_windows
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    _PARITY_LAST["late_data"] = name
+    return spark.table(name)
+
+
+ORACLE_STREAM_LATE_DATA_PARITY = """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     static dimension (broadcast by Catalyst — the dim is batch-side, so no

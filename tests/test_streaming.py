@@ -388,6 +388,29 @@ def test_stream_dedup_state_is_watermark_bounded(spark, events_stream):
     assert "DeduplicateWithinWatermark" in plan, plan
 
 
+def test_stream_late_data_parity_matches_oracle(spark):
+    """r15 declared row: the watermark late-data DROP policy hash-checked
+    — planted stragglers re-sent behind the watermark must vanish (a
+    leak re-opens an emitted window and duplicates its row), and every
+    real window must emit exactly once after the sentinel closes it."""
+    from caffeonspark_spark.streaming.windows import (
+        ORACLE_STREAM_LATE_DATA_PARITY,
+        stream_late_data_parity,
+    )
+    from tests.oracle_check import compare
+
+    sf = "/root/testdata/sf0.001"
+    ok, msg = compare(
+        stream_late_data_parity(spark, sf), ORACLE_STREAM_LATE_DATA_PARITY, sf
+    )
+    assert ok, msg
+    # repeat invocation (driver iterates; sources/sinks must not clash)
+    ok2, msg2 = compare(
+        stream_late_data_parity(spark, sf), ORACLE_STREAM_LATE_DATA_PARITY, sf
+    )
+    assert ok2, msg2
+
+
 def test_stream_dedup_parity_matches_oracle(spark):
     """r14 declared row: tripled in-stream events through
     dropDuplicatesWithinWatermark must roll up exactly like the batch

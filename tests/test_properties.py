@@ -217,6 +217,58 @@ def test_bpe_merge_fold_matches_python_reference(spark, syms, l, r):
     assert got == expect
 
 
+def test_bpe_batched_equals_sequential(spark):
+    """r15 batched BPE: the sequential-exact batch rule must reproduce
+    the classic one-pair-per-round merge list EXACTLY — pinned on
+    adversarial corpora exercising every rule in ``_exact_batch``:
+    overlap-stop, new-pair-beats-later-candidate, tie-trim at the batch
+    boundary, concat-string collision, fully-disjoint exhausted table,
+    plus seeded random corpora."""
+    import random
+
+    from caffeonspark_spark.operators.bpe import (
+        train_merges_from,
+        train_merges_sequential_from,
+    )
+
+    def corpus(texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+
+    adversarial = [
+        # merging (a,b) creates (x,ab) c=100 that beats the 60-count pair
+        ["x a b"] * 100 + ["c d"] * 60,
+        # boundary tie: (c,d)=50 ties the stopping pair (e,c)=50 -> trim
+        ["a b"] * 50 + ["c d"] * 50 + ["e c"] * 50,
+        # concat collision: symbol 'ab' pre-exists as a word char pair
+        ["a b"] * 40 + ["q ab"] * 30 + ["z y"] * 35,
+        # chain dependency: every merge feeds the next
+        ["low low low", "lower lowest"] * 3,
+        # fully disjoint table: whole prefix accepted in one round
+        ["a b"] * 9 + ["c d"] * 7 + ["e f"] * 5 + ["g h"] * 3,
+        # overlap ties at the top (a,a) over runs
+        ["a a a a a", "a a a"] * 4,
+    ]
+    rng = random.Random(7)
+    for _ in range(4):
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 5)))
+            for _ in range(12)
+        ]
+        adversarial.append(
+            [" ".join(rng.choices(words, k=rng.randint(1, 6)))
+             for _ in range(15)]
+        )
+
+    for texts in adversarial:
+        docs = corpus(texts)
+        batched = train_merges_from(docs, n_merges=8)
+        sequential = train_merges_sequential_from(docs, n_merges=8)
+        assert batched == sequential, (texts[:3], batched, sequential)
+
+
 def test_bpe_encode_planted(spark, tmp_path):
     """Encoding with the trained merges: after (l,o),(lo,w),(low,e) the
     corpus re-tokenizes to the hand-computed subword streams."""

@@ -91,20 +91,9 @@ class ImageDirReader(DataSourceReader):
         # from the label MANIFEST alone and never opens a payload file —
         # a count/label-histogram over a multi-TB image dir reads zero
         # image bytes.
-        if schema is None:
-            self._fields = list(_E2_FIELDS)
-        else:
-            self._fields = []
-            for f in schema.fields:
-                want = _E2_FIELDS.get(f.name)
-                if want is None or f.dataType.simpleString() != want:
-                    raise ValueError(
-                        f"column {f.name!r} must be one of "
-                        f"{_E2_FIELDS} with matching type"
-                    )
-                self._fields.append(f.name)
-            if not self._fields:
-                raise ValueError("pruned schema must keep >=1 column")
+        from caffeonspark_spark.sources.common import validated_fields
+
+        self._fields = validated_fields(schema, _E2_FIELDS)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept label = v / label IN (...) — applied during planning so
@@ -196,15 +185,10 @@ def read_image_dir(
     if labels:
         reader = reader.option("labels", labels)
     if columns is not None:
-        unknown = [c for c in columns if c not in _E2_FIELDS]
-        if unknown:
-            raise ValueError(
-                f"unknown columns {unknown}; known: {sorted(_E2_FIELDS)}"
-            )
+        from caffeonspark_spark.sources.common import pruned_ddl
+
         # source-level pruning: without "data" no payload file is opened
-        reader = reader.schema(
-            ", ".join(f"{c} {_E2_FIELDS[c]}" for c in columns)
-        )
+        reader = reader.schema(pruned_ddl(columns, _E2_FIELDS))
     return reader.load()
 
 

@@ -215,12 +215,15 @@ def decode_datum(buf: bytes, want_data: bool = True) -> dict:
 def chw_to_hwc(channels: int, data: bytes) -> bytes:
     """Pixel reorder (channel,height,width) → (height,width,channel) —
     ``LmdbRDD.LMDBdata2Matdata`` (``LmdbRDD.scala:270-281``), vectorized:
-    HWC[p*C + c] = CHW[c*HW + p]."""
+    HWC[p*C + c] = CHW[c*HW + p]. Always returns BYTES, even on the
+    passthrough branches — callers feed zero-copy memoryviews, and a
+    memoryview leaking into a Spark row fails the engine's binary
+    converter (r15 review finding: every grayscale raw row crashed)."""
     if channels <= 1 or not data:
-        return data
+        return bytes(data)
     hw, rem = divmod(len(data), channels)
     if rem:  # not a dense pixel volume — pass through untouched
-        return data
+        return bytes(data)
     arr = np.frombuffer(data, dtype=np.uint8).reshape(channels, hw)
     return arr.transpose(1, 0).tobytes()
 
@@ -624,28 +627,10 @@ IMAGE_TUPLE_FIELDS = {
 
 
 def _validated_fields(schema) -> list[str]:
-    """Requested field names, in the user's order, validated against the
-    image-tuple schema — an unknown name or a wrong type fails LOUDLY at
-    plan time instead of yielding misaligned tuples."""
-    if schema is None:
-        return list(IMAGE_TUPLE_FIELDS)
-    fields = []
-    for f in schema.fields:
-        want = IMAGE_TUPLE_FIELDS.get(f.name)
-        if want is None:
-            raise ValueError(
-                f"unknown column {f.name!r}; the image-tuple schema has "
-                f"{sorted(IMAGE_TUPLE_FIELDS)}"
-            )
-        if f.dataType.simpleString() != want:
-            raise ValueError(
-                f"column {f.name!r} must be {want}, got "
-                f"{f.dataType.simpleString()}"
-            )
-        fields.append(f.name)
-    if not fields:
-        raise ValueError("pruned schema must keep at least one column")
-    return fields
+    """Image-tuple column-prune validation (shared impl in common.py)."""
+    from caffeonspark_spark.sources.common import validated_fields
+
+    return validated_fields(schema, IMAGE_TUPLE_FIELDS)
 
 
 class _LeafRange(InputPartition):
@@ -824,15 +809,9 @@ def lmdb_to_dataframe(
         .option("partitions", str(partitions))
     )
     if columns is not None:
-        unknown = [c for c in columns if c not in IMAGE_TUPLE_FIELDS]
-        if unknown:
-            raise ValueError(
-                f"unknown columns {unknown}; known: "
-                f"{sorted(IMAGE_TUPLE_FIELDS)}"
-            )
-        reader = reader.schema(
-            ", ".join(f"{c} {IMAGE_TUPLE_FIELDS[c]}" for c in columns)
-        )
+        from caffeonspark_spark.sources.common import pruned_ddl
+
+        reader = reader.schema(pruned_ddl(columns, IMAGE_TUPLE_FIELDS))
     return reader.load()
 
 
@@ -897,29 +876,10 @@ def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
     return env_dir
 
 
-def _row_metrics(pdfs):
-    """scan batches → per-row (label, enc, channels, dlen, wsum) where
-    wsum = Σ data[i]·(i+1) over the bytes THE SCAN RETURNED (post
-    CHW→HWC for raw rows) — the checksum the oracle recomputes in closed
-    form, so any writer/reader/decode/reorder defect lands in the hash."""
-    import pandas as pd
-
-    for pdf in pdfs:
-        dlen, wsum = [], []
-        for raw in pdf["data"]:
-            b = np.frombuffer(bytes(raw), dtype=np.uint8)
-            dlen.append(len(b))
-            wsum.append(int(b.astype(np.int64) @ (np.arange(len(b)) + 1)))
-        yield pd.DataFrame(
-            {
-                "id": pdf["id"],
-                "label": pdf["label"],
-                "enc": pdf["encoded"].astype("int64"),
-                "channels": pdf["channels"].astype("int64"),
-                "dlen": pd.Series(dlen, dtype="int64"),
-                "wsum": pd.Series(wsum, dtype="int64"),
-            }
-        )
+from caffeonspark_spark.sources.common import (  # noqa: E402 - shared
+    ROW_METRICS_SCHEMA as _RM_SCHEMA,
+    row_metrics as _row_metrics,
+)
 
 
 def lmdb_scan_agg(spark, sf_dir: str):
@@ -937,8 +897,7 @@ def lmdb_scan_agg(spark, sf_dir: str):
     df = lmdb_to_dataframe(spark, env_dir)
     per_row = df.mapInPandas(
         _row_metrics,
-        "id string, label string, enc long, channels long, dlen long, "
-        "wsum long",
+        _RM_SCHEMA,
     )
     return (
         per_row.groupBy("label")
@@ -1022,8 +981,7 @@ def lmdb_pruned_lookup(spark, sf_dir: str):
     )
     per_row = df.mapInPandas(
         _row_metrics,
-        "id string, label string, enc long, channels long, dlen long, "
-        "wsum long",
+        _RM_SCHEMA,
     )
     return per_row.agg(
         F.count("*").alias("n_rows"),

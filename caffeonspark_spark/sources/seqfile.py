@@ -167,10 +167,14 @@ class SeqFileInfo:
 
 
 def _bytes_writable(b) -> bytes:
-    """Strip the BytesWritable 4-byte-BE length prefix."""
+    """Strip the BytesWritable 4-byte-BE length prefix (fail LOUDLY on a
+    negative or overlong declared length — a corrupt record must never
+    flow on as a silently truncated payload; r15 review finding)."""
     (n,) = struct.unpack_from(">i", b, 0)
-    if 4 + n > len(b):
-        raise ValueError("truncated BytesWritable payload")
+    if n < 0 or 4 + n > len(b):
+        raise ValueError(
+            f"corrupt BytesWritable: declares {n} bytes, {len(b) - 4} held"
+        )
     return bytes(b[4 : 4 + n])
 
 
@@ -270,62 +274,76 @@ def _derive_sync(path: str) -> bytes:
     ).digest()
 
 
+def _encode_key(rec: tuple, key_encoding) -> bytes:
+    """Java-serialize one record's key per the requested encoding —
+    'tuple6' (``LMDB2Sequence``'s convention), 'tuple2'
+    (``Binary2Sequence``'s (id, label)), or a callable ``rec -> bytes``
+    for mixed-encoding files (the test fixture uses it for Pair keys)."""
+    rid, label, channels, height, width, encoded = rec[:6]
+    if callable(key_encoding):
+        return key_encoding(rec)
+    if key_encoding == "tuple6":
+        return javaser.dumps_tuple6(
+            str(rid), str(label), int(channels), int(height),
+            int(width), bool(encoded),
+        )
+    if key_encoding == "tuple2":
+        return javaser.dumps_tuple2(str(rid), str(label))
+    raise ValueError(f"unknown key_encoding {key_encoding!r}")
+
+
 def write_seqfile(
     path: str,
     items,
     record_compress: bool = False,
-    key_encoding: str = "tuple6",
+    key_encoding="tuple6",
 ) -> str:
     """Write ``(id, label, channels, height, width, encoded, data)``
-    tuples as a version-6 BytesWritable/BytesWritable SequenceFile —
-    the ``LMDB2Sequence.scala:31-38`` convention (Tuple6-serialized
-    keys; ``key_encoding='tuple2'`` gives ``Binary2Sequence``'s
-    (id, label) form). Atomic via rename; returns ``path``."""
+    tuples as a version-6 BytesWritable/BytesWritable SequenceFile.
+    Atomic via rename; returns ``path``.
+
+    STREAMS to disk record-by-record (memory stays O(record), never
+    O(file) — the distributed exporter feeds multi-GB partitions through
+    here; r15 review finding), consuming ``items`` lazily."""
     sync = _derive_sync(path)
-    out = bytearray()
-    out.extend(SEQ_MAGIC)
-    out.append(SEQ_VERSION)
+    header = bytearray()
+    header.extend(SEQ_MAGIC)
+    header.append(SEQ_VERSION)
     for name in (BYTES_WRITABLE, BYTES_WRITABLE):
         b = name.encode()
-        write_vint(out, len(b))
-        out.extend(b)
-    out.append(1 if record_compress else 0)
-    out.append(0)  # block compression not written
+        write_vint(header, len(b))
+        header.extend(b)
+    header.append(1 if record_compress else 0)
+    header.append(0)  # block compression not written
     if record_compress:
         codec = b"org.apache.hadoop.io.compress.DefaultCodec"
-        write_vint(out, len(codec))
-        out.extend(codec)
-    out.extend(struct.pack(">i", 0))  # empty metadata
-    out.extend(sync)
-
-    last_sync = len(out)
-    for rec in items:
-        rid, label, channels, height, width, encoded, data = rec
-        if key_encoding == "tuple6":
-            key = javaser.dumps_tuple6(
-                str(rid), str(label), int(channels), int(height),
-                int(width), bool(encoded),
-            )
-        elif key_encoding == "tuple2":
-            key = javaser.dumps_tuple2(str(rid), str(label))
-        else:
-            raise ValueError(f"unknown key_encoding {key_encoding!r}")
-        kb = struct.pack(">i", len(key)) + key
-        data = bytes(data)
-        vb = struct.pack(">i", len(data)) + data
-        if record_compress:
-            vb = zlib.compress(vb)
-        if len(out) - last_sync >= SYNC_INTERVAL:
-            out.extend(SYNC_ESCAPE)
-            out.extend(sync)
-            last_sync = len(out)
-        out.extend(struct.pack(">ii", len(kb) + len(vb), len(kb)))
-        out.extend(kb)
-        out.extend(vb)
+        write_vint(header, len(codec))
+        header.extend(codec)
+    header.extend(struct.pack(">i", 0))  # empty metadata
+    header.extend(sync)
 
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "wb") as fh:
-        fh.write(out)
+        fh.write(header)
+        pos = len(header)
+        last_sync = pos
+        for rec in items:
+            key = _encode_key(rec, key_encoding)
+            kb = struct.pack(">i", len(key)) + key
+            data = bytes(rec[6])
+            vb = struct.pack(">i", len(data)) + data
+            if record_compress:
+                vb = zlib.compress(vb)
+            if pos - last_sync >= SYNC_INTERVAL:
+                fh.write(SYNC_ESCAPE)
+                fh.write(sync)
+                pos += 4 + SYNC_SIZE
+                last_sync = pos
+            frame = struct.pack(">ii", len(kb) + len(vb), len(kb))
+            fh.write(frame)
+            fh.write(kb)
+            fh.write(vb)
+            pos += len(frame) + len(kb) + len(vb)
     os.replace(tmp, path)
     return path
 
@@ -349,18 +367,24 @@ def dataframe_to_seqfile(df, out_dir: str) -> int:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows = []
-        for batch in iterator:
-            pdf = batch.to_pandas()
-            rows.extend(pdf[cols].itertuples(index=False, name=None))
-        if rows:
-            write_seqfile(
-                os.path.join(out_dir, f"part-{pid:05d}"), rows
-            )
+        n_rows = [0]
+
+        def rows():
+            # lazy feed: write_seqfile streams each Arrow batch's rows to
+            # disk as they arrive — memory stays O(batch), not O(partition)
+            for batch in iterator:
+                pdf = batch.to_pandas()
+                for rec in pdf[cols].itertuples(index=False, name=None):
+                    n_rows[0] += 1
+                    yield rec
+
+        write_seqfile(os.path.join(out_dir, f"part-{pid:05d}"), rows())
+        if n_rows[0] == 0:  # drop the empty partition's header-only file
+            os.remove(os.path.join(out_dir, f"part-{pid:05d}"))
         import pyarrow as pa
 
         yield pa.RecordBatch.from_pandas(
-            pd.DataFrame({"n": [len(rows)]}),
+            pd.DataFrame({"n": [n_rows[0]]}),
             schema=pa.schema([("n", pa.int64())]),
         )
 
@@ -479,8 +503,6 @@ def seqfile_to_dataframe(
     surface (``SeqImageDataSource.scala:24-69``) as a one-liner.
     ``columns=`` prunes at the source (see ``lmdb_to_dataframe``): a
     scan without ``data`` never copies or decompresses value bytes."""
-    from caffeonspark_spark.sources.lmdb import IMAGE_TUPLE_FIELDS
-
     register(spark)
     reader = (
         spark.read.format(FORMAT_NAME)
@@ -488,15 +510,10 @@ def seqfile_to_dataframe(
         .option("partitions", str(partitions))
     )
     if columns is not None:
-        unknown = [c for c in columns if c not in IMAGE_TUPLE_FIELDS]
-        if unknown:
-            raise ValueError(
-                f"unknown columns {unknown}; known: "
-                f"{sorted(IMAGE_TUPLE_FIELDS)}"
-            )
-        reader = reader.schema(
-            ", ".join(f"{c} {IMAGE_TUPLE_FIELDS[c]}" for c in columns)
-        )
+        from caffeonspark_spark.sources.common import pruned_ddl
+        from caffeonspark_spark.sources.lmdb import IMAGE_TUPLE_FIELDS
+
+        reader = reader.schema(pruned_ddl(columns, IMAGE_TUPLE_FIELDS))
     return reader.load()
 
 
@@ -536,66 +553,34 @@ def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
     parts = [os.path.join(out_dir, f"part-{i:05d}") for i in range(2)]
     if all(os.path.exists(p) for p in parts):
         return out_dir
+
+    def mixed_key(rec: tuple) -> bytes:
+        # key-encoding cycle by doc_id % 3 — rec[0] is the %08d id
+        rid, label = rec[0], rec[1]
+        kind = int(rid) % 3
+        if kind == 0:
+            return javaser.dumps_tuple6(rid, label, *rec[2:6])
+        if kind == 1:
+            return javaser.dumps_tuple2(rid, label)
+        return javaser.dumps_pair(rid, label)
+
     os.makedirs(out_dir, exist_ok=True)
     for pi, part in enumerate(parts):
-        out = bytearray()
-        sync = _derive_sync(f"part-{pi:05d}")
-        out.extend(SEQ_MAGIC)
-        out.append(SEQ_VERSION)
-        for name in (BYTES_WRITABLE, BYTES_WRITABLE):
-            b = name.encode()
-            write_vint(out, len(b))
-            out.extend(b)
-        out.extend(b"\x00\x00")
-        out.extend(struct.pack(">i", 0))
-        out.extend(sync)
-        last_sync = len(out)
-        for doc_id in range(pi, n_docs, 2):  # round-robin across parts
-            rid, label, ch, h, w, enc, data, kind = _fixture_record(doc_id)
-            if kind == 0:
-                key = javaser.dumps_tuple6(rid, label, ch, h, w, enc)
-            elif kind == 1:
-                key = javaser.dumps_tuple2(rid, label)
-            else:
-                key = javaser.dumps_pair(rid, label)
-            kb = struct.pack(">i", len(key)) + key
-            vb = struct.pack(">i", len(data)) + data
-            if len(out) - last_sync >= SYNC_INTERVAL:
-                out.extend(SYNC_ESCAPE)
-                out.extend(sync)
-                last_sync = len(out)
-            out.extend(struct.pack(">ii", len(kb) + len(vb), len(kb)))
-            out.extend(kb)
-            out.extend(vb)
-        tmp = f"{part}.{os.getpid()}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(out)
-        os.replace(tmp, part)
+        write_seqfile(  # round-robin ids across the two parts
+            part,
+            (
+                _fixture_record(doc_id)[:7]
+                for doc_id in range(pi, n_docs, 2)
+            ),
+            key_encoding=mixed_key,
+        )
     return out_dir
 
 
-def _row_metrics(pdfs):
-    """Same per-row checksum discipline as the LMDB query: dlen + the
-    position-weighted byte sum Σ data[i]·(i+1), Arrow-batched."""
-    import numpy as np
-    import pandas as pd
-
-    for pdf in pdfs:
-        dlen, wsum = [], []
-        for raw in pdf["data"]:
-            b = np.frombuffer(bytes(raw), dtype=np.uint8)
-            dlen.append(len(b))
-            wsum.append(int(b.astype(np.int64) @ (np.arange(len(b)) + 1)))
-        yield pd.DataFrame(
-            {
-                "id": pdf["id"],
-                "label": pdf["label"],
-                "enc": pdf["encoded"].astype("int64"),
-                "channels": pdf["channels"].astype("int64"),
-                "dlen": pd.Series(dlen, dtype="int64"),
-                "wsum": pd.Series(wsum, dtype="int64"),
-            }
-        )
+from caffeonspark_spark.sources.common import (  # noqa: E402 - shared
+    ROW_METRICS_SCHEMA as _RM_SCHEMA,
+    row_metrics as _row_metrics,
+)
 
 
 def seqfile_scan_agg(spark, sf_dir: str):
@@ -612,11 +597,7 @@ def seqfile_scan_agg(spark, sf_dir: str):
 
     out_dir = ensure_fixture(table_nrows(sf_dir, "documents"))
     df = seqfile_to_dataframe(spark, out_dir)
-    per_row = df.mapInPandas(
-        _row_metrics,
-        "id string, label string, enc long, channels long, dlen long, "
-        "wsum long",
-    )
+    per_row = df.mapInPandas(_row_metrics, _RM_SCHEMA)
     return (
         per_row.groupBy("label")
         .agg(

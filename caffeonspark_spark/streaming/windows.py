@@ -543,10 +543,16 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _PARITY_SEQ[0] += 1
+    # sweep THIS process's earlier invocations (seq increments, so the
+    # dirs would otherwise accumulate one events-table copy per call —
+    # r15 review finding); the live run also rmtrees itself on exit
+    for stale in _glob.glob(
+        _os.path.join("/tmp", f"cos_late_parity_{_os.getpid()}_*")
+    ):
+        _shutil.rmtree(stale, ignore_errors=True)
     src = _os.path.join(
         "/tmp", f"cos_late_parity_{_os.getpid()}_{_PARITY_SEQ[0]}"
     )
-    _shutil.rmtree(src, ignore_errors=True)
     _os.makedirs(src)
     cols = ["ts_us", "event_type", "value"]
     waves = [
@@ -615,6 +621,8 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.2)
     finally:
         q.stop()
+        # the memory-sink table is the result; the source copy is dead
+        _shutil.rmtree(src, ignore_errors=True)
     _PARITY_LAST["late_data"] = name
     return spark.table(name)
 

@@ -323,6 +323,29 @@ def test_pruned_scan_matches_projection_and_order(spark, tmp_path):
         L.lmdb_to_dataframe(spark, env, columns=["id", "pixels"])
 
 
+def test_grayscale_raw_rows_scan_as_bytes(spark, tmp_path):
+    """r15 review regression: chw_to_hwc's passthrough branches (channels
+    <= 1, non-dense payload) must return BYTES — the zero-copy reader
+    feeds memoryviews, and a leaked view fails Spark's binary converter
+    (every grayscale MNIST-style row crashed the scan)."""
+    items = [
+        (b"%08d" % i, L.encode_datum(1, 4, 5, bytes(range(i, i + 20)), i % 3))
+        for i in range(50)
+    ]
+    items.append(  # non-dense multi-channel payload: the other passthrough
+        (b"99999999", L.encode_datum(3, 0, 0, b"\x01\x02", 9))
+    )
+    L.write_lmdb(str(tmp_path), items)
+    rows = L.lmdb_to_dataframe(spark, str(tmp_path)).orderBy("id").collect()
+    assert len(rows) == 51
+    assert bytes(rows[0].data) == bytes(range(0, 20))
+    assert rows[0].channels == 1 and not rows[0].encoded
+    assert bytes(rows[-1].data) == b"\x01\x02"
+    # the passthroughs themselves return bytes even for memoryview input
+    assert isinstance(L.chw_to_hwc(1, memoryview(b"abc")), bytes)
+    assert isinstance(L.chw_to_hwc(3, memoryview(b"ab")), bytes)
+
+
 def test_id_only_scan_never_decodes_values(spark, tmp_path):
     """The airtight skip proof: a db whose Datum values are all CORRUPT
     (truncated) scans fine when pruned to the key, while the full scan

@@ -214,7 +214,7 @@ def main() -> int:
         ckpt = os.path.join(work, f"ckpt_{tag}")
         out = os.path.join(work, f"out_{tag}")
 
-        def start():
+        def start(throttle):
             stream = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", "1")
@@ -226,6 +226,8 @@ def main() -> int:
 
             def write_batch(df, batch_id):
                 df.write.mode("overwrite").parquet(out)
+                if throttle:  # slow the batches so the kill lands MID-stream
+                    time.sleep(0.6)
 
             return (
                 agg.writeStream.foreachBatch(write_batch)
@@ -234,31 +236,42 @@ def main() -> int:
                 .start()
             )
 
-        q = start()
+        killed_mid_stream = True
         if interrupt:
+            q = start(throttle=True)
             # kill after >=2 committed micro-batches, mid-stream
             deadline = time.time() + 120
             while time.time() < deadline:
                 p = q.lastProgress
                 if p and p["batchId"] >= 2:
                     break
-                time.sleep(0.2)
+                time.sleep(0.05)
+            stopped_at = (q.lastProgress or {}).get("batchId", -1)
             q.stop()
             q.awaitTermination(30)
-            q = start()  # recover from the checkpoint
+            # vacuous-pass guard (r15 review finding): the kill must land
+            # BEFORE the final batch (6 files -> batchIds 0..5), else the
+            # restart recovers nothing and the scenario proves nothing
+            killed_mid_stream = 0 <= stopped_at < 5
+            q = start(throttle=False)  # recover from the checkpoint
+        else:
+            q = start(throttle=False)
         q.processAllAvailable()
         q.stop()
         q.awaitTermination(30)
-        return rows_key(
-            spark.read.parquet(out).orderBy("event_type").collect()
+        return (
+            rows_key(spark.read.parquet(out).orderBy("event_type").collect()),
+            killed_mid_stream,
         )
 
-    uninterrupted = run_stream("plain", interrupt=False)
-    restarted = run_stream("restart", interrupt=True)
+    uninterrupted, _ = run_stream("plain", interrupt=False)
+    restarted, killed_mid = run_stream("restart", interrupt=True)
     record(
         "stream_restart",
         restarted == uninterrupted == batch_expect,
-        1,  # the mid-stream kill IS the injected fault here
+        # the mid-stream kill IS the injected fault; 0 when the stream
+        # had already finished (vacuous run — fails the drill)
+        1 if killed_mid else 0,
         len(restarted),
         time.time() - t0,
     )

@@ -513,6 +513,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encodings) end-to-end over a deterministic two-part fixture;
         # DuckDB recomputes the checksums in closed form
         "seqfile_scan_agg": SEQ.seqfile_scan_agg,
+        # r15: the K3 WRITE path — distributed SequenceFile export read
+        # back through the same checksums (round-trip == identity oracle)
+        "seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
+        # r15: the source-level column-pruned scan (data never copied)
+        "seqfile_pruned_metadata": SEQ.seqfile_pruned_metadata,
         "caption_encode": ETL.caption_encode_docs,
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
@@ -996,6 +1001,8 @@ def oracle_sql() -> dict[str, str]:
         "lmdb_scan_agg": LM.ORACLE_LMDB_SCAN,
         "lmdb_pruned_lookup": LM.ORACLE_LMDB_PRUNED_LOOKUP,
         "seqfile_scan_agg": SEQ.ORACLE_SEQFILE_SCAN,
+        "seqfile_roundtrip": SEQ.ORACLE_SEQFILE_SCAN,
+        "seqfile_pruned_metadata": SEQ.ORACLE_SEQFILE_PRUNED_METADATA,
         "struct_binary_roundtrip": """
             SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -259,6 +259,10 @@ BENCH_QUERIES = {
     # r15: from-spec Hadoop SequenceFile scan (sync-split byte-range
     # partitions + Java-serialization key decode, all 3 key encodings)
     "q_seqfile_scan": SEQ.seqfile_scan_agg,
+    # r15: distributed SequenceFile export + read-back (K3 write path)
+    # and the column-pruned metadata scan
+    "q_seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
+    "q_seqfile_pruned_meta": SEQ.seqfile_pruned_metadata,
     "q_stream_parity_dedup": SW.stream_dedup_parity,
     # r15: watermark late-data drop policy run-to-completion (3 phased
     # waves: on-time corpus, late straggler re-sends, sentinel flush)

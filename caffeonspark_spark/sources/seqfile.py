@@ -613,6 +613,99 @@ def seqfile_scan_agg(spark, sf_dir: str):
     )
 
 
+def seqfile_roundtrip_agg(spark, sf_dir: str):
+    """Declared query (✔oracle, r15): the K3 WRITE path hash-checked end
+    to end — scan the fixture, export it through the DISTRIBUTED
+    SequenceFile writer (``dataframe_to_seqfile``: one part per
+    partition, streaming framing, Tuple6 keys), scan the exported files
+    back, and roll up the same per-row checksums. Round-trip is identity,
+    so the oracle is ``ORACLE_SEQFILE_SCAN`` verbatim: any framing, sync,
+    key-serialization, or payload defect in the writer lands in the
+    hash. Export staging lives in a per-process /tmp dir: earlier
+    invocations' dirs are swept on entry, and the current one stays on
+    disk (the returned DataFrame scans it LAZILY — same pattern as the
+    LMDB/SequenceFile fixtures, bounded to one small export per
+    process)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.catalog import table_nrows
+
+    src = ensure_fixture(table_nrows(sf_dir, "documents"))
+    for stale in _glob.glob(f"/tmp/cos_seqfile_rt_{os.getpid()}_*"):
+        _shutil.rmtree(stale, ignore_errors=True)
+    _RT_SEQ[0] += 1
+    out = f"/tmp/cos_seqfile_rt_{os.getpid()}_{_RT_SEQ[0]}"
+    n_parts = dataframe_to_seqfile(
+        seqfile_to_dataframe(spark, src, partitions=4), out
+    )
+    if n_parts < 1:
+        raise RuntimeError("export produced no part files")
+    per_row = seqfile_to_dataframe(spark, out).mapInPandas(
+        _row_metrics, _RM_SCHEMA
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("enc").alias("n_encoded"),
+            F.sum("channels").alias("sum_channels"),
+            F.sum("dlen").alias("sum_dlen"),
+            F.sum("wsum").alias("sum_wsum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
+_RT_SEQ = [0]
+
+
+def seqfile_pruned_metadata(spark, sf_dir: str):
+    """Declared query (✔oracle, r15): the source-level COLUMN-PRUNED scan
+    as a hash-checked row — ``columns=`` drops ``data``, so value bytes
+    are never copied (pinned behaviorally by the corrupt-value test);
+    the metadata rollup must still be exact. DuckDB recomputes every
+    aggregate in closed form from ``documents.doc_id``."""
+    from pyspark.sql import functions as F
+
+    from caffeonspark_spark.catalog import table_nrows
+
+    src = ensure_fixture(table_nrows(sf_dir, "documents"))
+    df = seqfile_to_dataframe(
+        spark, src, columns=["id", "label", "channels", "encoded"]
+    )
+    return (
+        df.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("encoded").cast("long")).alias("n_encoded"),
+            F.sum("channels").alias("sum_channels"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SEQFILE_PRUNED_METADATA = f"""
+SELECT CAST(doc_id % 10 AS VARCHAR) AS label,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_encoded,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN {_T6_C} ELSE 1 END) AS BIGINT)
+           AS sum_channels,
+       MIN(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS min_id,
+       MAX(lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS max_id
+FROM documents
+GROUP BY label
+ORDER BY label
+"""
+
+
 ORACLE_SEQFILE_SCAN = f"""
 WITH base AS (
     SELECT doc_id,

@@ -887,6 +887,21 @@ def test_seqfile_scan_agg_plan(spark, sf_smoke):
     assert shuffle_count(df) <= 2, plan
 
 
+def test_seqfile_pruned_metadata_plan(spark, sf_smoke):
+    """The pruned SequenceFile scan: the BatchScan's output is the
+    4-column pruned schema (data never reaches the plan), and the rollup
+    is a single group-by exchange plus the 10-row orderBy."""
+    from caffeonspark_spark.sources.seqfile import seqfile_pruned_metadata
+
+    df = seqfile_pruned_metadata(spark, sf_smoke)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "BatchScan cos_seqfile" in tree, plan
+    assert "data" not in read_schema_columns(df)[0], read_schema_columns(df)
+    assert "MapInPandas" not in tree, plan  # pure Catalyst rollup
+    assert shuffle_count(df) <= 2, plan
+
+
 def test_lmdb_pruned_lookup_plan(spark, sf_smoke):
     """The pruned lookup keeps the lmdb_scan_agg shape (planned BatchScan,
     one MapInPandas, one global agg — zero group-by exchange beyond the

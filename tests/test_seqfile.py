@@ -367,3 +367,34 @@ def test_seqfile_scan_agg_oracle(spark):
         "/root/testdata/sf0.001",
     )
     assert ok, msg
+
+
+def test_seqfile_roundtrip_agg_oracle(spark):
+    """r15 declared row: the distributed writer's output must checksum
+    identically to the original fixture (round-trip == identity), and
+    earlier invocations' staging dirs are swept."""
+    import glob
+
+    from tests.oracle_check import compare
+
+    for _ in range(2):  # repeat: the driver iterates; staging must not pile
+        ok, msg = compare(
+            S.seqfile_roundtrip_agg(spark, "/root/testdata/sf0.001"),
+            S.ORACLE_SEQFILE_SCAN,
+            "/root/testdata/sf0.001",
+        )
+        assert ok, msg
+    import os
+
+    assert len(glob.glob(f"/tmp/cos_seqfile_rt_{os.getpid()}_*")) == 1
+
+
+def test_seqfile_pruned_metadata_oracle(spark):
+    from tests.oracle_check import compare
+
+    ok, msg = compare(
+        S.seqfile_pruned_metadata(spark, "/root/testdata/sf0.001"),
+        S.ORACLE_SEQFILE_PRUNED_METADATA,
+        "/root/testdata/sf0.001",
+    )
+    assert ok, msg

@@ -156,6 +156,9 @@ SHOW = {
     "seqfile_scan_agg (sync-split byte-range planned source, Arrow checksums)": (
         SEQ.seqfile_scan_agg
     ),
+    "seqfile_pruned_metadata (source-pruned scan: 4-column schema, no data bytes)": (
+        SEQ.seqfile_pruned_metadata
+    ),
     "semantic_dedup_against_corpus (cross-side cluster-local, shared centroid index)": (
         S.semantic_dedup_against_corpus_query
     ),

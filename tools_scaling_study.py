@@ -85,6 +85,10 @@ QUERIES = {
     # r15: from-spec SequenceFile scan — same fixture-follows-corpus
     # discipline as lmdb_scan; cost should scale with total bytes
     "seqfile_scan": SEQ.seqfile_scan_agg,
+    # r15: distributed export + read-back (write amplification linear)
+    # and the pruned scan (should stay under the unpruned cost)
+    "seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
+    "seqfile_pruned_meta": SEQ.seqfile_pruned_metadata,
     # r14: bipartite SemDeDup — candidates stay cluster-local (k grows
     # with the corpus), the against-corpus claim on embeddings
     "semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,

@@ -104,11 +104,18 @@ def _unbox(v):
     return v
 
 
+#: nesting cap: real image keys nest <= 4 levels (tuple → boxed int →
+#: Number); a crafted deep-nest stream must fail loudly, not blow the
+#: Python stack
+_MAX_DEPTH = 64
+
+
 class _Reader:
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
         self.handles: list = []  # index i ↔ handle BASE_WIRE_HANDLE + i
+        self.depth = 0
 
     # -- primitives --
     def _take(self, n: int) -> bytes:
@@ -130,6 +137,17 @@ class _Reader:
     def _utf(self) -> str:
         return self._take(self._u2()).decode("utf-8")
 
+    def _ref(self):
+        """Resolve a TC_REFERENCE handle, failing loudly on dangling or
+        negative indices (a corrupt stream must not silently alias an
+        unrelated handle via Python negative indexing)."""
+        idx = self._u4() - BASE_WIRE_HANDLE
+        if not 0 <= idx < len(self.handles):
+            raise ValueError(
+                f"dangling Java serialization handle {idx + BASE_WIRE_HANDLE:#x}"
+            )
+        return self.handles[idx]
+
     # -- grammar --
     def parse(self):
         if self._u2() != STREAM_MAGIC or self._u2() != STREAM_VERSION:
@@ -137,10 +155,21 @@ class _Reader:
         return self._content(self._u1())
 
     def _content(self, tc: int):
+        self.depth += 1
+        if self.depth > _MAX_DEPTH:
+            raise ValueError(
+                f"Java serialization stream nests deeper than {_MAX_DEPTH}"
+            )
+        try:
+            return self._content_inner(tc)
+        finally:
+            self.depth -= 1
+
+    def _content_inner(self, tc: int):
         if tc == TC_NULL:
             return None
         if tc == TC_REFERENCE:
-            return self.handles[self._u4() - BASE_WIRE_HANDLE]
+            return self._ref()
         if tc == TC_STRING:
             s = None  # placeholder: handle assigned before body per spec?
             # spec: newString: TC_STRING newHandle utf — handle assigned
@@ -155,6 +184,8 @@ class _Reader:
             return s
         if tc == TC_OBJECT:
             desc = self._class_desc(self._u1())
+            if desc is None:
+                raise ValueError("TC_OBJECT with null class descriptor")
             obj = JavaObject(desc["name"], {})
             self.handles.append(obj)
             self._class_data(desc, obj)
@@ -167,10 +198,31 @@ class _Reader:
         )
 
     def _class_desc(self, tc: int):
+        # super chains share the nesting budget (a crafted stream of
+        # thousands of stacked descriptors must not blow the Python stack)
+        self.depth += 1
+        if self.depth > _MAX_DEPTH:
+            raise ValueError(
+                f"Java serialization stream nests deeper than {_MAX_DEPTH}"
+            )
+        try:
+            return self._class_desc_inner(tc)
+        finally:
+            self.depth -= 1
+
+    def _class_desc_inner(self, tc: int):
         if tc == TC_NULL:
             return None
         if tc == TC_REFERENCE:
-            return self.handles[self._u4() - BASE_WIRE_HANDLE]
+            ref = self._ref()
+            if not isinstance(ref, dict):
+                # a corrupt stream can point a classdesc slot at a string
+                # or object handle — fail loudly, don't subscript it
+                raise ValueError(
+                    "class-descriptor reference resolves to a "
+                    f"{type(ref).__name__} handle"
+                )
+            return ref
         if tc != TC_CLASSDESC:
             raise NotImplementedError(
                 f"class descriptor element 0x{tc:02x} unsupported"
@@ -185,6 +237,11 @@ class _Reader:
         fields = []
         for _ in range(nfields):
             typecode = chr(self._u1())
+            if typecode not in "BCDFIJSZL[":
+                raise ValueError(
+                    f"invalid Java serialization field typecode "
+                    f"{typecode!r} in {name}"
+                )
             fname = self._utf()
             if typecode in "L[":
                 self._content(self._u1())  # field type-name string
@@ -207,10 +264,16 @@ class _Reader:
                 self._content(tc)  # annotation objects: parse & discard
 
     def _class_data(self, desc, obj: JavaObject) -> None:
-        # super-first (the spec's classdata order)
+        # super-first (the spec's classdata order); a corrupt stream can
+        # make a descriptor its own ancestor via a handle reference —
+        # detect the cycle instead of walking it forever
         chain = []
+        seen: set[int] = set()
         d = desc
         while d is not None:
+            if id(d) in seen:
+                raise ValueError("cyclic class-descriptor super chain")
+            seen.add(id(d))
             chain.append(d)
             d = d["super"]
         for d in reversed(chain):
@@ -246,16 +309,24 @@ def decode_image_key(buf: bytes) -> tuple[str, str, int, int, int, bool]:
     if not isinstance(obj, JavaObject):
         raise ValueError(f"unexpected key object {type(obj).__name__}")
     f = obj.fields
-    if obj.class_name == "com.yahoo.ml.dl.caffe.Pair":
-        return str(f["first"]), str(f["second"]), 1, 0, 0, True
-    if obj.class_name == "scala.Tuple2":
-        return str(f["_1"]), str(f["_2"]), 1, 0, 0, True
-    if obj.class_name == "scala.Tuple6":
-        return (
-            str(f["_1"]), str(f["_2"]), int(_unbox(f["_3"])),
-            int(_unbox(f["_4"])), int(_unbox(f["_5"])),
-            bool(_unbox(f["_6"])),
-        )
+    try:
+        if obj.class_name == "com.yahoo.ml.dl.caffe.Pair":
+            return str(f["first"]), str(f["second"]), 1, 0, 0, True
+        if obj.class_name == "scala.Tuple2":
+            return str(f["_1"]), str(f["_2"]), 1, 0, 0, True
+        if obj.class_name == "scala.Tuple6":
+            return (
+                str(f["_1"]), str(f["_2"]), int(_unbox(f["_3"])),
+                int(_unbox(f["_4"])), int(_unbox(f["_5"])),
+                bool(_unbox(f["_6"])),
+            )
+    except (KeyError, TypeError) as e:
+        # a corrupt stream can decode to the right class with missing or
+        # ill-typed fields — surface it as the diagnosable error class,
+        # not a bare KeyError/TypeError (r15 mutation-test finding)
+        raise ValueError(
+            f"malformed {obj.class_name} key: {type(e).__name__}: {e}"
+        ) from e
     raise ValueError(
         f"unsupported SequenceFile key class {obj.class_name!r}; expected "
         "com.yahoo.ml.dl.caffe.Pair, scala.Tuple2, or scala.Tuple6"

@@ -78,7 +78,7 @@ def test_retry_drill_all_scenarios_deterministic(tmp_path):
     scenarios = report["scenarios"]
     assert set(scenarios) == {
         "image_dedup_map", "neardup_clusters", "augment_assemble",
-        "stream_restart",
+        "seqfile_export", "stream_restart",
     }
     for name, r in scenarios.items():
         assert r["identical"], (name, r)

@@ -88,6 +88,81 @@ def test_svuid_constants_match_jvm(spark):
         assert osc.getSerialVersionUID() == J.SVUID[cls], cls
 
 
+def test_javaser_decoder_total_on_mutated_streams():
+    """Decoder totality: byte-mutated / truncated key streams must raise
+    a clean ValueError/NotImplementedError (or decode, for benign
+    mutations) — never hang, loop, or throw an unexpected type. Same
+    hardening discipline as the PNG mutation test."""
+    import random
+
+    rng = random.Random(11)
+    bases = [
+        J.dumps_tuple2("img_0001", "7"),
+        J.dumps_tuple6("img_0002", "3", 3, 4, 5, True),
+        J.dumps_pair("img_0003", "9", svuid=42),
+    ]
+    for _ in range(400):
+        raw = bytearray(rng.choice(bases))
+        op = rng.randrange(3)
+        if op == 0:  # point mutation
+            raw[rng.randrange(len(raw))] ^= 1 << rng.randrange(8)
+        elif op == 1:  # truncation
+            raw = raw[: rng.randrange(len(raw))]
+        else:  # junk injection
+            pos = rng.randrange(len(raw))
+            raw[pos:pos] = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 5))
+            )
+        try:
+            J.decode_image_key(bytes(raw))
+        except (ValueError, NotImplementedError):
+            pass  # the two documented failure classes
+        except Exception as e:  # pragma: no cover - the failure mode
+            raise AssertionError(
+                f"unexpected {type(e).__name__} on mutated stream: {e}"
+            ) from e
+
+
+def test_javaser_adversarial_streams_fail_loudly():
+    """Crafted streams a fuzzer rarely finds: a class descriptor whose
+    super chain references itself (walks forever without the cycle
+    guard) and a 500-deep stack of fresh descriptors (blows the Python
+    stack without the nesting cap). Both must raise ValueError."""
+    s = bytearray(struct.pack(">HH", 0xACED, 5))
+    s.append(J.TC_OBJECT)
+    s.append(J.TC_CLASSDESC)
+    name = b"scala.Tuple2"
+    s += struct.pack(">H", len(name)) + name + struct.pack(">q", 1)
+    s.append(J.SC_SERIALIZABLE)
+    s += struct.pack(">H", 0)
+    s.append(J.TC_ENDBLOCKDATA)
+    s.append(J.TC_REFERENCE)
+    s += struct.pack(">I", J.BASE_WIRE_HANDLE)  # super = itself
+    with pytest.raises(ValueError, match="cyclic class-descriptor"):
+        J.decode_image_key(bytes(s))
+
+    s = bytearray(struct.pack(">HH", 0xACED, 5))
+    s.append(J.TC_OBJECT)
+    for i in range(500):
+        s.append(J.TC_CLASSDESC)
+        nm = b"C%03d" % i
+        s += struct.pack(">H", len(nm)) + nm + struct.pack(">q", 1)
+        s.append(J.SC_SERIALIZABLE)
+        s += struct.pack(">H", 0)
+        s.append(J.TC_ENDBLOCKDATA)
+    s.append(J.TC_NULL)
+    with pytest.raises(ValueError, match="nests deeper"):
+        J.decode_image_key(bytes(s))
+
+    with pytest.raises(ValueError, match="dangling"):
+        # reference to a handle that was never assigned
+        J.loads(
+            struct.pack(">HH", 0xACED, 5)
+            + bytes([J.TC_REFERENCE])
+            + struct.pack(">I", J.BASE_WIRE_HANDLE + 9)
+        )
+
+
 # --- Hadoop vint ---------------------------------------------------------------
 
 def test_hadoop_vint_roundtrip():
@@ -177,7 +252,7 @@ def test_header_guards(tmp_path):
 
 # --- cross-JVM parity (the S3 contract) -----------------------------------------
 
-def _jvm_write(spark, path, ctype_name, n=120):
+def _jvm_write(spark, path, ctype_name, n=120, codec="DefaultCodec"):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
@@ -185,7 +260,9 @@ def _jvm_write(spark, path, ctype_name, n=120):
     SF = jvm.org.apache.hadoop.io.SequenceFile
     fs = Path(path).getFileSystem(hconf)
     ctype = getattr(SF.CompressionType, ctype_name)
-    codec = jvm.org.apache.hadoop.io.compress.DefaultCodec()
+    codec = getattr(jvm.org.apache.hadoop.io.compress, codec)()
+    if hasattr(codec, "setConf"):
+        codec.setConf(hconf)
     bw_cls = jvm.java.lang.Class.forName(S.BYTES_WRITABLE)
     w = SF.createWriter(fs, hconf, Path(path), bw_cls, bw_cls, ctype, codec)
 
@@ -221,6 +298,28 @@ def test_reads_hadoop_written_files(spark, tmp_path, ctype):
     pure-Python reader — raw keys, raw values, and decoded key tuples."""
     p = str(tmp_path / f"jvm_{ctype}.seq")
     recs = _jvm_write(spark, p, ctype)
+    raw = open(p, "rb").read()
+    info = S.SeqFileInfo.parse(raw)
+    got = list(S.scan_records(raw, info, 0, len(raw)))
+    assert [(k, v) for k, v in got] == recs
+    rid, label, ch, h, w_, enc = J.decode_image_key(got[1][0])
+    assert (rid, label, ch, h, w_, enc) == ("id00001", "1", 3, 4, 5, False)
+
+
+@pytest.mark.parametrize(
+    ("codec", "ctype"),
+    [
+        ("GzipCodec", "RECORD"),
+        ("GzipCodec", "BLOCK"),
+        ("BZip2Codec", "RECORD"),
+    ],
+)
+def test_reads_hadoop_written_alternate_codecs(spark, tmp_path, codec, ctype):
+    """The other stdlib-decodable codecs, cross-verified against files
+    Hadoop itself wrote (gzip via java.util.zip, bzip2 via the pure-Java
+    codec) — not just DefaultCodec."""
+    p = str(tmp_path / f"jvm_{codec}_{ctype}.seq")
+    recs = _jvm_write(spark, p, ctype, codec=codec, n=60)
     raw = open(p, "rb").read()
     info = S.SeqFileInfo.parse(raw)
     got = list(S.scan_records(raw, info, 0, len(raw)))

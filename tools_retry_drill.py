@@ -193,6 +193,37 @@ def main() -> int:
         time.time() - t0,
     )
 
+    # --- 3b. distributed SequenceFile export under injected retries ---------
+    t0 = time.time()
+    md = os.path.join(work, "m_export")
+    from caffeonspark_spark.sources import seqfile as SEQ
+
+    src_fixture = SEQ.ensure_fixture(500)
+    base_df = SEQ.seqfile_to_dataframe(spark, src_fixture, partitions=4)
+
+    def export_and_hash(active, out_name):
+        out = os.path.join(work, out_name)
+        df = fail_first_attempt(
+            base_df, active=active, marker_dir=md if active else None
+        )
+        SEQ.dataframe_to_seqfile(df, out)
+        back = SEQ.seqfile_to_dataframe(spark, out)
+        return sorted(
+            (r.id, r.label, r.channels, r.height, r.width, r.encoded,
+             bytes(r.data))
+            for r in back.collect()
+        )
+
+    clean = export_and_hash(False, "export_clean")
+    faulted = export_and_hash(True, "export_faulted")
+    record(
+        "seqfile_export",
+        clean == faulted,
+        markers(md),
+        len(clean),
+        time.time() - t0,
+    )
+
     # --- 4. streaming restart from checkpoint mid-stream --------------------
     t0 = time.time()
     from caffeonspark_spark.functions.arrays import dsum

@@ -72,3 +72,32 @@ def row_metrics(pdfs):
 ROW_METRICS_SCHEMA = (
     "id string, label string, enc long, channels long, dlen long, wsum long"
 )
+
+
+def sweep_stale_pid_dirs(prefix: str) -> None:
+    """Remove ``/tmp/<prefix><pid>_*`` staging dirs belonging to THIS
+    process (earlier invocations) or to DEAD processes — per-pid sweeps
+    alone leak one directory per exited process forever (r15 review 2).
+    Dirs of other LIVE processes are left alone."""
+    import glob
+    import os
+    import shutil
+
+    me = os.getpid()
+    for d in glob.glob(f"/tmp/{prefix}*_*"):
+        tail = os.path.basename(d)[len(prefix):]
+        pid_s = tail.split("_", 1)[0]
+        if not pid_s.isdigit():
+            continue
+        pid = int(pid_s)
+        alive = False
+        if pid != me:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:  # exists, owned elsewhere
+                alive = True
+        if not alive:
+            shutil.rmtree(d, ignore_errors=True)

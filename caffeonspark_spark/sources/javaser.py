@@ -91,7 +91,7 @@ class JavaObject:
 
 
 def _unbox(v):
-    if isinstance(v, JavaObject):
+    if isinstance(v, JavaObject) and "value" in v.fields:
         if v.class_name in (
             "java.lang.Integer", "java.lang.Long", "java.lang.Short",
             "java.lang.Byte",
@@ -101,6 +101,8 @@ def _unbox(v):
             return bool(v.fields["value"])
         if v.class_name in ("java.lang.Double", "java.lang.Float"):
             return float(v.fields["value"])
+    # a corrupt boxed object missing its 'value' field stays a
+    # JavaObject — callers' type checks turn that into a loud error
     return v
 
 
@@ -229,8 +231,16 @@ class _Reader:
             )
         name = self._utf()
         svuid = struct.unpack(">q", self._take(8))[0]
-        desc = {"name": name, "svuid": svuid}
-        self.handles.append(desc)  # handle BEFORE classDescInfo (spec)
+        # the handle must exist BEFORE classDescInfo is parsed (spec),
+        # so pre-seed every key a later consumer reads and mark the
+        # descriptor incomplete — a crafted annotation can reference it
+        # mid-parse, and _class_data must fail loudly on that rather
+        # than KeyError on a half-built dict (r15 review 2)
+        desc = {
+            "name": name, "svuid": svuid, "flags": 0, "fields": [],
+            "super": None, "complete": False,
+        }
+        self.handles.append(desc)
         flags = self._u1()
         desc["flags"] = flags
         nfields = self._u2()
@@ -249,6 +259,7 @@ class _Reader:
         desc["fields"] = fields
         self._skip_annotation()  # classAnnotation
         desc["super"] = self._class_desc(self._u1())
+        desc["complete"] = True
         return desc
 
     def _skip_annotation(self) -> None:
@@ -273,6 +284,11 @@ class _Reader:
         while d is not None:
             if id(d) in seen:
                 raise ValueError("cyclic class-descriptor super chain")
+            if not d.get("complete", True):
+                raise ValueError(
+                    f"object instantiates class descriptor {d['name']!r} "
+                    "before its definition is complete"
+                )
             seen.add(id(d))
             chain.append(d)
             d = d["super"]
@@ -309,16 +325,37 @@ def decode_image_key(buf: bytes) -> tuple[str, str, int, int, int, bool]:
     if not isinstance(obj, JavaObject):
         raise ValueError(f"unexpected key object {type(obj).__name__}")
     f = obj.fields
+
+    def _s(v):
+        # id/label must be REAL strings: str() would happily render None
+        # or a nested object into a plausible-looking fabricated value
+        # (r15 review 2 — a TC_STRING flipped to TC_NULL decoded as the
+        # literal id 'None')
+        if not isinstance(v, str):
+            raise TypeError(f"expected string field, got {type(v).__name__}")
+        return v
+
+    def _i(v):
+        u = _unbox(v)
+        if not isinstance(u, (int, bool)) or isinstance(u, bool):
+            raise TypeError(f"expected boxed int, got {type(u).__name__}")
+        return u
+
+    def _b(v):
+        u = _unbox(v)
+        if not isinstance(u, bool):
+            raise TypeError(f"expected boxed boolean, got {type(u).__name__}")
+        return u
+
     try:
         if obj.class_name == "com.yahoo.ml.dl.caffe.Pair":
-            return str(f["first"]), str(f["second"]), 1, 0, 0, True
+            return _s(f["first"]), _s(f["second"]), 1, 0, 0, True
         if obj.class_name == "scala.Tuple2":
-            return str(f["_1"]), str(f["_2"]), 1, 0, 0, True
+            return _s(f["_1"]), _s(f["_2"]), 1, 0, 0, True
         if obj.class_name == "scala.Tuple6":
             return (
-                str(f["_1"]), str(f["_2"]), int(_unbox(f["_3"])),
-                int(_unbox(f["_4"])), int(_unbox(f["_5"])),
-                bool(_unbox(f["_6"])),
+                _s(f["_1"]), _s(f["_2"]), _i(f["_3"]),
+                _i(f["_4"]), _i(f["_5"]), _b(f["_6"]),
             )
     except (KeyError, TypeError) as e:
         # a corrupt stream can decode to the right class with missing or

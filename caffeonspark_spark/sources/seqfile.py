@@ -322,7 +322,14 @@ def write_seqfile(
     header.extend(struct.pack(">i", 0))  # empty metadata
     header.extend(sync)
 
-    tmp = f"{path}.{os.getpid()}.tmp"
+    # DOT-prefixed temp name: a writer that dies mid-stream leaves its
+    # orphan invisible to directory scans (_data_files filters '.'/'_'
+    # prefixes, the Hadoop in-progress-file convention) — a retried task
+    # must never read a half-written predecessor as data (r15 review 2)
+    tmp = os.path.join(
+        os.path.dirname(path) or ".",
+        f".{os.path.basename(path)}.{os.getpid()}.tmp",
+    )
     with open(tmp, "wb") as fh:
         fh.write(header)
         pos = len(header)
@@ -583,6 +590,27 @@ from caffeonspark_spark.sources.common import (  # noqa: E402 - shared
 )
 
 
+def _label_rollup(per_row):
+    """The per-label checksum rollup shared by seqfile_scan_agg and
+    seqfile_roundtrip_agg — ONE implementation so the two queries cannot
+    drift against their shared oracle (r15 review 2)."""
+    from pyspark.sql import functions as F
+
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("enc").alias("n_encoded"),
+            F.sum("channels").alias("sum_channels"),
+            F.sum("dlen").alias("sum_dlen"),
+            F.sum("wsum").alias("sum_wsum"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("label")
+    )
+
+
 def seqfile_scan_agg(spark, sf_dir: str):
     """Declared query (✔oracle): the full SequenceFile path end-to-end —
     build the deterministic fixture for this SF's documents ids (two
@@ -598,19 +626,7 @@ def seqfile_scan_agg(spark, sf_dir: str):
     out_dir = ensure_fixture(table_nrows(sf_dir, "documents"))
     df = seqfile_to_dataframe(spark, out_dir)
     per_row = df.mapInPandas(_row_metrics, _RM_SCHEMA)
-    return (
-        per_row.groupBy("label")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("enc").alias("n_encoded"),
-            F.sum("channels").alias("sum_channels"),
-            F.sum("dlen").alias("sum_dlen"),
-            F.sum("wsum").alias("sum_wsum"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
-        )
-        .orderBy("label")
-    )
+    return _label_rollup(per_row)
 
 
 def seqfile_roundtrip_agg(spark, sf_dir: str):
@@ -626,16 +642,12 @@ def seqfile_roundtrip_agg(spark, sf_dir: str):
     disk (the returned DataFrame scans it LAZILY — same pattern as the
     LMDB/SequenceFile fixtures, bounded to one small export per
     process)."""
-    import glob as _glob
-    import shutil as _shutil
-
-    from pyspark.sql import functions as F
-
     from caffeonspark_spark.catalog import table_nrows
+    from caffeonspark_spark.sources.common import sweep_stale_pid_dirs
 
     src = ensure_fixture(table_nrows(sf_dir, "documents"))
-    for stale in _glob.glob(f"/tmp/cos_seqfile_rt_{os.getpid()}_*"):
-        _shutil.rmtree(stale, ignore_errors=True)
+    # sweep this process's earlier exports AND dead processes' leftovers
+    sweep_stale_pid_dirs("cos_seqfile_rt_")
     _RT_SEQ[0] += 1
     out = f"/tmp/cos_seqfile_rt_{os.getpid()}_{_RT_SEQ[0]}"
     n_parts = dataframe_to_seqfile(
@@ -646,19 +658,7 @@ def seqfile_roundtrip_agg(spark, sf_dir: str):
     per_row = seqfile_to_dataframe(spark, out).mapInPandas(
         _row_metrics, _RM_SCHEMA
     )
-    return (
-        per_row.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("enc").alias("n_encoded"),
-            F.sum("channels").alias("sum_channels"),
-            F.sum("dlen").alias("sum_dlen"),
-            F.sum("wsum").alias("sum_wsum"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
-        )
-        .orderBy("label")
-    )
+    return _label_rollup(per_row)
 
 
 _RT_SEQ = [0]

@@ -543,13 +543,12 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _PARITY_SEQ[0] += 1
-    # sweep THIS process's earlier invocations (seq increments, so the
-    # dirs would otherwise accumulate one events-table copy per call —
-    # r15 review finding); the live run also rmtrees itself on exit
-    for stale in _glob.glob(
-        _os.path.join("/tmp", f"cos_late_parity_{_os.getpid()}_*")
-    ):
-        _shutil.rmtree(stale, ignore_errors=True)
+    # sweep earlier invocations of THIS process and leftovers of DEAD
+    # processes (per-pid sweeps alone leak one staging dir per exited
+    # process — r15 review findings); the live run also rmtrees on exit
+    from caffeonspark_spark.sources.common import sweep_stale_pid_dirs
+
+    sweep_stale_pid_dirs("cos_late_parity_")
     src = _os.path.join(
         "/tmp", f"cos_late_parity_{_os.getpid()}_{_PARITY_SEQ[0]}"
     )

@@ -74,22 +74,31 @@ ROW_METRICS_SCHEMA = (
 )
 
 
-def sweep_stale_pid_dirs(prefix: str) -> None:
-    """Remove ``/tmp/<prefix><pid>_*`` staging dirs belonging to THIS
+def sweep_stale_pid_dirs(prefix: str, keep_latest: int = 0) -> None:
+    """Remove ``/tmp/<prefix><pid>_<seq>`` staging dirs belonging to THIS
     process (earlier invocations) or to DEAD processes — per-pid sweeps
     alone leak one directory per exited process forever (r15 review 2).
-    Dirs of other LIVE processes are left alone."""
+    Dirs of other LIVE processes are left alone.
+
+    ``keep_latest=N`` preserves this process's N highest-``<seq>`` dirs:
+    a DataFrame returned by a PREVIOUS invocation still scans its export
+    lazily, so the caller keeps the prior invocation alive and sweeps
+    only older ones (r15 ADVICE)."""
     import glob
     import os
     import shutil
 
     me = os.getpid()
+    mine: list[tuple[int, str]] = []
     for d in glob.glob(f"/tmp/{prefix}*_*"):
         tail = os.path.basename(d)[len(prefix):]
-        pid_s = tail.split("_", 1)[0]
+        pid_s, _, seq_s = tail.partition("_")
         if not pid_s.isdigit():
             continue
         pid = int(pid_s)
+        if pid == me and keep_latest and seq_s.isdigit():
+            mine.append((int(seq_s), d))
+            continue
         alive = False
         if pid != me:
             try:
@@ -101,3 +110,5 @@ def sweep_stale_pid_dirs(prefix: str) -> None:
                 alive = True
         if not alive:
             shutil.rmtree(d, ignore_errors=True)
+    for _, d in sorted(mine)[:-keep_latest or None]:
+        shutil.rmtree(d, ignore_errors=True)

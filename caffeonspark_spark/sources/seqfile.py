@@ -438,6 +438,12 @@ class SeqFileReader(DataSourceReader):
             (f, os.path.getsize(f))
             for f in _data_files(self.path)
         ]
+        for f, size in files:
+            if size == 0:
+                # a valid SequenceFile always has a header — a part
+                # truncated to zero bytes must fail LOUDLY, not yield
+                # zero rows (r15 ADVICE)
+                raise ValueError(f"zero-length SequenceFile part: {f}")
         total = sum(s for _, s in files) or 1
         splits: list[_ByteSplit] = []
         for f, size in files:
@@ -459,7 +465,12 @@ class SeqFileReader(DataSourceReader):
             try:
                 buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
             except ValueError:
-                return  # zero-length part
+                # zero-length part: a valid SequenceFile always has a
+                # header — fail LOUDLY (r15 ADVICE); only the planner's
+                # empty-source placeholder (end<=start, above) is silent
+                raise ValueError(
+                    f"zero-length SequenceFile part: {partition.path}"
+                ) from None
             try:
                 info = SeqFileInfo.parse(buf)
                 if (
@@ -637,17 +648,18 @@ def seqfile_roundtrip_agg(spark, sf_dir: str):
     back, and roll up the same per-row checksums. Round-trip is identity,
     so the oracle is ``ORACLE_SEQFILE_SCAN`` verbatim: any framing, sync,
     key-serialization, or payload defect in the writer lands in the
-    hash. Export staging lives in a per-process /tmp dir: earlier
-    invocations' dirs are swept on entry, and the current one stays on
-    disk (the returned DataFrame scans it LAZILY — same pattern as the
-    LMDB/SequenceFile fixtures, bounded to one small export per
-    process)."""
+    hash. Export staging lives in a per-(process, invocation) /tmp dir:
+    on entry, dirs OLDER than the previous invocation's are swept — the
+    previous one is kept because its returned DataFrame still scans it
+    lazily — so disk stays bounded to two small exports per process."""
     from caffeonspark_spark.catalog import table_nrows
     from caffeonspark_spark.sources.common import sweep_stale_pid_dirs
 
     src = ensure_fixture(table_nrows(sf_dir, "documents"))
-    # sweep this process's earlier exports AND dead processes' leftovers
-    sweep_stale_pid_dirs("cos_seqfile_rt_")
+    # sweep this process's OLDER exports and dead processes' leftovers —
+    # the PREVIOUS invocation's dir is kept because the DataFrame it
+    # returned still scans it lazily (r15 ADVICE)
+    sweep_stale_pid_dirs("cos_seqfile_rt_", keep_latest=1)
     _RT_SEQ[0] += 1
     out = f"/tmp/cos_seqfile_rt_{os.getpid()}_{_RT_SEQ[0]}"
     n_parts = dataframe_to_seqfile(

@@ -470,22 +470,27 @@ def test_seqfile_scan_agg_oracle(spark):
 
 def test_seqfile_roundtrip_agg_oracle(spark):
     """r15 declared row: the distributed writer's output must checksum
-    identically to the original fixture (round-trip == identity), and
-    earlier invocations' staging dirs are swept."""
+    identically to the original fixture (round-trip == identity); staging
+    stays bounded to two dirs (current + previous invocation — the
+    PREVIOUS invocation's returned DataFrame must stay re-evaluable
+    because it scans its export lazily; r15 ADVICE)."""
     import glob
+    import os
 
     from tests.oracle_check import compare
 
-    for _ in range(2):  # repeat: the driver iterates; staging must not pile
-        ok, msg = compare(
-            S.seqfile_roundtrip_agg(spark, "/root/testdata/sf0.001"),
-            S.ORACLE_SEQFILE_SCAN,
-            "/root/testdata/sf0.001",
-        )
+    prev_df = None
+    for _ in range(3):  # repeat: the driver iterates; staging must not pile
+        df = S.seqfile_roundtrip_agg(spark, "/root/testdata/sf0.001")
+        ok, msg = compare(df, S.ORACLE_SEQFILE_SCAN, "/root/testdata/sf0.001")
         assert ok, msg
-    import os
+        if prev_df is not None:
+            # the previous invocation's DataFrame still scans fine — its
+            # staging dir survived the sweep
+            assert prev_df.count() == 10
+        prev_df = df
 
-    assert len(glob.glob(f"/tmp/cos_seqfile_rt_{os.getpid()}_*")) == 1
+    assert len(glob.glob(f"/tmp/cos_seqfile_rt_{os.getpid()}_*")) == 2
 
 
 def test_seqfile_pruned_metadata_oracle(spark):
@@ -497,3 +502,12 @@ def test_seqfile_pruned_metadata_oracle(spark):
         "/root/testdata/sf0.001",
     )
     assert ok, msg
+
+
+def test_zero_length_part_fails_loudly(spark, tmp_path):
+    """A part truncated to zero bytes must raise, not yield zero rows —
+    a valid SequenceFile always has a header (r15 ADVICE)."""
+    env = S.ensure_fixture(40, base=str(tmp_path))
+    open(f"{env}/part-00099", "wb").close()
+    with pytest.raises(Exception, match="zero-length"):
+        S.seqfile_to_dataframe(spark, env).count()

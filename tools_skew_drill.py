@@ -61,7 +61,9 @@ def _worst_task_sec(spark, group: str) -> float | None:
                     worst = max(worst, summary["duration"][0] / 1000.0)
                 except Exception:
                     continue
-        return round(worst, 2) or None
+        # 0.0 is a legitimate measurement (sub-10ms tasks); None is
+        # reserved for the exception paths (REST API unavailable)
+        return round(worst, 2)
     except Exception:
         return None
 

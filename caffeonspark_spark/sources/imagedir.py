@@ -25,6 +25,9 @@ Scale shape:
 * Label equality/IN filters are accepted in ``pushFilters`` and applied at
   planning time — pruned files are never opened, the custom-source
   equivalent of partition pruning.
+* All IO routes through the ``fsio`` shim (r16): ``path``/``labels`` may
+  be local paths or any pyarrow-resolvable URI (``file://``, ``s3://``,
+  ``hdfs://`` where libhdfs is deployed), read AND write side.
 """
 
 from __future__ import annotations
@@ -52,23 +55,24 @@ FORMAT_NAME = "cos_imagedir"
 def parse_label_file(path: str) -> list[tuple[str, int, str]]:
     """``filename label [id]`` lines → (filename, label, id) tuples
     (``Binary2DataFrame.scala:53-61`` line grammar; id defaults to the
-    filename stem)."""
+    filename stem). ``path`` may be local or any fsio URI (r16)."""
+    from caffeonspark_spark.sources import fsio
+
     out: list[tuple[str, int, str]] = []
-    with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            parts = line.split()
-            if not parts:
-                continue
-            if len(parts) < 2:
-                continue  # tolerate filename-only lines, like the Spark-
-                # side parser of the same grammar (binary_to_dataframe)
-            try:
-                label = int(parts[1])
-            except ValueError:
-                continue
-            fname = parts[0]
-            sample_id = parts[2] if len(parts) > 2 else os.path.splitext(fname)[0]
-            out.append((fname, label, sample_id))
+    for line in fsio.read_text(path).splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) < 2:
+            continue  # tolerate filename-only lines, like the Spark-
+            # side parser of the same grammar (binary_to_dataframe)
+        try:
+            label = int(parts[1])
+        except ValueError:
+            continue
+        fname = parts[0]
+        sample_id = parts[2] if len(parts) > 2 else os.path.splitext(fname)[0]
+        out.append((fname, label, sample_id))
     return out
 
 
@@ -82,8 +86,12 @@ _E2_FIELDS = {"id": "string", "label": "int", "data": "binary"}
 
 class ImageDirReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        from caffeonspark_spark.sources import fsio
+
         self.base = options["path"]
-        self.labels_path = options.get("labels", os.path.join(self.base, "labels.txt"))
+        self.labels_path = options.get(
+            "labels", fsio.join(self.base, "labels.txt")
+        )
         self.n_partitions = int(options.get("partitions", "8"))
         self._label_filters: list[Filter] | None = None
         # COLUMN PRUNING via the user-schema mechanism (Catalyst never
@@ -125,6 +133,8 @@ class ImageDirReader(DataSourceReader):
         return [_FileChunk(c) for c in chunks if c] or [_FileChunk([])]
 
     def read(self, partition: _FileChunk) -> Iterator[tuple]:
+        from caffeonspark_spark.sources import fsio
+
         fields = self._fields
         if "data" not in fields:
             # manifest-only scan: payload files are never opened
@@ -133,8 +143,11 @@ class ImageDirReader(DataSourceReader):
                 yield tuple(row[f] for f in fields)
             return
         for fname, label, sample_id in partition.items:
-            with open(os.path.join(self.base, fname), "rb") as fh:
-                row = {"id": sample_id, "label": label, "data": fh.read()}
+            row = {
+                "id": sample_id,
+                "label": label,
+                "data": fsio.read_bytes(fsio.join(self.base, fname)),
+            }
             yield tuple(row[f] for f in fields)
 
 
@@ -216,21 +229,25 @@ class ImageDirWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, rows) -> _WriteResult:
-        os.makedirs(self.base, exist_ok=True)
+        from caffeonspark_spark.sources import fsio
+
+        fsio.makedirs(self.base)
         entries = []
         for row in rows:
             fname = f"{row.id}.bin"
-            with open(os.path.join(self.base, fname), "wb") as fh:
+            with fsio.open_write(fsio.join(self.base, fname)) as fh:
                 fh.write(bytes(row.data))
             entries.append((fname, int(row.label), str(row.id)))
         return _WriteResult(entries)
 
     def commit(self, messages) -> None:
-        manifest = os.path.join(self.base, "labels.txt")
+        from caffeonspark_spark.sources import fsio
+
+        manifest = fsio.join(self.base, "labels.txt")
         # keyed by filename so append-mode re-writes of the same id replace
         # the prior entry instead of duplicating it
         by_fname: dict[str, str] = {}
-        if not self.overwrite and os.path.exists(manifest):
+        if not self.overwrite and fsio.exists(manifest):
             # append mode MERGES with the existing manifest — rewriting it
             # wholesale from this job's messages would silently orphan every
             # previously written payload (the source plans exclusively from
@@ -240,16 +257,18 @@ class ImageDirWriter(DataSourceWriter):
         for msg in messages:
             for fname, label, sample_id in msg.entries:
                 by_fname[fname] = f"{fname} {label} {sample_id}"
-        with open(manifest, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(sorted(by_fname.values())) + "\n")
+        with fsio.open_write(manifest) as fh:
+            fh.write(("\n".join(sorted(by_fname.values())) + "\n").encode())
 
     def abort(self, messages) -> None:
+        from caffeonspark_spark.sources import fsio
+
         for msg in messages:
             for fname, _, _ in msg.entries:
                 try:
-                    os.remove(os.path.join(self.base, fname))
-                except OSError:
-                    pass
+                    fsio.remove(fsio.join(self.base, fname))
+                except Exception:  # noqa: BLE001 - best-effort cleanup of
+                    pass  # orphans; remote FSs raise non-OSError types
 
 
 def write_image_dir(df, path: str, mode: str = "append") -> None:

@@ -35,8 +35,12 @@ O(n) full-key iteration at plan time (``LmdbRDD.scala:60-90`` skips
 ``part_size`` entries per boundary on the driver). Executors open the
 file read-only and touch only their own leaf/overflow pages; pixel bytes
 never pass through the driver. On a real cluster the ``.mdb`` file must
-be visible to executors (shared storage, or shipped with ``--files`` the
-way the reference calls ``sc.addFile`` — ``LmdbRDD.scala:252-257``).
+be visible to executors: shared storage, ``--files`` shipping the way
+the reference calls ``sc.addFile`` (``LmdbRDD.scala:252-257``), or — r16
+— a remote URI (``file://``, ``s3://``, ``hdfs://`` where libhdfs is
+deployed), which every open stages to machine-local disk once via
+``fsio.ensure_local`` and mmaps, the reference's own SparkFiles strategy
+(``LmdbRDD.scala:166-177``).
 
 The ``Datum`` value codec is the public Caffe protobuf message
 (``caffe.proto``: 1=channels, 2=height, 3=width, 4=data, 5=label,
@@ -241,6 +245,18 @@ class LmdbKV:
     def __init__(self, path: str):
         import mmap
 
+        from caffeonspark_spark.sources import fsio
+
+        if fsio.is_uri(path):
+            # remote environment → stage the data file to machine-local
+            # disk once and mmap the copy: the reference's own strategy
+            # for remote LMDB (``LmdbRDD.scala:166-177`` ships the env
+            # via SparkFiles and opens it locally), and the right one
+            # for a B-tree's scattered-random page walks, where per-page
+            # network round-trips would dominate (r16 fsio shim)
+            path = fsio.ensure_local(
+                fsio.join(path, "data.mdb") if fsio.is_dir(path) else path
+            )
         self.path = (
             os.path.join(path, "data.mdb") if os.path.isdir(path) else path
         )
@@ -457,6 +473,14 @@ def write_lmdb(path: str, items: Iterable[tuple[bytes, bytes]]) -> str:
     empty, meta 0 at txnid 0 and meta 1 at txnid 1. Returns the data-file
     path. Page numbering: metas 0-1, leaves, overflow chains, branches.
     """
+    from caffeonspark_spark.sources import fsio
+
+    if fsio.is_uri(path):
+        raise NotImplementedError(
+            "write_lmdb targets local paths only (an LMDB environment is "
+            "a random-access mmap'd file — write locally, then upload); "
+            f"got {path!r}"
+        )
     recs = sorted(items)
     if any(len(k) == 0 or len(k) > 511 for k, _ in recs):
         raise ValueError("LMDB keys must be 1..511 bytes")
@@ -742,9 +766,16 @@ class LmdbReader(DataSourceReader):
         bounds = [round(i * len(pgnos) / n) for i in range(n + 1)]
         chunks = [pgnos[bounds[i] : bounds[i + 1]] for i in range(n)]
         # the engine substitutes [None] for an empty partition list — an
-        # empty db must still plan ONE empty partition (imagedir lesson)
-        return [_LeafRange(kv.path, c) for c in chunks if c] or [
-            _LeafRange(kv.path, [])
+        # empty db must still plan ONE empty partition (imagedir lesson).
+        # Partitions carry the ORIGINAL option path, not kv.path: for a
+        # remote URI, kv.path is the DRIVER's /tmp-staged copy, which
+        # other machines don't have — each executor must re-stage from
+        # the URI into its own machine-local cache (r16 fsio shim)
+        from caffeonspark_spark.sources import fsio
+
+        part_path = self.path if fsio.is_uri(self.path) else kv.path
+        return [_LeafRange(part_path, c) for c in chunks if c] or [
+            _LeafRange(part_path, [])
         ]
 
     def read(self, partition: _LeafRange) -> Iterator[tuple]:

@@ -32,9 +32,14 @@ sync markers — the exact split semantics of Hadoop's own
 ``SequenceFileInputFormat`` (a split owns every record from the first
 sync at/after its start up to the first sync at/after its end), so a
 1000-executor cluster scans one multi-TB file, or a directory of
-``part-*`` files, with no driver-side iteration at all: planning reads
-one ~100-byte header per file. Executors read only their own byte
-range (+ tail run-out to the next sync).
+``part-*`` files, with no driver-side iteration at all: planning needs
+only the file listing + sizes. Executors read only their own byte
+range (+ tail run-out to the next sync). All IO routes through the
+``fsio`` shim (r16): plain paths take the zero-copy local mmap path,
+and any pyarrow-resolvable URI (``file://``, ``s3://``, ``hdfs://``
+where libhdfs is deployed — the reference's native habitat,
+``SeqImageDataSource.scala:26``) is served by chunk-cached byte-range
+reads in BOTH the planner and the executor read path.
 
 A from-spec WRITER (``write_seqfile`` / ``dataframe_to_seqfile``)
 closes K3: it emits version-6 uncompressed or record-compressed files
@@ -49,6 +54,7 @@ from __future__ import annotations
 import bz2
 import hashlib
 import os
+import posixpath
 import struct
 import zlib
 from collections.abc import Iterator, Sequence
@@ -86,8 +92,11 @@ FORMAT_NAME = "cos_seqfile"
 
 def read_vint(buf, pos: int) -> tuple[int, int]:
     """Hadoop WritableUtils.readVInt: first byte >= -112 is the value;
-    otherwise it encodes sign and a 1-8 byte big-endian magnitude."""
-    b = struct.unpack_from(">b", buf, pos)[0]
+    otherwise it encodes sign and a 1-8 byte big-endian magnitude.
+    ``buf`` is anything int-indexable (bytes, mmap, fsio.RangeBuffer)."""
+    b = buf[pos]
+    if b > 127:
+        b -= 256
     pos += 1
     if b >= -112:
         return b, pos
@@ -151,7 +160,7 @@ class SeqFileInfo:
                     f"SequenceFile codec {info.codec!r} needs a native "
                     f"library; supported: {sorted(_CODECS)}"
                 )
-        n_meta = struct.unpack_from(">i", buf, pos)[0]
+        n_meta = int.from_bytes(bytes(buf[pos : pos + 4]), "big", signed=True)
         pos += 4
         info.metadata = {}
         for _ in range(n_meta):
@@ -241,7 +250,7 @@ def scan_records(
                 else:
                     yield key, b""
             continue
-        (rec_len,) = struct.unpack_from(">i", buf, pos)
+        rec_len = int.from_bytes(bytes(buf[pos : pos + 4]), "big", signed=True)
         if rec_len == -1:  # sync escape
             if pos >= end:
                 return
@@ -249,7 +258,9 @@ def scan_records(
                 raise ValueError("corrupt SequenceFile: bad sync marker")
             pos += 4 + SYNC_SIZE
             continue
-        (key_len,) = struct.unpack_from(">i", buf, pos + 4)
+        key_len = int.from_bytes(
+            bytes(buf[pos + 4 : pos + 8]), "big", signed=True
+        )
         if rec_len < key_len or key_len < 0:
             raise ValueError("corrupt SequenceFile record header")
         kb = buf[pos + 8 : pos + 8 + key_len]
@@ -304,7 +315,10 @@ def write_seqfile(
 
     STREAMS to disk record-by-record (memory stays O(record), never
     O(file) — the distributed exporter feeds multi-GB partitions through
-    here; r15 review finding), consuming ``items`` lazily."""
+    here; r15 review finding), consuming ``items`` lazily. ``path`` may
+    be a local path or any fsio-resolvable URI (r16)."""
+    from caffeonspark_spark.sources import fsio
+
     sync = _derive_sync(path)
     header = bytearray()
     header.extend(SEQ_MAGIC)
@@ -326,11 +340,9 @@ def write_seqfile(
     # orphan invisible to directory scans (_data_files filters '.'/'_'
     # prefixes, the Hadoop in-progress-file convention) — a retried task
     # must never read a half-written predecessor as data (r15 review 2)
-    tmp = os.path.join(
-        os.path.dirname(path) or ".",
-        f".{os.path.basename(path)}.{os.getpid()}.tmp",
-    )
-    with open(tmp, "wb") as fh:
+    head, base = posixpath.split(path) if fsio.is_uri(path) else os.path.split(path)
+    tmp = fsio.join(head or ".", f".{base}.{os.getpid()}.tmp")
+    with fsio.open_write(tmp) as fh:
         fh.write(header)
         pos = len(header)
         last_sync = pos
@@ -351,7 +363,7 @@ def write_seqfile(
             fh.write(kb)
             fh.write(vb)
             pos += len(frame) + len(kb) + len(vb)
-    os.replace(tmp, path)
+    fsio.replace(tmp, path)
     return path
 
 
@@ -362,16 +374,21 @@ def dataframe_to_seqfile(df, out_dir: str) -> int:
     executors write their own part files — nothing moves through the
     driver. Requires ``out_dir`` on storage all executors can reach
     (same caveat as the reference's HDFS output path). Returns the
-    number of part files written."""
+    number of part files written. ``out_dir`` may be a local path or any
+    fsio-resolvable URI (r16)."""
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
+    from caffeonspark_spark.sources import fsio
+
+    fsio.makedirs(out_dir)
     cols = [
         "id", "label", "channels", "height", "width", "encoded", "data",
     ]
 
     def _write(iterator):
         from pyspark import TaskContext
+
+        from caffeonspark_spark.sources import fsio
 
         pid = TaskContext.get().partitionId()
         n_rows = [0]
@@ -385,9 +402,10 @@ def dataframe_to_seqfile(df, out_dir: str) -> int:
                     n_rows[0] += 1
                     yield rec
 
-        write_seqfile(os.path.join(out_dir, f"part-{pid:05d}"), rows())
+        part = fsio.join(out_dir, f"part-{pid:05d}")
+        write_seqfile(part, rows())
         if n_rows[0] == 0:  # drop the empty partition's header-only file
-            os.remove(os.path.join(out_dir, f"part-{pid:05d}"))
+            fsio.remove(part)
         import pyarrow as pa
 
         yield pa.RecordBatch.from_pandas(
@@ -410,14 +428,12 @@ class _ByteSplit(InputPartition):
         self.end = end
 
 
-def _data_files(path: str) -> list[str]:
-    if os.path.isdir(path):
-        return sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if not f.startswith((".", "_"))
-        )
-    return [path]
+def _data_files(path: str) -> list[tuple[str, int]]:
+    """Non-hidden data files with sizes, in either fsio backend (local
+    POSIX path or any pyarrow-resolvable URI — the r16 remote-FS shim)."""
+    from caffeonspark_spark.sources import fsio
+
+    return fsio.list_files(path)
 
 
 class SeqFileReader(DataSourceReader):
@@ -432,12 +448,8 @@ class SeqFileReader(DataSourceReader):
         self._fields = _validated_fields(schema)
 
     def partitions(self) -> Sequence[InputPartition]:
-        # plan from file sizes + one small header read per file — no
-        # record iteration on the driver
-        files = [
-            (f, os.path.getsize(f))
-            for f in _data_files(self.path)
-        ]
+        # plan from file sizes alone — no record iteration on the driver
+        files = _data_files(self.path)
         for f, size in files:
             if size == 0:
                 # a valid SequenceFile always has a header — a part
@@ -457,45 +469,45 @@ class SeqFileReader(DataSourceReader):
         return splits or [_ByteSplit(files[0][0] if files else self.path, 0, 0)]
 
     def read(self, partition: _ByteSplit) -> Iterator[tuple]:
-        import mmap
+        from caffeonspark_spark.sources import fsio
 
         if partition.end <= partition.start:  # empty-source placeholder
             return
-        with open(partition.path, "rb") as fh:
-            try:
-                buf = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
-            except ValueError:
-                # zero-length part: a valid SequenceFile always has a
-                # header — fail LOUDLY (r15 ADVICE); only the planner's
-                # empty-source placeholder (end<=start, above) is silent
+        # local path → zero-copy mmap; URI → chunk-cached range reads
+        # (fsio.RangeBuffer) — the executor touches only its own split's
+        # bytes either way; zero-length parts fail LOUDLY in both
+        # backends (r15 ADVICE: a valid SequenceFile always has a header)
+        try:
+            buf, holder = fsio.open_buffer(partition.path)
+        except ValueError as e:
+            raise ValueError(
+                f"unreadable SequenceFile part {partition.path}: {e}"
+            ) from None
+        try:
+            info = SeqFileInfo.parse(buf)
+            if (
+                info.key_class != BYTES_WRITABLE
+                or info.value_class != BYTES_WRITABLE
+            ):
                 raise ValueError(
-                    f"zero-length SequenceFile part: {partition.path}"
-                ) from None
-            try:
-                info = SeqFileInfo.parse(buf)
-                if (
-                    info.key_class != BYTES_WRITABLE
-                    or info.value_class != BYTES_WRITABLE
-                ):
-                    raise ValueError(
-                        "expected BytesWritable/BytesWritable SequenceFile "
-                        f"(SeqImageDataSource contract), got "
-                        f"{info.key_class}/{info.value_class}"
-                    )
-                fields = self._fields
-                want_data = "data" in fields
-                for kb, vb in scan_records(
-                    buf, info, partition.start, partition.end,
-                    want_values=want_data,
-                ):
-                    rid, label, ch, h, w, enc = javaser.decode_image_key(kb)
-                    row = {
-                        "id": rid, "label": label, "channels": ch,
-                        "height": h, "width": w, "encoded": enc, "data": vb,
-                    }
-                    yield tuple(row[f] for f in fields)
-            finally:
-                buf.close()
+                    "expected BytesWritable/BytesWritable SequenceFile "
+                    f"(SeqImageDataSource contract), got "
+                    f"{info.key_class}/{info.value_class}"
+                )
+            fields = self._fields
+            want_data = "data" in fields
+            for kb, vb in scan_records(
+                buf, info, partition.start, partition.end,
+                want_values=want_data,
+            ):
+                rid, label, ch, h, w, enc = javaser.decode_image_key(kb)
+                row = {
+                    "id": rid, "label": label, "channels": ch,
+                    "height": h, "width": w, "encoded": enc, "data": vb,
+                }
+                yield tuple(row[f] for f in fields)
+        finally:
+            holder.close()
 
 
 class SeqFileDataSource(DataSource):

@@ -518,6 +518,15 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
         # r15: the source-level column-pruned scan (data never copied)
         "seqfile_pruned_metadata": SEQ.seqfile_pruned_metadata,
+        # r16: the from-spec Snappy codec (raw snappy + Hadoop
+        # BlockCompressorStream framing, cross-JVM-verified) as a
+        # hash-checked row — same content, snappy record-compressed
+        "seqfile_snappy_scan": SEQ.seqfile_snappy_scan,
+        # r16: the fsio remote-filesystem shim — the same fixture scanned
+        # through a file:// URI (pyarrow backend: FileSelector planning +
+        # chunk-cached RangeBuffer range reads on executors), the
+        # in-sandbox stand-in for the reference's hdfs:// habitat
+        "seqfile_uri_scan": SEQ.seqfile_uri_scan,
         "caption_encode": ETL.caption_encode_docs,
         "fixed_size_partition": P.fixed_size_partition_query,
         "batch_assembly": ML.batch_assembly_query,
@@ -1003,6 +1012,10 @@ def oracle_sql() -> dict[str, str]:
         "seqfile_scan_agg": SEQ.ORACLE_SEQFILE_SCAN,
         "seqfile_roundtrip": SEQ.ORACLE_SEQFILE_SCAN,
         "seqfile_pruned_metadata": SEQ.ORACLE_SEQFILE_PRUNED_METADATA,
+        # r16: snappy/uri scans return identical content to the plain
+        # scan — the closed-form oracle applies verbatim
+        "seqfile_snappy_scan": SEQ.ORACLE_SEQFILE_SCAN,
+        "seqfile_uri_scan": SEQ.ORACLE_SEQFILE_SCAN,
         "struct_binary_roundtrip": """
             SELECT doc_id, lang AS lang_out, n_chars AS n_chars_out,
                    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,

@@ -263,6 +263,10 @@ BENCH_QUERIES = {
     # and the column-pruned metadata scan
     "q_seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
     "q_seqfile_pruned_meta": SEQ.seqfile_pruned_metadata,
+    # r16: the from-spec Snappy decode path and the fsio file://-URI
+    # (pyarrow RangeBuffer) path over the same content
+    "q_seqfile_snappy_scan": SEQ.seqfile_snappy_scan,
+    "q_seqfile_uri_scan": SEQ.seqfile_uri_scan,
     "q_stream_parity_dedup": SW.stream_dedup_parity,
     # r15: watermark late-data drop policy run-to-completion (3 phased
     # waves: on-time corpus, late straggler re-sends, sentinel flush)

@@ -19,9 +19,10 @@ Hadoop SequenceFile container specification (the format documented on
   vint-length-prefixed codec-compressed buffers (key lengths, keys,
   value lengths, values — lengths are Hadoop vints);
 * ``BytesWritable`` payloads are 4-byte-BE-length-prefixed byte arrays;
-* DefaultCodec = zlib, GzipCodec = gzip, BZip2Codec = bz2 — all
-  decodable with the Python standard library; anything else (Snappy,
-  LZO, ZStandard) fails LOUDLY.
+* DefaultCodec = zlib, GzipCodec = gzip, BZip2Codec = bz2 (Python
+  standard library), and SnappyCodec via the r16 from-spec raw-Snappy +
+  ``BlockCompressorStream``-framing decoder (``snappy.py``,
+  cross-JVM-verified); anything else (LZO, ZStandard) fails LOUDLY.
 
 Key decode is the from-spec Java-serialization subset in ``javaser.py``
 (all three reference key encodings), producing the same 7-tuple schema
@@ -71,13 +72,28 @@ SYNC_ESCAPE = b"\xff\xff\xff\xff"
 SYNC_INTERVAL = 100 * (4 + SYNC_SIZE)  # Hadoop's writer cadence
 BYTES_WRITABLE = "org.apache.hadoop.io.BytesWritable"
 
-#: codec class name → one-shot decompressor over stdlib (public formats)
+from caffeonspark_spark.sources import snappy as _snappy  # noqa: E402
+
+#: codec class name → one-shot decompressor (stdlib formats + the r16
+#: from-spec Snappy — all written from public specifications)
 _CODECS = {
     "org.apache.hadoop.io.compress.DefaultCodec": zlib.decompress,
     "org.apache.hadoop.io.compress.GzipCodec": (
         lambda b: zlib.decompress(b, wbits=31)
     ),
     "org.apache.hadoop.io.compress.BZip2Codec": bz2.decompress,
+    "org.apache.hadoop.io.compress.SnappyCodec": _snappy.hadoop_decompress,
+}
+
+#: writer-side codec table: short name → (header class name, compressor)
+_WRITE_CODECS = {
+    "default": (
+        "org.apache.hadoop.io.compress.DefaultCodec", zlib.compress,
+    ),
+    "snappy": (
+        "org.apache.hadoop.io.compress.SnappyCodec",
+        _snappy.hadoop_compress,
+    ),
 }
 
 SEQFILE_SCHEMA = (
@@ -157,8 +173,8 @@ class SeqFileInfo:
             info.codec, pos = text(pos)
             if info.codec not in _CODECS:
                 raise NotImplementedError(
-                    f"SequenceFile codec {info.codec!r} needs a native "
-                    f"library; supported: {sorted(_CODECS)}"
+                    f"SequenceFile codec {info.codec!r} unsupported; "
+                    f"supported: {sorted(_CODECS)}"
                 )
         n_meta = int.from_bytes(bytes(buf[pos : pos + 4]), "big", signed=True)
         pos += 4
@@ -308,10 +324,13 @@ def write_seqfile(
     items,
     record_compress: bool = False,
     key_encoding="tuple6",
+    codec: str = "default",
 ) -> str:
     """Write ``(id, label, channels, height, width, encoded, data)``
     tuples as a version-6 BytesWritable/BytesWritable SequenceFile.
-    Atomic via rename; returns ``path``.
+    Atomic via rename; returns ``path``. ``codec`` picks the
+    record-compression codec (``"default"`` = zlib, ``"snappy"`` = the
+    r16 from-spec Snappy — both readable by real Hadoop).
 
     STREAMS to disk record-by-record (memory stays O(record), never
     O(file) — the distributed exporter feeds multi-GB partitions through
@@ -327,12 +346,17 @@ def write_seqfile(
         b = name.encode()
         write_vint(header, len(b))
         header.extend(b)
+    if codec not in _WRITE_CODECS:
+        raise ValueError(
+            f"unknown write codec {codec!r}; known: {sorted(_WRITE_CODECS)}"
+        )
+    codec_cls, compress_fn = _WRITE_CODECS[codec]
     header.append(1 if record_compress else 0)
     header.append(0)  # block compression not written
     if record_compress:
-        codec = b"org.apache.hadoop.io.compress.DefaultCodec"
-        write_vint(header, len(codec))
-        header.extend(codec)
+        cls_b = codec_cls.encode()
+        write_vint(header, len(cls_b))
+        header.extend(cls_b)
     header.extend(struct.pack(">i", 0))  # empty metadata
     header.extend(sync)
 
@@ -352,7 +376,7 @@ def write_seqfile(
             data = bytes(rec[6])
             vb = struct.pack(">i", len(data)) + data
             if record_compress:
-                vb = zlib.compress(vb)
+                vb = compress_fn(vb)
             if pos - last_sync >= SYNC_INTERVAL:
                 fh.write(SYNC_ESCAPE)
                 fh.write(sync)
@@ -574,11 +598,16 @@ def _fixture_record(doc_id: int) -> tuple:
     return (f"{doc_id:08d}", *shape, data.tobytes(), kind)
 
 
-def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
+def ensure_fixture(
+    n_docs: int, base: str = "/tmp", codec: str | None = None
+) -> str:
     """Deterministic 2-part SequenceFile fixture over ids 0..n-1 mixing
-    ALL THREE key encodings (idempotent, atomic via rename)."""
+    ALL THREE key encodings (idempotent, atomic via rename).
+    ``codec="snappy"``/``"default"`` writes the record-compressed
+    variant (same content, own cache dir)."""
+    tag = f"_{codec}" if codec else ""
     out_dir = os.path.join(
-        base, f"cos_seqfile_fixture_v{_FIXTURE_VERSION}_{n_docs}"
+        base, f"cos_seqfile_fixture_v{_FIXTURE_VERSION}{tag}_{n_docs}"
     )
     parts = [os.path.join(out_dir, f"part-{i:05d}") for i in range(2)]
     if all(os.path.exists(p) for p in parts):
@@ -602,7 +631,9 @@ def ensure_fixture(n_docs: int, base: str = "/tmp") -> str:
                 _fixture_record(doc_id)[:7]
                 for doc_id in range(pi, n_docs, 2)
             ),
+            record_compress=codec is not None,
             key_encoding=mixed_key,
+            codec=codec or "default",
         )
     return out_dir
 
@@ -634,6 +665,15 @@ def _label_rollup(per_row):
     )
 
 
+def _scan_rollup(spark, path: str):
+    """Scan → per-row checksums → per-label rollup: the shared shape of
+    every declared seqfile scan row (plain, snappy, URI)."""
+    per_row = seqfile_to_dataframe(spark, path).mapInPandas(
+        _row_metrics, _RM_SCHEMA
+    )
+    return _label_rollup(per_row)
+
+
 def seqfile_scan_agg(spark, sf_dir: str):
     """Declared query (✔oracle): the full SequenceFile path end-to-end —
     build the deterministic fixture for this SF's documents ids (two
@@ -642,14 +682,43 @@ def seqfile_scan_agg(spark, sf_dir: str):
     Java-serialized key and BytesWritable payload, checksum the returned
     bytes per row, and roll up per label. DuckDB recomputes every
     aggregate in closed form from ``documents.doc_id``."""
-    from pyspark.sql import functions as F
-
     from caffeonspark_spark.catalog import table_nrows
 
-    out_dir = ensure_fixture(table_nrows(sf_dir, "documents"))
-    df = seqfile_to_dataframe(spark, out_dir)
-    per_row = df.mapInPandas(_row_metrics, _RM_SCHEMA)
-    return _label_rollup(per_row)
+    return _scan_rollup(
+        spark, ensure_fixture(table_nrows(sf_dir, "documents"))
+    )
+
+
+def seqfile_snappy_scan(spark, sf_dir: str):
+    """Declared query (✔oracle, r16): the from-spec Snappy codec as a
+    hash-checked row — the same deterministic content written
+    record-compressed under ``SnappyCodec`` (the r16 literal-only raw
+    Snappy under Hadoop's ``BlockCompressorStream`` framing, a layout
+    real Hadoop readers accept — cross-JVM-pinned in tests), scanned
+    back through the from-spec Snappy decoder. Round-trip is identity,
+    so the oracle is ``ORACLE_SEQFILE_SCAN`` verbatim: any framing or
+    decode defect lands in the hash."""
+    from caffeonspark_spark.catalog import table_nrows
+
+    return _scan_rollup(
+        spark,
+        ensure_fixture(table_nrows(sf_dir, "documents"), codec="snappy"),
+    )
+
+
+def seqfile_uri_scan(spark, sf_dir: str):
+    """Declared query (✔oracle, r16): the fsio remote-filesystem path as
+    a hash-checked row — the same fixture scanned through a ``file://``
+    URI, which resolves through the pyarrow backend end-to-end
+    (FileSelector listing in the planner, chunk-cached RangeBuffer range
+    reads in the executors): the in-sandbox stand-in for the
+    ``hdfs://`` URIs the reference reads natively
+    (``SeqImageDataSource.scala:26``)."""
+    from caffeonspark_spark.catalog import table_nrows
+
+    return _scan_rollup(
+        spark, f"file://{ensure_fixture(table_nrows(sf_dir, 'documents'))}"
+    )
 
 
 def seqfile_roundtrip_agg(spark, sf_dir: str):
@@ -679,10 +748,7 @@ def seqfile_roundtrip_agg(spark, sf_dir: str):
     )
     if n_parts < 1:
         raise RuntimeError("export produced no part files")
-    per_row = seqfile_to_dataframe(spark, out).mapInPandas(
-        _row_metrics, _RM_SCHEMA
-    )
-    return _label_rollup(per_row)
+    return _scan_rollup(spark, out)
 
 
 _RT_SEQ = [0]

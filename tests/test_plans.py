@@ -887,6 +887,25 @@ def test_seqfile_scan_agg_plan(spark, sf_smoke):
     assert shuffle_count(df) <= 2, plan
 
 
+def test_seqfile_snappy_and_uri_scan_plans(spark, sf_smoke):
+    """r16: the snappy and URI scan variants keep the exact plan shape of
+    the plain scan — same BatchScan source, one Arrow MapInPandas, ≤2
+    exchanges; the codec/filesystem change lives entirely inside the
+    source, invisible to Catalyst."""
+    from caffeonspark_spark.sources.seqfile import (
+        seqfile_snappy_scan,
+        seqfile_uri_scan,
+    )
+
+    for fn in (seqfile_snappy_scan, seqfile_uri_scan):
+        df = fn(spark, sf_smoke)
+        plan = physical_plan(df)
+        tree = plan.split("\n\n")[0]
+        assert "BatchScan cos_seqfile" in tree, plan
+        assert tree.count("MapInPandas") == 1, plan
+        assert shuffle_count(df) <= 2, plan
+
+
 def test_seqfile_pruned_metadata_plan(spark, sf_smoke):
     """The pruned SequenceFile scan: the BatchScan's output is the
     4-column pruned schema (data never reaches the plan), and the rollup

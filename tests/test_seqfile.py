@@ -241,13 +241,15 @@ def test_header_guards(tmp_path):
         S.write_vint(out, len(name.encode()))
         out.extend(name.encode())
     out.extend(b"\x01\x00")
-    codec = b"org.apache.hadoop.io.compress.SnappyCodec"
+    codec = b"com.hadoop.compression.lzo.LzoCodec"
     S.write_vint(out, len(codec))
     out.extend(codec)
     out.extend(struct.pack(">i", 0))
     out.extend(b"\x00" * 16)
-    with pytest.raises(NotImplementedError, match="SnappyCodec"):
+    with pytest.raises(NotImplementedError, match="LzoCodec"):
         S.SeqFileInfo.parse(bytes(out))
+    # SnappyCodec is SUPPORTED since r16 (from-spec decoder)
+    assert "org.apache.hadoop.io.compress.SnappyCodec" in S._CODECS
 
 
 # --- cross-JVM parity (the S3 contract) -----------------------------------------
@@ -312,6 +314,8 @@ def test_reads_hadoop_written_files(spark, tmp_path, ctype):
         ("GzipCodec", "RECORD"),
         ("GzipCodec", "BLOCK"),
         ("BZip2Codec", "RECORD"),
+        ("SnappyCodec", "RECORD"),
+        ("SnappyCodec", "BLOCK"),
     ],
 )
 def test_reads_hadoop_written_alternate_codecs(spark, tmp_path, codec, ctype):

@@ -159,6 +159,12 @@ SHOW = {
     "seqfile_pruned_metadata (source-pruned scan: 4-column schema, no data bytes)": (
         SEQ.seqfile_pruned_metadata
     ),
+    "seqfile_snappy_scan (from-spec Snappy record-compressed scan)": (
+        SEQ.seqfile_snappy_scan
+    ),
+    "seqfile_uri_scan (fsio file:// URI via pyarrow RangeBuffer)": (
+        SEQ.seqfile_uri_scan
+    ),
     "semantic_dedup_against_corpus (cross-side cluster-local, shared centroid index)": (
         S.semantic_dedup_against_corpus_query
     ),

@@ -89,6 +89,8 @@ QUERIES = {
     # and the pruned scan (should stay under the unpruned cost)
     "seqfile_roundtrip": SEQ.seqfile_roundtrip_agg,
     "seqfile_pruned_meta": SEQ.seqfile_pruned_metadata,
+    "seqfile_snappy_scan": SEQ.seqfile_snappy_scan,
+    "seqfile_uri_scan": SEQ.seqfile_uri_scan,
     # r14: bipartite SemDeDup — candidates stay cluster-local (k grows
     # with the corpus), the against-corpus claim on embeddings
     "semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,

@@ -319,6 +319,43 @@ def _encode_key(rec: tuple, key_encoding) -> bytes:
     raise ValueError(f"unknown key_encoding {key_encoding!r}")
 
 
+def _container_header(
+    sync: bytes, record_compress: bool, codec_cls: str
+) -> bytes:
+    """The version-6 container header (shared by the streaming writer
+    and the batched exporter — one implementation, no drift)."""
+    header = bytearray()
+    header.extend(SEQ_MAGIC)
+    header.append(SEQ_VERSION)
+    for name in (BYTES_WRITABLE, BYTES_WRITABLE):
+        b = name.encode()
+        write_vint(header, len(b))
+        header.extend(b)
+    header.append(1 if record_compress else 0)
+    header.append(0)  # block compression not written
+    if record_compress:
+        cls_b = codec_cls.encode()
+        write_vint(header, len(cls_b))
+        header.extend(cls_b)
+    header.extend(struct.pack(">i", 0))  # empty metadata
+    header.extend(sync)
+    return bytes(header)
+
+
+def _writer_tmp(path: str) -> str:
+    """DOT-prefixed temp name beside ``path``: a writer that dies
+    mid-stream leaves its orphan invisible to directory scans
+    (_data_files filters '.'/'_' prefixes, the Hadoop in-progress-file
+    convention) — a retried task must never read a half-written
+    predecessor as data (r15 review 2)."""
+    from caffeonspark_spark.sources import fsio
+
+    head, base = (
+        posixpath.split(path) if fsio.is_uri(path) else os.path.split(path)
+    )
+    return fsio.join(head or ".", f".{base}.{os.getpid()}.tmp")
+
+
 def write_seqfile(
     path: str,
     items,
@@ -338,34 +375,15 @@ def write_seqfile(
     be a local path or any fsio-resolvable URI (r16)."""
     from caffeonspark_spark.sources import fsio
 
-    sync = _derive_sync(path)
-    header = bytearray()
-    header.extend(SEQ_MAGIC)
-    header.append(SEQ_VERSION)
-    for name in (BYTES_WRITABLE, BYTES_WRITABLE):
-        b = name.encode()
-        write_vint(header, len(b))
-        header.extend(b)
     if codec not in _WRITE_CODECS:
         raise ValueError(
             f"unknown write codec {codec!r}; known: {sorted(_WRITE_CODECS)}"
         )
     codec_cls, compress_fn = _WRITE_CODECS[codec]
-    header.append(1 if record_compress else 0)
-    header.append(0)  # block compression not written
-    if record_compress:
-        cls_b = codec_cls.encode()
-        write_vint(header, len(cls_b))
-        header.extend(cls_b)
-    header.extend(struct.pack(">i", 0))  # empty metadata
-    header.extend(sync)
+    sync = _derive_sync(path)
+    header = _container_header(sync, record_compress, codec_cls)
 
-    # DOT-prefixed temp name: a writer that dies mid-stream leaves its
-    # orphan invisible to directory scans (_data_files filters '.'/'_'
-    # prefixes, the Hadoop in-progress-file convention) — a retried task
-    # must never read a half-written predecessor as data (r15 review 2)
-    head, base = posixpath.split(path) if fsio.is_uri(path) else os.path.split(path)
-    tmp = fsio.join(head or ".", f".{base}.{os.getpid()}.tmp")
+    tmp = _writer_tmp(path)
     with fsio.open_write(tmp) as fh:
         fh.write(header)
         pos = len(header)
@@ -389,6 +407,64 @@ def write_seqfile(
             pos += len(frame) + len(kb) + len(vb)
     fsio.replace(tmp, path)
     return path
+
+
+def _frame_batch(keys, datas, sync: bytes, pos: int, last_sync: int):
+    """Frame one batch of ``(key_bytes, value_bytes)`` records into a
+    single contiguous uncompressed-layout buffer, BYTE-IDENTICAL to
+    ``write_seqfile``'s per-record streaming output (same header fields,
+    same running-byte sync cadence — pinned by
+    ``test_batched_export_byte_identical_to_streaming_writer``), but
+    assembled with NumPy offset arithmetic (r16): vectorized i32 header
+    scatter and ragged-arange payload scatter, one Python integer pass
+    for the sync placement. Returns ``(buffer, pos, last_sync)``."""
+    import numpy as np
+
+    n = len(keys)
+    klen = np.fromiter((len(k) for k in keys), np.int64, n)
+    vlen = np.fromiter((len(v) for v in datas), np.int64, n)
+    rec_len = 16 + klen + vlen  # 8 frame + (4+klen) kb + (4+vlen) vb
+    sync_len = 4 + SYNC_SIZE
+
+    # sync placement follows the exact streaming rule (integer-only pass)
+    sync_before = np.zeros(n, bool)
+    for i in range(n):
+        if pos - last_sync >= SYNC_INTERVAL:
+            sync_before[i] = True
+            pos += sync_len
+            last_sync = pos
+        pos += int(rec_len[i])
+
+    piece = rec_len + sync_len * sync_before
+    starts = np.concatenate(([0], np.cumsum(piece)[:-1]))
+    rec_start = starts + sync_len * sync_before
+    out = np.zeros(int(piece.sum()), np.uint8)
+
+    def put_i32(values, offsets) -> None:
+        idx = offsets[:, None] + np.arange(4)
+        out[idx] = values.astype(">i4").view(np.uint8).reshape(n, 4)
+
+    put_i32(8 + klen + vlen, rec_start)       # recordLen = |kb| + |vb|
+    put_i32(4 + klen, rec_start + 4)          # keyLen = |kb|
+    put_i32(klen, rec_start + 8)              # BytesWritable key prefix
+    put_i32(vlen, rec_start + 12 + klen)      # BytesWritable value prefix
+
+    def scatter(blobs, lens, dests) -> None:
+        total = int(lens.sum())
+        if not total:
+            return
+        cat = np.frombuffer(b"".join(blobs), np.uint8)
+        blob_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        intra = np.arange(total) - np.repeat(blob_starts, lens)
+        out[np.repeat(dests, lens) + intra] = cat
+
+    scatter(keys, klen, rec_start + 12)
+    scatter(datas, vlen, rec_start + 16 + klen)
+
+    marker = np.frombuffer(SYNC_ESCAPE + sync, np.uint8)
+    for i in np.nonzero(sync_before)[0]:
+        out[starts[i] : starts[i] + sync_len] = marker
+    return out, pos, last_sync
 
 
 def dataframe_to_seqfile(df, out_dir: str) -> int:
@@ -415,25 +491,43 @@ def dataframe_to_seqfile(df, out_dir: str) -> int:
         from caffeonspark_spark.sources import fsio
 
         pid = TaskContext.get().partitionId()
-        n_rows = [0]
-
-        def rows():
-            # lazy feed: write_seqfile streams each Arrow batch's rows to
-            # disk as they arrive — memory stays O(batch), not O(partition)
+        part = fsio.join(out_dir, f"part-{pid:05d}")
+        sync = _derive_sync(part)
+        header = _container_header(sync, False, _WRITE_CODECS["default"][0])
+        tmp = _writer_tmp(part)
+        n_rows = 0
+        # stream one NumPy-framed buffer per Arrow batch (r16): memory
+        # stays O(batch), and the bytes are pinned identical to the
+        # per-record streaming writer's
+        with fsio.open_write(tmp) as fh:
+            fh.write(header)
+            pos = len(header)
+            last_sync = pos
             for batch in iterator:
                 pdf = batch.to_pandas()
-                for rec in pdf[cols].itertuples(index=False, name=None):
-                    n_rows[0] += 1
-                    yield rec
-
-        part = fsio.join(out_dir, f"part-{pid:05d}")
-        write_seqfile(part, rows())
-        if n_rows[0] == 0:  # drop the empty partition's header-only file
-            fsio.remove(part)
+                if not len(pdf):
+                    continue
+                keys = [
+                    javaser.dumps_tuple6(
+                        str(r[0]), str(r[1]), int(r[2]), int(r[3]),
+                        int(r[4]), bool(r[5]),
+                    )
+                    for r in pdf[cols[:6]].itertuples(index=False, name=None)
+                ]
+                datas = [bytes(v) for v in pdf["data"]]
+                buf, pos, last_sync = _frame_batch(
+                    keys, datas, sync, pos, last_sync
+                )
+                fh.write(buf)
+                n_rows += len(keys)
+        if n_rows:
+            fsio.replace(tmp, part)
+        else:  # drop the empty partition's header-only file
+            fsio.remove(tmp)
         import pyarrow as pa
 
         yield pa.RecordBatch.from_pandas(
-            pd.DataFrame({"n": [n_rows[0]]}),
+            pd.DataFrame({"n": [n_rows]}),
             schema=pa.schema([("n", pa.int64())]),
         )
 

@@ -515,3 +515,36 @@ def test_zero_length_part_fails_loudly(spark, tmp_path):
     open(f"{env}/part-00099", "wb").close()
     with pytest.raises(Exception, match="zero-length"):
         S.seqfile_to_dataframe(spark, env).count()
+
+
+def test_batched_export_byte_identical_to_streaming_writer(spark, tmp_path):
+    """r16: the NumPy-framed distributed exporter must produce BYTE-
+    IDENTICAL files to the per-record streaming writer for the same
+    records and part name (same header, framing, and running-byte sync
+    cadence) — framing arithmetic is pinned, not just round-trip
+    semantics. Uses >2KB of records so sync markers are actually
+    emitted."""
+    items = _items(300)
+    ref = str(tmp_path / "ref" / "part-00000")
+    import os as _os
+
+    _os.makedirs(tmp_path / "ref")
+    S.write_seqfile(ref, items)
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            items,
+            columns=[
+                "id", "label", "channels", "height", "width", "encoded",
+                "data",
+            ],
+        )
+    ).coalesce(1)
+    out = str(tmp_path / "export")
+    assert S.dataframe_to_seqfile(df, out) == 1
+    got = open(f"{out}/part-00000", "rb").read()
+    want = open(ref, "rb").read()
+    assert S.SYNC_ESCAPE + S._derive_sync(ref) in want  # syncs present
+    assert got == want

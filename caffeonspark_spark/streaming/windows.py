@@ -480,8 +480,9 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query (✔oracle, r15): the WATERMARK LATE-DATA DROP policy
     as a hash-checked row — previously pinned only by a unit test.
 
-    Construction: two deterministic waves over a 1-file-per-trigger file
-    source. Wave 1 carries every event on time. Wave 2 re-sends planted
+    Construction: deterministic waves landed into a file-source
+    directory between triggers (cached per corpus, hardlinked per
+    invocation — r16). Wave 1 carries every event on time. Wave 2 re-sends planted
     STRAGGLERS (``event_id % 10 == 7`` with event time at least 2 hours
     behind the corpus max — strictly behind the 1-hour watermark wave 1
     established) plus one far-future sentinel that pushes the watermark
@@ -546,6 +547,7 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep earlier invocations of THIS process and leftovers of DEAD
     # processes (per-pid sweeps alone leak one staging dir per exited
     # process — r15 review findings); the live run also rmtrees on exit
+    from caffeonspark_spark.catalog import table_nrows
     from caffeonspark_spark.sources.common import sweep_stale_pid_dirs
 
     sweep_stale_pid_dirs("cos_late_parity_")
@@ -563,12 +565,50 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
+    # the wave files are DETERMINISTIC per corpus, so build them once
+    # into a content-keyed shared cache (multi-part parallel writes — the
+    # old per-invocation coalesce(1) full-corpus write was the row's
+    # dominant cost; r15 VERDICT) and hardlink them into each
+    # invocation's source dir. Arrival PHASING is untouched: links are
+    # created between processAllAvailable rounds exactly as the writes
+    # were. Build-then-rename keeps the cache all-or-nothing under
+    # concurrent builders (same discipline as the seqfile fixtures).
+    cache = _os.path.join(
+        "/tmp",
+        "cos_late_waves_v1_"
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}"
+        f"_{table_nrows(sf_dir, 'events')}",
+    )
+    if not _os.path.isdir(cache):
+        build = f"{cache}.build_{_os.getpid()}"
+        _shutil.rmtree(build, ignore_errors=True)
+        _os.makedirs(build)
+        for i in range(3):
+            tmp = _os.path.join(build, f"_build{i}")
+            waves[i].write.mode("overwrite").parquet(tmp)
+            parts = sorted(_glob.glob(_os.path.join(tmp, "part-*.parquet")))
+            for j, part in enumerate(parts):
+                _os.replace(
+                    part, _os.path.join(build, f"wave{i}_{j:04d}.parquet")
+                )
+            _shutil.rmtree(tmp)
+        try:
+            _os.rename(build, cache)
+        except OSError:  # another process won the race — theirs is whole
+            _shutil.rmtree(build, ignore_errors=True)
+
     def _land(i: int) -> None:
-        tmp = _os.path.join(src, f"_build{i}")
-        waves[i].coalesce(1).write.mode("overwrite").parquet(tmp)
-        [part] = _glob.glob(_os.path.join(tmp, "part-*.parquet"))
-        _os.replace(part, _os.path.join(src, f"wave{i}.parquet"))
-        _shutil.rmtree(tmp)
+        files = sorted(
+            _glob.glob(_os.path.join(cache, f"wave{i}_*.parquet"))
+        )
+        if not files:
+            raise RuntimeError(f"wave cache {cache} has no wave-{i} files")
+        for f in files:
+            dst = _os.path.join(src, _os.path.basename(f))
+            try:
+                _os.link(f, dst)  # hardlink: no byte copy
+            except OSError:
+                _shutil.copy2(f, dst)
 
     _land(0)
     stream = (

@@ -283,7 +283,32 @@ def _run(df) -> None:
 _LINE_BUDGET = 1900
 
 
-def _result_line(timings: dict[str, float], sf_val) -> str:
+def noise_summary(all_runs: dict[str, list[float]]) -> dict:
+    """Compact in-line noise attribution (r16): per-row relative spread
+    ``(max-min)/min`` over the serialized repeats, summarized as median /
+    p90 / worst row. A high worst-spread row in the SAME artifact that
+    shows a drifted best is host noise self-attributed, no re-run
+    needed. Full per-row run lists live in bench_last_run.json."""
+    spreads = {
+        k: (max(rs) - min(rs)) / max(min(rs), 1e-3)
+        for k, rs in all_runs.items()
+        if rs
+    }
+    if not spreads:
+        return {}
+    vals = sorted(spreads.values())
+    worst = max(spreads, key=spreads.get)
+    return {
+        "med": round(vals[len(vals) // 2], 2),
+        "p90": round(vals[int(len(vals) * 0.9)], 2),
+        "max": round(spreads[worst], 2),
+        "max_row": worst[2:] if worst.startswith("q_") else worst,
+    }
+
+
+def _result_line(
+    timings: dict[str, float], sf_val, noise: dict | None = None
+) -> str:
     """The ONE printed JSON line, guaranteed <= _LINE_BUDGET chars.
 
     The driver captures only the LAST 2000 chars of stdout and parses the
@@ -302,6 +327,7 @@ def _result_line(timings: dict[str, float], sf_val) -> str:
     """
     total = round(sum(timings.values()), 2)
     short = {(k[2:] if k.startswith("q_") else k): v for k, v in timings.items()}
+    extra = {"noise": noise} if noise else {}
     for ndig in (2, 1):
         line = json.dumps(
             {
@@ -310,6 +336,7 @@ def _result_line(timings: dict[str, float], sf_val) -> str:
                 "unit": "sec",
                 "queries": {k: round(v, ndig) for k, v in short.items()},
                 "sf": sf_val,
+                **extra,
             },
             separators=(",", ":"),
         )
@@ -320,6 +347,7 @@ def _result_line(timings: dict[str, float], sf_val) -> str:
             "value": total,
             "queries": {k: round(v, 1) for k, v in short.items()},
             "sf": sf_val,
+            **extra,
         },
         separators=(",", ":"),
     )
@@ -334,6 +362,7 @@ def _result_line(timings: dict[str, float], sf_val) -> str:
                 "queries": {k: round(v, 1) for k, v in rows[:n]},
                 "sf": sf_val,
                 "dropped": len(rows) - n,
+                **extra,
             },
             separators=(",", ":"),
         )
@@ -388,6 +417,7 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in BENCH_QUERIES.items():
         # two runs, keep the best: the first pays per-query codegen/JVM JIT
         # warm-up and host-VM timing noise (observed 2-3x run-to-run); min
@@ -396,26 +426,32 @@ def main() -> None:
         # dedup module memoizes persisted intermediates by plan — without
         # the release, run 2 of those queries would time warm block reads,
         # not engine compute).
-        best = float("inf")
+        runs = []
         for _ in range(3 if name in _EXTRA_RUN else 2):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            runs.append(round(time.perf_counter() - t0, 3))
             unpersist_cached()
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = min(runs)
+        all_runs[name] = runs
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # full-precision record for local studies / BASELINE.md attribution
+    # full-precision record for local studies / BASELINE.md attribution —
+    # r16: includes EVERY serialized repeat per row ("runs"), so a
+    # drifted row in a round's BENCH artifact is attributable from the
+    # committed record itself (code identity + in-run spread) instead of
+    # via post-hoc re-runs (r15 VERDICT 3)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_last_run.json"), "w") as f:
         json.dump({"metric": "headline_suite_wall_seconds",
                    "value": round(sum(timings.values()), 3), "unit": "sec",
-                   "queries": timings, "sf": sf_val}, f, indent=1)
+                   "queries": timings, "runs": all_runs, "sf": sf_val},
+                  f, indent=1)
 
-    print(_result_line(timings, sf_val))
+    print(_result_line(timings, sf_val, noise_summary(all_runs)))
 
 
 if __name__ == "__main__":

@@ -311,6 +311,15 @@ def main() -> int:
         r["identical"] and r["faults_fired"] > 0 for r in results.values()
     )
     print("RETRY_DRILL_RESULT " + json.dumps({"ok": ok, "scenarios": results}))
+    # r16: the drill is part of the round-end certification — record the
+    # artifact beside POSTURE_r{N}.json ($RETRY_DRILL_OUT, e.g.
+    # RETRYDRILL_r16.json) so bit-identical-under-retry is re-proven and
+    # committed at every final HEAD, not just inside pytest
+    out = os.environ.get("RETRY_DRILL_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"ok": ok, "sf_dir": sf, "scenarios": results}, f,
+                      indent=1)
     spark.stop()
     return 0 if ok else 1
 

@@ -94,6 +94,9 @@ QUERIES = {
     # r14: bipartite SemDeDup — candidates stay cluster-local (k grows
     # with the corpus), the against-corpus claim on embeddings
     "semantic_corpus_dedup": S.semantic_dedup_against_corpus_query,
+    # r16: completes the 5-most-expensive set for the sf1-equivalent
+    # (k=10 on sf0.1 = 50k docs) spot-check — VERDICT r15 item 4
+    "image_dhash_clusters": IH.image_dhash_clusters,
 }
 
 

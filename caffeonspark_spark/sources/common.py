@@ -74,6 +74,22 @@ ROW_METRICS_SCHEMA = (
 )
 
 
+def pid_alive(pid: int) -> bool:
+    """Best-effort liveness probe (signal 0); PermissionError means the
+    pid exists but is owned elsewhere — alive for sweeping purposes."""
+    import os
+
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
 def sweep_stale_pid_dirs(prefix: str, keep_latest: int = 0) -> None:
     """Remove ``/tmp/<prefix><pid>_<seq>`` staging dirs belonging to THIS
     process (earlier invocations) or to DEAD processes — per-pid sweeps
@@ -99,16 +115,7 @@ def sweep_stale_pid_dirs(prefix: str, keep_latest: int = 0) -> None:
         if pid == me and keep_latest and seq_s.isdigit():
             mine.append((int(seq_s), d))
             continue
-        alive = False
-        if pid != me:
-            try:
-                os.kill(pid, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:  # exists, owned elsewhere
-                alive = True
-        if not alive:
+        if pid == me or not pid_alive(pid):
             shutil.rmtree(d, ignore_errors=True)
     for _, d in sorted(mine)[:-keep_latest or None]:
         shutil.rmtree(d, ignore_errors=True)

@@ -145,6 +145,26 @@ def read_text(path: str) -> str:
     return read_bytes(path).decode("utf-8")
 
 
+def dir_reader(base: str):
+    """``name -> bytes`` reader for files under ``base``, resolving the
+    filesystem ONCE — per-file ``FileSystem.from_uri`` in an executor
+    hot loop would rebuild an S3/GCS/HDFS client per row (r16 review).
+    Use one reader per partition."""
+    if not is_uri(base):
+        def _read_local(name: str) -> bytes:
+            with open(os.path.join(base, name), "rb") as fh:
+                return fh.read()
+
+        return _read_local
+    fs, internal_base = _resolve(base)
+
+    def _read_remote(name: str) -> bytes:
+        with fs.open_input_stream(posixpath.join(internal_base, name)) as fh:
+            return fh.read()
+
+    return _read_remote
+
+
 class RangeBuffer:
     """Buffer-protocol-lite over a remote random-access file: ``len``,
     ``buf[i]`` (int), ``buf[a:b]`` (bytes), ``find`` — the exact surface
@@ -313,17 +333,48 @@ def ensure_local(path: str, cache_base: str = "/tmp") -> str:
     right for scattered-random access patterns (B-tree page walks) where
     per-page network round-trips would dominate. Concurrent tasks race
     benignly: each downloads to a pid-unique temp and renames over the
-    same content-keyed destination."""
+    same keyed destination.
+
+    The cache key is (URI, size, mtime) — mtime included so a same-size
+    remote rewrite (common for page-multiple-sized LMDB files) is
+    re-staged, not served stale; filesystems that report no mtime fall
+    back to (URI, size) and the caveat is on the store's versioning
+    (r16 review)."""
     if not is_uri(path):
         return path
-    size = file_size(path)
-    digest = hashlib.sha1(path.encode()).hexdigest()[:16]
-    dest = os.path.join(cache_base, f"cos_fsio_stage_{digest}_{size}")
+    fs, internal = _resolve(path)
+    info = fs.get_file_info(internal)
+    if info.size is None:
+        raise FileNotFoundError(path)
+    mtime = info.mtime_ns if info.mtime_ns is not None else ""
+    digest = hashlib.sha1(f"{path}|{mtime}".encode()).hexdigest()[:16]
+    dest = os.path.join(
+        cache_base, f"cos_fsio_stage_{digest}_{info.size}"
+    )
     if os.path.exists(dest):
         return dest
-    fs, internal = _resolve(path)
+    # best-effort sweep of dead processes' crashed-download temps (the
+    # r15 leak class; r16 review)
+    import glob
+
+    for stale in glob.glob(os.path.join(cache_base, "cos_fsio_stage_*.tmp")):
+        pid_s = stale.rsplit(".", 2)[-2]
+        from caffeonspark_spark.sources.common import pid_alive
+
+        if pid_s.isdigit() and not pid_alive(int(pid_s)):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
     tmp = f"{dest}.{os.getpid()}.tmp"
-    with fs.open_input_stream(internal) as src, open(tmp, "wb") as out:
-        shutil.copyfileobj(src, out, 4 << 20)
-    os.replace(tmp, dest)
+    try:
+        with fs.open_input_stream(internal) as src, open(tmp, "wb") as out:
+            shutil.copyfileobj(src, out, 4 << 20)
+        os.replace(tmp, dest)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     return dest

@@ -142,11 +142,12 @@ class ImageDirReader(DataSourceReader):
                 row = {"id": sample_id, "label": label}
                 yield tuple(row[f] for f in fields)
             return
+        read_file = fsio.dir_reader(self.base)  # one FS resolve/partition
         for fname, label, sample_id in partition.items:
             row = {
                 "id": sample_id,
                 "label": label,
-                "data": fsio.read_bytes(fsio.join(self.base, fname)),
+                "data": read_file(fname),
             }
             yield tuple(row[f] for f in fields)
 

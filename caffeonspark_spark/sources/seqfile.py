@@ -104,6 +104,19 @@ SEQFILE_SCHEMA = (
 FORMAT_NAME = "cos_seqfile"
 
 
+def _read_i32(buf, pos: int) -> int:
+    """Big-endian signed i32 at ``pos`` from any sliceable buffer
+    (bytes, mmap, fsio.RangeBuffer) — raising on truncation, like
+    ``struct.unpack_from`` did before the buffer-agnostic refactor: a
+    short slice must never read as a small integer (r16 review)."""
+    b = bytes(buf[pos : pos + 4])
+    if len(b) != 4:
+        raise ValueError(
+            f"truncated SequenceFile: wanted 4 bytes at {pos}, got {len(b)}"
+        )
+    return int.from_bytes(b, "big", signed=True)
+
+
 # --- Hadoop vint (WritableUtils) --------------------------------------------
 
 def read_vint(buf, pos: int) -> tuple[int, int]:
@@ -176,7 +189,7 @@ class SeqFileInfo:
                     f"SequenceFile codec {info.codec!r} unsupported; "
                     f"supported: {sorted(_CODECS)}"
                 )
-        n_meta = int.from_bytes(bytes(buf[pos : pos + 4]), "big", signed=True)
+        n_meta = _read_i32(buf, pos)
         pos += 4
         info.metadata = {}
         for _ in range(n_meta):
@@ -184,6 +197,10 @@ class SeqFileInfo:
             v, pos = text(pos)
             info.metadata[k] = v
         info.sync = bytes(buf[pos : pos + SYNC_SIZE])
+        if len(info.sync) != SYNC_SIZE:
+            # a clamped slice must not pass as a short sync marker (r16
+            # review: fail-loud on header truncation)
+            raise ValueError("truncated SequenceFile header (sync marker)")
         info.header_end = pos + SYNC_SIZE
         return info
 
@@ -266,7 +283,7 @@ def scan_records(
                 else:
                     yield key, b""
             continue
-        rec_len = int.from_bytes(bytes(buf[pos : pos + 4]), "big", signed=True)
+        rec_len = _read_i32(buf, pos)
         if rec_len == -1:  # sync escape
             if pos >= end:
                 return
@@ -274,9 +291,7 @@ def scan_records(
                 raise ValueError("corrupt SequenceFile: bad sync marker")
             pos += 4 + SYNC_SIZE
             continue
-        key_len = int.from_bytes(
-            bytes(buf[pos + 4 : pos + 8]), "big", signed=True
-        )
+        key_len = _read_i32(buf, pos + 4)
         if rec_len < key_len or key_len < 0:
             raise ValueError("corrupt SequenceFile record header")
         kb = buf[pos + 8 : pos + 8 + key_len]

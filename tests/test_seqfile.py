@@ -548,3 +548,20 @@ def test_batched_export_byte_identical_to_streaming_writer(spark, tmp_path):
     want = open(ref, "rb").read()
     assert S.SYNC_ESCAPE + S._derive_sync(ref) in want  # syncs present
     assert got == want
+
+
+def test_truncated_header_fails_loudly(tmp_path):
+    """r16 review: a part truncated INSIDE the header (size > 0, cut
+    before the metadata count) must raise, not parse a short slice as a
+    zero and scan zero records silently."""
+    items = _items(10)
+    p = str(tmp_path / "whole.seq")
+    S.write_seqfile(p, items)
+    raw = open(p, "rb").read()
+    info = S.SeqFileInfo.parse(raw)
+    for cut in (4, info.header_end - 18, info.header_end - 2):
+        with pytest.raises((ValueError, NotImplementedError, IndexError)):
+            S.SeqFileInfo.parse(raw[:cut])
+    # truncation mid-record: the scan must raise, never return short
+    with pytest.raises(ValueError):
+        list(S.scan_records(raw[:-7], info, 0, len(raw)))

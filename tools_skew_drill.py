@@ -49,7 +49,7 @@ def _worst_task_sec(spark, group: str) -> float | None:
             for j in _rest(spark, f"applications/{app}/jobs?status=succeeded")
             if j.get("jobGroup") == group
         ]
-        worst = 0.0
+        worst = None  # None until at least one stage actually measured
         for j in jobs:
             for sid in j["stageIds"]:
                 try:
@@ -58,12 +58,15 @@ def _worst_task_sec(spark, group: str) -> float | None:
                         f"applications/{app}/stages/{sid}/0/taskSummary"
                         "?quantiles=1.0",
                     )
-                    worst = max(worst, summary["duration"][0] / 1000.0)
+                    d = summary["duration"][0] / 1000.0
+                    worst = d if worst is None else max(worst, d)
                 except Exception:
                     continue
-        # 0.0 is a legitimate measurement (sub-10ms tasks); None is
-        # reserved for the exception paths (REST API unavailable)
-        return round(worst, 2)
+        # a measured 0.0 (sub-10ms tasks) reports as 0.0; None means NO
+        # stage was measurable (API unavailable, no matching jobs, or
+        # every taskSummary fetch failed) — the two must not conflate
+        # (r15 ADVICE + r16 review)
+        return None if worst is None else round(worst, 2)
     except Exception:
         return None
 

@@ -20,9 +20,10 @@ Hadoop SequenceFile container specification (the format documented on
   value lengths, values — lengths are Hadoop vints);
 * ``BytesWritable`` payloads are 4-byte-BE-length-prefixed byte arrays;
 * DefaultCodec = zlib, GzipCodec = gzip, BZip2Codec = bz2 (Python
-  standard library), and SnappyCodec via the r16 from-spec raw-Snappy +
-  ``BlockCompressorStream``-framing decoder (``snappy.py``,
-  cross-JVM-verified); anything else (LZO, ZStandard) fails LOUDLY.
+  standard library), and SnappyCodec/Lz4Codec via the r16 from-spec
+  raw-format + ``BlockCompressorStream``-framing decoders (``snappy.py``
+  / ``lz4.py``, cross-JVM-verified); anything else (LZO, ZStandard)
+  fails LOUDLY.
 
 Key decode is the from-spec Java-serialization subset in ``javaser.py``
 (all three reference key encodings), producing the same 7-tuple schema
@@ -72,10 +73,11 @@ SYNC_ESCAPE = b"\xff\xff\xff\xff"
 SYNC_INTERVAL = 100 * (4 + SYNC_SIZE)  # Hadoop's writer cadence
 BYTES_WRITABLE = "org.apache.hadoop.io.BytesWritable"
 
+from caffeonspark_spark.sources import lz4 as _lz4  # noqa: E402
 from caffeonspark_spark.sources import snappy as _snappy  # noqa: E402
 
 #: codec class name → one-shot decompressor (stdlib formats + the r16
-#: from-spec Snappy — all written from public specifications)
+#: from-spec Snappy/LZ4 — all written from public specifications)
 _CODECS = {
     "org.apache.hadoop.io.compress.DefaultCodec": zlib.decompress,
     "org.apache.hadoop.io.compress.GzipCodec": (
@@ -83,6 +85,7 @@ _CODECS = {
     ),
     "org.apache.hadoop.io.compress.BZip2Codec": bz2.decompress,
     "org.apache.hadoop.io.compress.SnappyCodec": _snappy.hadoop_decompress,
+    "org.apache.hadoop.io.compress.Lz4Codec": _lz4.hadoop_decompress,
 }
 
 #: writer-side codec table: short name → (header class name, compressor)
@@ -93,6 +96,9 @@ _WRITE_CODECS = {
     "snappy": (
         "org.apache.hadoop.io.compress.SnappyCodec",
         _snappy.hadoop_compress,
+    ),
+    "lz4": (
+        "org.apache.hadoop.io.compress.Lz4Codec", _lz4.hadoop_compress,
     ),
 }
 

@@ -135,49 +135,60 @@ def compress(src) -> bytes:
 
 
 # --- Hadoop BlockCompressorStream framing -----------------------------------
+# shared by SnappyCodec and Lz4Codec (lz4.py) — Hadoop wraps BOTH in the
+# identical [4-byte BE uncompressed block length][per chunk: 4-byte BE
+# compressed length + raw chunk] stream; one implementation, no drift
 
-def hadoop_decompress(src) -> bytes:
-    """Decode ``SnappyCodec``'s on-stream framing (what a SequenceFile
-    record/block buffer actually holds)."""
+def _framed_decompress(src, chunk_decode, name: str) -> bytes:
     src = bytes(src)
     out: list[bytes] = []
     pos, n = 0, len(src)
     while pos < n:
         if pos + 4 > n:
-            raise ValueError("corrupt snappy stream: truncated block header")
+            raise ValueError(f"corrupt {name} stream: truncated block header")
         ulen = int.from_bytes(src[pos : pos + 4], "big")
         pos += 4
         produced = 0
         while produced < ulen:
             if pos + 4 > n:
                 raise ValueError(
-                    "corrupt snappy stream: truncated chunk header"
+                    f"corrupt {name} stream: truncated chunk header"
                 )
             clen = int.from_bytes(src[pos : pos + 4], "big")
             pos += 4
             if pos + clen > n:
-                raise ValueError("corrupt snappy stream: truncated chunk")
-            chunk = decompress(src[pos : pos + clen])
+                raise ValueError(f"corrupt {name} stream: truncated chunk")
+            chunk = chunk_decode(src[pos : pos + clen])
             pos += clen
             produced += len(chunk)
             out.append(chunk)
         if produced != ulen:
             raise ValueError(
-                f"corrupt snappy stream: block declared {ulen}, "
+                f"corrupt {name} stream: block declared {ulen}, "
                 f"chunks produced {produced}"
             )
     return b"".join(out)
 
 
-def hadoop_compress(src, block_size: int = 256 * 1024) -> bytes:
-    """Encode with ``SnappyCodec``'s framing (default Hadoop buffer
-    size; one chunk per block)."""
+def _framed_compress(src, chunk_encode, block_size: int) -> bytes:
     src = bytes(src)
     out = bytearray()
     for i in range(0, len(src), block_size):
         blk = src[i : i + block_size]
-        comp = compress(blk)
+        comp = chunk_encode(blk)
         out += len(blk).to_bytes(4, "big")
         out += len(comp).to_bytes(4, "big")
         out += comp
     return bytes(out)
+
+
+def hadoop_decompress(src) -> bytes:
+    """Decode ``SnappyCodec``'s on-stream framing (what a SequenceFile
+    record/block buffer actually holds)."""
+    return _framed_decompress(src, decompress, "snappy")
+
+
+def hadoop_compress(src, block_size: int = 256 * 1024) -> bytes:
+    """Encode with ``SnappyCodec``'s framing (default Hadoop buffer
+    size; one chunk per block)."""
+    return _framed_compress(src, compress, block_size)

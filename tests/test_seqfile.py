@@ -316,6 +316,8 @@ def test_reads_hadoop_written_files(spark, tmp_path, ctype):
         ("BZip2Codec", "RECORD"),
         ("SnappyCodec", "RECORD"),
         ("SnappyCodec", "BLOCK"),
+        ("Lz4Codec", "RECORD"),
+        ("Lz4Codec", "BLOCK"),
     ],
 )
 def test_reads_hadoop_written_alternate_codecs(spark, tmp_path, codec, ctype):

@@ -283,6 +283,33 @@ def _run(df) -> None:
 _LINE_BUDGET = 1900
 
 
+#: relative disagreement of the two best runs above which another
+#: serialized repeat is taken (see runs_wanted)
+NOISE_SPREAD = 0.35
+#: hard cap on serialized repeats per row — bounds bench wall time even
+#: when the host never settles
+MAX_RUNS = 4
+
+
+def runs_wanted(runs: list[float], want: int) -> int:
+    """Noise-adaptive repeat count (r16): once `want` runs are recorded,
+    take another iff the two BEST runs still disagree by more than
+    NOISE_SPREAD (and the MAX_RUNS cap is not reached). Comparing the two
+    best — not min vs max — means a one-time first-run cost (fixture
+    build, codegen warm-up) plus two agreeing steady-state runs stops at
+    three, while a genuine host-contention burst on either of the first
+    two runs buys the row a corroborating repeat. The r16 baseline
+    recorded same-code serialized repeats like [5.0, 6.7, 67.0] on this
+    host; best-of-N only attributes honestly when N adapts to observed
+    spread."""
+    if want >= MAX_RUNS or len(runs) < 2:
+        return want
+    best2 = sorted(runs)[:2]
+    if (best2[1] - best2[0]) / max(best2[0], 1e-3) > NOISE_SPREAD:
+        return want + 1
+    return want
+
+
 def noise_summary(all_runs: dict[str, list[float]]) -> dict:
     """Compact in-line noise attribution (r16): per-row relative spread
     ``(max-min)/min`` over the serialized repeats, summarized as median /
@@ -418,6 +445,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    # r16: the host this bench runs on shares CPUs with other tenants;
+    # the r16 baseline recorded multi-second whole-machine stalls (same
+    # code, serialized repeats of [5.0, 6.7, 67.0] on one row with an
+    # idle-looking guest). When the first two runs of a row disagree by
+    # more than this, at least one was hit by a burst — take a third so
+    # a single burst cannot become the row's recorded number. This keeps
+    # the methodology (noop sink, serialized repeats, min) and only makes
+    # the repeat count noise-adaptive; every run is still recorded in
+    # bench_last_run.json and summarized on the printed line.
     for name, fn in BENCH_QUERIES.items():
         # two runs, keep the best: the first pays per-query codegen/JVM JIT
         # warm-up and host-VM timing noise (observed 2-3x run-to-run); min
@@ -427,12 +463,15 @@ def main() -> None:
         # the release, run 2 of those queries would time warm block reads,
         # not engine compute).
         runs = []
-        for _ in range(3 if name in _EXTRA_RUN else 2):
+        want = 3 if name in _EXTRA_RUN else 2
+        while len(runs) < want:
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
             unpersist_cached()
             spark.catalog.clearCache()
+            if len(runs) == want:
+                want = runs_wanted(runs, want)
         timings[name] = min(runs)
         all_runs[name] = runs
 

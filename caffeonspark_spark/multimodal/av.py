@@ -1075,25 +1075,34 @@ def _position_pair_phase(
     until r14 the two carried hand-synced copies of this block. Stages,
     over prepared ``(id, fi, b0..b3)`` hash tables:
 
-    1. posexplode each side into long ``(id, fi, k, band)`` rows;
+    1. posexplode each side into long ``(id, fi, k, band)`` rows, each
+       carrying the frame's full hash as ONE packed long
+       (``imagehash.packed_bands``);
     2. hot cap per ``(fi, k, band)`` computed on the ``hb`` side (the one
        table itself for the self-join; the CORPUS — the side big enough
        to have degenerate positions — for the bipartite form), applied to
        the ``ha`` side before the candidate join;
     3. candidate equi-join on ``(fi, k, band)`` (+ ``a.id < b.id`` when
        ``self_pairs``, the half-triangle dedup; the bipartite form keeps
-       new×ref only by construction), distinct per (pair, position);
-    4. per-position Hamming ≤ ``max_hamming`` via ``band_hamming``;
+       new×ref only by construction);
+    4. per-position Hamming ≤ ``max_hamming`` computed INLINE on the
+       candidate join output via the packed hashes (r16: the two
+       frame-hash re-attach joins — 4 Exchanges — are gone; +8 B per
+       exploded band row), then distinct per (pair, position);
     5. the clip gate: a pair emits iff ≥ ``min_frames`` positions match.
 
-    Both inputs must already be persisted (they feed the cap agg, a
-    candidate side, and a Hamming side each) — the callers own that via
-    the dedup module's plan-hash-keyed memo."""
-    from caffeonspark_spark.multimodal.imagehash import band_hamming
+    Both inputs must already be persisted (they feed the cap agg and a
+    candidate side each) — the callers own that via the dedup module's
+    plan-hash-keyed memo."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        packed_bands,
+        packed_hamming,
+    )
 
     def bands(t: DataFrame) -> DataFrame:
         return t.select(
             "id", "fi",
+            packed_bands().alias("h"),
             F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
         )
 
@@ -1110,23 +1119,17 @@ def _position_pair_phase(
     )
     if self_pairs:
         cond = cond & (F.col("a.id") < F.col("b.id"))
-    cand = (
+    matched = (
         bands(ha).join(ok, ["fi", "k", "band"])
         .alias("a")
         .join(bands(hb).alias("b"), cond)
+        .where(packed_hamming(F.col("a.h"), F.col("b.h")) <= max_hamming)
         .select(
             F.col("a.id").alias(out_a),
             F.col("b.id").alias(out_b),
             F.col("a.fi").alias("fi"),
         )
         .distinct()
-    )
-    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
-    xb = hb.select(*[F.col(c).alias(f"b_{c}") for c in hb.columns])
-    matched = (
-        cand.join(xa, (cand[out_a] == xa.a_id) & (cand.fi == xa.a_fi))
-        .join(xb, (cand[out_b] == xb.b_id) & (cand.fi == xb.b_fi))
-        .where(band_hamming() <= max_hamming)
     )
     return (
         matched.groupBy(out_a, out_b)

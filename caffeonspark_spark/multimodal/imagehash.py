@@ -186,6 +186,34 @@ def band_hamming(prefix_a: str = "a_b", prefix_b: str = "b_b") -> Column:
     )
 
 
+def packed_bands() -> Column:
+    """The four 16-bit bands packed into ONE long:
+    ``b0 | b1<<16 | b2<<32 | b3<<48``. Because the fields are disjoint,
+    ``bit_count(xor(pack_a, pack_b)) == Σ_k bit_count(xor(b_k, b'_k))``
+    — exactly ``band_hamming`` — so a candidate row can carry the whole
+    hash as one 8-byte column through the band explode and the pair
+    phase computes the exact Hamming INLINE on the candidate join
+    output. r16 optimization (guide §2.3/§2.4): this deletes the two
+    hash-table re-joins (4 Exchanges: candidate pairs shuffled twice +
+    the hash table shuffled twice) every pair phase previously paid to
+    re-attach bands to pairs, at the cost of +8 bytes per exploded band
+    row (24 → 32 B). At 100 TB the trade is strictly favorable: one
+    shuffle widens by a third, two full shuffles of the candidate-pair
+    and hash tables disappear."""
+    return (
+        F.col("b0")
+        + F.shiftleft(F.col("b1"), 16)
+        + F.shiftleft(F.col("b2"), 32)
+        + F.shiftleft(F.col("b3"), 48)
+    )
+
+
+def packed_hamming(h_a: Column, h_b: Column) -> Column:
+    """Exact 64-bit Hamming distance between two ``packed_bands`` longs —
+    value-identical to ``band_hamming`` on the unpacked columns."""
+    return F.bit_count(h_a.bitwiseXOR(h_b))
+
+
 def near_dup_band_pairs(
     hashed: DataFrame,
     id_col: str = "id",
@@ -200,13 +228,17 @@ def near_dup_band_pairs(
     ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
 
     Scale contract: candidates ∝ band collisions (bounded max_band_df²
-    per hot value), the pair shuffle key is (k, band) — 8 bytes — and the
-    Hamming re-join moves 4 smallints per id. Pure JVM expressions
-    end-to-end; no window, no crossJoin. The hash table feeds five plan
-    subtrees (hot-cap agg, both candidate sides, both Hamming sides), so
-    it is persisted through the dedup module's released memo — the
-    minhash signature-table precedent; at 100 TB this is the hash table
-    written once and reused by every downstream job.
+    per hot value), the band shuffle key is (k, band) and each row
+    additionally carries the full hash as ONE packed long
+    (``packed_bands``), so the exact Hamming is computed INLINE on the
+    candidate join output — r16 removed the two hash-table re-joins
+    (4 Exchanges) the previous shape paid to re-attach bands to pairs,
+    for +8 B per exploded band row. Pure JVM expressions end-to-end; no
+    window, no crossJoin. The hash table feeds three plan subtrees
+    (hot-cap agg + both candidate sides), so it is persisted through the
+    dedup module's released memo — the minhash signature-table
+    precedent; at 100 TB this is the hash table written once and reused
+    by every downstream job.
 
     The cap drops a hot bucket's pairs ENTIRELY — including true
     duplicates, exactly like ``prune_stop_shingles``. A corpus with huge
@@ -222,7 +254,9 @@ def near_dup_band_pairs(
         hashed.select(F.col(id_col).alias("id"), "b0", "b1", "b2", "b3"),
     )
     long_bands = ha.select(
-        "id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band")
+        "id",
+        packed_bands().alias("h"),
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
     )
     ok = (
         long_bands.groupBy("k", "band")
@@ -230,7 +264,12 @@ def near_dup_band_pairs(
         .where(F.col("count") <= max_band_df)
         .drop("count")
     )
-    cand = (
+    # the candidate join output carries both sides' packed hashes, so the
+    # exact Hamming filters candidates INLINE; duplicate multi-band
+    # collisions of a pair produce identical (id_a, id_b, hamming) rows
+    # (hamming is a function of the pair), so the trailing distinct
+    # dedupes exactly as the old pre-Hamming distinct did
+    return (
         long_bands.join(ok, ["k", "band"])
         .alias("a")
         .join(
@@ -239,17 +278,15 @@ def near_dup_band_pairs(
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    xa = ha.select(*[F.col(c).alias(f"a_{c}") for c in ha.columns])
-    xb = ha.select(*[F.col(c).alias(f"b_{c}") for c in ha.columns])
-    ham = band_hamming().cast("long")
-    return (
-        cand.join(xa, cand.id_a == xa.a_id)
-        .join(xb, cand.id_b == xb.b_id)
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            packed_hamming(F.col("a.h"), F.col("b.h")).cast("long").alias(
+                "hamming"
+            ),
+        )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -707,9 +744,11 @@ def image_dedup_against_corpus(
     ONCE (8 bytes/band/image) and reuse per batch; candidates are
     CROSS-side band collisions only (the join keeps new×ref, never
     ref×ref), the hot cap is computed on the CORPUS side (the side big
-    enough to have degenerate bands), and the Hamming re-join moves four
-    smallints per id. Both hash tables persist through the released memo
-    — each feeds the band explode and a Hamming side."""
+    enough to have degenerate bands), and the exact Hamming is computed
+    INLINE on the candidate join via the packed hash column (r16 — see
+    ``near_dup_band_pairs``). Both hash tables persist through the
+    released memo — the corpus side feeds the cap agg and a candidate
+    side."""
     from caffeonspark_spark.operators.dedup import _persist_replacing
 
     hn = _persist_replacing(
@@ -723,7 +762,9 @@ def image_dedup_against_corpus(
 
     def bands(t: DataFrame) -> DataFrame:
         return t.select(
-            "id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band")
+            "id",
+            packed_bands().alias("h"),
+            F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "band"),
         )
 
     ok = (
@@ -732,24 +773,25 @@ def image_dedup_against_corpus(
         .where(F.col("count") <= max_band_df)
         .drop("count")
     )
-    cand = (
+    # packed hashes ride the band explode; Hamming is inline on the
+    # cross-side candidate join (r16: the two re-attach joins are gone —
+    # see near_dup_band_pairs)
+    return (
         bands(hn).join(ok, ["k", "band"])
         .alias("a")
         .join(
             bands(hr).alias("b"),
             (F.col("a.k") == F.col("b.k")) & (F.col("a.band") == F.col("b.band")),
         )
-        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("ref_id"))
-        .distinct()
-    )
-    xa = hn.select(*[F.col(c).alias(f"a_{c}") for c in hn.columns])
-    xb = hr.select(*[F.col(c).alias(f"b_{c}") for c in hr.columns])
-    ham = band_hamming().cast("long")
-    return (
-        cand.join(xa, cand.new_id == xa.a_id)
-        .join(xb, cand.ref_id == xb.b_id)
-        .select("new_id", "ref_id", ham.alias("hamming"))
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("ref_id"),
+            packed_hamming(F.col("a.h"), F.col("b.h")).cast("long").alias(
+                "hamming"
+            ),
+        )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -52,3 +52,21 @@ def test_result_line_fits_even_at_pathological_sizes():
         line = bench._result_line(timings, 0.1)
         assert len(line) <= bench._LINE_BUDGET, n
         assert json.loads(line)["value"] == round(sum(timings.values()), 2)
+
+
+def test_runs_wanted_noise_adaptive():
+    """r16: the serialized-repeat count adapts to observed spread — the
+    two BEST runs must corroborate within bench.NOISE_SPREAD or another
+    run is taken, capped at bench.MAX_RUNS."""
+    import bench
+
+    # stable pair: stop at 2
+    assert bench.runs_wanted([1.0, 1.1], 2) == 2
+    # burst on one of the first two: take a third
+    assert bench.runs_wanted([1.0, 5.0], 2) == 3
+    # one-time first-run cost + two agreeing steady runs: stop at 3
+    assert bench.runs_wanted([16.0, 2.65, 2.6], 3) == 3
+    # never exceeds the cap even if the host never settles
+    assert bench.runs_wanted([1.0, 5.0, 9.0, 13.0], 4) == 4
+    # _EXTRA_RUN rows (want=3) with two agreeing best runs stop at 3
+    assert bench.runs_wanted([2.0, 2.1, 7.0], 3) == 3

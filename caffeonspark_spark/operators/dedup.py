@@ -1359,18 +1359,31 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
     """
     from caffeonspark_spark.operators.textops import quality_filter
 
-    quality = quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
-    docs = load_table(spark, sf_dir, "documents").join(quality, "doc_id")
+    # r16: the quality gate's output and the exact-keep id set are tiny
+    # (16 B and 8 B per row) but their SUBTREES are corpus passes (token
+    # stats over text; xxhash64 group over text), and each was referenced
+    # from several branches (the sig path, the exact filter, the final
+    # projection) — tree-multiplicative re-derivation. Pin both through
+    # the released memo; the corpus text itself is never persisted.
+    quality = _persist_replacing(
+        "clean_corpus_quality",
+        quality_filter(spark, sf_dir).select("doc_id", "n_tokens"),
+    )
+    docs = load_table(spark, sf_dir, "documents").join(
+        quality.select("doc_id"), "doc_id"
+    )
 
     # exact dedup groups on the 8-byte text hash, not the document text —
     # the shuffle moves (hash, id) pairs instead of full documents (the
     # SCALE.md "group on xxhash64(text)" rule; collision odds ~n²/2^64)
-    exact_keep = (
+    exact_ids = _persist_replacing(
+        "clean_corpus_exact_keep",
         docs.select("doc_id", F.xxhash64(F.col("text")).alias("_th"))
         .groupBy("_th")
         .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
     )
-    survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
+    survivors = docs.join(exact_ids, "doc_id")
 
     # near-dedup runs over the SURVIVORS of the earlier stages, not the raw
     # table: if (a, b) near-dup but a was already removed by the quality gate
@@ -1381,8 +1394,13 @@ def clean_corpus(spark: SparkSession, sf_dir: str, neardup_threshold: float = 0.
     # one-survivor-per-cluster semantics are needed.
     near = minhash_lsh_pairs_df(survivors, threshold=neardup_threshold, top=10**6)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    # the final branch needs only (doc_id, n_tokens): compose it from the
+    # two pinned id tables — the old survivors-side anti-join re-derived
+    # the raw-documents join just to throw the text away (exact_ids ⊆
+    # quality ids, so quality ⋈ exact_ids is exactly the survivor id set)
     return (
-        survivors.join(drop, "doc_id", "left_anti")
+        quality.join(exact_ids, "doc_id")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
@@ -1404,16 +1422,30 @@ def clean_corpus_portable(
     demonstrably fires at oracle scale."""
     from caffeonspark_spark.operators.textops import quality_filter
 
-    quality = quality_filter(spark, sf_dir).select("doc_id", "n_tokens")
-    docs = load_table(spark, sf_dir, "documents").join(quality, "doc_id")
+    # r16: same small-table pinning as clean_corpus — quality output and
+    # exact-keep ids memo-persisted so their corpus-pass subtrees run
+    # once, and the final branch composes the pinned id tables instead of
+    # re-deriving the text join (see clean_corpus)
+    quality = _persist_replacing(
+        "clean_corpus_quality",
+        quality_filter(spark, sf_dir).select("doc_id", "n_tokens"),
+    )
+    docs = load_table(spark, sf_dir, "documents").join(
+        quality.select("doc_id"), "doc_id"
+    )
 
-    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(exact_keep.select("doc_id"), "doc_id")
+    exact_ids = _persist_replacing(
+        "clean_corpus_portable_exact_keep",
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+    )
+    survivors = docs.join(exact_ids, "doc_id")
 
     near = minhash_lsh_pairs_portable_df(survivors, threshold=neardup_threshold)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        survivors.join(drop, "doc_id", "left_anti")
+        quality.join(exact_ids, "doc_id")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )

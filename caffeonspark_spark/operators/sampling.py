@@ -442,12 +442,23 @@ def _kmv_overlap_from_hashes(h: DataFrame, k: int, modulus: int) -> DataFrame:
     build, per-source estimates, pairwise union-sketch merge, membership
     intersection (one implementation for the portable and native hash
     families)."""
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
     h = h.distinct()
     w = Window.partitionBy("source").orderBy("hv")
-    sk = (
+    # the sketch is the ONLY subtree that touches the corpus (hash scan +
+    # distinct + per-source top-k); everything downstream is sketch-sized
+    # (k rows per source). It feeds SIX plan subtrees (per-source stats,
+    # two merge sides, two membership semi-joins, and the pair metadata
+    # via est) — without the pin each consumer re-ran the full corpus
+    # pass (r16 sweep: 92 Exchanges in one plan, the sketch subtree
+    # replicated throughout; 30 after). Persisted through the dedup
+    # module's released memo, the near_dup_band_pairs precedent.
+    sk = _persist_replacing(
+        f"kmv_sketch_{modulus}",
         h.select("source", "hv", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= k)
-        .select("source", "hv")
+        .select("source", "hv"),
     )
     scale = float((k - 1) * modulus)
     per = sk.groupBy("source").agg(

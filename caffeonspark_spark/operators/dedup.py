@@ -1561,6 +1561,66 @@ ORACLE_CLEAN_CORPUS_CONSISTENCY = f"""
 
 # --- 8. near-duplicate clustering (connected components) ------------------
 
+#: one iterative-round partition (and the single-task union-find fast path)
+#: per this many edges — see connected_components
+_EDGES_PER_PARTITION = 50_000
+
+
+def _single_task_components(both_one_part: DataFrame) -> DataFrame:
+    """Exact connected components of a ONE-partition undirected edge list
+    via min-root union-find inside a single ``mapInArrow`` task (the
+    ``parts == 1`` fast path of :func:`connected_components` — see the
+    branch comment there). Every union keeps the SMALLER root, so each
+    node's final root is the minimum node id of its component — exactly
+    the min-label fixpoint the iterative path converges to. Result order
+    is deterministic for a given input order (first-seen node order), and
+    a retried task re-reads the same pinned partition, so output is
+    bit-identical under retry. The work is executor-side: the driver never
+    sees the edge list."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        order: list[int] = []
+        for batch in batches:
+            us = batch.column(0).to_pylist()
+            vs = batch.column(1).to_pylist()
+            for u, v in zip(us, vs):
+                if u not in parent:
+                    parent[u] = u
+                    order.append(u)
+                if v not in parent:
+                    parent[v] = v
+                    order.append(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # min-root union: the smaller id stays the root
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        if order:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(order, type=pa.int64()),
+                    pa.array([find(n) for n in order], type=pa.int64()),
+                ],
+                names=["node", "component"],
+            )
+
+    return both_one_part.mapInArrow(run, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -1681,9 +1741,27 @@ def connected_components(
         1,
         min(
             edges.sparkSession.sparkContext.defaultParallelism,
-            n_edges // 50_000 + 1,
+            n_edges // _EDGES_PER_PARTITION + 1,
         ),
     )
+    if parts == 1:
+        # r16 optimization (guide §1.2 "the distributed algorithm" /
+        # §2.4 remove shuffles outright): when the whole edge list fits the
+        # ONE partition the round loop would use anyway (n_edges ≤ 50k by
+        # the rule above), min-label iteration pays O(log diameter) rounds
+        # of join+agg+checkpoint cluster barriers (the sf0.1 image pair
+        # graph: 13 rounds ≈ 130 scheduled jobs) to compute what a single
+        # executor task derives in one pass over ≤ 50k rows. Run
+        # min-root union-find inside ONE mapInArrow task over the pinned
+        # edge list instead: exact same result (the root of every union is
+        # the smaller id, so each node's final root IS the component's min
+        # node id — the min-label fixpoint), no iteration, no extra
+        # checkpoints. Graphs bigger than one partition keep the iterative
+        # path below — at 100 TB the near-dup graph only takes this branch
+        # when it genuinely is 50k edges, where one task is the right
+        # plan on any cluster. Pinned equal to the iterative path by
+        # ``test_dedup.py::test_single_task_union_find_matches_iterative``.
+        return _single_task_components(both.coalesce(1))
     converged = False
     for rnd in range(max_iter):
         neighbor_min = (

@@ -594,12 +594,16 @@ def test_fingerprint_oracle_parity_on_hostile_whitespace(spark, tmp_path):
     assert got == want, (got, want)
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
     """A chain longer than max_iter hops must raise, not silently return
     split components (r7 self-review finding); with enough iterations the
-    same chain converges to one component."""
+    same chain converges to one component. The edge threshold is pinned
+    to 1 so the ITERATIVE path runs (the r16 single-task union-find fast
+    path would otherwise absorb this tiny graph and never iterate)."""
+    from caffeonspark_spark.operators import dedup
     from caffeonspark_spark.operators.dedup import connected_components
 
+    monkeypatch.setattr(dedup, "_EDGES_PER_PARTITION", 1)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long"
     )  # chain 0-1-2-...-6, diameter 6
@@ -646,14 +650,18 @@ def test_edit_distance_hot_block_cap(spark):
     assert edit_distance_dup_pairs(df, max_block=100).count() > 0
 
 
-def test_connected_components_long_chain_within_default_iters(spark):
+def test_connected_components_long_chain_within_default_iters(spark, monkeypatch):
     """r12 pointer-jumping guard: a 40-node chain (diameter 39) converges
     well inside the default max_iter=20 — the plain one-hop min-label
     form needed one round PER HOP and the real sf0.1 image pair graph
     (a ~20-hop shared-prefix chain) sat one round from the
-    non-convergence raise; path halving closes diameter d in O(log d)."""
+    non-convergence raise; path halving closes diameter d in O(log d).
+    Iterative path forced (threshold pinned to 1) — the r16 union-find
+    fast path would otherwise absorb this graph without iterating."""
+    from caffeonspark_spark.operators import dedup
     from caffeonspark_spark.operators.dedup import connected_components
 
+    monkeypatch.setattr(dedup, "_EDGES_PER_PARTITION", 1)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(39)], "id_a long, id_b long"
     )
@@ -661,16 +669,48 @@ def test_connected_components_long_chain_within_default_iters(spark):
     assert set(out.values()) == {0} and len(out) == 40
 
 
-def test_connected_components_durable_checkpoint(spark, tmp_path):
+def test_single_task_union_find_matches_iterative(spark, monkeypatch):
+    """r16: the parts==1 single-task union-find fast path must return
+    exactly what the iterative min-label path returns — same nodes, same
+    min-id components — on a graph mixing chains, a cycle, a star,
+    singleton-free isolated pairs and non-contiguous ids."""
+    from caffeonspark_spark.operators import dedup
+    from caffeonspark_spark.operators.dedup import connected_components
+
+    rows = (
+        [(i, i + 1) for i in range(10, 30)]          # 21-node chain
+        + [(100, 101), (101, 102), (102, 100)]       # cycle
+        + [(7, 200), (7, 201), (7, 202), (7, 203)]   # star centered off-min
+        + [(5000, 4000)]                             # reversed isolated pair
+    )
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    fast = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    monkeypatch.setattr(dedup, "_EDGES_PER_PARTITION", 1)
+    slow = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert fast == slow
+    assert fast[4000] == 4000 and fast[5000] == 4000
+    assert fast[203] == 7 and fast[29] == 10
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path, monkeypatch):
     """r13: `checkpoint_dir=` switches the per-round lineage pin from
     localCheckpoint (executor-local blocks — lost non-recoverably with an
     executor on a real cluster) to reliable checkpoint() into shared
     storage. Same planted topology as the localCheckpoint test must
     resolve identically, and checkpoint RDD data must actually land in
-    the directory (proving the durable path engaged, not the default)."""
+    the directory (proving the durable path engaged, not the default).
+    Iterative path forced — the per-ROUND durable pin is what this test
+    guards; the r16 fast path only durably pins the edge list."""
     import os
 
+    from caffeonspark_spark.operators import dedup
     from caffeonspark_spark.operators.dedup import connected_components
+
+    monkeypatch.setattr(dedup, "_EDGES_PER_PARTITION", 1)
 
     ckpt = str(tmp_path / "cc_ckpt")
     edges = spark.createDataFrame(

@@ -17,10 +17,12 @@ def main() -> None:
     d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparklogs"
     filt = sys.argv[2] if len(sys.argv) > 2 else ""
     files = sorted(
-        p for p in glob.glob(os.path.join(d, "*"))
+        p for p in glob.glob(os.path.join(d, "**", "*"), recursive=True)
         if os.path.isfile(p) and "appstatus" not in p and "inprogress" not in p
     ) or sorted(
-        p for p in glob.glob(os.path.join(d, "*")) if os.path.isfile(p)
+        p
+        for p in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+        if os.path.isfile(p)
     )
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}

@@ -943,8 +943,16 @@ def audio_fingerprint_invariance(spark, sf_dir: str) -> DataFrame:
     linear synth+encode pass, two linear fingerprint passes, an id
     equi-join of two 5-column tables, one agg."""
     from caffeonspark_spark.catalog import load_table
+    from caffeonspark_spark.engine import scale_out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r16 (guide §1.2): synth + dual-encode + two fingerprint passes are
+    # all per-row compute chained map-side onto the doc_id scan — a
+    # single-row-group local scan serialized the whole row's work onto
+    # ONE task (profiled: two 1.65 s single-task fingerprint stages at
+    # sf0.1). Rebalance the 8-byte ids before the heavy lifting;
+    # per-row outputs are seeded by doc_id, so partitioning cannot
+    # change any value. No-op on a real multi-split scan.
+    docs = scale_out(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:

@@ -1150,32 +1150,49 @@ def _semantic_candidate_pairs(
     aliases."""
     cent = _collect_centroids(centroids, vec_col, id_col)
 
-    def prep(t: DataFrame) -> DataFrame:
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    from caffeonspark_spark.engine import scale_out
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    def prep(t: DataFrame, memo: str) -> DataFrame:
+        # r16 (guide §1.2/§4): the cluster-local pair join is where the
+        # work is (Σ|cluster|² dot folds), and it runs in the STREAM
+        # side's scan partitions — a single-row-group local scan would
+        # serialize every pair onto one task, so rebalance the narrow
+        # (id, vec) rows first (scale_out: no-op on a real multi-split
+        # scan). The prepared side is memo-pinned: it feeds BOTH aliases
+        # of the self-join (the norm fold + assign join previously ran
+        # once per side), and pinning materializes ``_vd`` — the
+        # double-cast vector — ONCE PER ROW, where the previous per-pair
+        # ``cast`` lambda re-cast both vectors for every one of its ~|c|
+        # partners. Values are bit-identical: cast-then-multiply is
+        # exactly what the old per-pair lambda computed.
+        t = scale_out(t.select(id_col, vec_col))
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
         fold = F.aggregate(
-            F.zip_with(v, v, lambda x, y: x * y),
+            F.zip_with(vd, vd, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return (
-            t.select(id_col, vec_col)
+        return _persist_replacing(
+            memo,
+            t.withColumn("_vd", vd)
             .withColumn("_nrm", F.sqrt(fold))
             .join(
                 kmeans_assign(t, cent, vec_col, id_col).select(
                     id_col, "centroid_id"
                 ),
                 id_col,
-            )
+            ),
         )
 
-    ta = prep(left)
-    tb = ta if self_pairs else prep(right)
+    ta = prep(left, "semantic_pair_side_a")
+    tb = ta if self_pairs else prep(right, "semantic_pair_side_b")
     a, b = ta.alias("a"), tb.alias("b")
     dot_f = F.aggregate(
         F.zip_with(
-            F.col(f"a.{vec_col}"),
-            F.col(f"b.{vec_col}"),
-            lambda x, y: x.cast("double") * y.cast("double"),
+            F.col("a._vd"),
+            F.col("b._vd"),
+            lambda x, y: x * y,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

@@ -153,9 +153,26 @@ def scale_out(df, min_partitions: int | None = None):
     explosion, MinHash/SimHash agg trees, vectorized UDF stages) — NOT on
     plain relational scans, where it would sit between filter and scan and
     break predicate pushdown.
+
+    The partition probe reads the INITIAL physical plan's RDD lineage —
+    driver-side metadata only (file splits). It must NOT use
+    ``df.rdd.getNumPartitions()``: under Spark 4's AQE, ``df.rdd``
+    finalizes the adaptive plan, which EXECUTES the whole upstream subtree
+    and throws the result away — profiled at sf0.1 as a hidden 1-2 s
+    single-task job per scale_out call site (r16; the real action then
+    re-ran the same subtree). Every current call site hands scale_out a
+    scan-rooted narrow frame, for which the initial-plan count equals the
+    executed count exactly.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        current = plan.execute().getNumPartitions()
+    except Exception:  # pragma: no cover - non-classic backend / plan quirk
+        current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df

@@ -1339,11 +1339,17 @@ def portable_video_frame_hashes_df(docs: DataFrame) -> DataFrame:
     """``portable_video_frame_hashes`` over an explicit documents frame —
     lets declared queries hash a SUBSET (the corpus/batch split of
     ``video_dedup_against_corpus_query``) with identical arithmetic."""
+    from caffeonspark_spark.engine import scale_out
     from caffeonspark_spark.multimodal.imagehash import (
         _chunk_fold,
         portable_image_bands,
     )
 
+    # r16 (guide §1.2/§2.5): rebalance the narrow (id, text) rows before
+    # the x16 frame explode + fold — a single-split scan serializes the
+    # whole family's per-row work onto one task; no-op on multi-split
+    # scans, values are per-row functions so partitioning is invisible.
+    docs = scale_out(docs.select("doc_id", "text"))
     frames = docs.select(
         F.col("doc_id").alias("id"),
         "text",
@@ -1518,11 +1524,17 @@ def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     a third-party stub drives this end-to-end in
     ``test_video_dup_query::test_third_party_decoder_through_pair_pipeline``."""
     from caffeonspark_spark.catalog import load_table, table_nrows
+    from caffeonspark_spark.engine import scale_out
     from caffeonspark_spark.multimodal.imagehash import (
         warn_if_beyond_planted_ceiling,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scale_out(  # r16: rebalance the 8-byte ids before the
+        # heavy per-row synth/decode work (single-split scans serialize
+        # it onto one task; no-op on multi-split scans, per-row outputs
+        # are functions of doc_id so partitioning cannot change values)
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     n_docs = table_nrows(sf_dir, "documents")
     warn_if_beyond_planted_ceiling(n_docs, "video_dup_pairs_native")
     cap = max(50, n_docs // 100)
@@ -1853,8 +1865,11 @@ def portable_audio_fingerprints(spark, sf_dir: str) -> DataFrame:
 def _portable_audio_bands(docs: DataFrame) -> DataFrame:
     """The band construction over any ``(doc_id, text)`` frame — split out
     so tests can feed crafted documents (edit locality, mirror parity)."""
+    from caffeonspark_spark.engine import scale_out
     from caffeonspark_spark.multimodal.imagehash import _chunk_fold
 
+    # r16: same single-split rebalance as the image/video front ends
+    docs = scale_out(docs.select("doc_id", "text"))
     chunked = docs.select(
         F.col("doc_id").alias("id"),
         *[
@@ -1984,12 +1999,18 @@ def audio_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     always holds (the gradient is gain-exact), so diff got against the
     combinatorics and inspect the offending cross pair's two families."""
     from caffeonspark_spark.catalog import load_table, table_nrows
+    from caffeonspark_spark.engine import scale_out
     from caffeonspark_spark.multimodal.imagehash import (
         near_dup_band_pairs,
         warn_if_beyond_planted_ceiling,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scale_out(  # r16: rebalance the 8-byte ids before the
+        # heavy per-row synth/decode work (single-split scans serialize
+        # it onto one task; no-op on multi-split scans, per-row outputs
+        # are functions of doc_id so partitioning cannot change values)
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     # parquet footer metadata — no Spark job at query-construction time
     # (r12 ADVICE: an eager count here ran once per construction and
     # leaked into bench warm-up timings)

@@ -296,20 +296,18 @@ def _chunk_fold(chunk_col: Column) -> Column:
     """Portable char-fold hash of an ALREADY-MATERIALIZED chunk column —
     the ``portable_token_hash`` arithmetic ((a·31 + code) mod 2³¹−1), so
     DuckDB reproduces it with list_reduce. Empty chunks (short docs) hash
-    to 0 in both engines. The chunk must be a plain column reference:
-    Catalyst re-evaluates an inlined substring expression at every one of
-    the 64 per-char lambda references (same staging lesson as the band
-    seeds)."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(chunk_col)),
-        lambda c: F.ascii(F.substring(chunk_col, c, F.lit(1))).cast("long"),
-    )
-    fold = F.aggregate(
-        codes,
-        F.lit(0).cast("long"),
-        lambda a, x: F.pmod(a * F.lit(31) + x, F.lit(_FP_MOD)),
-    )
-    return F.when(F.length(chunk_col) == 0, F.lit(0).cast("long")).otherwise(fold)
+    to 0 in both engines.
+
+    r16 (guide §4.2): delegates to the batch-vectorized fold — the old
+    interpreted per-char HOF chain was the dominant per-task cost of every
+    image/video/audio portable front end (profiled 0.67 s/pass on the
+    sf0.1 documents split vs 0.30 s for the whole vectorized pass; values
+    bit-identical, pinned by the vec-vs-expression test). Empty → 0 and
+    null → null exactly as before (the vectorized fold returns 0 for ''
+    by construction — fold over zero columns — and propagates null)."""
+    from caffeonspark_spark.functions.text import char_fold_vec
+
+    return char_fold_vec(chunk_col)
 
 
 def portable_image_bands(rs: list[Column]) -> list[Column]:
@@ -500,8 +498,14 @@ def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audio rationale: band df grows linearly in corpus size) and the
     count comes from parquet footer metadata, not an eager Spark job."""
     from caffeonspark_spark.catalog import table_nrows
+    from caffeonspark_spark.engine import scale_out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scale_out(  # r16: rebalance the 8-byte ids before the
+        # heavy per-row synth/decode work (single-split scans serialize
+        # it onto one task; no-op on multi-split scans, per-row outputs
+        # are functions of doc_id so partitioning cannot change values)
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     n_docs = table_nrows(sf_dir, "documents")
     warn_if_beyond_planted_ceiling(n_docs, "image_dhash_pairs_native")
     cap = max(50, n_docs // 100)
@@ -816,6 +820,14 @@ def portable_image_hash_table_df(docs: DataFrame) -> DataFrame:
     """``portable_image_hash_table`` over an explicit documents frame —
     lets declared queries hash a SUBSET (e.g. the corpus/batch split of
     ``image_dedup_against_corpus_query``) with identical arithmetic."""
+    from caffeonspark_spark.engine import scale_out
+
+    # r16 (guide §1.2/§2.5): the hash fold is per-row compute chained
+    # map-side onto the scan — a single-split local scan serializes it
+    # onto one task. Rebalance the narrow (id, text) rows first; a no-op
+    # on a real multi-split scan, and per-row hashes are functions of the
+    # row alone, so partitioning cannot change any value.
+    docs = scale_out(docs.select("doc_id", "text"))
     chunked = docs.select(
         F.col("doc_id").alias("id"),
         *[

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from caffeonspark_spark.catalog import load_table
 from caffeonspark_spark.engine import scale_out
 from caffeonspark_spark.functions.text import (
+    char_fold_vec,
     doc_fingerprint,  # noqa: F401 — production (xxhash64) fingerprint API
     doc_fingerprint_portable,
     ngrams,
@@ -150,9 +151,25 @@ def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
     with _CACHE_LOCK:
         _purge_dead_locked()
         df = _CACHED.setdefault(full_key, df)
-        if df.storageLevel == StorageLevel.NONE:
+        fill = df.storageLevel == StorageLevel.NONE
+        if fill:
             df.persist()
-        return df
+    if fill:
+        # r16: EAGERLY fill the cache (outside the lock — the fill is a
+        # real job). A lazily-persisted table that feeds several exchange
+        # subtrees is materialized CONCURRENTLY by AQE's stage submission
+        # — each racing job computes the full uncached subtree before the
+        # first task has populated a cache block (profiled on
+        # image_dhash_pairs: three parallel single-task jobs, each paying
+        # the whole hash front end). The count() materializes every
+        # column of the cached relation once (InMemoryRelation builds
+        # full rows regardless of the action's pruning); every branch
+        # then reads InMemoryTableScan. Net work strictly <= lazy when
+        # >=2 branches race, identical when one. The memo is released by
+        # unpersist_cached() between bench runs, so nothing persists
+        # across runs.
+        df.count()
+    return df
 
 
 def unpersist_cached() -> None:
@@ -645,8 +662,11 @@ def minhash_signatures_portable_df(df: DataFrame, id_col: str = "doc_id", text_c
     map-side partials keyed by doc id), but every arithmetic step is plain
     SQL in DuckDB, so anything composed on it stays hash-checkable."""
     toks = shingle_sets(df, id_col=id_col, text_col=text_col)
+    # r16 (guide §4.2): vectorized char fold — the interpreted HOF chain
+    # was the dominant per-task cost of every portable-MinHash row; values
+    # bit-identical (vec-vs-expression pin in tests)
     base = toks.select(
-        F.col(id_col), portable_token_hash(F.col("shingle")).alias("th")
+        F.col(id_col), char_fold_vec(F.col("shingle")).alias("th")
     )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
@@ -983,7 +1003,12 @@ def _planted_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, text) planted corpus — pure Catalyst expressions off a
     doc_id-only documents scan (tokens must be lowercase: the pipeline's
     ``space_tokens`` lowercases before shingling)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = scale_out(  # r16: rebalance the 8-byte ids before the
+        # heavy per-row synth/decode work (single-split scans serialize
+        # it onto one task; no-op on multi-split scans, per-row outputs
+        # are functions of doc_id so partitioning cannot change values)
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     fam = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_T_FAMILY))).cast(
         "string"
     )
@@ -1205,9 +1230,15 @@ def simhash_portable(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ``simhash``; used by the DECLARED query so DuckDB can replicate the
     arithmetic cell-for-cell. Production callers keep xxhash64 ``simhash``
     (one hash op per token vs a per-char fold)."""
+    # r16 (guide §4.2/§4.4): the char fold is vectorized AND staged as a
+    # real column first — _simhash_agg references the hash in 31 bit-sum
+    # expressions, and an inlined fold expression would be re-evaluated
+    # per reference; the staged UDF column is computed once per row
     return _simhash_agg(
-        _tf(df, id_col, text_col),
-        portable_token_hash(F.col("token")),
+        _tf(df, id_col, text_col).withColumn(
+            "_th", char_fold_vec(F.col("token"))
+        ),
+        F.col("_th"),
         PORTABLE_SIMHASH_BITS,
         id_col,
     )

@@ -996,12 +996,20 @@ def kmeans_fit(
     map-side partials + a k·dim driver collect (the Lloyd's-on-Spark
     contract). Returns the final centroids in long form
     (centroid_id, pos, c_val, n)."""
+    from caffeonspark_spark.engine import scale_out
     from caffeonspark_spark.functions.arrays import fsum
 
     cent = sorted(
         (int(r[0]), [float(x) for x in r[1]])
         for r in corpus.where(F.col(id_col) < k).select(id_col, vec_col).collect()
     )
+    # r16 (guide §1.2): both iterations' argmin+explode map passes run in
+    # the scan's partitions — a single-split local scan serializes 2x the
+    # per-row distance folds onto one task. Rebalance the narrow
+    # (id, vec) rows once; no-op on a real multi-split scan, and per-row
+    # argmins/partials are row-local so partitioning cannot change values
+    # (the agg is decimal-grid, order-independent).
+    corpus = scale_out(corpus.select(id_col, vec_col))
     upd = None
     for _ in range(iters):
         best = nearest_centroid_col(cent, vec_col)

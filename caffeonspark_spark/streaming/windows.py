@@ -528,19 +528,20 @@ def stream_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("value"),
     )
-    max_us = events.agg(F.max("ts_us")).first()[0]  # driver scalar
     hour_us = 3_600_000_000
+    # ONE corpus pass for both driver scalars (r16, guide §1.2 "don't
+    # compute things twice"): the max event time (straggler cutoff) and
+    # the distinct real-window count (the flush-poll stop condition) were
+    # two separate scans; a single two-column agg row carries both.
+    _scal = events.agg(
+        F.max("ts_us").alias("mx"),
+        F.count_distinct(
+            (F.col("ts_us") / hour_us).cast("long"), F.col("event_type")
+        ).alias("nw"),
+    ).first()
+    max_us, n_windows = _scal[0], _scal[1]
     straggler = (F.col("event_id") % 10 == 7) & (
         F.col("ts_us") <= max_us - 2 * hour_us
-    )
-    # stop condition for the final no-data flush batch: every real
-    # (hour, event_type) window must end up emitted exactly once
-    n_windows = (
-        events.select(
-            (F.col("ts_us") / hour_us).cast("long"), "event_type"
-        )
-        .distinct()
-        .count()
     )
 
     _PARITY_SEQ[0] += 1

@@ -845,3 +845,74 @@ def test_connected_components_warns_on_checkpoint_dir_repoint(spark):
             and "re-pointing" in str(w.message)
             for w in caught
         ), [str(w.message) for w in caught]
+
+
+def test_char_fold_vec_bit_identical_to_expression(spark):
+    """r16 pin: the batch-vectorized char fold (``char_fold_vec``) must be
+    bit-identical to the interpreted expression form it replaced on the
+    hot paths (minhash portable, simhash portable, image/video/audio
+    chunk folds) — including empty strings, nulls, non-ASCII codepoints
+    (utf-32 decode must equal Spark's ascii()), embedded NUL chars (the
+    left-pad sentinel appearing as REAL data), and strings long enough to
+    span the vectorizer's segmenting logic."""
+    from caffeonspark_spark.functions.text import (
+        char_fold_vec,
+        portable_token_hash,
+    )
+
+    rows = [
+        (0, ""),
+        (1, None),
+        (2, "a"),
+        (3, "the quick brown fox"),
+        (4, "café naïve 中文 \U0001f600"),  # non-ASCII + astral
+        (5, "\x00embedded\x00nul\x00"),
+        (6, "x" * 5000),  # long row: exercises per-segment max-length
+        (7, "y"),
+        (8, " leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = (
+        df.select(
+            "id",
+            portable_token_hash(F.col("s")).alias("expr"),
+            char_fold_vec(F.col("s")).alias("vec"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        assert r.expr == r.vec, (r.id, r.expr, r.vec)
+    # empty folds to 0, null stays null — both forms
+    assert got[0].vec == 0 and got[1].vec is None
+
+
+def test_char_fold_batch_segments_match_unsegmented():
+    """The segment-capped NumPy fold equals a single-segment fold (and the
+    pure-Python reference) regardless of where segment boundaries land."""
+    import pandas as pd
+
+    import caffeonspark_spark.functions.text as T
+
+    data = pd.Series(["ab", "c" * 400, "", "def", None, "gh" * 300, "z"])
+
+    def ref(s):
+        if s is None:
+            return None
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % ((1 << 31) - 1)
+        return acc
+
+    expected = [ref(v) for v in data]
+    whole = T._char_fold_batch(data)
+    old_cap = T._FOLD_SEG_CELLS
+    try:
+        T._FOLD_SEG_CELLS = 512  # force many tiny segments
+        tiny = T._char_fold_batch(data)
+    finally:
+        T._FOLD_SEG_CELLS = old_cap
+    for i, e in enumerate(expected):
+        for out in (whole, tiny):
+            got = out.iloc[i]
+            assert (got is None or got is pd.NA) if e is None else got == e

@@ -304,13 +304,101 @@ def doc_fingerprint_portable(col: Column | str) -> Column:
     for cross-engine arithmetic. Tokenizes with ``space_tokens`` — the
     single-space oracle-parity definition every other dedup operator uses;
     the old \\s+ tokenize diverged from the DuckDB oracle on tabs/
-    newlines/double spaces (r7 self-review finding)."""
+    newlines/double spaces (r7 self-review finding).
+
+    This is the EXPRESSION form (interpreted HOF chain, per-character).
+    Hot query paths use :func:`doc_fp_vec` — identical values, batch-
+    vectorized; this form stays as the semantics pin."""
     th = F.transform(space_tokens(col), portable_token_hash)
     return F.aggregate(
         th,
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * F.lit(_FP_BASE) + x, F.lit(_FP_MOD)),
     )
+
+
+def _doc_fold_tokens_batch(s):
+    """Vectorized two-level portable doc fingerprint over a pandas Series of
+    token arrays — bit-identical to ``doc_fingerprint_portable``'s HOF
+    chain: level 1 char-folds every token (shared ``_char_fold_batch``
+    arithmetic), level 2 folds the token-hash stream with base
+    ``_FP_BASE``. Rows are LEFT-padded with hash 0 to the segment max token
+    count — fold-neutral exactly as in ``_char_fold_batch`` (acc stays 0
+    through the pad), so shorter docs fold as if unpadded. Empty token list
+    folds to 0, null stays null. The per-segment padded matrix is capped at
+    ``_FOLD_SEG_CELLS`` int64 cells."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(s)
+    mask = np.fromiter((x is None for x in s), bool, n)
+    counts = np.zeros(n, np.int64)
+    flat: list = []
+    for i, x in enumerate(s):
+        if x is None:
+            continue
+        counts[i] = len(x)
+        flat.extend(x)
+    if flat:
+        th_np = (
+            _char_fold_batch(pd.Series(flat, dtype=object))
+            .to_numpy(dtype="int64")
+        )
+    else:
+        th_np = np.empty(0, np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    out = np.zeros(n, np.int64)
+    start = 0
+    while start < n:
+        seg_len = max(int(counts[start]), 1)
+        end = start + 1
+        while end < n:
+            cand = max(seg_len, int(counts[end]) or 1)
+            if (end + 1 - start) * cand > _FOLD_SEG_CELLS:
+                break
+            seg_len = cand
+            end += 1
+        m = end - start
+        mat = np.zeros((m, seg_len), np.int64)
+        for i in range(start, end):
+            c = int(counts[i])
+            if c:
+                mat[i - start, seg_len - c:] = th_np[offs[i]:offs[i + 1]]
+        acc = np.zeros(m, np.int64)
+        for j in range(seg_len):
+            acc = (acc * _FP_BASE + mat[:, j]) % _FP_MOD
+        out[start:end] = acc
+        start = end
+    res = pd.array(out, dtype="Int64")
+    res[mask] = pd.NA
+    return pd.Series(res)
+
+
+def _make_doc_fp_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _doc_fp_udf(toks):  # pragma: no cover - runs on executors
+        return _doc_fold_tokens_batch(toks)
+
+    return _doc_fp_udf
+
+
+_DOC_FP_UDF = None
+
+
+def doc_fp_vec(col: Column | str) -> Column:
+    """``doc_fingerprint_portable``, vectorized (guide §4.2): tokenization
+    stays Spark-side (``space_tokens`` — lower/split/filter are codegen'd,
+    and their exact semantics never enter Python), only the token ARRAY
+    crosses the Arrow boundary, and both fold levels run column-wise in
+    NumPy instead of the interpreted per-character HOF chain. Values are
+    bit-identical to the expression form (pinned by ``test_dedup.py``'s
+    doc-fp vec-vs-expression pin); the DuckDB oracles are untouched."""
+    global _DOC_FP_UDF
+    if _DOC_FP_UDF is None:
+        _DOC_FP_UDF = _make_doc_fp_udf()
+    return _DOC_FP_UDF(space_tokens(col))
 
 
 def doc_fingerprint(col: Column | str) -> Column:

@@ -35,6 +35,7 @@ from caffeonspark_spark.functions.text import (
     char_fold_vec,
     doc_fingerprint,  # noqa: F401 — production (xxhash64) fingerprint API
     doc_fingerprint_portable,
+    doc_fp_vec,
     ngrams,
     portable_token_hash,
     space_tokens,
@@ -222,7 +223,7 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-normalized semantics, pinned equal-shape by unit tests).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(F.col("doc_id"), doc_fingerprint_portable(F.col("text")).alias("fp"))
+    fp = docs.select(F.col("doc_id"), doc_fp_vec(F.col("text")).alias("fp"))
     return fp.groupBy("fp").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     ).select("keep_id", "n_copies", "fp")
@@ -282,7 +283,7 @@ def keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
-        "doc_id", "n_chars", doc_fingerprint_portable(F.col("text")).alias("fp")
+        "doc_id", "n_chars", doc_fp_vec(F.col("text")).alias("fp")
     )
     w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     return (

@@ -414,10 +414,10 @@ _KMV_NATIVE_MOD = (1 << 61) - 1
 
 def kmv_overlap_docs(docs: DataFrame, k: int = _KMV_K) -> DataFrame:
     """DataFrame core of :func:`kmv_source_overlap` (see its docstring)."""
-    from caffeonspark_spark.functions.text import _FP_MOD, doc_fingerprint_portable
+    from caffeonspark_spark.functions.text import _FP_MOD, doc_fp_vec
 
     h = docs.select(
-        "source", doc_fingerprint_portable(F.col("text")).alias("hv")
+        "source", doc_fp_vec(F.col("text")).alias("hv")
     )
     return _kmv_overlap_from_hashes(h, k, _FP_MOD)
 
@@ -435,6 +435,88 @@ def kmv_overlap_native_docs(docs: DataFrame, k: int = _KMV_K) -> DataFrame:
         F.pmod(F.xxhash64(F.col("text")), F.lit(_KMV_NATIVE_MOD)).alias("hv"),
     )
     return _kmv_overlap_from_hashes(h, k, _KMV_NATIVE_MOD)
+
+
+#: one-task cutover for the KMV pairwise merge: with n ≤ this many sources
+#: the whole downstream is ≤ 256·k sketch rows in and n²/2 ≤ 32k pair rows
+#: out — metadata-sized; larger source counts keep the distributed join path
+_KMV_ONE_TASK_SOURCES = 256
+
+
+def _kmv_pair_schema() -> str:
+    return (
+        "source_a string, source_b string, est_a double, est_b double, "
+        "est_union double, jaccard_k double, est_overlap double"
+    )
+
+
+def _kmv_pairs_single_task(sk: DataFrame, k: int, scale: float) -> DataFrame:
+    """The entire post-sketch KMV downstream (per-source estimates, pairwise
+    union-sketch top-k merge, membership intersection, estimate algebra) as
+    ONE executor task over the persisted sketch — bit-identical to the join
+    pipeline: every arithmetic step is the same single IEEE-double op the
+    SQL form performs (CAST/divide/multiply), source pairs order by the same
+    byte-wise string comparison Spark's ``<`` uses, and the union top-k is
+    the same k-smallest-of-distinct-union. Pinned by
+    ``test_sampling.py::test_kmv_single_task_matches_join_pipeline``."""
+    import pandas as pd
+
+    schema = _kmv_pair_schema()
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+
+    def empty():
+        return pd.DataFrame(
+            {
+                c: pd.Series(dtype="object" if c.startswith("source") else "float64")
+                for c in cols
+            }
+        )
+
+    def compute(batches):  # pragma: no cover - runs on executors
+        import numpy as np
+
+        parts = list(batches)
+        if not parts:
+            yield empty()
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        by_src: dict = {}
+        for name, g in pdf.groupby("source", sort=False):
+            by_src[name] = np.sort(g["hv"].to_numpy(np.int64))
+        names = sorted(by_src, key=lambda s: s.encode("utf-8"))
+        est = {}
+        for s in names:
+            arr = by_src[s]
+            m = len(arr)
+            est[s] = float(m) if m < k else scale / float(arr[-1])
+        rows = []
+        for i, a in enumerate(names):
+            ua = by_src[a]
+            for b in names[i + 1:]:
+                ub = by_src[b]
+                mk = np.union1d(ua, ub)[:k]
+                mu = len(mk)
+                inter = np.intersect1d(
+                    np.intersect1d(mk, ua, assume_unique=True),
+                    ub,
+                    assume_unique=True,
+                )
+                est_union = (
+                    float(mu) if mu < k else scale / float(int(mk[-1]))
+                )
+                jac = float(len(inter)) / float(mu)
+                rows.append(
+                    (a, b, est[a], est[b], est_union, jac, jac * est_union)
+                )
+        if not rows:
+            yield empty()
+            return
+        yield pd.DataFrame(rows, columns=cols)
+
+    # coalesce(1) reads the ~n·k cached sketch blocks into one task — no
+    # shuffle, and the persisted memo keeps it from collapsing the corpus
+    # pass itself to one task
+    return sk.coalesce(1).mapInPandas(compute, schema)
 
 
 def _kmv_overlap_from_hashes(h: DataFrame, k: int, modulus: int) -> DataFrame:
@@ -461,6 +543,20 @@ def _kmv_overlap_from_hashes(h: DataFrame, k: int, modulus: int) -> DataFrame:
         .select("source", "hv"),
     )
     scale = float((k - 1) * modulus)
+    # r16 (guide §1.2 the-distributed-algorithm / §5 driver+GC): the
+    # downstream of the sketch is METADATA (≤ k rows per source), but as a
+    # join pipeline it planted ~16 InMemoryTableScan branches across ~23
+    # AQE stage-jobs and 90+ Exchanges — profiled at sf0.1 as a BIMODAL
+    # 0.7–13 s query whose slow mode was a driver-JVM GC storm (47 s of
+    # 55 s task time in GC, evlog stage 75). When the source count fits
+    # the one-task rule, compute the whole pairwise merge in ONE task over
+    # the pinned sketch (union-find-short-circuit precedent); the join
+    # pipeline below stays for larger source counts, so the 100 TB
+    # posture is unchanged. The count() is a scalar action over the
+    # already-persisted sketch (n_edges-count precedent).
+    n_sources = sk.select(F.count_distinct("source")).first()[0]
+    if n_sources <= _KMV_ONE_TASK_SOURCES:
+        return _kmv_pairs_single_task(sk, k, scale)
     per = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("m"), F.max("hv").alias("kth")
     )

@@ -887,6 +887,91 @@ def test_char_fold_vec_bit_identical_to_expression(spark):
     assert got[0].vec == 0 and got[1].vec is None
 
 
+def test_doc_fp_vec_bit_identical_to_expression(spark):
+    """r16 pin: the batch-vectorized two-level doc fingerprint
+    (``doc_fp_vec``) must be bit-identical to the expression form
+    (``doc_fingerprint_portable``) it replaced on the kmv/fingerprint
+    query paths — including empty strings, nulls, multi-space runs
+    (empty tokens dropped by ``space_tokens`` in BOTH forms), non-ASCII,
+    tabs/newlines (NOT token separators), and docs long enough to span
+    the level-2 segmenting logic."""
+    from caffeonspark_spark.functions.text import (
+        doc_fingerprint_portable,
+        doc_fp_vec,
+    )
+
+    rows = [
+        (0, ""),
+        (1, None),
+        (2, "a"),
+        (3, "the quick  brown   fox "),
+        (4, "café naïve 中文 \U0001f600 mixed"),
+        (5, "tab\tand\nnewline are in-token"),
+        (6, " ".join(f"tok{i}" for i in range(3000))),  # many tokens
+        (7, "x" * 4000),  # one long token
+        (8, "   "),
+        (9, "UPPER Case MiXeD"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = (
+        df.select(
+            "id",
+            doc_fingerprint_portable(F.col("s")).alias("expr"),
+            doc_fp_vec(F.col("s")).alias("vec"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        assert r.expr == r.vec, (r.id, r.expr, r.vec)
+    assert got[0].vec == 0 and got[1].vec is None and got[8].vec == 0
+
+
+def test_doc_fold_tokens_batch_segments_match_unsegmented():
+    """The segment-capped level-2 fold equals a single-segment fold and a
+    pure-Python two-level reference, regardless of segment boundaries."""
+    import pandas as pd
+
+    import caffeonspark_spark.functions.text as T
+
+    data = pd.Series(
+        [
+            ["ab", "cd"],
+            ["x" * 300],
+            [],
+            None,
+            ["tok"] * 500,
+            ["é", "中"],
+            ["z"],
+        ],
+        dtype=object,
+    )
+
+    def ref(toks):
+        if toks is None:
+            return None
+        fp = 0
+        for t in toks:
+            th = 0
+            for ch in t:
+                th = (th * 31 + ord(ch)) % ((1 << 31) - 1)
+            fp = (fp * 1000003 + th) % ((1 << 31) - 1)
+        return fp
+
+    expected = [ref(v) for v in data]
+    whole = T._doc_fold_tokens_batch(data)
+    old_cap = T._FOLD_SEG_CELLS
+    try:
+        T._FOLD_SEG_CELLS = 256  # force many tiny segments at both levels
+        tiny = T._doc_fold_tokens_batch(data)
+    finally:
+        T._FOLD_SEG_CELLS = old_cap
+    for i, e in enumerate(expected):
+        for out in (whole, tiny):
+            got = out.iloc[i]
+            assert (got is pd.NA) if e is None else got == e, (i, e, got)
+
+
 def test_char_fold_batch_segments_match_unsegmented():
     """The segment-capped NumPy fold equals a single-segment fold (and the
     pure-Python reference) regardless of where segment boundaries land."""

@@ -481,6 +481,39 @@ class TestKmvOverlap:
         assert pairs == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
         assert all(a < b for a, b in pairs)
 
+    def test_kmv_single_task_matches_join_pipeline(self, spark):
+        """r16 pin: the one-task pairwise merge (``_kmv_pairs_single_task``)
+        is BIT-identical — every double compared with == — to the
+        distributed join pipeline it short-circuits, across exact and
+        estimator regimes, multi-source pair sets, and disjoint sources."""
+        import caffeonspark_spark.operators.sampling as SA
+
+        shared = [f"shared document body {i} padding" for i in range(300)]
+        rows = (
+            [(i, t, "a") for i, t in enumerate(shared)]
+            + [(10_000 + i, f"alpha {i} filler", "a") for i in range(200)]
+            + [(20_000 + i, t, "b") for i, t in enumerate(shared[:100])]
+            + [(30_000 + i, f"beta {i} filler", "b") for i in range(400)]
+            + [(40_000 + i, f"gamma {i} body", "c") for i in range(50)]
+        )
+        docs = self._docs(spark, rows)
+        fast = sorted(
+            SA.kmv_overlap_docs(docs, k=64).collect(),
+            key=lambda r: (r["source_a"], r["source_b"]),
+        )
+        old = SA._KMV_ONE_TASK_SOURCES
+        try:
+            SA._KMV_ONE_TASK_SOURCES = 0  # force the join pipeline
+            slow = sorted(
+                SA.kmv_overlap_docs(docs, k=64).collect(),
+                key=lambda r: (r["source_a"], r["source_b"]),
+            )
+        finally:
+            SA._KMV_ONE_TASK_SOURCES = old
+        assert len(fast) == len(slow) == 3
+        for f_, s_ in zip(fast, slow):
+            assert f_.asDict() == s_.asDict(), (f_, s_)
+
     def test_native_estimator_accuracy_and_consistency(self, spark):
         """The xxhash64 production sketch estimates the same planted truth
         within the same envelope as the portable one, and the two agree

@@ -65,6 +65,9 @@ def main() -> None:
                         (tm.get("Shuffle Read Metrics") or {}).get(
                             "Fetch Wait Time", 0
                         ),
+                        # executorCpuTime is NANOS (contention-robust: CPU
+                        # actually burned, not wall descheduled under load)
+                        tm.get("Executor CPU Time", 0) / 1e6,
                     )
                 )
 
@@ -77,7 +80,13 @@ def main() -> None:
         )
     for desc, js in per_desc.items():
         tot = sum(d for _, d, _ in js)
-        print(f"\n== {desc or '(no desc)'}: {len(js)} jobs, {tot:.2f}s total")
+        cpu_tot = sum(
+            t[4] for _, _, sids in js for s in sids for t in tasks.get(s, [])
+        ) / 1000
+        print(
+            f"\n== {desc or '(no desc)'}: {len(js)} jobs, {tot:.2f}s total, "
+            f"cpuSum={cpu_tot:.2f}s"
+        )
         for jid, dur, sids in sorted(js, key=lambda x: -x[1])[:12]:
             executed = [s for s in sids if s in stages]
             print(f"  job {jid}: {dur:6.2f}s stages={executed}")
@@ -88,10 +97,12 @@ def main() -> None:
                 ttot = sum(t[0] for t in ts) / 1000
                 tgc = sum(t[1] for t in ts) / 1000
                 tfw = sum(t[3] for t in ts) / 1000
+                tcpu = sum(t[4] for t in ts) / 1000
                 tmax = max((t[0] for t in ts), default=0) / 1000
                 print(
                     f"    stage {sid}: {sdur:6.2f}s n={s['n']:3d} "
-                    f"taskSum={ttot:6.2f}s maxTask={tmax:5.2f}s "
+                    f"taskSum={ttot:6.2f}s cpuSum={tcpu:6.2f}s "
+                    f"maxTask={tmax:5.2f}s "
                     f"gc={tgc:4.2f}s fetchWait={tfw:4.2f}s {s['name'][:60]}"
                 )
 

@@ -44,6 +44,11 @@ def main() -> None:
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": logdir,
                 "spark.eventLog.compress": "false",
+                **{
+                    kv.split("=", 1)[0].strip(): kv.split("=", 1)[1].strip()
+                    for kv in os.environ.get("AB_CONF", "").split(";")
+                    if "=" in kv
+                },
             },
         )
     )

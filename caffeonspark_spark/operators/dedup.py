@@ -2385,7 +2385,12 @@ def edit_distance_dup_pairs(
     p = docs.where(F.length("text") >= 16).select(
         "doc_id", F.lower(F.substring("text", 1, prefix_len)).alias("pre")
     )
-    blocks = (
+    # Pinned: (doc_id, 40-char prefix, 8-char block key) — bounded-width
+    # rows, never full corpus text. Feeds the hot-block agg, the anti-join
+    # and BOTH self-join sides; unpinned each consumer re-ran the corpus
+    # scan + union + distinct (24 parquet scans in one plan at sf0.1).
+    blocks = _persist_replacing(
+        f"editdist_blocks_{prefix_len}",
         p.select("doc_id", "pre", F.substring("pre", 1, 8).alias("blk"))
         .union(
             p.select(
@@ -2394,7 +2399,7 @@ def edit_distance_dup_pairs(
                 F.expr("substring(pre, length(pre) - 7, 8)").alias("blk"),
             )
         )
-        .distinct()
+        .distinct(),
     )
     hot = (
         blocks.groupBy("blk")

@@ -792,6 +792,24 @@ def logmel_matrix(
     return np.log(power @ fbs[rate].T + 1e-10)
 
 
+def _spectral_fp_bands(
+    wave: np.ndarray,
+    rate: int,
+    frame_len: int,
+    hop: int,
+    window: np.ndarray,
+    fbs: dict,
+    weights: np.ndarray,
+) -> tuple[int, int, int, int]:
+    """One clip's spectral fingerprint as the four 16-bit bands — the
+    per-row core shared by ``audio_spectral_fingerprint`` and the fused
+    planted-family pass so the two cannot drift."""
+    lm = logmel_matrix(wave, rate, frame_len, hop, 9, 8, window, fbs)
+    bits = (lm[1:] > lm[:-1]).astype(np.int64)  # (8, 8)
+    rowvals = (bits * weights).sum(axis=1)
+    return tuple(int(rowvals[2 * k] + rowvals[2 * k + 1]) for k in range(4))
+
+
 def audio_spectral_fingerprint(
     df: DataFrame,
     audio_col: str = "audio_meta",
@@ -817,7 +835,6 @@ def audio_spectral_fingerprint(
     the imagehash bit layout.
 
     One linear ``mapInPandas`` pass; bytes never shuffle."""
-    n_frames, n_mels = 9, 8  # 8 gradient rows x 8 mels = 64 bits
 
     def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         window = np.hanning(frame_len).astype(np.float64)
@@ -830,14 +847,12 @@ def audio_spectral_fingerprint(
             for rid, meta in zip(pdf[id_col], pdf[audio_col]):
                 wave = decoder(bytes(meta["audio"]), int(meta["n_samples"]))
                 rate = int(meta["sample_rate"])
-                lm = logmel_matrix(
-                    wave, rate, frame_len, hop, n_frames, n_mels, window, fbs
+                bands = _spectral_fp_bands(
+                    wave, rate, frame_len, hop, window, fbs, weights
                 )
-                bits = (lm[1:] > lm[:-1]).astype(np.int64)  # (8, 8)
-                rowvals = (bits * weights).sum(axis=1)
                 ids.append(rid)
                 for k in range(4):
-                    cols[k].append(int(rowvals[2 * k] + rowvals[2 * k + 1]))
+                    cols[k].append(bands[k])
             yield pd.DataFrame(
                 {
                     "id": ids,
@@ -1498,6 +1513,78 @@ def _planted_clip_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"id": ids, "video": clips})
 
 
+def _make_planted_clip_hash_rows(decoder):
+    """Factory for the FUSED planted-clip front end: (doc_id) batches →
+    (id, fi, b0..b3) in one Python pass — render, the pluggable decode
+    seam, uniform frame sampling and the per-frame dHash, with the clip
+    and frame bytes never crossing the Arrow boundary (guide §4). Every
+    step calls the same functions as the staged
+    ``_planted_clip_rows`` → ``video_sample_frames`` →
+    ``video_frame_hashes`` chain in the same order (including the
+    decoder-contract validation), so the emitted hash rows are
+    bit-identical. The family base scene is cached per batch (members
+    share it; batch-scoped so the dict cannot grow with the corpus)."""
+    from caffeonspark_spark.multimodal.imagehash import (
+        dhash_bands,
+        planted_family_matrix,
+        resize_area,
+        to_gray,
+    )
+
+    h, w = 8 * _V_REP, 9 * _V_REP
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            base_cache: dict = {}
+            ids, idxs, cols = [], [], [[], [], [], []]
+            for rid in pdf["doc_id"]:
+                rid = int(rid)
+                scaled = planted_family_matrix(
+                    rid,
+                    (_V_FRAMES, 8, 9),
+                    family=_V_NAT_FAMILY,
+                    _base_cache=base_cache,
+                )
+                frames = [
+                    np.repeat(np.repeat(scaled[fi], _V_REP, axis=0), _V_REP, axis=1)
+                    for fi in range(_V_FRAMES)
+                ]
+                clip_bytes = np.stack(frames)[..., None].tobytes()
+                clip = decoder(clip_bytes, _V_FRAMES, h, w)
+                if clip.shape[0] == 0:
+                    continue
+                pick = np.linspace(
+                    0,
+                    clip.shape[0] - 1,
+                    num=min(_V_FRAMES, clip.shape[0]),
+                    dtype=np.int64,
+                )
+                for fi in pick:
+                    frame = np.ascontiguousarray(clip[fi])
+                    c = frame.nbytes // (h * w)
+                    if c not in (1, 3) or frame.nbytes != h * w * c:
+                        raise ValueError(
+                            "frame byte length does not match dims (expected "
+                            f"H*W*{{1,3}}, got {frame.nbytes} for {h}x{w})"
+                        )
+                    bands = dhash_bands(
+                        resize_area(to_gray(frame.reshape(h, w, c)), 8, 9)
+                    )
+                    ids.append(rid)
+                    idxs.append(int(fi))
+                    for k in range(4):
+                        cols[k].append(bands[k])
+            yield pd.DataFrame(
+                {
+                    "id": ids, "fi": idxs,
+                    "b0": cols[0], "b1": cols[1],
+                    "b2": cols[2], "b3": cols[3],
+                }
+            )
+
+    return run
+
+
 def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     """Declared query (✔oracle — exact pair-set equality, the
     ``audio_dup_pairs_native`` planted-family pattern on clips):
@@ -1538,22 +1625,22 @@ def video_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     n_docs = table_nrows(sf_dir, "documents")
     warn_if_beyond_planted_ceiling(n_docs, "video_dup_pairs_native")
     cap = max(50, n_docs // 100)
-    vids = docs.mapInPandas(_planted_clip_rows, "id long, video binary")
-    meta = vids.select(
-        "id",
-        F.struct(
-            F.col("video").alias("video"),
-            F.lit(_V_FRAMES).cast("int").alias("n_frames"),
-            F.lit(8 * _V_REP).cast("int").alias("height"),
-            F.lit(9 * _V_REP).cast("int").alias("width"),
-        ).alias("video_meta"),
+    # r16: render → sample/decode → per-frame hash fused into ONE
+    # mapInPandas pass (guide §4): the three-stage chain shipped every
+    # clip AND every sampled frame across the JVM↔Python Arrow boundary
+    # (4 binary crossings per clip); fused, only 8-byte ids enter and
+    # 48-byte hash rows leave. Same render bytes, the SAME pluggable
+    # decoder seam, the same linspace sampling and the same
+    # to_gray → resize_area → dhash_bands calls in the same order, so
+    # the per-frame hashes are bit-identical — re-proven by the exact
+    # family-combinatorics oracle.
+    dec = fake_decode_video if decoder is None else decoder
+    hashed = docs.mapInPandas(
+        _make_planted_clip_hash_rows(dec),
+        "id long, fi int, b0 long, b1 long, b2 long, b3 long",
     )
-    frames = video_sample_frames(
-        meta, k=_V_FRAMES, **({} if decoder is None else {"decoder": decoder})
-    )
-    hashed = video_frame_hashes(frames)
     return near_dup_video_pairs(
-        hashed, max_hamming=2, max_band_df=cap, min_frames=3
+        hashed, frame_col="fi", max_hamming=2, max_band_df=cap, min_frames=3
     ).select("id_a", "id_b")
 
 
@@ -2018,32 +2105,55 @@ def audio_dup_pairs_native(spark, sf_dir: str, decoder=None) -> DataFrame:
     warn_if_beyond_planted_ceiling(n_docs, "audio_dup_pairs_native")
     cap = max(50, n_docs // 100)
 
+    # the production codec seam: a soundfile/torchaudio wrapper with
+    # wav_frame_decoder's (bytes, n_samples) -> float32 contract drops
+    # in here; pinned end-to-end by
+    # test_audio_dup::test_third_party_decoder_through_pair_pipeline
+    dec = wav_frame_decoder if decoder is None else decoder
+
+    # r16: synth → PCM16 encode → decode seam → log-mel fingerprint fused
+    # into ONE mapInPandas pass (guide §4): the RIFF/WAVE bytes previously
+    # crossed the JVM↔Python Arrow boundary twice between the synth and
+    # fingerprint stages; fused, only 8-byte ids enter and hash rows
+    # leave. The encode → decode round trip (the PCM16 quantization the
+    # oracle margin was measured through) still runs on the same bytes,
+    # and the fingerprint math is the shared ``_spectral_fp_bands`` core,
+    # so the emitted bands are bit-identical. The family clip is cached
+    # per batch (members share it; batch-scoped so the dict cannot grow
+    # with the corpus).
     def gen(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        window = np.hanning(256).astype(np.float64)
+        weights = 1 << (
+            np.arange(8)[None, :] + (np.arange(8)[:, None] % 2) * 8
+        )
+        fbs: dict[int, np.ndarray] = {}
         for pdf in pdfs:
-            ids, wavs, ns = [], [], []
+            clip_cache: dict[int, np.ndarray] = {}
+            ids, cols = [], [[], [], [], []]
             for did in pdf["doc_id"]:
                 did = int(did)
-                w = synthetic_rich_clip(did - did % _A_FAMILY)
+                fam = did - did % _A_FAMILY
+                w = clip_cache.get(fam)
+                if w is None:
+                    w = synthetic_rich_clip(fam)
+                    clip_cache[fam] = w
                 g = np.float32(_A_GAINS[did % _A_FAMILY])
+                wave = dec(encode_wav_pcm16(g * w, 8000), len(w))
+                bands = _spectral_fp_bands(
+                    wave, 8000, 256, 128, window, fbs, weights
+                )
                 ids.append(did)
-                wavs.append(encode_wav_pcm16(g * w, 8000))
-                ns.append(len(w))
-            yield pd.DataFrame({"id": ids, "wav": wavs, "ns": ns})
+                for k in range(4):
+                    cols[k].append(bands[k])
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "b0": cols[0], "b1": cols[1],
+                    "b2": cols[2], "b3": cols[3],
+                }
+            )
 
-    clips = docs.mapInPandas(gen, "id long, wav binary, ns int")
-    fp = audio_spectral_fingerprint(
-        clips.select(
-            "id",
-            audio_struct_col(
-                F.col("wav"), F.lit(8000), F.col("ns")
-            ).alias("audio_meta"),
-        ),
-        # the production codec seam: a soundfile/torchaudio wrapper with
-        # wav_frame_decoder's (bytes, n_samples) -> float32 contract drops
-        # in here; pinned end-to-end by
-        # test_audio_dup::test_third_party_decoder_through_pair_pipeline
-        decoder=wav_frame_decoder if decoder is None else decoder,
-    )
+    fp = docs.mapInPandas(gen, "id long, b0 long, b1 long, b2 long, b3 long")
     return near_dup_band_pairs(
         fp, max_hamming=2, max_band_df=cap
     ).select("id_a", "id_b")

@@ -442,6 +442,7 @@ def planted_family_matrix(
     family: int = _I_FAMILY,
     scales: tuple = _I_SCALES,
     levels: int = _I_LEVELS,
+    _base_cache: dict | None = None,
 ) -> np.ndarray:
     """THE planted-family construction, shared by every modality's native
     query generator (image PGMs here, video clips in ``av.py``) so a
@@ -449,8 +450,14 @@ def planted_family_matrix(
     together (r13 review finding): copy ``rid``'s matrix is the family
     base scene (seeded by the family id) contrast-scaled by its member
     index — strictly monotone, so dHash-exact."""
-    rng = np.random.default_rng(rid - rid % family)
-    base = rng.integers(0, levels, shape)
+    fam = rid - rid % family
+    key = (fam, shape, levels)
+    if _base_cache is not None and key in _base_cache:
+        base = _base_cache[key]
+    else:
+        base = np.random.default_rng(fam).integers(0, levels, shape)
+        if _base_cache is not None:
+            _base_cache[key] = base
     return (base * scales[rid % family]).astype(np.uint8)
 
 
@@ -478,6 +485,41 @@ def _planted_pgm_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids.append(rid)
             imgs.append(pgm)
         yield pd.DataFrame({"id": ids, "image": imgs})
+
+
+def _planted_image_hash_rows(
+    pdfs: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """(doc_id) batches → (id, b0..b3): the planted-PGM render, the
+    from-spec decode tier and the dHash fused into ONE Python pass
+    (guide §4: previously the PGM bytes crossed the JVM↔Python Arrow
+    boundary twice between the render and hash mapInPandas stages; fused
+    they never leave the task). Same construction, same
+    ``decode_image`` → ``to_gray`` → ``resize_area`` → ``dhash_bands``
+    calls in the same order, so the hash values are bit-identical —
+    re-proven by the exact family-combinatorics oracle and the
+    render-stage consistency twin. The family base scene is cached per
+    batch (members of one family share it; the dict is batch-scoped so
+    it cannot grow with the corpus)."""
+    for pdf in pdfs:
+        base_cache: dict = {}
+        ids, b0, b1, b2, b3 = [], [], [], [], []
+        for rid in pdf["doc_id"]:
+            rid = int(rid)
+            scaled = planted_family_matrix(
+                rid, (_N_ROWS, _N_COLS), _base_cache=base_cache
+            )
+            big = np.repeat(np.repeat(scaled, 4, axis=0), 4, axis=1)
+            pgm = b"P5\n%d %d\n255\n" % (big.shape[1], big.shape[0]) + big.tobytes()
+            bands = dhash_bands(
+                resize_area(to_gray(decode_image(pgm, 1)), _N_ROWS, _N_COLS)
+            )
+            ids.append(rid)
+            b0.append(bands[0])
+            b1.append(bands[1])
+            b2.append(bands[2])
+            b3.append(bands[3])
+        yield pd.DataFrame({"id": ids, "b0": b0, "b1": b1, "b2": b2, "b3": b3})
 
 
 def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,8 +551,12 @@ def image_dhash_pairs_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table_nrows(sf_dir, "documents")
     warn_if_beyond_planted_ceiling(n_docs, "image_dhash_pairs_native")
     cap = max(50, n_docs // 100)
-    imgs = docs.mapInPandas(_planted_pgm_rows, "id long, image binary")
-    hashed = image_perceptual_hashes(imgs, channels=1)
+    # r16: render → decode → hash fused into one mapInPandas pass — the
+    # PGM bytes never cross the Arrow boundary (guide §4); see
+    # _planted_image_hash_rows for the bit-identity argument
+    hashed = docs.mapInPandas(
+        _planted_image_hash_rows, "id long, b0 long, b1 long, b2 long, b3 long"
+    )
     return near_dup_band_pairs(
         hashed, max_hamming=2, max_band_df=cap
     ).select("id_a", "id_b")

@@ -559,34 +559,62 @@ def bm25_rank(
     """BM25 relevance ranking of the corpus against a fixed term set —
     the retrieval scorer used to curate training data by query relevance.
 
-    Shape: one pass computes per-doc token arrays; per-(doc, term) tf comes
-    from a higher-order filter over the array (no explode of all tokens —
-    fan-out is |docs| × |query terms|, not |tokens|); df and the corpus
-    stats (N, avgdl) are tiny aggregates broadcast back. Scores land on the
-    bround(9) grid so the floating ln/division chain hash-matches engines
-    with differently-rounded libm. At 100 TB: the only per-token work is
-    array construction already paid by tokenization; everything after is
-    per-doc × per-term.
+    Shape: ONE tokenization pass computes per-doc length AND every
+    term's tf in the same projection (per-term higher-order filters over
+    the array — no explode of all tokens: fan-out stays |docs| × |query
+    terms|); the resulting (doc_id, dl, tf…) rows are metadata-sized
+    (integers only, never tokens) and memo-pinned, so the corpus-stats
+    aggregate, the df counts and the scoring branch all read the pinned
+    table instead of each re-tokenizing the corpus (r16, guide §5/§2.2:
+    the old toks → {lens, tf} staging tokenized the corpus three times
+    per run). ``dl`` rides the per-term explode, so the old lens re-join
+    is gone too. Scores land on the bround(9) grid so the floating
+    ln/division chain hash-matches engines with differently-rounded
+    libm. At 100 TB: the only per-token work is array construction paid
+    exactly once; everything after is per-doc × per-term over pinned
+    integers.
     """
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _toks().alias("ts"))
-    lens = toks.select("doc_id", F.size("ts").alias("dl"))
+
+    def _tf(term: str):
+        # one-arg lambda on purpose: F.filter dispatches on lambda arity
+        # (two args would receive (element, index))
+        return F.size(F.filter(F.col("ts"), lambda x: x == F.lit(term)))
+
+    base = _persist_replacing(
+        "bm25_base",
+        toks.select(
+            "doc_id",
+            F.size("ts").alias("dl"),
+            *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+        ),
+    )
     stats = F.broadcast(
-        lens.agg(
+        base.agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
         )
     )
-    terms_df = F.broadcast(
-        spark.createDataFrame([(t,) for t in terms], "term string")
-    )
     tf = (
-        toks.crossJoin(terms_df)
-        .select(
+        base.select(
             "doc_id",
-            "term",
-            F.size(F.filter(F.col("ts"), lambda x: x == F.col("term"))).alias("tf"),
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("tt"),
         )
+        .select("doc_id", "dl", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
         .where(F.col("tf") > 0)
     )
     df_counts = F.broadcast(
@@ -602,7 +630,6 @@ def bm25_rank(
     )
     return (
         tf.join(df_counts, "term")
-        .join(lens, "doc_id")
         .crossJoin(stats)
         .groupBy("doc_id")
         # fsum doctrine: round each term's contribution onto the 1e-9 grid,

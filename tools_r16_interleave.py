@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from caffeonspark_spark.engine import Config, get_spark
 
 import bench
+from tools_r16_cpu import _tree_cpu
 
 
 def main() -> None:
@@ -31,6 +32,7 @@ def main() -> None:
     for name in names:
         fn = bench.BENCH_QUERIES[name]
         arms = {"A": [], "B": []}
+        cpu = {"A": [], "B": []}
         for _ in range(n_pairs):
             for arm in ("A", "B"):
                 if arm == "B":
@@ -39,13 +41,15 @@ def main() -> None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, base)
-                t0 = time.perf_counter()
+                c0, t0 = _tree_cpu(), time.perf_counter()
                 bench._run(fn(spark, sf_dir))
                 arms[arm].append(round(time.perf_counter() - t0, 3))
+                cpu[arm].append(round(_tree_cpu() - c0, 2))
                 unpersist_cached()
         print(
             f"ILV {name} A_min={min(arms['A'])} B_min={min(arms['B'])} "
-            f"A={arms['A']} B={arms['B']}",
+            f"Acpu_min={min(cpu['A'])} Bcpu_min={min(cpu['B'])} "
+            f"A={arms['A']} B={arms['B']} Acpu={cpu['A']} Bcpu={cpu['B']}",
             flush=True,
         )
 

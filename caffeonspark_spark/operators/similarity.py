@@ -1009,7 +1009,15 @@ def kmeans_fit(
     # (id, vec) rows once; no-op on a real multi-split scan, and per-row
     # argmins/partials are row-local so partitioning cannot change values
     # (the agg is decimal-grid, order-independent).
-    corpus = scale_out(corpus.select(id_col, vec_col))
+    # r16 (guide §5): pin the rebalanced training set through the released
+    # memo — Lloyd's re-reads it every iteration, and without the pin each
+    # round re-ran the parquet scan + rebalance exchange (the classic
+    # iterative-ML cache miss; released by unpersist_cached between runs).
+    from caffeonspark_spark.operators.dedup import _persist_replacing
+
+    corpus = _persist_replacing(
+        "kmeans_fit_corpus", scale_out(corpus.select(id_col, vec_col))
+    )
     upd = None
     for _ in range(iters):
         best = nearest_centroid_col(cent, vec_col)

@@ -1249,14 +1249,13 @@ def video_dedup_against_corpus(
 
 
 def video_dedup_map(
-    frame_hashes: DataFrame | None,
+    frame_hashes: DataFrame,
     id_col: str = "id",
     frame_col: str = "frame_idx",
     max_hamming: int = _PORTABLE_MAX_HAMMING,
     max_band_df: int = _PORTABLE_BAND_CAP,
     min_frames: int = 3,
     checkpoint_dir: str | None = None,
-    wide_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Total clip-level canonical map ``(id, keep_id)`` — the
     ``image_dedup`` composition for the VIDEO modality, which cannot use
@@ -1278,53 +1277,25 @@ def video_dedup_map(
 
     Scale contract: the exact group moves (id, 4·n_frames smallints) —
     never frames; the near pass runs on one clip per DISTINCT sequence;
-    the final map is two 8-byte-key equi-joins.
-
-    ``wide_hashes`` (optional, r16 — guide §2.1): the
-    ``portable_video_frame_hashes_wide`` per-clip form. When given, the
-    per-clip sequence is a plain array-of-structs EXPRESSION over the
-    wide row and the pair phase's long form is its explode — removing
-    the groupBy(id) + collect_list shuffle the long-form path pays to
-    reassemble rows the projection already had. ``_seq`` is value-
-    identical: each clip has exactly one row per position and the array
-    is built in ascending ``fi`` order, which is what array_sort over
-    the 4 collected (fi, b0..b3) structs produced."""
+    the final map is two 8-byte-key equi-joins."""
     from caffeonspark_spark.operators.dedup import (
         _persist_replacing,
         connected_components,
     )
 
-    if wide_hashes is not None:
-        w = _persist_replacing("video_dedup_frame_hashes_wide", wide_hashes)
-        seq_expr = F.array(
-            *[
-                F.struct(
-                    F.lit(fi).cast("int").alias("fi"),
-                    *[F.col(f"b{fi}_{k}").alias(f"b{k}") for k in range(4)],
-                )
-                for fi in range(_V_FRAMES)
-            ]
-        )
-        seq = w.select("id", seq_expr.alias("_seq"))
-        ha = w.select("id", F.explode(seq_expr).alias("e")).select(
-            "id",
-            F.col("e.fi").alias("fi"),
-            *[F.col(f"e.b{k}").alias(f"b{k}") for k in range(4)],
-        )
-    else:
-        ha = _persist_replacing(
-            "video_dedup_frame_hashes",
-            frame_hashes.select(
-                F.col(id_col).alias("id"),
-                F.col(frame_col).alias("fi"),
-                "b0", "b1", "b2", "b3",
-            ),
-        )
-        seq = ha.groupBy("id").agg(
-            F.array_sort(
-                F.collect_list(F.struct("fi", "b0", "b1", "b2", "b3"))
-            ).alias("_seq")
-        )
+    ha = _persist_replacing(
+        "video_dedup_frame_hashes",
+        frame_hashes.select(
+            F.col(id_col).alias("id"),
+            F.col(frame_col).alias("fi"),
+            "b0", "b1", "b2", "b3",
+        ),
+    )
+    seq = ha.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("fi", "b0", "b1", "b2", "b3"))
+        ).alias("_seq")
+    )
     exact_keep = _persist_replacing(
         "video_dedup_exact_reps",
         seq.groupBy("_seq").agg(F.min("id").alias("rep")),
@@ -1422,56 +1393,6 @@ def portable_video_frame_hashes_df(docs: DataFrame) -> DataFrame:
         F.col("fi").cast("int").alias("fi"),
         *portable_image_bands([F.col(f"r{i}") for i in range(8)]),
     )
-
-
-def portable_video_frame_hashes_wide(spark, sf_dir: str) -> DataFrame:
-    """The portable per-frame bands in WIDE per-clip form
-    ``(id, b{fi}_{k} × 16)`` — every position's bands on ONE row, no
-    frame explode. Same substring windows, the same ``_chunk_fold`` and
-    the same ``portable_image_bands`` arithmetic as the long form (each
-    ``fi`` inlined as a literal instead of an exploded column), so every
-    band value is bit-identical. r16 (guide §2.1): the composed dedup map
-    needs the per-clip SEQUENCE — with the long form it re-grouped the
-    exploded table (a full-table shuffle + collect_list) to reassemble
-    per-clip rows this projection already has; the long form stays the
-    shape for the pair phase and is derived from this one by explode."""
-    from caffeonspark_spark.catalog import load_table
-    from caffeonspark_spark.engine import scale_out
-    from caffeonspark_spark.multimodal.imagehash import (
-        _chunk_fold,
-        portable_image_bands,
-    )
-
-    docs = scale_out(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
-    chunked = docs.select(
-        F.col("doc_id").alias("id"),
-        *[
-            F.col("text")
-            .substr(F.lit(fi * _V_STRIDE + i * _V_CHUNK + 1), F.lit(_V_CHUNK))
-            .alias(f"c{fi}_{i}")
-            for fi in range(_V_FRAMES)
-            for i in range(8)
-        ],
-    )
-    # seeds as real columns before the band expressions — the
-    # portable_image_bands staging rule (each seed feeds 32 comparisons)
-    seeded = chunked.select(
-        "id",
-        *[
-            _chunk_fold(F.col(f"c{fi}_{i}")).alias(f"r{fi}_{i}")
-            for fi in range(_V_FRAMES)
-            for i in range(8)
-        ],
-    )
-    cols = []
-    for fi in range(_V_FRAMES):
-        for k, band in enumerate(
-            portable_image_bands([F.col(f"r{fi}_{i}") for i in range(8)])
-        ):
-            cols.append(band.alias(f"b{fi}_{k}"))
-    return seeded.select("id", *cols)
 
 
 def video_dup_pairs_portable(spark, sf_dir: str) -> DataFrame:
@@ -1918,10 +1839,9 @@ def video_dedup_map_query(spark, sf_dir: str) -> DataFrame:
     ``image_dedup_map`` declaration pattern on the video modality;
     ``min_frames=2`` matches the declared pair query's clip gate."""
     return video_dedup_map(
-        None,
+        portable_video_frame_hashes(spark, sf_dir),
         frame_col="fi",
         min_frames=_V_MIN_FRAMES_PORTABLE,
-        wide_hashes=portable_video_frame_hashes_wide(spark, sf_dir),
     ).orderBy("id")
 
 

@@ -2385,12 +2385,15 @@ def edit_distance_dup_pairs(
     p = docs.where(F.length("text") >= 16).select(
         "doc_id", F.lower(F.substring("text", 1, prefix_len)).alias("pre")
     )
-    # Pinned: (doc_id, 40-char prefix, 8-char block key) — bounded-width
-    # rows, never full corpus text. Feeds the hot-block agg, the anti-join
-    # and BOTH self-join sides; unpinned each consumer re-ran the corpus
-    # scan + union + distinct (24 parquet scans in one plan at sf0.1).
-    blocks = _persist_replacing(
-        f"editdist_blocks_{prefix_len}",
+    # NOT memo-pinned, deliberately (r16, measured): this table feeds the
+    # hot-block agg, the anti-join and both self-join sides, but it is
+    # CORPUS-CARDINALITY (one 48-char row per doc per anchor) — pinning it
+    # tripled process-tree CPU at sf0.1 (4.8 → 14.8 s: columnar cache
+    # build + eager fill cost more than four column-pruned re-scans of
+    # the pruned projection), and at scale an in-memory copy of a
+    # corpus-sized table is the wrong trade. The id-sized pins elsewhere
+    # in this module stay; see OPTIMIZATION_r16.md finding 8.
+    blocks = (
         p.select("doc_id", "pre", F.substring("pre", 1, 8).alias("blk"))
         .union(
             p.select(
@@ -2399,7 +2402,7 @@ def edit_distance_dup_pairs(
                 F.expr("substring(pre, length(pre) - 7, 8)").alias("blk"),
             )
         )
-        .distinct(),
+        .distinct()
     )
     hot = (
         blocks.groupBy("blk")

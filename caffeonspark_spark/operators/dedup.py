@@ -447,12 +447,17 @@ def remove_dup_passages(
     Returns (id, clean_text, n_kept, n_tokens); docs whose every token is
     boilerplate stay in the output with clean_text = ''.
 
-    Plan: positional n-gram explode → cross-doc document-frequency hash agg
-    → semi-join back → coverage positions (explode of an n-wide sequence,
-    ≤ n rows per gram occurrence, so linear in corpus tokens) → anti-join
-    against the positional token stream → per-doc ordered rebuild
-    (array_sort over (pos, token) structs). Every join is an equi-join;
-    nothing is pairwise. At 100 TB shrink the gram shuffle key to
+    Plan (r16): positional n-gram explode → cross-doc document-frequency
+    hash agg → semi-join back → per-doc dup-gram START positions
+    (collect_list of ints — one position array per doc, never token text)
+    → one join onto the tokenized doc → in-place positional filter of the
+    token array (``array_except`` over 1-based positions builds a hash set
+    of the covered side, so the per-doc cost stays linear) → reassembly as
+    a plain projection, order preserved because ``array_except`` keeps the
+    left array's order. Every join is an equi-join; nothing is pairwise;
+    no shuffle ever carries token text (the pre-r16 form anti-joined a
+    positional token stream and shuffled every kept token through a
+    collect_list rebuild). At 100 TB shrink the gram shuffle key to
     ``xxhash64(gram)`` (string grams kept here for oracle parity), exactly
     as documented on ``dup_ngram_stats``.
     """
@@ -469,39 +474,30 @@ def remove_dup_passages(
         .where(F.col("_df") >= 2)
         .select("gram")
     )
-    covered = (
+    starts = (
         pos_grams.join(dup_grams, "gram")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("gpos0") + 1, F.col("gpos0") + n)
-            ).alias("pos"),
-        )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_list("gpos0").alias("starts"))
     )
-    tok_pos = base.select(
-        F.col(id_col), F.posexplode("ts").alias("pos0", "token")
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "token")
-    kept = tok_pos.join(covered, [id_col, "pos"], "left_anti")
-    agg = kept.groupBy(id_col).agg(
+    # positions covered by any dup-gram occurrence (1-based; overlapping
+    # occurrences unioned by array_except's set build); [] when none
+    covered = F.flatten(
+        F.transform(
+            F.coalesce("starts", F.array().cast("array<int>")),
+            lambda g: F.sequence(g + 1, g + n),
+        )
+    )
+    all_pos = F.when(
+        F.size("ts") > 0, F.sequence(F.lit(1), F.size("ts"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, covered)
+    return base.join(starts, id_col, "left").select(
+        id_col,
         F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
+            " ", F.transform(kept_pos, lambda p: F.element_at(F.col("ts"), p))
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    return (
-        base.select(F.col(id_col), F.size("ts").cast("long").alias("n_tokens"))
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            "n_tokens",
-        )
+        F.size(kept_pos).cast("long").alias("n_kept"),
+        F.size("ts").cast("long").alias("n_tokens"),
     )
 
 

@@ -354,6 +354,13 @@ def _result_line(
     """
     total = round(sum(timings.values()), 2)
     short = {(k[2:] if k.startswith("q_") else k): v for k, v in timings.items()}
+
+    def enc(v: float, ndig: int):
+        # r17: whole values print as integers ("2" not "2.0") — 2 chars
+        # per such row, recovered for extra rows on the truncation rung
+        r = round(v, ndig)
+        return int(r) if r == int(r) else r
+
     extra = {"noise": noise} if noise else {}
     for ndig in (2, 1):
         line = json.dumps(
@@ -361,7 +368,7 @@ def _result_line(
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, ndig) for k, v in short.items()},
+                "queries": {k: enc(v, ndig) for k, v in short.items()},
                 "sf": sf_val,
                 **extra,
             },
@@ -369,33 +376,36 @@ def _result_line(
         )
         if len(line) <= _LINE_BUDGET:
             return line
+    # r17 (VERDICT r16 item 2): the noise summary is dropped BEFORE any
+    # query row is — per-row data is what the driver's round-over-round
+    # comparison consumes; the full noise record stays in
+    # bench_last_run.json
     line = json.dumps(
         {
             "value": total,
-            "queries": {k: round(v, 1) for k, v in short.items()},
+            "queries": {k: enc(v, 1) for k, v in short.items()},
             "sf": sf_val,
-            **extra,
         },
         separators=(",", ":"),
     )
     if len(line) <= _LINE_BUDGET:
         return line
+    # last rung: keep the N SLOWEST rows + an honest dropped count. r17:
+    # N is exact (the old n -= n//8 step overshot by up to 14 rows past
+    # the first fitting prefix)
     rows = sorted(short.items(), key=lambda kv: (-kv[1], kv[0]))
-    n = len(rows)
-    while n > 0:
+    for n in range(len(rows), 0, -1):
         line = json.dumps(
             {
                 "value": total,
-                "queries": {k: round(v, 1) for k, v in rows[:n]},
+                "queries": {k: enc(v, 1) for k, v in rows[:n]},
                 "sf": sf_val,
                 "dropped": len(rows) - n,
-                **extra,
             },
             separators=(",", ":"),
         )
         if len(line) <= _LINE_BUDGET:
             return line
-        n -= max(1, n // 8)
     return json.dumps(
         {"value": total, "sf": sf_val, "dropped": len(rows)},
         separators=(",", ":"),

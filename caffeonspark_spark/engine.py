@@ -78,6 +78,18 @@ def get_spark(config: Config | None = None) -> SparkSession:
         # pre-filter" as a Catalyst runtime optimization; thresholds keep
         # their scale-appropriate defaults)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # r17: let AQE re-optimize the plan fragment that BUILDS a cached
+        # relation (default false keeps a cache's output partitioning
+        # fixed for exchange reuse). Every memo pin's fill otherwise runs
+        # its shuffles at the static spark.sql.shuffle.partitions width no
+        # matter how small the data — profiled as near-empty 32-task
+        # stages inside every pin build. With this on, pin builds get the
+        # same size-adaptive coalescing every other query gets; the pin
+        # read side is handled by the dedup memo's byte-sized view.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", config.max_partition_bytes)
         .config("spark.sql.files.openCostInBytes", config.open_cost_bytes)

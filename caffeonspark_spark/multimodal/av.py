@@ -990,6 +990,9 @@ def audio_fingerprint_invariance(spark, sf_dir: str) -> DataFrame:
     clips = _persist_replacing(
         "audio_invariance_clips",
         docs.mapInPandas(gen, "id long, pcm binary, ulaw binary, ns int"),
+        # narrow=False: both decode->log-mel fingerprint passes run
+        # MAP-SIDE over this pin — its read width is their parallelism
+        narrow=False,
     )
     sr = F.lit(8000)
     fa = audio_spectral_fingerprint(

@@ -122,6 +122,7 @@ def _purge_dead_locked() -> None:
     for k in list(_CACHED):
         if k[0] in dead:
             _CACHED.pop(k, None)
+            _VIEWS.pop(k, None)
     for t in dead:
         _SESSION_REFS.pop(t, None)
 
@@ -139,7 +140,70 @@ def _cache_key(key: str, df: DataFrame) -> tuple | None:
     return (_session_token(df.sparkSession), key, plan_hash)
 
 
-def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
+#: per-partition byte target for the post-fill pin-width probe below —
+#: the same role AQE's ``advisoryPartitionSizeInBytes`` plays for shuffle
+#: output. Overridable for production (SPARK_GRAFT_PIN_PARTITION_BYTES);
+#: the 64 MB default matches AQE's advisory default, so a pin narrows
+#: exactly where AQE would have coalesced a shuffle of the same bytes.
+_PIN_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PIN_PARTITION_BYTES", str(64 << 20))
+)
+
+#: coalesced read views over pinned entries (r17): same keys as _CACHED,
+#: cleared together. The VALUE in _CACHED stays the persisted DataFrame —
+#: unpersist() must be called on the exact cached plan to release blocks.
+_VIEWS: dict[tuple, DataFrame] = {}
+
+
+def _narrow_view(df: DataFrame) -> DataFrame | None:
+    """Size-adaptive pin width (r17, guide §2.2 "fewer, larger map tasks" /
+    §6 split sizing): a freshly FILLED pin inherits the partitioning of the
+    subtree that built it — locally ``scale_out``'s defaultParallelism, on
+    a cluster the scan/shuffle width — which is right for BUILDING the pin
+    (the front-end compute wants the parallelism) but wrong for READING a
+    metadata-sized result: every downstream stage schedules one near-empty
+    task per build partition (profiled on video_dedup_map: 32-task stages
+    with 0.2-0.8 s of TOTAL task work each). AQE cannot re-coalesce a
+    cached relation (``canChangeCachedPlanOutputPartitioning`` default), so
+    derive the READ width from the pin's own MATERIALIZED byte size — the
+    measurement the eager fill already paid for — at the same bytes-per-
+    partition target AQE uses for shuffles. Corpus-sized pins keep full
+    width (bytes/64 MB ≥ build width); only metadata-sized pins narrow.
+    Returns a coalesce VIEW over the cached blocks (no second
+    materialization, no shuffle — the single read task fetches local cache
+    blocks), or None when the pin should keep its build width."""
+    try:
+        qe = df._jdf.queryExecution()
+        # py4j maps the BigInt straight to a Python int
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
+        plan = qe.executedPlan()
+        if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            plan = plan.initialPlan()
+        cur = plan.execute().getNumPartitions()
+    except Exception:  # pragma: no cover - non-classic backend
+        return None
+    want = max(1, min(cur, size // _PIN_PARTITION_BYTES + 1))
+    if want >= cur:
+        return None
+    return df.coalesce(want)
+
+
+def _persist_replacing(
+    key: str, df: DataFrame, eager: bool = True, narrow: bool = True
+) -> DataFrame:
+    """Memo-pin ``df`` (see the cache notes above). ``eager`` fills the
+    cache with one count() — keep it True for pins that feed SEVERAL plan
+    subtrees (AQE submits exchange materializations concurrently, so a
+    lazy pin is computed once PER BRANCH before the first task populates a
+    block — profiled on image_dhash_pairs: three parallel jobs each paying
+    the whole hash front end). Pass ``eager=False`` for pins whose
+    consumers run strictly SEQUENTIALLY (an iterative fit, a single-action
+    pipeline): there the first consumer's own action populates the cache
+    and an up-front fill is a pure extra pass (the r16 kmeans_fit/minhash
+    driver regression — VERDICT r16 item 3). ``narrow=False`` opts a pin
+    out of the size-adaptive read-width coalesce — required when the
+    consumers do HEAVY per-row work map-side on the pin (decode/fingerprint
+    passes), where read width IS the compute parallelism."""
     from pyspark import StorageLevel
 
     full_key = _cache_key(key, df)
@@ -152,30 +216,33 @@ def _persist_replacing(key: str, df: DataFrame) -> DataFrame:
     with _CACHE_LOCK:
         _purge_dead_locked()
         df = _CACHED.setdefault(full_key, df)
+        view = _VIEWS.get(full_key)
         fill = df.storageLevel == StorageLevel.NONE
         if fill:
             df.persist()
     if fill:
-        # r16: EAGERLY fill the cache (outside the lock — the fill is a
-        # real job). A lazily-persisted table that feeds several exchange
-        # subtrees is materialized CONCURRENTLY by AQE's stage submission
-        # — each racing job computes the full uncached subtree before the
-        # first task has populated a cache block (profiled on
-        # image_dhash_pairs: three parallel single-task jobs, each paying
-        # the whole hash front end). The count() materializes every
-        # column of the cached relation once (InMemoryRelation builds
-        # full rows regardless of the action's pruning); every branch
-        # then reads InMemoryTableScan. Net work strictly <= lazy when
-        # >=2 branches race, identical when one. The memo is released by
-        # unpersist_cached() between bench runs, so nothing persists
-        # across runs.
+        if not eager:
+            return df
+        # EAGER fill (r16), outside the lock — the fill is a real job. The
+        # count() materializes every column of the cached relation once
+        # (InMemoryRelation builds full rows regardless of the action's
+        # pruning); every branch then reads InMemoryTableScan. The memo is
+        # released by unpersist_cached() between bench runs, so nothing
+        # persists across runs.
         df.count()
-    return df
+        view = _narrow_view(df) if narrow else None
+        if view is not None:
+            with _CACHE_LOCK:
+                # keep the PINNED frame as the _CACHED value (unpersist
+                # must see the cached plan); readers get the narrow view
+                _VIEWS[full_key] = view
+    return view if view is not None else df
 
 
 def unpersist_cached() -> None:
     """Release every DataFrame persisted by this module's operators."""
     with _CACHE_LOCK:
+        _VIEWS.clear()
         for key in list(_CACHED):
             try:
                 _CACHED.pop(key).unpersist()
@@ -845,7 +912,14 @@ def minhash_lsh_pairs_df(
     # Spark computes it twice (broadcast + shuffle exchanges don't reuse).
     # One row of 64 longs per doc ≈ 0.5 KB — at 100 TB this is the
     # signatures table you'd write out once and join against.
-    sigs = _persist_replacing("minhash_sigs", minhash_signatures(docs))
+    # eager=False (r17, VERDICT r16 item 3): this query is one action over
+    # one self-join — the r16 eager fill added a serial materialization
+    # pass the concurrent branch race never cost on an idle scheduler
+    # (driver measured minhash_lsh 2.1 -> 2.8 s); the lazy pin still
+    # guarantees at most one cached copy and r15's timing envelope.
+    sigs = _persist_replacing(
+        "minhash_sigs", minhash_signatures(docs), eager=False
+    )
     bands = banded_signatures(sigs, hashed=True)
     cand = _banded_candidate_pairs(bands, bands, "doc_id", "id_a", "id_b", True)
     return (
@@ -879,6 +953,8 @@ def minhash_lsh_pairs_portable_df(
     sigs = _persist_replacing(
         "minhash_sigs_portable",
         minhash_signatures_portable_df(docs, id_col=id_col, text_col=text_col),
+        # eager=False: same single-action shape as minhash_lsh_pairs_df
+        eager=False,
     )
     bands = banded_signatures(sigs, id_col)
     cand = _banded_candidate_pairs(bands, bands, id_col, "id_a", "id_b", True)

@@ -367,26 +367,77 @@ def test_persist_replacing_memoizes_and_survives_clearcache(spark):
     )
 
     base = spark.range(100).withColumnRenamed("id", "k")
-    first = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
-    again = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
+    first = _persist_replacing(
+        "t_site", base.selectExpr("k", "k * 2 AS v"), narrow=False
+    )
+    again = _persist_replacing(
+        "t_site", base.selectExpr("k", "k * 2 AS v"), narrow=False
+    )
     assert again is first  # memoized: double invocation reuses, not re-caches
     assert first.storageLevel != StorageLevel.NONE
     assert first.count() == 100
 
-    other = _persist_replacing("t_site", base.selectExpr("k", "k * 3 AS v"))
+    other = _persist_replacing(
+        "t_site", base.selectExpr("k", "k * 3 AS v"), narrow=False
+    )
     assert other is not first
     # the earlier entry must STILL be cached: lazy plans referencing it
     # would silently recompute if replacement unpersisted it
     assert first.storageLevel != StorageLevel.NONE
 
     spark.catalog.clearCache()
-    refreshed = _persist_replacing("t_site", base.selectExpr("k", "k * 2 AS v"))
+    refreshed = _persist_replacing(
+        "t_site", base.selectExpr("k", "k * 2 AS v"), narrow=False
+    )
     assert refreshed is first
     assert refreshed.storageLevel != StorageLevel.NONE  # re-persisted
 
     unpersist_cached()
     assert first.storageLevel == StorageLevel.NONE
     assert other.storageLevel == StorageLevel.NONE
+
+
+def test_persist_replacing_narrow_view_and_lazy_fill(spark):
+    """r17 memo semantics: (a) a metadata-sized eager pin is returned as a
+    COALESCED read view over the cached blocks — same rows, fewer
+    partitions, the underlying pin stays the released handle; (b) repeat
+    invocation returns the same view; (c) ``eager=False`` skips both the
+    fill and the view (the first consumer's action fills the cache);
+    (d) ``unpersist_cached`` releases the pin and forgets the view."""
+    from pyspark import StorageLevel
+
+    from caffeonspark_spark.operators.dedup import (
+        _CACHED,
+        _VIEWS,
+        _persist_replacing,
+        unpersist_cached,
+    )
+
+    base = spark.range(200).repartition(8).withColumnRenamed("id", "k")
+    v1 = _persist_replacing("t_narrow", base.selectExpr("k", "k + 1 AS v"))
+    # tiny table -> the returned frame reads the pin at reduced width
+    assert v1.rdd.getNumPartitions() < 8
+    assert sorted(r["v"] for r in v1.collect()) == list(range(1, 201))
+    # the PINNED frame (not the view) is the released handle
+    pinned = [df for key, df in _CACHED.items() if key[1] == "t_narrow"]
+    assert len(pinned) == 1
+    assert pinned[0].storageLevel != StorageLevel.NONE
+    v2 = _persist_replacing("t_narrow", base.selectExpr("k", "k + 1 AS v"))
+    assert v2 is v1  # repeat invocation reuses the same view
+
+    lazy = _persist_replacing(
+        "t_lazy", base.selectExpr("k", "k + 2 AS v"), eager=False
+    )
+    # persisted (marked) but NOT filled or narrowed: the caller's first
+    # action fills the cache, so the build partitioning is preserved
+    assert lazy.storageLevel != StorageLevel.NONE
+    assert ("t_lazy" not in {key[1] for key in _VIEWS})
+    assert lazy.rdd.getNumPartitions() == 8
+    assert lazy.count() == 200
+
+    unpersist_cached()
+    assert not _VIEWS
+    assert pinned[0].storageLevel == StorageLevel.NONE
 
 
 def test_dedup_against_corpus_bipartite(spark, planted):

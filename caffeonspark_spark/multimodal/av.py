@@ -1394,7 +1394,7 @@ def portable_video_frame_hashes_df(docs: DataFrame) -> DataFrame:
     return seeded.select(
         "id",
         F.col("fi").cast("int").alias("fi"),
-        *portable_image_bands([F.col(f"r{i}") for i in range(8)]),
+        *portable_image_bands([f"r{i}" for i in range(8)]),
     )
 
 
@@ -1974,17 +1974,23 @@ def _portable_audio_bands(docs: DataFrame) -> DataFrame:
         *[_chunk_fold(F.col(f"c{t}")).alias(f"r{t}") for t in range(_A_WINDOWS)],
     )
 
-    def cell(t: int, j: int) -> Column:
-        return F.pmod(F.col(f"r{t}") * F.lit(j + 1) + F.lit(t), F.lit(256))
+    # r17: each band as ONE parsed SQL expression — the per-bit Column
+    # chain cost ~640 py4j round trips per invocation (the
+    # portable_image_bands finding; same fix, same term-for-term
+    # arithmetic, long addition is exact so values are bit-identical)
+    def cell(t: int, j: int) -> str:
+        return f"pmod(r{t} * {j + 1} + {t}, 256)"
 
     bands = []
     for k in range(4):
-        total = F.lit(0).cast("long")
+        terms = []
         for t in (2 * k, 2 * k + 1):
             for j in range(8):
-                bit = (cell(t + 1, j) > cell(t, j)).cast("long")
-                total = total + bit * F.lit(1 << (j + (t % 2) * 8))
-        bands.append(total.alias(f"b{k}"))
+                terms.append(
+                    f"cast(({cell(t + 1, j)} > {cell(t, j)}) as long)"
+                    f" * {1 << (j + (t % 2) * 8)}"
+                )
+        bands.append(F.expr(" + ".join(terms)).alias(f"b{k}"))
     return seeded.select("id", *bands)
 
 

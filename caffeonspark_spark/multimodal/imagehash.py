@@ -326,19 +326,29 @@ def portable_image_bands(rs: list[Column]) -> list[Column]:
     Chunk-local derivation is the point: an edit inside one 64-char
     window perturbs only that row's 8 bits — the behavior of a LOCAL
     image edit — so the documents table's shared-prefix near-dup
-    families produce a graded Hamming spectrum, not just exact matches."""
+    families produce a graded Hamming spectrum, not just exact matches.
 
-    def pix(r: Column, i: int, j: int) -> Column:
-        return F.pmod(r * F.lit(j + 1) + F.lit(i), F.lit(256))
+    ``rs`` is a list of column NAMES (r17): each band is built as ONE
+    parsed SQL expression — the per-bit ``F.pmod``/compare/cast Column
+    chain cost ~640 py4j round trips per invocation (cProfile: 1.9 s of
+    the video_dedup_map construction was this function's socket chatter).
+    Arithmetic is unchanged term for term: pmod(r·(j+1)+i, 256)
+    comparisons, bit·2^t terms summed as longs — long addition is exact,
+    so the value is bit-identical (oracles re-checked)."""
+
+    def pix(r: str, i: int, j: int) -> str:
+        return f"pmod({r} * {j + 1} + {i}, 256)"
 
     bands = []
     for k in range(4):
-        total = F.lit(0).cast("long")
+        terms = []
         for t in range(16):
             i, j = 2 * k + t // 8, t % 8
-            bit = (pix(rs[i], i, j) < pix(rs[i], i, j + 1)).cast("long")
-            total = total + bit * F.lit(1 << t)
-        bands.append(total.alias(f"b{k}"))
+            terms.append(
+                f"cast(({pix(rs[i], i, j)} < {pix(rs[i], i, j + 1)}) as long)"
+                f" * {1 << t}"
+            )
+        bands.append(F.expr(" + ".join(terms)).alias(f"b{k}"))
     return bands
 
 
@@ -888,7 +898,7 @@ def portable_image_hash_table_df(docs: DataFrame) -> DataFrame:
         *[_chunk_fold(F.col(f"c{i}")).alias(f"r{i}") for i in range(_N_ROWS)],
     )
     return seeded.select(
-        "id", *portable_image_bands([F.col(f"r{i}") for i in range(_N_ROWS)])
+        "id", *portable_image_bands([f"r{i}" for i in range(_N_ROWS)])
     )
 
 

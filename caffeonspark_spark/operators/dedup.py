@@ -700,6 +700,23 @@ def _perm_coeffs(n: int = MINHASH_PERMS, seed: int = 7):
     return coeffs
 
 
+def _sig_bank_expr() -> F.Column:
+    """The whole 64-permutation min-agg bank as ONE parsed expression:
+    ``array(min(pmod(a_i * th + b_i, p)), ...) AS sig``. Value-identical
+    to the per-permutation ``F.min(F.pmod(...))`` listcomp it replaces
+    (same arithmetic over the same ``th`` column; integer literals parse
+    to the same widened-to-long multiply) — but costs ONE py4j round trip
+    instead of ~10 per permutation per call site. r17 (guide §1.2 driver
+    work): cProfile of ``dedup_against_corpus`` construction showed
+    11,709 py4j round trips = 1.9 s of socket chatter per invocation,
+    dominated by the two 64-agg listcomps; the driver is part of the
+    query's wall just like the cluster."""
+    mins = ",".join(
+        f"min(pmod({a} * th + {b}, {_MH_PRIME}))" for a, b in _perm_coeffs()
+    )
+    return F.expr(f"array({mins}) AS sig")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc MinHash signature as ``sig: array<long>`` of length PERMS.
 
@@ -710,14 +727,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     toks = shingle_sets(df, id_col=id_col, text_col=text_col, n=3)
     th = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME)).alias("th")
     base = toks.select(F.col(id_col), th)
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_coeffs())
-    ]
-    wide = base.groupBy(id_col).agg(*aggs)
-    return wide.select(
-        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig")
-    )
+    return base.groupBy(id_col).agg(_sig_bank_expr())
 
 
 def minhash_signatures_portable_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -732,15 +742,8 @@ def minhash_signatures_portable_df(df: DataFrame, id_col: str = "doc_id", text_c
     base = toks.select(
         F.col(id_col), char_fold_vec(F.col("shingle")).alias("th")
     )
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("th") + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_coeffs())
-    ]
-    wide = base.groupBy(id_col).agg(*aggs)
-    return wide.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
-    )
+    # one parsed expression for the 64-agg bank (see _sig_bank_expr)
+    return base.groupBy(id_col).agg(_sig_bank_expr())
 
 
 def minhash_signatures_portable_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -941,16 +941,35 @@ def nearest_centroid_col(
 ) -> F.Column:
     """(dist2, centroid_id) struct of the nearest centroid, as a pure
     expression over ``vec_col``: centroid rows are embedded as plan
-    literals, so any operator composing this stays map-only."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("c"),
-            )
+    literals, so any operator composing this stays map-only.
+
+    r17: the k×dim centroid literal array is built as ONE parsed SQL
+    expression — the per-value ``F.lit`` chain cost ~1,100 py4j round
+    trips per invocation (cProfile: 1.25 s of semantic_corpus_dedup's
+    construction). Values are bit-identical: every float is embedded as
+    ``cast('<repr>' as double)`` — ``repr`` round-trips the IEEE double
+    and the string→double cast is correctly rounded, so the parsed
+    literal IS the original value. Non-finite centroids (never produced
+    by the mean updates, but guard anyway) fall back to the Column form."""
+    import math
+
+    if all(math.isfinite(x) for _, vec in cent_rows for x in vec):
+        structs = ",".join(
+            "named_struct('cid', CAST(%d AS BIGINT), 'c', array(%s))"
+            % (cid, ",".join(f"cast('{x!r}' as double)" for x in vec))
             for cid, vec in cent_rows
-        ]
-    )
+        )
+        cent_arr = F.expr(f"array({structs})")
+    else:  # pragma: no cover - non-finite centroid guard
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("c"),
+                )
+                for cid, vec in cent_rows
+            ]
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     def d2(c):

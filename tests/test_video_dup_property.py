@@ -128,7 +128,7 @@ def test_video_pair_machinery_matches_brute_force(spark, texts):
     hashed = seeded.select(
         "id",
         F.col("fi").cast("int").alias("fi"),
-        *portable_image_bands([F.col(f"r{i}") for i in range(8)]),
+        *portable_image_bands([f"r{i}" for i in range(8)]),
     )
     got = {
         (r["id_a"], r["id_b"]): r["n_frames_matched"]

@@ -34,6 +34,12 @@ from caffeonspark_spark.catalog import load_table
 
 N_MERGES = 8
 
+#: vocab-row cap for the between-rounds LocalRelation collapse in
+#: ``train_merges_from`` — ≤64k (word, freq, syms) rows is centroid-
+#: collect-class driver metadata; larger vocabularies keep the
+#: distributed expression-stacking path
+_VOCAB_COLLAPSE_MAX = 65536
+
 
 def _word_vocab(docs: DataFrame) -> DataFrame:
     """Word-frequency table with each word exploded into single-char symbols
@@ -143,6 +149,35 @@ def _apply_merge(vocab: DataFrame, l: str, r: str) -> DataFrame:
     return vocab.withColumn("syms", _merge_fold(F.col("syms"), l, r))
 
 
+def _py_top_pairs(rows: list[tuple], k: int) -> list[dict]:
+    """Driver-side twin of ``_top_pairs`` over collected (word, freq,
+    syms) rows: positional adjacent-pair counts weighted by freq,
+    (count DESC, l ASC, r ASC) order, top ``k``. Exact integer counts;
+    Python str ordering equals Spark's UTF8 binary ordering (UTF-8 byte
+    order preserves codepoint order)."""
+    from collections import defaultdict
+
+    cnt: dict[tuple, int] = defaultdict(int)
+    for _, freq, syms in rows:
+        for i in range(len(syms) - 1):
+            cnt[(syms[i], syms[i + 1])] += freq
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [{"l": l, "r": r, "c": c} for (l, r), c in order[:k]]
+
+
+def _py_merge_fold(syms: list[str], l: str, r: str) -> list[str]:
+    """Driver-side twin of ``_merge_fold``: greedy left-to-right merge of
+    the (l, r) pair — the accumulator's last symbol merges with the next
+    exactly as the Catalyst fold's ``element_at(acc, -1)`` test does."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
 def train_merges_from(
     docs: DataFrame, n_merges: int = N_MERGES
 ) -> list[tuple]:
@@ -155,8 +190,43 @@ def train_merges_from(
     pair_count)."""
     base = _word_vocab(docs).persist()
     try:
+        # r17 (guide §1.2 "the distributed algorithm" / §5 driver): after
+        # the one corpus scan, the training loop touches NOTHING but the
+        # word-frequency table. When that table is driver-metadata-sized
+        # (the centroid-collect class), every per-round Spark job —
+        # _top_pairs' agg+sort+collect and the stacked merge folds, each
+        # a full AQE query whose fixed cost dwarfs the ≤64k-row work —
+        # is scheduling overhead, and round r re-executed all r-1 stacked
+        # folds over the base besides. Collect the vocab ONCE and run the
+        # loop in exact Python: same positional pair counts (ints), same
+        # (c DESC, l ASC, r ASC) order (UTF-8 byte order == codepoint
+        # order), same greedy left-to-right fold — pinned against the
+        # Spark-side sequential loop by the adversarial equivalence tests
+        # and end-to-end by the bpe_train/bpe_encode oracles. Web-scale
+        # vocabularies keep the distributed loop below, exactly like the
+        # union-find and KMV one-task cutovers.
+        if base.count() <= _VOCAB_COLLAPSE_MAX:
+            rows = [
+                (r["word"], r["freq"], list(r["syms"])) for r in base.collect()
+            ]
+            merges: list[tuple] = []
+            while len(merges) < n_merges:
+                remaining = n_merges - len(merges)
+                top = _py_top_pairs(rows, remaining + 1)
+                batch = _exact_batch(top, remaining)
+                if not batch:
+                    break
+                for row in batch:
+                    merges.append((len(merges), row["l"], row["r"], row["c"]))
+                if len(merges) < n_merges:
+                    for row in batch:  # apply in rank order == sequential
+                        l, r = row["l"], row["r"]
+                        rows = [
+                            (w, f, _py_merge_fold(s, l, r)) for w, f, s in rows
+                        ]
+            return merges
         vocab = base
-        merges: list[tuple] = []
+        merges = []
         while len(merges) < n_merges:
             remaining = n_merges - len(merges)
             top = _top_pairs(vocab, remaining + 1)

@@ -268,6 +268,24 @@ def test_bpe_batched_equals_sequential(spark):
         sequential = train_merges_sequential_from(docs, n_merges=8)
         assert batched == sequential, (texts[:3], batched, sequential)
 
+    # r17: small vocabularies take the driver-side loop (exact Python
+    # twins of _top_pairs/_merge_fold — what the loop above just pinned);
+    # force the cap to 0 on a few corpora so the DISTRIBUTED batched path
+    # (expression-stacked folds over the persisted base) stays covered
+    # and equal too.
+    from caffeonspark_spark.operators import bpe as bpe_mod
+
+    cap = bpe_mod._VOCAB_COLLAPSE_MAX
+    try:
+        bpe_mod._VOCAB_COLLAPSE_MAX = 0
+        for texts in adversarial[:3]:
+            docs = corpus(texts)
+            batched = train_merges_from(docs, n_merges=8)
+            sequential = train_merges_sequential_from(docs, n_merges=8)
+            assert batched == sequential, (texts[:3], batched, sequential)
+    finally:
+        bpe_mod._VOCAB_COLLAPSE_MAX = cap
+
 
 def test_bpe_encode_planted(spark, tmp_path):
     """Encoding with the trained merges: after (l,o),(lo,w),(low,e) the

@@ -1701,8 +1701,16 @@ def hard_negative_mining(
     # the cosine_similarity contract) — filtering the scalar, not
     # sim IS NOT NULL, keeps the pushed-down predicate from re-evaluating
     # the dot-product fold a second time per row
+    from caffeonspark_spark.engine import scale_out
+
     cand = (
-        corpus.select(
+        # r17 (guide §1.2, the A/V-front-end pattern): the per-row norm
+        # fold + |anchors| dot folds run map-side under the broadcast —
+        # a single-row-group local scan ran them as ONE 2.1 s task
+        # (evlog: stage n=1). Rebalance the narrow rows first; no-op on
+        # a real multi-split scan, per-pair values partitioning-invariant.
+        scale_out(corpus.select(id_col, label_col, vec_col))
+        .select(
             id_col, label_col, vec_col, l2_norm(F.col(vec_col)).alias("_c_norm")
         )
         .crossJoin(a)

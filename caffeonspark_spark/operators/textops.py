@@ -1123,9 +1123,17 @@ def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(element_at(cs, i - {j}) AS BIGINT) * {c}"
         for j, c in enumerate(_CDC_COEF)
     )
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").cast("int").alias("n")
-    )
+    from caffeonspark_spark.engine import scale_out
+
+    # r17 (guide §1.2, the r16 A/V-front-end pattern): the per-row window
+    # hash + chunk slicing is the whole operator's compute and it chains
+    # map-side onto the scan — a single-row-group local scan ran it as
+    # ONE 2.4 s task (evlog: stage n=1, cpu 2.16 s). Rebalance the narrow
+    # (id, text) rows first; no-op on a real multi-split scan, and every
+    # output is a per-row function so partitioning cannot change values.
+    base = scale_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "text", F.length("text").cast("int").alias("n"))
     staged = (
         base.withColumn("cs", F.expr("transform(split(text, ''), ch -> ascii(ch))"))
         .withColumn(

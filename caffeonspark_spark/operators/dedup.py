@@ -529,7 +529,13 @@ def remove_dup_passages(
     as documented on ``dup_ngram_stats``.
     """
     toks = _tokens(text_col)
-    base = df.select(F.col(id_col), toks.alias("ts"))
+    # r17 (guide §1.2): tokenization + gram explode feed three subtrees
+    # map-side on the scan — one 1.0-1.7 s task each on a single-split
+    # local scan (evlog); rebalance the narrow rows first (no-op on a
+    # real multi-split scan, per-row values partitioning-invariant)
+    base = scale_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("ts")
+    )
     pos_grams = base.where(F.size("ts") >= n).select(
         id_col, F.posexplode(ngrams(F.col("ts"), n=n)).alias("gpos0", "gram")
     )
@@ -2186,8 +2192,13 @@ def _winnow_fps(docs: DataFrame, k: int, w: int) -> DataFrame:
         F.when(F.size(F.col("gh")) >= 1, F.array(F.array_min(F.col("gh"))))
         .otherwise(F.array().cast("array<long>"))
     )
+    # r17 (guide §1.2): the staged fold passes are the operator's whole
+    # compute and chain map-side onto the scan — a single-row-group local
+    # scan ran them as ONE ~1.2 s task (evlog). Rebalance the narrow rows
+    # first; no-op on a real multi-split scan, per-row values invariant.
     return (
-        docs.select(
+        scale_out(docs.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.transform(space_tokens(F.col("text")), portable_token_hash).alias(
                 "th"

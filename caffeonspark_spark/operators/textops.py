@@ -955,6 +955,13 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode feeds three aggregates (≈3 corpus scans); at scale persist the
     tokenized intermediate or, cheaper, the two count tables.
     """
+    # r17: a scale_out rebalance was TRIED here (the bigram explode feeds
+    # three aggregates as ~0.5 s single-task passes on a single-split
+    # local scan) and REVERTED on measurement: the (doc_id, text) shuffle
+    # it adds costs more than the three map passes it parallelizes
+    # (isolated 1.57 -> 2.2 s at sf0.1, two serialized re-measures). At
+    # scale the scan is multi-split and the rebalance would be a no-op —
+    # pure local loss, same lesson as the r16 BPE/edit-distance reverts.
     docs = load_table(spark, sf_dir, "documents")
     bi = docs.select(
         "doc_id", F.explode(ngrams(_toks(), n=2)).alias("bigram")

@@ -577,9 +577,13 @@ def test_hard_negatives_broadcast_rank_plan(spark, sf_smoke):
     assert "CartesianProduct" not in plan, plan
     # partial (below the exchange) + final — two detail nodes
     assert plan.count(") WindowGroupLimit") == 2, plan
-    # window exchange (≤2 rows per anchor per task) + pivot agg: 2 total,
-    # neither corpus-sized
-    assert shuffle_count(df) == 2, plan
+    # window exchange (≤2 rows per anchor per task) + pivot agg, plus the
+    # r17 scale_out round-robin rebalance of the narrow corpus rows — the
+    # rebalance only exists because THIS scan is single-split (it is a
+    # no-op on a multi-split production scan, so the at-scale contract
+    # stays 2 exchanges, neither corpus-sized)
+    assert shuffle_count(df) == 3, plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
     for scan in read_schema_columns(df):
         assert scan == {"vec_id", "label", "embedding"}, plan
 

@@ -178,8 +178,11 @@ def main() -> None:
         print(f"ERROR: unknown queries {sorted(unknown)}")
         raise SystemExit(2)
     queries = {q: f for q, f in QUERIES.items() if not only or q in only}
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
-        Config(master="local[32]", shuffle_partitions=32, app_name="scaling")
+        Config(
+            master=f"local[{cpus}]", shuffle_partitions=32, app_name="scaling"
+        )
     )
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {q: {} for q in queries}
